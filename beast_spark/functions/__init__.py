@@ -1,0 +1,1 @@
+from beast_spark.functions import text, vectors  # noqa: F401

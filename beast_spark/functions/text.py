@@ -1,0 +1,87 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure-Column (JVM-side, whole-stage-codegen) — no Python UDFs in the
+hot path. Each helper returns a Column usable in select/filter at any
+scale; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny multi-language stopword list for ratio features (public knowledge).
+STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that "
+    "el la de que y en un los del se las por un une le les des et en du "
+    "der die das und ist von zu den dem ein eine"
+).split()
+
+
+def tokens(col: str | Column, sep: str = " ") -> Column:
+    """Whitespace tokenization (single-space separator, reference corpus style)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, sep)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def unique_ratio(col: str | Column) -> Column:
+    """Fraction of distinct tokens — low values flag degenerate/repetitive docs."""
+    return unique_token_count(col) / token_count(col)
+
+
+def mean_token_length(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, " ", "")) / token_count(c)
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct-stopword presence
+    return n_stop / F.size(F.array_distinct(toks))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic [0,1] quality score: length band + lexical diversity.
+
+    Mirrors common pretraining-corpus filters (C4/Gopher-style rules,
+    public papers): favor 20–80-token docs with diverse vocabulary.
+    """
+    n = token_count(col)
+    len_ok = F.when((n >= 20) & (n <= 80), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_ok * unique_ratio(col), 4)
+
+
+def normalized_text(col: str | Column) -> Column:
+    """lower + collapse whitespace + trim — canonical form for fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex)."""
+    return F.md5(F.encode(normalized_text(col), "UTF-8"))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles as an array<string> column."""
+    return F.array_distinct(_shingle_expr(tokens(col), n))
+
+
+def _shingle_expr(toks: Column, n: int) -> Column:
+    # sequence(0, size-n) is empty when size < n (sequence with negative stop
+    # raises, so guard with a CASE to an empty array).
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

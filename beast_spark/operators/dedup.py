@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Spark-first designs, all shuffle-aware for the 100 TB case:
+
+* **exact**: hash-groupBy on the dedup key — one shuffle, map-side
+  partial agg for the counts.
+* **n-gram Jaccard**: shingle → explode → self-equi-join on shingle.
+  The classic skew hazard is a stop-shingle appearing in most docs
+  (quadratic bucket). ``max_df`` drops shingles present in more than
+  that many docs before the join — standard document-frequency pruning
+  (identical to what MinHashLSH implementations do to survive web-scale
+  corpora).
+* **MinHash + LSH banding**: k hash functions folded into ONE shuffle
+  (k parallel min-aggregates, not k passes), then band-hash equi-join
+  for candidates. ``max_bucket`` caps pathological buckets.
+* **SimHash**: 64-bit signature via element-wise ±1 bit sums; near-dup
+  candidates via 16-bit band join + popcount(xor) Hamming filter.
+
+All operators are pure DataFrame compositions — no Python UDFs — so the
+whole pipeline stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beast_spark.functions.text import shingles, tokens
+
+__all__ = [
+    "exact_dedup_groups",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+]
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Group rows by exact key; emit canonical (min) id + copy count per group."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Returns (doc1, doc2, jaccard) with doc1 < doc2. ``max_df`` prunes
+    shingles occurring in more than that many documents (skew guard).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc in a single shuffle.
+
+    Hash family: xxhash64 seeded by permutation index (xxhash64's seed
+    argument position — the extra literal column — gives k independent
+    64-bit hash functions). Signature = array<bigint> length k.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(k)]
+    )
+    mins = hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over MinHash signatures.
+
+    bands × rows = k; a pair collides in ≥1 band ⟹ candidate; the
+    estimated Jaccard (fraction of equal signature positions) is then
+    computed exactly from the signatures and filtered by ``threshold``.
+    ``max_bucket`` drops degenerate buckets (all-identical corpora)
+    before the quadratic pair expansion.
+    """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    banded = banded.join(
+        counts.filter(F.col("bsz") <= max_bucket).select("band", "bucket"), ["band", "bucket"]
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))
+    est = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig1", "sig2", lambda a, b: F.when(a == b, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(k)),
+                4,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+    return est
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Per token: xxhash64 → ±1 vector over bit positions; per doc: sum the
+    vectors (one shuffle: ``bits`` parallel sums); signature bit i = 1 iff
+    sum_i > 0. Emitted as one BIGINT (bit 63 may set the sign — it is a
+    bit pattern, not a number).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_cols)
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Candidate generation: 4 × 16-bit band join (a pair within Hamming
+    distance 3 must agree on ≥1 band; wider distances may miss — standard
+    SimHash banding tradeoff), then exact popcount(xor) filter.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

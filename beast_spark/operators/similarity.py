@@ -1,0 +1,108 @@
+"""Embedding similarity search: brute-force baseline + LSH-bucketed ANN.
+
+Scale design:
+
+* **Brute force** is the correctness baseline: broadcast the (small) query
+  set, compute cosine JVM-side via ``zip_with``/``aggregate`` folds, rank
+  with a window. Cost O(N·Q) but embarrassingly parallel — at 100 TB the
+  broadcast of the query set keeps it a single map stage plus a top-k
+  shuffle of only Q·k rows.
+* **Random-hyperplane LSH** is the scale path: P deterministic
+  hyperplanes (seeded numpy, shipped as literal arrays — tiny) → P sign
+  bits → bucket id. Join on bucket (optionally multi-probe) and rank
+  only within buckets; candidate volume drops ~2^P-fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.functions.vectors import cosine, dot
+
+__all__ = ["brute_force_topk", "hyperplanes", "lsh_bucket_col", "lsh_topk"]
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector.
+
+    Returns (query_id, vec_id, cos_sim, rank); excludes self-matches.
+    Ranking uses the rounded similarity + id tiebreak so results are
+    engine-stable (float summation order cannot reorder ties).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    joined = data.alias("d").join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col("query_vec"), F.col(vec_col)), round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dims: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-normal components)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dims)).tolist()
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id: bit p = 1 iff <vec, plane_p> > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(F.col(vec_col), plane_arr) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Recall < 1 by construction (single-probe); increase recall with fewer
+    planes or multi-probe. Returns same shape as brute_force_topk.
+    """
+    planes = hyperplanes(dims, n_planes, seed)
+    d = data.withColumn("bucket", lsh_bucket_col(vec_col, planes))
+    q = queries.withColumn("bucket", lsh_bucket_col(vec_col, planes)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), "bucket"
+    )
+    joined = d.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

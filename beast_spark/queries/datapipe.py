@@ -1,0 +1,254 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity search.
+
+Operators come from ``beast_spark.operators`` / ``beast_spark.functions``;
+this module binds them to the driver's ``documents`` / ``embeddings``
+tables and supplies DuckDB oracles where the semantics are
+SQL-expressible. MinHash/SimHash/LSH use xxhash64 (engine-specific), so
+those entries are rows-only checks by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beast_spark.functions.text import (
+    fingerprint,
+    mean_token_length,
+    token_count,
+    unique_ratio,
+    unique_token_count,
+)
+from beast_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from beast_spark.operators.similarity import brute_force_topk, lsh_topk
+from beast_spark.queries import register
+from beast_spark.queries._util import rnd
+from beast_spark.sources.tables import load_table
+
+
+@register(
+    "q30_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on full text, canonical id = min(doc_id).",
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", ["text"]).select(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash"),
+        F.col("canonical_id"),
+        F.col("n_copies"),
+    )
+
+
+@register(
+    "q31_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+           CAST(length(text) AS INT) AS text_len,
+           floor((length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 100 + 0.5) / 100
+             AS avg_token_len
+    FROM documents
+    """,
+    doc="Per-doc token statistics: counts, distinct counts, mean token length.",
+)
+def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        unique_token_count("text").alias("n_unique"),
+        F.length("text").alias("text_len"),
+        rnd(mean_token_length("text"), 2).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q32_quality_filter",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           floor((len(list_distinct(string_split(text, ' ')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5) / 10000 AS uniq_ratio,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 80)
+             AND (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.5) AS keep
+    FROM documents
+    """,
+    doc="Corpus quality filter: token-length band + lexical-diversity threshold "
+    "(C4/Gopher-style heuristics).",
+)
+def q32_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    ur = unique_ratio("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        rnd(ur, 4).alias("uniq_ratio"),
+        (n.between(20, 80) & (ur >= 0.5)).alias("keep"),
+    )
+
+
+@register(
+    "q33_token_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           floor((avg(len(string_split(text, ' ')))) * 100 + 0.5) / 100 AS avg_tokens,
+           floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus token accounting grouped by language × source.",
+)
+def q33_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        rnd(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "q34_doc_fingerprint",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Normalized-content fingerprint (md5 of canonical text) per source.",
+)
+def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_fingerprints"),
+    )
+
+
+@register(
+    "q35_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(string_split(text,' ')) - 1),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])
+             )) AS shingle
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc1, i.doc2,
+           floor((n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.4
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.4) via shingle self-join.",
+    bench=False,  # quadratic-ish; excluded from the headline bench set
+)
+def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+
+
+@register(
+    "q36_minhash_lsh_dedup",
+    oracle=None,  # xxhash64-based — not reproducible in DuckDB; rows-only check
+    doc="MinHash(16) + LSH(8 bands) near-dup candidates with estimated Jaccard.",
+)
+def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=16, bands=8, threshold=0.35)
+
+
+@register(
+    "q37_simhash_pairs",
+    oracle=None,  # xxhash64-based — rows-only check
+    doc="SimHash-64 near-dup pairs within Hamming distance 8 via 16-bit band join.",
+)
+def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+@register(
+    "q38_embedding_knn",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  floor((list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                        * 1000000 + 0.5) / 1000000 AS cos_sim
+           FROM e, q WHERE vec_id <> 0
+         )
+    SELECT vec_id, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="Brute-force cosine top-10 neighbors of vec_id=0 (exact ANN baseline).",
+)
+def q38_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    res = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=10)
+    return res.select("vec_id", "cos_sim", "rank")
+
+
+@register(
+    "q39_embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS dim,
+           floor((avg(CAST(embedding[t.i + 1] AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS centroid_val
+    FROM embeddings, range(4) t(i)
+    GROUP BY label, t.i
+    """,
+    doc="Per-label embedding centroid (first 4 dims): posexplode + grouped avg.",
+)
+def q39_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.filter(F.col("dim") < 4)
+        .groupBy("label", "dim")
+        .agg(rnd(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "q40_lsh_ann",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="Random-hyperplane LSH bucketed ANN (8 planes) for query vec_id=0.",
+)
+def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") == 0), dims=64, k=10)

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Headline benchmark: run every registered bench query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query seconds.
+
+Execution is forced with the noop sink (full pipeline, no driver
+collect), which measures engine time rather than toPandas transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from beast_spark.queries import all_queries  # noqa: E402
+from beast_spark.session import get_spark  # noqa: E402
+from beast_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="beast_spark_bench")
+
+    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Mirror of the driver's correctness gate: for every registered query
+with an oracle, run the Spark DataFrame implementation and the DuckDB
+SQL side-by-side on the same parquet tables and compare row count,
+column names, and values (order-insensitive).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from beast_spark.queries import all_queries
+from beast_spark.sources.tables import TABLES, table_path
+
+SPECS = all_queries()
+ORACLE_NAMES = [n for n, s in sorted(SPECS.items()) if s.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, s in sorted(SPECS.items()) if s.oracle is None]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    odf = con.execute(spec.oracle).fetchdf()
+    con.close()
+
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} != oracle {sorted(odf.columns)}"
+    )
+    a = _normalize(sdf)
+    b = _normalize(odf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            both_nan = av.isna() & bv.isna()
+            close = np.isclose(av.fillna(0.0), bv.fillna(0.0), rtol=0, atol=1e-9) | both_nan
+            bad = int((~close).sum())
+            assert bad == 0, f"{name}.{c}: {bad} value mismatches (sample: " \
+                f"{list(zip(av[~close].head(3), bv[~close].head(3)))})"
+            exact = (av.fillna(math.nan).eq(bv.fillna(math.nan)) | both_nan).all()
+            assert exact, f"{name}.{c}: values within 1e-9 but not bit-equal — rounding boundary risk"
+        else:
+            same = (av.isna() & bv.isna()) | (av == bv)
+            bad = int((~same).sum())
+            assert bad == 0, f"{name}.{c}: {bad} mismatches (sample: " \
+                f"{list(zip(av[~same].head(3), bv[~same].head(3)))})"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
