@@ -1,0 +1,483 @@
+"""Pure-Python protobuf wire-format codec (public wire spec).
+
+The reference deserializes Kafka payloads into ``DynamicMessage`` via a
+descriptor registry and flattens them to rows
+(``converter/ConsumerRecordConverter.java:65-78``,
+``converter/RowMapper.java:33-88``). This environment has neither the
+spark-protobuf connector jar nor python-protobuf, so the engine carries a
+minimal, dependency-free codec for the (public, stable) proto wire format:
+tag = (field_number << 3) | wire_type; wire types 0=varint, 1=64-bit,
+2=length-delimited, 5=32-bit.
+
+Semantics preserved from the reference (or consciously fixed):
+
+* **proto3 default elision** (``RowMapper.java:61``): unset fields are not
+  on the wire, so they are simply absent from the decoded dict → NULL.
+* **unknown fields** (``RowMapper.java:44-49``): a field number missing
+  from the schema raises when ``fail_on_unknown`` (reference default),
+  else the value is skipped.
+* **enum → name** (``converter/fields/EnumField.java:15-25``): unknown
+  numbers fall back to the raw number's string form.
+* **bytes**: decoded as raw bytes (reference's UTF-8→base64 double-encode,
+  ``ByteField.java:19``, is the documented lossy quirk — the rebuild keeps
+  raw bytes and base64-encodes only at the sink boundary).
+* **google.protobuf.Timestamp** → UTC datetime
+  (``converter/fields/TimestampField.java:31-38``).
+* **google.protobuf.Struct** → JSON string (``StructField.java:19-38``).
+* **google.protobuf.Duration** → {seconds, nanos} struct
+  (``models/ProtoField.java:86-93``).
+* **map<K,V>** → list of {key, value} structs (``RowMapper.java:96-105``).
+
+On a real cluster with the spark-protobuf connector, prefer
+``pyspark.sql.protobuf.functions.from_protobuf`` (JVM-side); see
+``beast_spark.streaming.ingest.decode_expr_available``.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import json
+import struct as _struct
+from dataclasses import dataclass, field, replace
+
+__all__ = [
+    "PField",
+    "ProtoDecodeError",
+    "UnknownFieldError",
+    "decode_message",
+    "encode_message",
+    "TIMESTAMP_FIELDS",
+    "DURATION_FIELDS",
+]
+
+_VARINT_TYPES = {"int64", "int32", "uint64", "uint32", "sint64", "sint32", "bool", "enum"}
+_FIXED64_TYPES = {"double", "fixed64", "sfixed64"}
+_FIXED32_TYPES = {"float", "fixed32", "sfixed32"}
+_LEN_TYPES = {"string", "bytes", "message", "timestamp", "duration", "struct"}
+
+
+class ProtoDecodeError(ValueError):
+    pass
+
+
+class UnknownFieldError(ProtoDecodeError):
+    pass
+
+
+@dataclass(frozen=True)
+class PField:
+    """One proto field: number, name, scalar/message type, cardinality."""
+
+    number: int
+    name: str
+    type: str
+    repeated: bool = False
+    fields: tuple["PField", ...] = field(default=())  # for type == "message"
+    enum_names: tuple[tuple[int, str], ...] = field(default=())  # for type == "enum"
+
+    def enum_name(self, value: int) -> str:
+        for num, name in self.enum_names:
+            if num == value:
+                return name
+        return str(value)
+
+
+# google.protobuf well-known shapes (public .proto definitions)
+TIMESTAMP_FIELDS = (PField(1, "seconds", "int64"), PField(2, "nanos", "int32"))
+DURATION_FIELDS = (PField(1, "seconds", "int64"), PField(2, "nanos", "int32"))
+
+
+# ---------------------------------------------------------------------------
+# varint / zigzag primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ProtoDecodeError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ProtoDecodeError("varint too long")
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        value &= (1 << 64) - 1  # two's-complement 64-bit, per spec
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _zigzag_decode(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+def _zigzag_encode(value: int) -> int:
+    return (value << 1) ^ (value >> 63)
+
+
+def _to_signed64(value: int) -> int:
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def _to_signed32(value: int) -> int:
+    value &= (1 << 32) - 1
+    return value - (1 << 32) if value >= (1 << 31) else value
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _decode_scalar(f: PField, wire_type: int, buf: bytes, pos: int):
+    t = f.type
+    if t in _VARINT_TYPES:
+        raw, pos = _read_varint(buf, pos)
+        if t == "bool":
+            return raw != 0, pos
+        if t == "enum":
+            return f.enum_name(raw), pos
+        if t in ("sint64", "sint32"):
+            return _zigzag_decode(raw), pos
+        if t in ("int64", "int32"):
+            v = _to_signed64(raw)
+            return (_to_signed32(v) if t == "int32" else v), pos
+        return raw, pos  # uint64 / uint32
+    if t in _FIXED64_TYPES:
+        if pos + 8 > len(buf):
+            raise ProtoDecodeError("truncated fixed64")
+        chunk = buf[pos : pos + 8]
+        pos += 8
+        if t == "double":
+            return _struct.unpack("<d", chunk)[0], pos
+        v = _struct.unpack("<Q", chunk)[0]
+        return (_to_signed64(v) if t == "sfixed64" else v), pos
+    if t in _FIXED32_TYPES:
+        if pos + 4 > len(buf):
+            raise ProtoDecodeError("truncated fixed32")
+        chunk = buf[pos : pos + 4]
+        pos += 4
+        if t == "float":
+            return _struct.unpack("<f", chunk)[0], pos
+        v = _struct.unpack("<I", chunk)[0]
+        return (_to_signed32(v) if t == "sfixed32" else v), pos
+    if t in _LEN_TYPES:
+        ln, pos = _read_varint(buf, pos)
+        if pos + ln > len(buf):
+            raise ProtoDecodeError("truncated length-delimited field")
+        chunk = buf[pos : pos + ln]
+        pos += ln
+        if t == "string":
+            return chunk.decode("utf-8"), pos
+        if t == "bytes":
+            return bytes(chunk), pos
+        if t == "timestamp":
+            d = decode_message(chunk, TIMESTAMP_FIELDS)
+            secs = d.get("seconds", 0)
+            nanos = d.get("nanos", 0)
+            return (
+                _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc).replace(tzinfo=None)
+                + _dt.timedelta(microseconds=nanos // 1000)
+            ), pos
+        if t == "duration":
+            d = decode_message(chunk, DURATION_FIELDS)
+            return {"seconds": d.get("seconds", 0), "nanos": d.get("nanos", 0)}, pos
+        if t == "struct":
+            return json.dumps(_decode_wkt_struct(chunk), sort_keys=True), pos
+        return decode_message(chunk, f.fields, fail_on_unknown=False), pos
+    raise ProtoDecodeError(f"unsupported field type {t!r}")
+
+
+def _skip(wire_type: int, buf: bytes, pos: int) -> int:
+    if wire_type == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire_type == 1:
+        return pos + 8
+    if wire_type == 2:
+        ln, pos = _read_varint(buf, pos)
+        return pos + ln
+    if wire_type == 5:
+        return pos + 4
+    raise ProtoDecodeError(f"cannot skip wire type {wire_type}")
+
+
+def decode_message(
+    buf: bytes, schema: tuple[PField, ...], fail_on_unknown: bool = False
+) -> dict:
+    """Decode one message; absent (default) fields are omitted from the dict."""
+    by_number = {f.number: f for f in schema}
+    out: dict = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        number, wire_type = tag >> 3, tag & 0x7
+        f = by_number.get(number)
+        if f is None:
+            if fail_on_unknown:
+                raise UnknownFieldError(f"unknown field number {number}")
+            pos = _skip(wire_type, buf, pos)
+            continue
+        if f.repeated and wire_type == 2 and f.type in (_VARINT_TYPES | _FIXED64_TYPES | _FIXED32_TYPES):
+            # packed repeated scalars
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            vals = out.setdefault(f.name, [])
+            inner_wt = 0 if f.type in _VARINT_TYPES else (1 if f.type in _FIXED64_TYPES else 5)
+            while pos < end:
+                v, pos = _decode_scalar(f, inner_wt, buf, pos)
+                vals.append(v)
+            continue
+        value, pos = _decode_scalar(f, wire_type, buf, pos)
+        if f.repeated:
+            out.setdefault(f.name, []).append(value)
+        else:
+            out[f.name] = value
+    return out
+
+
+# google.protobuf.Struct / Value / ListValue (public WKT shapes)
+def _decode_wkt_value(buf: bytes):
+    pos = 0
+    result = None
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        number, wt = tag >> 3, tag & 0x7
+        if number == 1:  # null_value
+            _, pos = _read_varint(buf, pos)
+            result = None
+        elif number == 2:  # number_value
+            chunk = buf[pos : pos + 8]
+            pos += 8
+            result = _struct.unpack("<d", chunk)[0]
+        elif number == 3:  # string_value
+            ln, pos = _read_varint(buf, pos)
+            result = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif number == 4:  # bool_value
+            raw, pos = _read_varint(buf, pos)
+            result = raw != 0
+        elif number == 5:  # struct_value
+            ln, pos = _read_varint(buf, pos)
+            result = _decode_wkt_struct(buf[pos : pos + ln])
+            pos += ln
+        elif number == 6:  # list_value
+            ln, pos = _read_varint(buf, pos)
+            result = _decode_wkt_list(buf[pos : pos + ln])
+            pos += ln
+        else:
+            pos = _skip(wt, buf, pos)
+    return result
+
+
+def _decode_wkt_struct(buf: bytes) -> dict:
+    fields_entry = (PField(1, "key", "string"), PField(2, "value", "bytes"))
+    out = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        number, wt = tag >> 3, tag & 0x7
+        if number == 1 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            entry = decode_message(buf[pos : pos + ln], fields_entry)
+            pos += ln
+            out[entry.get("key", "")] = _decode_wkt_value(entry.get("value", b""))
+        else:
+            pos = _skip(wt, buf, pos)
+    return out
+
+
+def _decode_wkt_list(buf: bytes) -> list:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        number, wt = tag >> 3, tag & 0x7
+        if number == 1 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            out.append(_decode_wkt_value(buf[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(wt, buf, pos)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encode (test-fixture builder; proto3 semantics: defaults are not emitted)
+# ---------------------------------------------------------------------------
+
+def _encode_scalar(f: PField, value, out: bytearray) -> None:
+    t = f.type
+    if t in _VARINT_TYPES:
+        out += _tag(f.number, 0)
+        if t == "bool":
+            _write_varint(out, 1 if value else 0)
+        elif t in ("sint64", "sint32"):
+            _write_varint(out, _zigzag_encode(int(value)))
+        elif t == "enum":
+            if isinstance(value, str):
+                value = {name: num for num, name in f.enum_names}[value]
+            _write_varint(out, int(value))
+        else:
+            _write_varint(out, int(value))
+    elif t in _FIXED64_TYPES:
+        out += _tag(f.number, 1)
+        if t == "double":
+            out += _struct.pack("<d", float(value))
+        else:
+            out += _struct.pack("<Q", int(value) & ((1 << 64) - 1))
+    elif t in _FIXED32_TYPES:
+        out += _tag(f.number, 5)
+        if t == "float":
+            out += _struct.pack("<f", float(value))
+        else:
+            out += _struct.pack("<I", int(value) & ((1 << 32) - 1))
+    elif t in _LEN_TYPES:
+        if t == "string":
+            payload = str(value).encode("utf-8")
+        elif t == "bytes":
+            payload = bytes(value)
+        elif t == "timestamp":
+            if isinstance(value, _dt.datetime):
+                ts = value.replace(tzinfo=_dt.timezone.utc) if value.tzinfo is None else value
+                secs = int(ts.timestamp())
+                nanos = ts.microsecond * 1000
+            else:
+                secs, nanos = value
+            inner = bytearray()
+            if secs:
+                inner += _tag(1, 0)
+                _write_varint(inner, secs)
+            if nanos:
+                inner += _tag(2, 0)
+                _write_varint(inner, nanos)
+            payload = bytes(inner)
+        elif t == "duration":
+            inner = bytearray()
+            if value.get("seconds"):
+                inner += _tag(1, 0)
+                _write_varint(inner, value["seconds"])
+            if value.get("nanos"):
+                inner += _tag(2, 0)
+                _write_varint(inner, value["nanos"])
+            payload = bytes(inner)
+        elif t == "struct":
+            payload = _encode_wkt_struct(json.loads(value) if isinstance(value, str) else value)
+        else:  # message
+            payload = encode_message(value, f.fields)
+        out += _tag(f.number, 2)
+        _write_varint(out, len(payload))
+        out += payload
+    else:
+        raise ProtoDecodeError(f"unsupported field type {t!r}")
+
+
+def _encode_wkt_value(value) -> bytes:
+    out = bytearray()
+    if value is None:
+        out += _tag(1, 0)
+        _write_varint(out, 0)
+    elif isinstance(value, bool):
+        out += _tag(4, 0)
+        _write_varint(out, 1 if value else 0)
+    elif isinstance(value, (int, float)):
+        out += _tag(2, 1)
+        out += _struct.pack("<d", float(value))
+    elif isinstance(value, str):
+        payload = value.encode("utf-8")
+        out += _tag(3, 2)
+        _write_varint(out, len(payload))
+        out += payload
+    elif isinstance(value, dict):
+        payload = _encode_wkt_struct(value)
+        out += _tag(5, 2)
+        _write_varint(out, len(payload))
+        out += payload
+    elif isinstance(value, (list, tuple)):
+        payload = _encode_wkt_list(list(value))
+        out += _tag(6, 2)
+        _write_varint(out, len(payload))
+        out += payload
+    else:
+        raise ProtoDecodeError(f"cannot encode Struct value of type {type(value).__name__}")
+    return bytes(out)
+
+
+def _encode_wkt_struct(data: dict) -> bytes:
+    out = bytearray()
+    for key, value in data.items():
+        entry = bytearray()
+        key_b = str(key).encode("utf-8")
+        entry += _tag(1, 2)
+        _write_varint(entry, len(key_b))
+        entry += key_b
+        val_b = _encode_wkt_value(value)
+        entry += _tag(2, 2)
+        _write_varint(entry, len(val_b))
+        entry += val_b
+        out += _tag(1, 2)
+        _write_varint(out, len(entry))
+        out += entry
+    return bytes(out)
+
+
+def _encode_wkt_list(items: list) -> bytes:
+    out = bytearray()
+    for item in items:
+        val_b = _encode_wkt_value(item)
+        out += _tag(1, 2)
+        _write_varint(out, len(val_b))
+        out += val_b
+    return bytes(out)
+
+
+def _tag(number: int, wire_type: int) -> bytes:
+    b = bytearray()
+    _write_varint(b, (number << 3) | wire_type)
+    return bytes(b)
+
+
+def _is_default(f: PField, value) -> bool:
+    if f.type == "bool":
+        return value is False
+    if f.type in ("string",):
+        return value == ""
+    if f.type == "bytes":
+        return value == b""
+    if f.type in _VARINT_TYPES | _FIXED64_TYPES | _FIXED32_TYPES:
+        if f.type == "enum" and isinstance(value, str):
+            return dict((n, v) for v, n in f.enum_names).get(value, 1) == 0
+        return value == 0
+    return False
+
+
+def encode_message(data: dict, schema: tuple[PField, ...]) -> bytes:
+    out = bytearray()
+    for f in schema:
+        if f.name not in data or data[f.name] is None:
+            continue
+        value = data[f.name]
+        if f.repeated:
+            for item in value:
+                _encode_scalar(f, item, out)
+        else:
+            if not _is_default(f, value):
+                _encode_scalar(f, value, out)
+    return bytes(out)
+
+
+def to_base64(raw: bytes) -> str:
+    return base64.b64encode(raw).decode("ascii")

@@ -1,0 +1,177 @@
+"""Ingest pipeline: Kafka-shaped frame → decoded, mapped, metadata-enriched
+rows + an invalid-row side channel.
+
+This is the Spark re-expression of the reference's hot path (SURVEY.md
+§3.1): ``ConsumerRecordConverter.convert`` →
+``RowMapper.map`` → ``addMetadata`` → error routing
+(``converter/ConsumerRecordConverter.java:39-105``). One logical plan
+covers operators A3–A9:
+
+* A4 null filter (drop or fail, ``ConsumerRecordConverter.java:43-51``)
+* A3/A6/A7 proto decode with per-type conversion (pure-Python wire codec
+  in an Arrow-batched ``mapInPandas`` — the JVM ``from_protobuf`` is used
+  instead when the spark-protobuf jar is present)
+* A5 column-mapping projection (compiled select, Catalyst-prunable)
+* A8 metadata enrichment (five Kafka metadata columns, optional namespace)
+* A9 valid/invalid split (DESERIALIZE errors carried as an error column)
+
+Works identically on a batch DataFrame or a streaming one — the plan is
+the same; only the source/sink differ.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beast_spark.config import IngestSettings
+from beast_spark.plans.mapping import auto_mapping, compile_mapping
+from beast_spark.plans.protowire import PField, decode_message
+from beast_spark.plans.schema import METADATA_FIELDS, spark_schema_for
+
+KAFKA_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp")
+
+
+def decode_expr_available(spark) -> bool:
+    """True when the JVM spark-protobuf connector is on the classpath."""
+    try:
+        spark._jvm.org.apache.spark.sql.protobuf.ProtobufDataToCatalyst  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class ProtoIngest:
+    """Compiled ingest pipeline for one proto schema + column mapping."""
+
+    schema: tuple[PField, ...]
+    mapping: dict | None = None  # None → auto 1:1 (Converter.java:24-45)
+    settings: IngestSettings = field(default_factory=IngestSettings)
+
+    def __post_init__(self) -> None:
+        if self.mapping is None:
+            self.mapping = auto_mapping(self.schema)
+
+    # -- A3: decode ---------------------------------------------------------
+
+    def decoded_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("payload", spark_schema_for(self.schema), True),
+                T.StructField("error", T.StringType(), True),
+            ]
+            + [
+                T.StructField("topic", T.StringType(), True),
+                T.StructField("partition", T.IntegerType(), True),
+                T.StructField("offset", T.LongType(), True),
+                T.StructField("timestamp", T.TimestampType(), True),
+            ]
+        )
+
+    def _decode_map_in_pandas(self, df: DataFrame) -> DataFrame:
+        schema = self.schema
+        fail_unknown = self.settings.fail_on_unknown_fields
+        out_schema = self.decoded_schema()
+
+        def decode_batches(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                payloads, errors = [], []
+                for raw in pdf["value"]:
+                    if raw is None:
+                        payloads.append(None)
+                        errors.append("null message")
+                        continue
+                    try:
+                        payloads.append(decode_message(bytes(raw), schema, fail_unknown))
+                        errors.append(None)
+                    except Exception as exc:  # DESERIALIZE error (A9)
+                        payloads.append(None)
+                        errors.append(f"DESERIALIZE: {exc}")
+                yield pd.DataFrame(
+                    {
+                        "payload": payloads,
+                        "error": errors,
+                        "topic": pdf["topic"],
+                        "partition": pdf["partition"],
+                        "offset": pdf["offset"],
+                        "timestamp": pdf["timestamp"],
+                    }
+                )
+
+        return df.mapInPandas(decode_batches, out_schema)
+
+    # -- A8: metadata -------------------------------------------------------
+
+    def _metadata_columns(self) -> list[Column]:
+        cols = [
+            F.col("partition").cast("int").alias("message_partition"),
+            F.col("offset").cast("long").alias("message_offset"),
+            F.col("topic").alias("message_topic"),
+            F.col("timestamp").alias("message_timestamp"),
+            F.current_timestamp().alias("load_time"),
+        ]
+        ns = self.settings.metadata_namespace
+        if ns:
+            mapped_names = self._mapped_top_names()
+            if ns in mapped_names:
+                raise ValueError(f"metadata namespace {ns!r} collides with a mapped column")
+            return [F.struct(*cols).alias(ns)]
+        mapped_names = self._mapped_top_names()
+        dupes = mapped_names & {n for n, _ in METADATA_FIELDS}
+        if dupes:
+            raise ValueError(f"metadata columns collide with mapped columns: {sorted(dupes)}")
+        return cols
+
+    def _mapped_top_names(self) -> set[str]:
+        names = set()
+        for key, target in self.mapping.items():
+            if key == "record_name":
+                continue
+            names.add(target["record_name"] if isinstance(target, dict) else str(target))
+        return names
+
+    # -- assembled pipeline -------------------------------------------------
+
+    def apply(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(valid, invalid): valid = mapped columns + metadata; invalid =
+        DLQ shape {key?, topic, partition, offset, timestamp, error}.
+
+        ``fail_on_null_message`` / ``fail_on_deserialize_error`` turn the
+        respective error classes into hard failures at sink time by
+        leaving them in the invalid frame with a ``fatal`` marker — the
+        sink raises if any fatal row exists (reference: StatusFailure ⇒
+        consumer stops, ``ConsumerRecordConverter.java:43-57``).
+        """
+        missing = [c for c in KAFKA_COLUMNS if c not in df.columns and c != "key"]
+        if missing:
+            raise ValueError(f"input frame lacks Kafka columns: {missing}")
+
+        decoded = self._decode_map_in_pandas(df)
+        is_null_err = F.col("error") == "null message"
+        fatal = (is_null_err & F.lit(self.settings.fail_on_null_message)) | (
+            F.col("error").startswith("DESERIALIZE")
+            & F.lit(self.settings.fail_on_deserialize_error)
+        )
+
+        invalid = decoded.filter(F.col("error").isNotNull()).select(
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            "error",
+            fatal.alias("fatal"),
+        )
+
+        mapped = compile_mapping(self.mapping, self.schema, source_prefix="payload.")
+        valid = (
+            decoded.filter(F.col("error").isNull())
+            .select(*mapped, *self._metadata_columns())
+        )
+        return valid, invalid

@@ -1,0 +1,163 @@
+"""Warehouse sink with retry, row classification, and partitioned DLQ.
+
+Spark re-expression of the reference's sink stack (SURVEY.md §2.A
+A12–A17): ``RetrySink`` → ``BqSink.push`` → response parsing → OOB rows to
+GCS DLQ. Differences by design:
+
+* BigQuery's per-row insert errors arrive *after* the write
+  (``sink/bq/handler/BQResponseParser.java:46-67``); a generic warehouse
+  write is all-or-nothing, so classification runs *before* the write:
+  rows whose partition-date falls outside the valid window
+  (``handler/error/OOBError.java:22-26``: >1825 days past or >366 days
+  future) are split to the DLQ, mirroring A13/A14's disposition. The
+  reference classifies only the first failed row (the loop ``break``s,
+  ``BQResponseParser.java:53-64``); this classifies all rows.
+* ``insertId``-style dedup (``BQRowWithInsertId.java:9-12``,
+  ``models/Record.java:24-26``): every row carries
+  ``insert_id = topic_partition_offset`` so replays of a micro-batch
+  (at-least-once) can be deduplicated downstream — plus idempotent
+  batch-overwrite per ``batchId`` when used via ``foreach_batch_writer``.
+* Retry/backoff matches ``sink/executor/RetryExecutor.java:38-58`` +
+  ``backoff/ExponentialBackOffProvider.java:20-32``.
+* DLQ layout matches ``sink/dlq/gcs/GCSErrorWriter.java:40-91``:
+  JSON-lines under ``{prefix}/dt=YYYY-MM-DD/topic=.../`` (Spark's
+  partitioned write; the reference nests topic/dt the other way around —
+  Hive-style ordering here keeps partition pruning effective).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beast_spark.config import OOBSettings, RetrySettings
+
+
+class FatalIngestError(RuntimeError):
+    """Raised when fatal invalid rows exist (fail_on_* modes) — stops the
+    query like the reference's StatusFailure ⇒ consumer stop (A17/A21)."""
+
+
+def with_insert_id(df: DataFrame) -> DataFrame:
+    """Add the reference's dedup key: topic_partition_offset
+    (models/Record.java:24-26). Requires the metadata columns (flat)."""
+    return df.withColumn(
+        "insert_id",
+        F.concat_ws(
+            "_", F.col("message_topic"), F.col("message_partition"), F.col("message_offset")
+        ),
+    )
+
+
+def classify_oob(
+    df: DataFrame, partition_col: str, oob: OOBSettings | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(in_bounds, out_of_bounds) on the day-partition key, per
+    OOBError.java:22-26. Pure Column predicates — no shuffle."""
+    oob = oob or OOBSettings()
+    key = F.to_date(F.col(partition_col))
+    today = F.current_date()
+    is_oob = key.isNotNull() & (
+        (key < F.date_sub(today, oob.past_days)) | (key > F.date_add(today, oob.future_days))
+    )
+    return df.filter(~is_oob | key.isNull()), df.filter(is_oob)
+
+
+@dataclass
+class WarehouseSink:
+    """Parquet/warehouse appender with retry + DLQ, usable directly on a
+    batch frame or via :meth:`foreach_batch_writer` on a stream."""
+
+    table_path: str
+    dlq_path: str | None = None
+    partition_col: str | None = None  # day-partitioned table key (A24)
+    retry: RetrySettings = field(default_factory=RetrySettings)
+    oob: OOBSettings = field(default_factory=OOBSettings)
+    fmt: str = "parquet"
+
+    def _write_valid(self, df: DataFrame) -> None:
+        writer = df.write.mode("append").format(self.fmt)
+        if self.partition_col:
+            writer = writer.partitionBy("dt")
+        writer.save(self.table_path)
+
+    def write_dlq(self, invalid: DataFrame) -> None:
+        """JSON-lines DLQ partitioned dt=/topic= (GCSErrorWriter.java:40-91)."""
+        if self.dlq_path is None:
+            # DefaultLogWriter semantics: no DLQ sink configured ⇒ failure
+            # halts the pipeline (sink/dlq/DefaultLogWriter.java:16-29).
+            if invalid.limit(1).count() > 0:
+                raise FatalIngestError("invalid rows present and no DLQ configured")
+            return
+        (
+            invalid.withColumn("dt", F.date_format(F.current_timestamp(), "yyyy-MM-dd"))
+            .write.mode("append")
+            .partitionBy("dt", "topic")
+            .json(self.dlq_path)
+        )
+
+    def push(self, df: DataFrame, invalid: DataFrame | None = None) -> int:
+        """One batch disposition (BqSink.java:41-80 shape):
+
+        1. fatal invalid rows ⇒ raise (stop the query);
+        2. non-fatal invalid rows ⇒ DLQ;
+        3. OOB-partition rows ⇒ DLQ; in-bounds rows ⇒ warehouse, with
+           exponential-backoff retry around the write.
+        Returns the number of write attempts used.
+        """
+        if invalid is not None:
+            if "fatal" in invalid.columns:
+                if invalid.filter(F.col("fatal")).limit(1).count() > 0:
+                    raise FatalIngestError("fatal invalid rows in batch")
+                self.write_dlq(invalid.drop("fatal"))
+            else:
+                self.write_dlq(invalid)
+
+        out = with_insert_id(df) if "message_topic" in df.columns else df
+        if self.partition_col:
+            good, oob_rows = classify_oob(out, self.partition_col, self.oob)
+            if self.dlq_path and oob_rows.limit(1).count() > 0:
+                (
+                    oob_rows.withColumn("error", F.lit("OOB partition date"))
+                    .withColumn("dt", F.date_format(F.current_timestamp(), "yyyy-MM-dd"))
+                    .withColumn("topic", F.col("message_topic"))
+                    .select("topic", "dt", "error", "insert_id")
+                    .write.mode("append")
+                    .partitionBy("dt", "topic")
+                    .json(self.dlq_path)
+                )
+            out = good.withColumn("dt", F.to_date(F.col(self.partition_col)))
+        return self._retrying_write(out)
+
+    def _retrying_write(self, df: DataFrame) -> int:
+        attempts = 0
+        while True:
+            try:
+                attempts += 1
+                self._write_valid(df)
+                return attempts
+            except Exception:
+                if attempts >= self.retry.max_push_attempts:
+                    raise
+                time.sleep(self.retry.delay_ms(attempts - 1) / 1000.0)
+
+    def foreach_batch_writer(self, ingest_apply=None):
+        """foreachBatch hook: decode (optional) → split → push.
+
+        Structured Streaming's checkpoint makes the offset commit atomic
+        per micro-batch — this single hook replaces the reference's read
+        queue, BQ worker pool, ack set, offset clubbing and watchdog
+        (A10, A11, A18–A21; SURVEY.md §3.1 bottom half).
+        """
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            if ingest_apply is not None:
+                valid, invalid = ingest_apply(batch_df)
+            else:
+                valid, invalid = batch_df, None
+            self.push(valid, invalid)
+
+        return write

@@ -1,0 +1,148 @@
+"""Sink disposition: retry/backoff, OOB classification, DLQ layout,
+insert-id dedup key, fatal handling (A12-A17)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.config import RetrySettings
+from beast_spark.streaming.ingest import ProtoIngest
+from beast_spark.streaming.sink import FatalIngestError, WarehouseSink, classify_oob, with_insert_id
+from tests.fixtures import KAFKA_DDL, TEST_SCHEMA, kafka_rows
+
+
+@pytest.fixture
+def valid_df(spark):
+    df = spark.createDataFrame(kafka_rows(4), KAFKA_DDL)
+    valid, _ = ProtoIngest(TEST_SCHEMA).apply(df)
+    return valid
+
+
+def test_push_writes_parquet_with_insert_id(spark, tmp_path, valid_df):
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    attempts = sink.push(valid_df)
+    assert attempts == 1
+    out = spark.read.parquet(str(tmp_path / "wh"))
+    assert out.count() == 4
+    # insertId format topic_partition_offset (models/Record.java:24-26)
+    ids = {r.insert_id for r in out.select("insert_id").collect()}
+    assert "orders_0_100" in ids
+
+
+def test_day_partitioned_write(spark, tmp_path, valid_df):
+    sink = WarehouseSink(
+        table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"), partition_col="created_at"
+    )
+    sink.push(valid_df)
+    # BQTableDefinition.java:45-59 → dt= day partitions on disk
+    assert glob.glob(str(tmp_path / "wh" / "dt=2024-01-01"))
+
+
+def test_oob_classification(spark):
+    now = dt.datetime.now()
+    df = spark.createDataFrame(
+        [
+            (1, now),
+            (2, now - dt.timedelta(days=3000)),  # too old (>1825d, OOBError.java:24)
+            (3, now + dt.timedelta(days=400)),  # too future (>366d, OOBError.java:25)
+            (4, None),  # null partition key stays in-bounds
+        ],
+        "id int, ts timestamp",
+    )
+    good, oob = classify_oob(df, "ts")
+    assert {r.id for r in good.collect()} == {1, 4}
+    assert {r.id for r in oob.collect()} == {2, 3}
+
+
+def test_dlq_layout_dt_topic(spark, tmp_path):
+    rows = kafka_rows(1)
+    rows.append((b"k", b"\xff\xff", "orders", 0, 7, rows[0][5]))
+    valid, invalid = ProtoIngest(TEST_SCHEMA).apply(spark.createDataFrame(rows, KAFKA_DDL))
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    sink.push(valid, invalid)
+    # GCSErrorWriter.java:40-91 layout: dt=YYYY-MM-DD / topic=...
+    paths = glob.glob(str(tmp_path / "dlq" / "dt=*" / "topic=orders" / "*.json"))
+    assert paths, "expected partitioned JSON DLQ files"
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert dlq.filter(F.col("error").startswith("DESERIALIZE")).count() == 1
+
+
+def test_fatal_rows_stop_the_batch(spark, tmp_path):
+    rows = [(b"k", None, "orders", 0, 1, dt.datetime(2024, 1, 1))]
+    from beast_spark.config import IngestSettings
+
+    ing = ProtoIngest(TEST_SCHEMA, settings=IngestSettings(fail_on_null_message=True))
+    valid, invalid = ing.apply(spark.createDataFrame(rows, KAFKA_DDL))
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    with pytest.raises(FatalIngestError):
+        sink.push(valid, invalid)
+
+
+def test_no_dlq_configured_halts_on_invalid(spark, tmp_path):
+    """DefaultLogWriter semantics (sink/dlq/DefaultLogWriter.java:16-29)."""
+    rows = [(b"k", b"\xff\xff", "orders", 0, 1, dt.datetime(2024, 1, 1))]
+    valid, invalid = ProtoIngest(TEST_SCHEMA).apply(spark.createDataFrame(rows, KAFKA_DDL))
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=None)
+    with pytest.raises(FatalIngestError):
+        sink.push(valid, invalid)
+
+
+def test_retry_backoff(spark, tmp_path, valid_df):
+    """RetryExecutor.java:38-58: ≤N attempts, exponential delay, then raise."""
+
+    class FlakySink(WarehouseSink):
+        def __init__(self, fail_times: int, **kw):
+            super().__init__(**kw)
+            self.fail_times = fail_times
+            self.calls = 0
+
+        def _write_valid(self, df):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise IOError("transient")
+            super()._write_valid(df)
+
+    fast = RetrySettings(max_push_attempts=5, backoff_initial_ms=1, backoff_rate=2, backoff_max_ms=4)
+    ok = FlakySink(2, table_path=str(tmp_path / "wh"), retry=fast)
+    assert ok.push(valid_df) == 3
+
+    doomed = FlakySink(99, table_path=str(tmp_path / "wh2"), retry=fast)
+    with pytest.raises(IOError):
+        doomed.push(valid_df)
+    assert doomed.calls == 5  # MAX_BQ_PUSH_ATTEMPTS default
+
+    assert fast.delay_ms(0) == 1 and fast.delay_ms(1) == 2 and fast.delay_ms(10) == 4
+
+
+def test_foreach_batch_streaming_end_to_end(spark, tmp_path):
+    """A1→A17 minus Kafka: file stream source → decode/map/split →
+    retrying sink + DLQ via foreachBatch, offsets via checkpoint."""
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    rows = kafka_rows(6)
+    rows.append((b"bad", b"\xff\xff\xff", "orders", 0, 999, rows[0][5]))
+    spark.createDataFrame(rows, KAFKA_DDL).write.parquet(str(src_dir / "batch0"))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], KAFKA_DDL).schema)
+        .option("path", str(src_dir) + "/*")
+        .format("parquet")
+        .load()
+    )
+    ing = ProtoIngest(TEST_SCHEMA)
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    q = (
+        stream.writeStream.foreachBatch(sink.foreach_batch_writer(ing.apply))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "wh"))
+    assert out.count() == 6
+    assert spark.read.json(str(tmp_path / "dlq")).count() == 1
