@@ -1,0 +1,272 @@
+"""Advanced operator queries: as-of/range/theta joins, exact percentiles,
+pivot, grouping sets, token frequency, approximate sketches, multimodal.
+
+The as-of join oracle uses DuckDB's native ``ASOF JOIN``; the Spark side
+is beast_spark's union+carry-forward operator — two completely different
+physical strategies that must agree row-for-row, which is exactly the
+kind of cross-check the correctness gate is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.operators.asof import asof_join
+from beast_spark.operators.multimodal import attach_media_meta, decode_features
+from beast_spark.queries import register
+from beast_spark.queries._util import rnd
+from beast_spark.sources.tables import load_table, register_views
+
+
+@register(
+    "q28_asof_join_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           floor((p.value) * 100 + 0.5) / 100 AS purchase_value,
+           v.ts AS view_ts,
+           floor((v.view_value) * 100 + 0.5) / 100 AS view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join: each purchase matched to the user's most recent prior "
+    "view. Spark side: union + last-value carry-forward (one shuffle, "
+    "density-independent); oracle: DuckDB native ASOF JOIN.",
+)
+def q28_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "view_value"], suffix="_v",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        rnd(F.col("value"), 2).alias("purchase_value"),
+        F.col("ts_v").alias("view_ts"),
+        rnd(F.col("view_value_v"), 2).alias("view_value"),
+    )
+
+
+@register(
+    "q29_orders_range_join",
+    oracle="""
+    SELECT o1.o_orderkey,
+           CAST(count(o2.o_orderkey) AS BIGINT) AS nearby_orders
+    FROM orders o1
+    LEFT JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderkey <> o1.o_orderkey
+     AND o2.o_orderdate BETWEEN o1.o_orderdate - INTERVAL 30 DAY
+                            AND o1.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o1.o_orderkey
+    """,
+    doc="Range join: per order, other orders of the same customer within "
+    "±30 days (equi key + interval predicate; SMJ + filter in Spark).",
+)
+def q29_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    cond = (
+        (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+        & (F.col("o2.o_orderkey") != F.col("o1.o_orderkey"))
+        & (F.col("o2.o_orderdate") >= F.col("o1.o_orderdate") - F.expr("INTERVAL 30 DAYS"))
+        & (F.col("o2.o_orderdate") <= F.col("o1.o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o1.join(o2, cond, "left")
+        .groupBy(F.col("o1.o_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.col("o2.o_orderkey")).alias("nearby_orders"))
+    )
+
+
+@register(
+    "q41_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           floor((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50_price,
+           floor((quantile_cont(l_extendedprice, 0.9)) * 100 + 0.5) / 100 AS p90_price,
+           floor((median(l_quantity)) * 100 + 0.5) / 100 AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation): Spark percentile() vs "
+    "DuckDB quantile_cont/median.",
+)
+def q41_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        rnd(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+    )
+
+
+@register(
+    "q42_pivot_segments",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS AUTOMOBILE,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS BIGINT) AS BUILDING,
+           CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS BIGINT) AS FURNITURE,
+           CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS BIGINT) AS HOUSEHOLD,
+           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS BIGINT) AS MACHINERY
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Pivot: per-nation customer counts by segment (Spark .pivot with "
+    "explicit values → single-pass plan; absent combos stay NULL).",
+)
+def q42_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return c.groupBy("c_nationkey").pivot("c_mktsegment", segs).agg(F.count(F.lit(1)))
+
+
+@register(
+    "q46_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS with disjoint sets (beyond rollup/cube's lattices).",
+)
+def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q47_theta_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_poorer_customers
+    FROM supplier s
+    LEFT JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="Theta join: equi conjunct on nation + balance inequality.",
+)
+def q47_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    return (
+        s.join(c, cond, "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.col("c_custkey")).alias("n_poorer_customers"))
+    )
+
+
+@register(
+    "q43_token_frequency",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    doc="Vocabulary frequency: explode tokens → count → deterministic top-20.",
+)
+def q43_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q44_earliest_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic dropDuplicates: keep the earliest event per "
+    "(user, type) via window rank (order-stable, unlike raw dropDuplicates).",
+)
+def q44_earliest_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "q49_approx_sketches",
+    oracle=None,  # approximate algorithms differ per engine — rows-only
+    doc="Sketch surface: approx_count_distinct (HLL++) + percentile_approx "
+    "per order status — the at-scale substitutes for q12/q41 exact forms.",
+)
+def q49_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q50_multimodal_features",
+    oracle=None,  # fake codec features — engine-specific; rows-only
+    doc="Multimodal plumbing: documents' bytes as binary media column → "
+    "content hash dedup key + mapInPandas feature extraction (stub codec).",
+    bench=False,
+)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    with_meta = attach_media_meta(media)
+    feats = decode_features(with_meta, dims=8)
+    return feats.select(
+        "media_id",
+        "content_len",
+        "content_sha",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    )

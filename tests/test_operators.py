@@ -1,0 +1,73 @@
+"""Unit tests for custom operators: as-of join, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.operators.asof import asof_join
+from beast_spark.operators.multimodal import attach_media_meta, decode_features, sample_frames
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(15), "c"), (3, _ts(1), "d")],
+        "uid long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(18), 200.0), (2, _ts(1), 300.0), (4, _ts(0), 999.0)],
+        "uid long, ts timestamp, val double",
+    )
+    out = asof_join(left, right, on="uid", left_ts="ts", right_ts="ts", right_cols=["ts", "val"])
+    rows = {r.ev: (r.ts_right, r.val_right) for r in out.collect()}
+    assert rows["a"] == (_ts(5), 100.0)
+    assert rows["b"] == (_ts(18), 200.0)
+    assert rows["c"] == (_ts(1), 300.0)
+    assert rows["d"] == (None, None)  # no right row precedes → NULLs (left join)
+    assert out.count() == 4
+
+
+def test_asof_join_inclusive_tie(spark):
+    """Equal timestamps match (DuckDB ASOF l.ts >= r.ts semantics)."""
+    left = spark.createDataFrame([(1, _ts(10), "x")], "uid long, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "uid long, ts timestamp, val double")
+    out = asof_join(left, right, on="uid", left_ts="ts", right_ts="ts", right_cols=["val"])
+    assert out.first().val_right == 7.0
+
+
+def test_media_meta_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b"hello world"), (3, b"other"), (4, None)],
+        "media_id long, content binary",
+    )
+    meta = attach_media_meta(df)
+    rows = {r.media_id: r for r in meta.collect()}
+    assert rows[1].content_len == 11
+    assert rows[1].content_sha == rows[2].content_sha  # exact media dedup key
+    assert rows[1].content_sha != rows[3].content_sha
+
+    feats = decode_features(meta, dims=8)
+    frows = {r.media_id: r.features for r in feats.collect()}
+    assert frows[1] == frows[2]  # deterministic fake codec
+    assert frows[1] != frows[3]
+    assert len(frows[1]) == 8
+    assert frows[4] is None  # null passthrough
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_features(df, strict=True).collect()
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, bytes(range(100)))], "media_id long, content binary")
+    frames = sample_frames(df, n_frames=4)
+    rows = frames.orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert all(len(r.frame_bytes) == 25 for r in rows)
+    assert rows[0].frame_bytes == bytes(range(25))
+    assert rows[3].frame_bytes == bytes(range(75, 100))
