@@ -234,6 +234,85 @@ def q44_earliest_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q45_map_functions",
+    oracle="""
+    SELECT k.key AS prop_key,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(e.props, '$.' || k.key) AS BIGINT)) AS BIGINT)
+             AS total_value
+    FROM events e, unnest(json_keys(e.props)) AS k(key)
+    GROUP BY k.key
+    """,
+    doc="Map-typed columns: JSON props → map<string,long> → explode entries "
+    "→ per-key aggregation (map_keys/map_entries surface).",
+)
+def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("prop_value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q51_hash_functions",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(CAST(p_name AS BLOB)) AS name_b64
+    FROM part
+    """,
+    doc="Hashing/encoding scalar surface: md5, sha2-256, base64.",
+)
+def q51_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.encode(F.col("p_name"), "UTF-8")).alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.base64(F.encode(F.col("p_name"), "UTF-8")).alias("name_b64"),
+    )
+
+
+@register(
+    "q52_array_lambdas",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT)
+             AS n_long_tokens,
+           upper(string_split(text, ' ')[1]) AS first_token_upper,
+           coalesce(array_to_string(list_sort(list_distinct(list_transform(
+             list_filter(string_split(text, ' '), t -> length(t) > 6),
+             t -> upper(t)))), ','), '') AS long_tokens_csv
+    FROM documents
+    """,
+    doc="Array lambda surface: filter/transform/sort/distinct over token arrays.",
+)
+def q52_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.upper(F.element_at(toks, 1)).alias("first_token_upper"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.filter(toks, lambda t: F.length(t) > 6), lambda t: F.upper(t))
+                )
+            ),
+            ",",
+        ).alias("long_tokens_csv"),
+    )
+
+
+@register(
     "q49_approx_sketches",
     oracle=None,  # approximate algorithms differ per engine — rows-only
     doc="Sketch surface: approx_count_distinct (HLL++) + percentile_approx "

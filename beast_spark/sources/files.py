@@ -1,0 +1,60 @@
+"""File-format scans and sinks (SURVEY §2.B scans/sinks rows).
+
+Thin declarations over Spark's native readers — the point is the
+contract each enforces for scale:
+
+* explicit schemas everywhere (``inferSchema`` re-reads the data and
+  produces drifting types across runs — never in production paths);
+* parquet is the default interchange (columnar, predicate pushdown,
+  column pruning);
+* JDBC is declared but gated: the container ships no drivers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True, sep: str = ","
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).option("sep", sep).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "append"
+) -> None:
+    writer = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def jdbc_available(spark: SparkSession, driver_class: str = "org.postgresql.Driver") -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)
+        return True
+    except Exception:
+        return False
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver_class: str = "org.postgresql.Driver", **options
+) -> DataFrame:
+    if not jdbc_available(spark, driver_class):
+        raise RuntimeError(
+            f"JDBC driver {driver_class} not on the classpath; add it via spark.jars"
+        )
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()

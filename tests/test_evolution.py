@@ -1,0 +1,94 @@
+"""Schema evolution driver + exactly-once batch ledger (A12, A23)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.plans.protowire import PField
+from beast_spark.streaming.evolution import BatchLedger, SchemaEvolver, idempotent
+
+OLD = (PField(1, "id", "int64"), PField(2, "name", "string"))
+NEW = OLD + (PField(3, "score", "double"),)
+BAD = (PField(1, "id", "string"), PField(2, "name", "string"))
+
+
+def test_evolution_plan_additive(spark):
+    ev = SchemaEvolver(table=None)
+    from beast_spark.plans.schema import spark_schema_for
+
+    plan = ev.plan(spark_schema_for(OLD), spark_schema_for(NEW))
+    assert plan["added"] == [("score", "double")]
+    assert plan["restart_required"]
+
+
+def test_evolution_ddl_and_restart(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
+    spark.sql("DROP TABLE IF EXISTS evo_test.t")
+    spark.sql("CREATE TABLE evo_test.t (id bigint, name string) USING parquet "
+              f"LOCATION '{tmp_path}/t'")
+    restarts = []
+    ev = SchemaEvolver(table="evo_test.t")
+    plan = ev.evolve(spark, OLD, NEW, restart=lambda: restarts.append(1))
+    assert plan["ddl"] == "ALTER TABLE evo_test.t ADD COLUMNS (score double)"
+    assert restarts == [1]
+    assert "score" in spark.table("evo_test.t").columns
+    # no-op evolution: same schema → no DDL, no restart
+    plan2 = ev.evolve(spark, NEW, NEW, restart=lambda: restarts.append(2))
+    assert plan2["ddl"] is None and restarts == [1]
+    spark.sql("DROP TABLE evo_test.t")
+
+
+def test_evolution_rejects_type_change(spark):
+    ev = SchemaEvolver()
+    from beast_spark.plans.schema import spark_schema_for
+
+    with pytest.raises(ValueError, match="incompatible"):
+        ev.plan(spark_schema_for(OLD), spark_schema_for(BAD))
+
+
+def test_parquet_schema_merge_on_read(spark, tmp_path):
+    """Path-table evolution: old files lack the new column → NULL backfill."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    out = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_batch_ledger_idempotence(spark, tmp_path):
+    ledger = BatchLedger(str(tmp_path / "ledger"))
+    out_dir = str(tmp_path / "out")
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+
+    writes = []
+
+    def write(batch_df, batch_id):
+        writes.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    guarded = idempotent(ledger, write)
+    guarded(df, 0)
+    guarded(df, 0)  # replay of the same micro-batch → skipped
+    guarded(df, 1)
+    assert writes == [0, 1]
+    assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_ledger_commit_after_write(spark, tmp_path):
+    """Crash between write and commit ⇒ batch not marked ⇒ replay rewrites."""
+    ledger = BatchLedger(str(tmp_path / "ledger"))
+
+    def exploding(batch_df, batch_id):
+        raise IOError("crash mid-write")
+
+    guarded = idempotent(ledger, exploding)
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(IOError):
+        guarded(df, 7)
+    assert not ledger.seen(7)

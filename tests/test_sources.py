@@ -1,0 +1,59 @@
+"""File-source declarations: explicit-schema CSV/JSON round-trips, JDBC gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from beast_spark.sources.files import (
+    jdbc_available,
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_parquet,
+    write_partitioned,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture
+def sample(spark):
+    return spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5), (3, "c,x", 3.5)], SCHEMA)
+
+
+def test_csv_roundtrip(spark, tmp_path, sample):
+    p = str(tmp_path / "csv")
+    sample.write.option("header", True).csv(p)
+    out = read_csv(spark, p, SCHEMA)
+    assert sorted(r.name for r in out.collect()) == ["a", "b", "c,x"]
+    assert out.schema == SCHEMA  # explicit schema, no inference drift
+
+
+def test_json_roundtrip(spark, tmp_path, sample):
+    p = str(tmp_path / "json")
+    sample.write.json(p)
+    out = read_json(spark, p, SCHEMA)
+    assert out.count() == 3 and out.schema == SCHEMA
+
+
+def test_partitioned_write(spark, tmp_path, sample):
+    import glob
+
+    p = str(tmp_path / "part")
+    write_partitioned(sample.withColumn("bucket", sample.id % 2), p, ["bucket"])
+    assert glob.glob(f"{p}/bucket=0") and glob.glob(f"{p}/bucket=1")
+    assert read_parquet(spark, p).count() == 3
+
+
+def test_jdbc_gated(spark):
+    assert jdbc_available(spark, "java.lang.String")  # sanity: class lookup works
+    assert not jdbc_available(spark)  # no postgres driver in the container
+    with pytest.raises(RuntimeError, match="JDBC driver"):
+        read_jdbc(spark, "jdbc:postgresql://x/y", "t")
