@@ -75,6 +75,52 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(_shingle_expr(tokens(col), n))
 
 
+# BPE-ish pre-tokenization: word pieces, digit runs, single punctuation —
+# the regex shape GPT-2-style byte-pair encoders use as the first split
+# (public pattern family; simplified to stay identical across regex engines).
+BPE_SPLIT_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (proxy for LLM token
+    budgeting at corpus scale; exact BPE needs a vocab file)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+# Marker lexicons for language identification (tiny, public stopword cores).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is was for with that it on as at by this".split(),
+    "es": "el la los las de que y en un una por con para es son del".split(),
+    "fr": "le la les des une du et est que pour dans sur avec ne pas".split(),
+    "de": "der die das und ist von zu den dem ein eine nicht mit auf".split(),
+    "it": "il lo la gli le di che e un una per con non sono nel".split(),
+}
+
+
+def detect_lang(col: str | Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language-ID: argmax of marker-token overlap.
+
+    Pure Column expression (JVM, codegen): per language, count how many
+    distinct tokens hit the marker lexicon; pick the best-scoring
+    language, 'und' (undetermined) when nothing matches. For real corpora
+    swap the lexicons for char-trigram profiles — same expression shape.
+    """
+    profiles = profiles or LANG_MARKERS
+    toks = F.array_distinct(tokens(col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(profiles.items())
+        ]
+    )
+    best = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
 def _shingle_expr(toks: Column, n: int) -> Column:
     # sequence(0, size-n) is empty when size < n (sequence with negative stop
     # raises, so guard with a CASE to an empty array).

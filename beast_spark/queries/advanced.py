@@ -328,6 +328,131 @@ def q49_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_proto_ingest_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id, ts,
+           floor((value) * 100 + 0.5) / 100 AS value,
+           props
+    FROM events
+    """,
+    doc="Full ingest pipeline as a query: events rows → proto-encode "
+    "(wire codec, mapInPandas) → Kafka-shaped frame → ProtoIngest decode/"
+    "map/metadata → original values back out (proto3 zero-elision "
+    "re-coalesced). Oracle = the source table itself: an encode/decode "
+    "identity check across 10k+ rows per SF.",
+)
+def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.plans.protowire import PField, encode_message
+    from beast_spark.streaming.ingest import ProtoIngest
+    from pyspark.sql import types as T
+
+    proto = (
+        PField(1, "event_id", "int64"),
+        PField(2, "ts", "timestamp"),
+        PField(3, "user_id", "int64"),
+        PField(4, "event_type", "string"),
+        PField(5, "value", "double"),
+        PField(6, "props", "string"),
+    )
+    e = load_table(spark, sf_dir, "events")
+
+    kafka_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = []
+            for _, row in pdf.iterrows():
+                vals.append(
+                    encode_message(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.to_pydatetime(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                            "value": float(row.value),
+                            "props": row.props,
+                        },
+                        proto,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "key": [str(v).encode() for v in pdf.event_id],
+                    "value": vals,
+                    "topic": "events",
+                    "partition": (pdf.user_id % 8).astype("int32"),
+                    "offset": pdf.event_id,
+                    "timestamp": pdf.ts,
+                }
+            )
+
+    kafka_shaped = e.mapInPandas(encode_batches, kafka_schema)
+    valid, _ = ProtoIngest(proto).apply(kafka_shaped)
+    # proto3 elision turned zeros into NULLs (reference semantics,
+    # RowMapper.java:61); re-coalesce for the identity comparison.
+    return valid.select(
+        F.coalesce(F.col("event_id"), F.lit(0)).alias("event_id"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+        F.coalesce(F.col("user_id"), F.lit(0)).alias("user_id"),
+        F.col("ts"),
+        rnd(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value"),
+        F.coalesce(F.col("props"), F.lit("")).alias("props"),
+    )
+
+
+@register(
+    "q54_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenizer counts vs whitespace counts (LLM token "
+    "budgeting proxy).",
+)
+def q54_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.text import bpe_token_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "q55_language_id",
+    oracle=None,  # heuristic classifier — predictions have no SQL oracle
+    doc="Language identification: marker-lexicon argmax over tokens "
+    "(JVM-side expression; see functions.text.detect_lang).",
+)
+def q55_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.text import detect_lang, quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_lang("text").alias("detected_lang"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
     "q50_multimodal_features",
     oracle=None,  # fake codec features — engine-specific; rows-only
     doc="Multimodal plumbing: documents' bytes as binary media column → "

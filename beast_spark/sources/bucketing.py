@@ -1,0 +1,37 @@
+"""Bucketed tables: shuffle-free co-located joins for repeated join keys.
+
+At 100 TB, the single biggest recurring cost is re-shuffling the same
+fact table on the same key for every join. Bucketing pays that shuffle
+once at write time (``bucketBy(n, key).sortBy(key)``) and every later
+equi-join between tables bucketed on the same key with the same bucket
+count runs with NO Exchange on either side — verify with
+``assert_no_shuffle_join``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "assert_no_shuffle_join"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def assert_no_shuffle_join(spark: SparkSession, joined: DataFrame) -> None:
+    """Raise if the physical plan re-shuffles either join side (bucket
+    pruning failed — mismatched bucket counts or a non-bucketed side)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange hashpartitioning" in plan:
+        raise AssertionError(f"join plan contains a shuffle exchange:\n{plan}")

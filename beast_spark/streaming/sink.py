@@ -41,6 +41,51 @@ class FatalIngestError(RuntimeError):
     query like the reference's StatusFailure ⇒ consumer stop (A17/A21)."""
 
 
+class MultiException(RuntimeError):
+    """Collected sink failures (models/MultiException.java)."""
+
+    def __init__(self, errors: list[Exception]) -> None:
+        super().__init__("; ".join(f"{type(e).__name__}: {e}" for e in errors))
+        self.errors = errors
+
+
+class MultiSink:
+    """Fan-out one batch to N sinks (A10, ``sink/MultiSink.java:19-26``).
+
+    The batch frame is persisted once so N writes don't recompute the
+    lineage; every sink is attempted even after a failure, and all
+    failures surface together as :class:`MultiException` — matching the
+    reference's collect-then-raise contract.
+    """
+
+    def __init__(self, sinks: list["WarehouseSink"]) -> None:
+        self.sinks = sinks
+
+    def push(self, df: DataFrame, invalid: DataFrame | None = None) -> None:
+        df.persist()
+        try:
+            errors: list[Exception] = []
+            for sink in self.sinks:
+                try:
+                    sink.push(df, invalid)
+                except Exception as exc:  # noqa: BLE001 - collected, re-raised
+                    errors.append(exc)
+            if errors:
+                raise MultiException(errors)
+        finally:
+            df.unpersist()
+
+    def foreach_batch_writer(self, ingest_apply=None):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            if ingest_apply is not None:
+                valid, invalid = ingest_apply(batch_df)
+            else:
+                valid, invalid = batch_df, None
+            self.push(valid, invalid)
+
+        return write
+
+
 def with_insert_id(df: DataFrame) -> DataFrame:
     """Add the reference's dedup key: topic_partition_offset
     (models/Record.java:24-26). Requires the metadata columns (flat)."""
