@@ -45,8 +45,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key_cols: list[str]) -> DataF
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Single-file local inputs arrive as one partition, serializing the
+    CPU-heavy shingle/hash stages. Repartition ONLY when the input has
+    fewer partitions than cores — at warehouse scale inputs are already
+    split and this is a no-op (no shuffle added)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("shingle")
     )
 
@@ -135,6 +146,10 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
+    # NOTE: signatures are consumed three times (banding + both estimate-
+    # join sides). Recomputing keeps AQE free to coalesce each branch; at
+    # warehouse scale, materialize sigs to a table instead of persist() —
+    # caching here pins the shuffle partitioning and defeats AQE.
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
     banded = sigs.select(
         "doc_id",
@@ -152,22 +167,29 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    banded = banded.join(
-        counts.filter(F.col("bsz") <= max_bucket).select("band", "bucket"), ["band", "bucket"]
+    # Candidate pairs straight from the bucket contents: one shuffle for
+    # the groupBy, pair expansion stays in codegen (array lambdas), and
+    # the max_bucket guard is a size filter on the collected set — no
+    # separate bucket-count join, no quadratic self-join shuffle.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
-    x = banded.alias("x")
-    y = banded.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size("docs")),
+                        lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    cand = pairs.select("p.doc1", "p.doc2").distinct()
     s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))
     est = (
@@ -201,7 +223,7 @@ def simhash_signatures(
     sum_i > 0. Emitted as one BIGINT (bit 63 may set the sign — it is a
     bit pattern, not a number).
     """
-    tok = df.select(
+    tok = _fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     bit_cols = [

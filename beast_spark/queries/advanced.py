@@ -371,21 +371,22 @@ def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            vals = []
-            for _, row in pdf.iterrows():
-                vals.append(
-                    encode_message(
-                        {
-                            "event_id": int(row.event_id),
-                            "ts": row.ts.to_pydatetime(),
-                            "user_id": int(row.user_id),
-                            "event_type": row.event_type,
-                            "value": float(row.value),
-                            "props": row.props,
-                        },
-                        proto,
-                    )
+            vals = [
+                encode_message(
+                    {
+                        "event_id": int(eid),
+                        "ts": ts.to_pydatetime(),
+                        "user_id": int(uid),
+                        "event_type": etype,
+                        "value": float(val),
+                        "props": props,
+                    },
+                    proto,
                 )
+                for eid, ts, uid, etype, val, props in zip(
+                    pdf.event_id, pdf.ts, pdf.user_id, pdf.event_type, pdf.value, pdf.props
+                )
+            ]
             yield pd.DataFrame(
                 {
                     "key": [str(v).encode() for v in pdf.event_id],
@@ -397,7 +398,9 @@ def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    kafka_shaped = e.mapInPandas(encode_batches, kafka_schema)
+    # events arrives as one parquet file → repartition so the Python
+    # encode/decode stages use all cores (Arrow batches per partition).
+    kafka_shaped = e.repartition(16).mapInPandas(encode_batches, kafka_schema)
     valid, _ = ProtoIngest(proto).apply(kafka_shaped)
     # proto3 elision turned zeros into NULLs (reference semantics,
     # RowMapper.java:61); re-coalesce for the identity comparison.
@@ -408,6 +411,54 @@ def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         rnd(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value"),
         F.coalesce(F.col("props"), F.lit("")).alias("props"),
+    )
+
+
+@register(
+    "q56_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY coalesce(c.c_nationkey, s.s_nationkey)
+    """,
+    doc="Full outer join preserving unmatched rows on both sides.",
+)
+def q56_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q57_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, CAST(count(*) AS BIGINT) AS combos
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r.r_name, s.o_orderstatus
+    """,
+    doc="Cross join of small deduplicated sides (cartesian plan).",
+)
+def q57_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("combos")
     )
 
 

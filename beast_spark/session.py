@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing (not cores-based): small shuffles collapse
+        # to few tasks, huge ones keep size-bounded partitions — the right
+        # behavior at both sf0.001 and 100 TB.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -85,6 +85,20 @@ def test_session_window_stream(spark, tmp_path):
     assert sorted(r.n for r in out) == [2, 3]
 
 
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast join: enrich the event stream with a static
+    dimension (SURVEY §2.B joins row, streaming case)."""
+    from pyspark.sql import functions as F2
+
+    dim = spark.createDataFrame([(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string")
+    stream = _stream_from(spark, tmp_path, _event_rows())
+    enriched = stream.join(F2.broadcast(dim), "user_id").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run(enriched, spark, "enriched").collect()
+    assert {r.tier: r.n for r in out} == {"bronze": 20, "silver": 20, "gold": 21}
+
+
 def test_dedup_within_watermark_stream(spark, tmp_path):
     stream = _stream_from(spark, tmp_path, _event_rows())
     deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
