@@ -486,6 +486,106 @@ def q54_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_grouped_pandas_udaf",
+    oracle="""
+    SELECT c_mktsegment,
+           floor((median(c_acctbal)) * 100 + 0.5) / 100 AS median_bal,
+           floor((quantile_cont(c_acctbal, 0.25)) * 100 + 0.5) / 100 AS q1_bal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="UDx surface: applyInPandas grouped-map UDAF (numpy quantiles per "
+    "group) cross-checked against DuckDB's native quantile_cont — the "
+    "Arrow-batched custom-aggregate escape hatch (SURVEY §2.B UDx row).",
+)
+def q58_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+
+    def agg(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        bal = pdf["c_acctbal"].to_numpy()
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "median_bal": [math.floor(float(np.percentile(bal, 50)) * 100 + 0.5) / 100],
+                "q1_bal": [math.floor(float(np.percentile(bal, 25)) * 100 + 0.5) / 100],
+                "n": [len(bal)],
+            }
+        )
+
+    return c.groupBy("c_mktsegment").applyInPandas(
+        agg, "c_mktsegment string, median_bal double, q1_bal double, n long"
+    )
+
+
+@register(
+    "q59_math_functions",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0) AS abs_diff,
+           ceil(p_retailprice) AS price_ceil,
+           floor(p_retailprice) AS price_floor,
+           floor((sqrt(p_retailprice)) * 10000 + 0.5) / 10000 AS price_sqrt,
+           floor((ln(p_retailprice)) * 10000 + 0.5) / 10000 AS price_ln,
+           floor((pow(p_size, 2)) * 100 + 0.5) / 100 AS size_sq,
+           CAST(p_size % 7 AS INT) AS size_mod
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+    doc="Math scalar surface: abs/ceil/floor/sqrt/ln/pow/mod.",
+)
+def q59_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_diff"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        rnd(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        rnd(F.log("p_retailprice"), 4).alias("price_ln"),
+        rnd(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "q60_conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           greatest(o_totalprice, 50000.0) AS floored_price,
+           least(CAST(year(o_orderdate) AS INT), 2000) AS capped_year,
+           (o_orderpriority = '1-URGENT') AS is_urgent
+    FROM orders
+    """,
+    doc="Conditional scalar surface: CASE/nullif/coalesce/greatest/least.",
+)
+def q60_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+        F.least(F.year("o_orderdate"), F.lit(2000)).alias("capped_year"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+
+
+@register(
     "q55_language_id",
     oracle=None,  # heuristic classifier — predictions have no SQL oracle
     doc="Language identification: marker-lexicon argmax over tokens "
