@@ -22,6 +22,10 @@ from beast_spark.session import get_spark  # noqa: E402
 from beast_spark.sources.tables import load_table  # noqa: E402
 
 
+def _ncpus(spark) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -32,9 +36,24 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    # Warm the Python worker pool once (fork + pandas/pyarrow import is
+    # ~2s across 32 workers) so the first Arrow-UDF query isn't charged
+    # for one-time worker startup.
+    def _identity(batches):
+        for b in batches:
+            yield b
+
+    spark.range(10_000, numPartitions=2 * _ncpus(spark)).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        # Release accumulated broadcast/shuffle state between queries so
+        # each measurement reflects the query, not GC debt from prior ones.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         df = spec.fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
