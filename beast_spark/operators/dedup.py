@@ -111,13 +111,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc in a single shuffle.
 
-    Hash family: xxhash64 seeded by permutation index (xxhash64's seed
-    argument position — the extra literal column — gives k independent
-    64-bit hash functions). Signature = array<bigint> length k.
+    Hash family: ONE xxhash64 over the shingle string, then k derived
+    functions ``xxhash64(h, i)`` over that fixed-width base hash. The
+    corpus text is hashed exactly once; each extra permutation costs a
+    constant 16-byte hash instead of rehashing every character k times —
+    the dominant term when shingles are long.
+    Signature = array<bigint> length k.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(k)]
+    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    hashed = base.select(
+        "doc_id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(k)]
     )
     mins = hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
     return mins.select(
@@ -146,11 +150,12 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
-    # NOTE: signatures are consumed three times (banding + both estimate-
-    # join sides). Recomputing keeps AQE free to coalesce each branch; at
-    # warehouse scale, materialize sigs to a table instead of persist() —
-    # caching here pins the shuffle partitioning and defeats AQE.
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    # Signatures are consumed three times (banding + both estimate-join
+    # sides) but are tiny (one row of k longs per doc) while their
+    # subtree — shingle + hash the whole corpus — is the expensive part.
+    # Persist the signatures so the corpus is shingled exactly once; at
+    # warehouse scale the equivalent is materializing sigs to a table.
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(
