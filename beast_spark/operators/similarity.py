@@ -22,7 +22,14 @@ from pyspark.sql.window import Window
 
 from beast_spark.functions.vectors import cosine, dot
 
-__all__ = ["brute_force_topk", "hyperplanes", "lsh_bucket_col", "lsh_topk"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplanes",
+    "lsh_bucket_col",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def brute_force_topk(
@@ -99,6 +106,90 @@ def lsh_topk(
         "query_id",
         F.col(id_col).alias("vec_id"),
         F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ivf_assign(
+    data: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    ``centroids`` is a small frame (cid, centroid vector) — broadcast, so
+    assignment is one map stage over the data at any scale, followed by a
+    map-side-combinable max aggregation (no window, no wide shuffle of the
+    N×C scored rows). Ties break to the lowest centroid id via the
+    (score, -cid) struct ordering. Similarities are rounded before the
+    argmax so float summation order cannot flip an assignment.
+    """
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    scored = data.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        F.col("cid"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), round_digits).alias("cscore"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cscore"), (-F.col("cid")).alias("ncid"))).alias("best"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return best.select(id_col, vec_col, (-F.col("best.ncid")).alias("cid"))
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` clusters nearest each query.
+
+    Coarse centroids are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for trained k-means centroids (swap in real
+    k-means offline at production scale; the search plan is identical).
+    Candidate volume drops ~(nprobe/n_centroids)-fold versus brute force;
+    the final ranking within probed clusters is exact.
+
+    Returns (query_id, vec_id, cos_sim, rank), self-matches excluded.
+    """
+    centroids = data.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    assigned = ivf_assign(data, centroids, id_col, vec_col, round_digits)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    q_scored = q.join(F.broadcast(c)).select(
+        "query_id",
+        "query_vec",
+        "cid",
+        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    probes = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "query_vec", "cid")
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes), "cid"
+    ).filter(F.col("query_id") != F.col(id_col))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col("query_vec"), F.col(vec_col)), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

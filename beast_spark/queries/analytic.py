@@ -1,0 +1,266 @@
+"""Analytic SQL surface: subqueries, window distribution functions, RANGE
+frames, LIMIT/OFFSET, multiset set-ops, null semantics, IVF ANN.
+
+These widen SURVEY §2.B line by line: each query demonstrates one
+Catalyst capability (subquery decorrelation, named frames, multiset ops)
+with a DuckDB oracle. Cross-engine float rules from ``_util`` apply
+throughout: money sums go through exact cents, round-half-up uses the
+shared floor form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.queries import register
+from beast_spark.queries._util import cents, rnd
+from beast_spark.sources.tables import load_table
+
+
+@register(
+    "q61_correlated_scalar_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) * 100
+          < CAST((SELECT sum(CAST(floor(p3.p_retailprice * 100 + 0.5) AS BIGINT))
+                  FROM part p3 WHERE p3.p_brand = p.p_brand) AS BIGINT) * 99
+    """,
+    doc="Correlated scalar subqueries (Catalyst decorrelates both into "
+    "joins): parts priced below 0.99× their brand's average. The predicate "
+    "is pure int64 arithmetic (cents × count × 100 < sum_cents × 99), so no "
+    "float boundary can flip a row between engines.",
+)
+def q61_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM part p
+        WHERE CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) * 100
+              < (SELECT sum(CAST(floor(p3.p_retailprice * 100 + 0.5) AS BIGINT))
+                 FROM part p3 WHERE p3.p_brand = p.p_brand) * 99
+        """
+    )
+
+
+@register(
+    "q62_exists_in_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND NOT EXISTS
+            (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+    doc="IN + NOT EXISTS subqueries (semi/anti-join after decorrelation): "
+    "BUILDING-segment orders with no returned line.",
+)
+def q62_exists_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND NOT EXISTS
+                (SELECT 1 FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        """
+    )
+
+
+@register(
+    "q63_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+           floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cume,
+           first_value(c_custkey) OVER w AS first_key,
+           nth_value(c_custkey, 2) OVER w AS second_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Window distribution functions: ntile / percent_rank / cume_dist / "
+    "first_value / nth_value over a total (tie-broken) order. Default ANSI "
+    "frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) on both engines.",
+)
+def q63_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 4).alias("cume"),
+        F.first("c_custkey").over(w).alias("first_key"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "q64_range_frame_rolling_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sum_30d_cents
+    FROM orders
+    """,
+    doc="RANGE frame over event time: per-customer rolling 30-day spend. "
+    "The frame is value-based (peers by day offset), so same-day orders "
+    "aggregate identically in both engines; money flows as exact cents.",
+)
+def q64_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff("o_orderdate", F.lit("1970-01-01"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("sum_30d_cents"),
+    )
+
+
+@register(
+    "q65_sort_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal DESC NULLS LAST, c_custkey
+    LIMIT 50 OFFSET 100
+    """,
+    doc="Global sort with explicit null ordering + LIMIT/OFFSET pagination "
+    "(rows 101-150 of a deterministic total order).",
+)
+def q65_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    return c.orderBy(F.col("bal").desc_nulls_last(), "c_custkey").offset(100).limit(50)
+
+
+@register(
+    "q66_multiset_ops",
+    oracle="""
+    SELECT o_custkey, 'intersect_all' AS op FROM
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT ALL
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT o_custkey, 'except_all' AS op FROM
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT ALL
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    doc="Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicate "
+    "cardinalities, unlike q13's distinct forms) + unionByName fan-in.",
+)
+def q66_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ia = open_keys.intersectAll(done_keys).withColumn("op", F.lit("intersect_all"))
+    ea = open_keys.exceptAll(done_keys).withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea)
+
+
+@register(
+    "q67_null_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_nonopen,
+           CAST(count(DISTINCT nullif(o_orderstatus, 'O')) AS BIGINT) AS n_distinct_status,
+           CAST(sum(CASE WHEN o_orderstatus = 'X' THEN 1 END) AS BIGINT) AS sum_all_null,
+           min(nullif(o_orderstatus, o_orderstatus)) AS min_all_null
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="ANSI null semantics in aggregates: count(*) vs count(col) vs "
+    "count(DISTINCT col) under NULLs; sum/min over all-NULL input stay "
+    "NULL (not 0) in both engines.",
+)
+def q67_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nonopen = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nonopen).alias("n_nonopen"),
+        F.countDistinct(nonopen).alias("n_distinct_status"),
+        F.sum(F.when(F.col("o_orderstatus") == "X", 1)).alias("sum_all_null"),
+        F.min(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus"))).alias("min_all_null"),
+    )
+
+
+@register(
+    "q68_ivf_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  round(list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cscore
+           FROM e, c
+         ),
+         assigned AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cscore DESC, cid) AS rn
+             FROM scored) WHERE rn = 1
+         ),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (
+           SELECT cid FROM (
+             SELECT c.cid,
+                    row_number() OVER (
+                      ORDER BY round(list_dot_product(q.qv, c.cv)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                               c.cid) AS rn
+             FROM c, q) WHERE rn <= 2
+         ),
+         cand AS (
+           SELECT a.vec_id,
+                  round(list_dot_product(a.v, q.qv)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+           FROM assigned a, q
+           WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+         )
+    SELECT vec_id, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+    FROM cand
+    QUALIFY rank <= 10
+    """,
+    doc="IVF-style ANN (the scale path past q40's LSH): coarse-quantize "
+    "every vector to its nearest of 8 centroids (broadcast + map-side "
+    "argmax — one map stage at any scale), then search only the query's "
+    "2 nearest clusters. Exact ranking within probed clusters.",
+)
+def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = ivf_topk(e, e.filter(F.col("vec_id") == 0), n_centroids=8, nprobe=2, k=10)
+    return res.select("vec_id", "cos_sim", "rank")

@@ -18,7 +18,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
-__all__ = ["tumbling", "sliding", "sessionized", "dedup_within_watermark", "MetricsListener"]
+__all__ = [
+    "tumbling",
+    "sliding",
+    "sessionized",
+    "dedup_within_watermark",
+    "interval_join",
+    "MetricsListener",
+]
 
 
 def tumbling(
@@ -62,6 +69,37 @@ def sessionized(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(F.session_window(ts_col, gap).alias("session"), *keys).agg(*aggs)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval.
+
+    Both sides carry the same watermark and the join condition adds
+    ``left_ts - lower <= right_ts <= left_ts + upper``; the time bound is
+    what lets Spark expire join state (state stays O(watermark + interval)
+    per key instead of unbounded). Works identically on batch frames,
+    which is how the operator is correctness-tested against a plain join.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for key in on:
+        c = F.col(f"l.{key}") == F.col(f"r.{key}")
+        cond = c if cond is None else cond & c
+    lo = F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    cond = cond & F.col(f"r.{right_ts}").between(lo, hi)
+    return lw.join(rw, cond, how)
 
 
 def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:

@@ -112,3 +112,52 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dedup")
     assert out.count() == 60  # 61 inputs, one duplicate event_id dropped
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream equi-join with watermarks + event-time interval bound
+    (SURVEY §2.B joins row, stream-stream case). Validated against the
+    identical batch plan — interval_join builds the same logical join."""
+    from beast_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    clicks = [(i, base + dt.timedelta(minutes=2 * i), i % 3, "click", 1.0) for i in range(20)]
+    buys = [(100 + i, base + dt.timedelta(minutes=2 * i + 1), i % 3, "buy", 9.0) for i in range(10)]
+
+    src_l, src_r = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(clicks, EVENT_DDL).write.parquet(str(src_l / "b0"))
+    spark.createDataFrame(buys, EVENT_DDL).write.parquet(str(src_r / "b0"))
+    schema = spark.createDataFrame([], EVENT_DDL).schema
+    ls = spark.readStream.schema(schema).parquet(str(src_l) + "/*").selectExpr(
+        "event_id AS click_id", "ts AS click_ts", "user_id"
+    )
+    rs = spark.readStream.schema(schema).parquet(str(src_r) + "/*").selectExpr(
+        "event_id AS buy_id", "ts AS buy_ts", "user_id"
+    )
+    joined = interval_join(
+        ls, rs, ["user_id"], "click_ts", "buy_ts", watermark="1 hour",
+        lower="0 seconds", upper="5 minutes",
+    ).select("click_id", "buy_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.buy_id) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    bl = spark.createDataFrame(clicks, EVENT_DDL).selectExpr(
+        "event_id AS click_id", "ts AS click_ts", "user_id"
+    )
+    br = spark.createDataFrame(buys, EVENT_DDL).selectExpr(
+        "event_id AS buy_id", "ts AS buy_ts", "user_id"
+    )
+    want = {
+        (r.click_id, r.buy_id)
+        for r in bl.join(br, "user_id")
+        .filter(
+            (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 minutes"))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
