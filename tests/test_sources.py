@@ -57,3 +57,23 @@ def test_jdbc_gated(spark):
     assert not jdbc_available(spark)  # no postgres driver in the container
     with pytest.raises(RuntimeError, match="JDBC driver"):
         read_jdbc(spark, "jdbc:postgresql://x/y", "t")
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """Catalyst must push predicates and the projection into the parquet
+    scan — at 100 TB a scan that reads every column for a two-column
+    query is wrong (SURVEY §4.3). Asserted on the formatted plan."""
+    from beast_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_totalprice > 100000")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema  # untouched columns pruned
