@@ -39,6 +39,11 @@ class IngestSettings:
     metadata_namespace: str | None = field(
         default_factory=lambda: os.environ.get("BQ_METADATA_NAMESPACE") or None
     )
+    # Opt out of the JVM from_protobuf decode even when the connector is
+    # present (e.g. to honor byte-exact Python-codec semantics in tests).
+    force_python_decode: bool = field(
+        default_factory=lambda: _env_bool("FORCE_PYTHON_DECODE", False)
+    )
 
 
 @dataclass(frozen=True)

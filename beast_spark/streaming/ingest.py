@@ -36,10 +36,57 @@ from beast_spark.plans.schema import METADATA_FIELDS, spark_schema_for
 KAFKA_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp")
 
 
+def elide_defaults(col: Column, schema: tuple[PField, ...]) -> Column:
+    """Null out proto3 default values in a decoded struct column.
+
+    On the proto3 wire, a scalar equal to its default (0, '', false,
+    enum 0) is never serialized, so value==default ⟺ absent. The
+    reference therefore emits NULL for these (``RowMapper.java:61``); the
+    Python codec matches by omission. The JVM connector materializes the
+    defaults instead — this expression rebuilds the struct with defaults
+    nulled so both decode paths produce identical frames. Repeated-field
+    *elements* are literal on the wire and keep their zeros; an empty
+    array means the field was absent → NULL. Pure Column logic (codegen).
+    """
+    def _elide(c: Column, f: PField) -> Column:
+        if f.repeated:
+            return F.when(c.isNull() | (F.size(c) == 0), F.lit(None)).otherwise(
+                F.transform(c, lambda e: _elide_value(e, f)) if f.type == "message" else c
+            )
+        return _elide_value(c, f)
+
+    def _elide_value(c: Column, f: PField) -> Column:
+        if f.type == "message":
+            rebuilt = F.struct(
+                *[_elide(c.getField(sub.name), sub).alias(sub.name) for sub in f.fields]
+            )
+            return F.when(c.isNull(), F.lit(None)).otherwise(rebuilt)
+        if f.type == "string":
+            return F.nullif(c, F.lit(""))
+        if f.type == "bool":
+            return F.when(c.isNull() | ~c, F.lit(None)).otherwise(c)
+        if f.type == "bytes":
+            return F.when(c.isNull() | (F.length(c) == 0), F.lit(None)).otherwise(c)
+        if f.type == "enum":
+            return F.nullif(c, F.lit(f.enum_name(0)))
+        if f.type in ("timestamp", "duration", "struct"):
+            return c  # message-typed on the wire: absent is already NULL
+        return F.nullif(c, F.lit(0))  # numeric scalars
+
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.struct(*[_elide(col.getField(f.name), f).alias(f.name) for f in schema])
+    )
+
+
 def decode_expr_available(spark) -> bool:
-    """True when the JVM spark-protobuf connector is on the classpath."""
+    """True when the JVM spark-protobuf connector is on the classpath.
+
+    Must use ``Class.forName`` — attribute access on ``spark._jvm`` yields
+    a lazy ``JavaPackage`` and never throws for missing classes."""
     try:
-        spark._jvm.org.apache.spark.sql.protobuf.ProtobufDataToCatalyst  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
         return True
     except Exception:
         return False
@@ -107,6 +154,49 @@ class ProtoIngest:
 
         return df.mapInPandas(decode_batches, out_schema)
 
+    def _decode_from_protobuf(self, df: DataFrame) -> DataFrame:
+        """JVM-side decode (production path): ``from_protobuf`` with a
+        descriptor set generated by ``plans.descriptors`` — whole pipeline
+        stays in codegen, no Python workers. The connector materializes
+        proto3 defaults (0/''/false) where the wire has nothing;
+        ``elide_defaults`` nulls them back out to match the reference's
+        absent-field semantics (``RowMapper.java:61``) and the Python
+        codec's output exactly.
+        """
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        from beast_spark.plans.descriptors import descriptor_set_bytes, full_message_name
+
+        desc = descriptor_set_bytes(self.schema)
+        raw = from_protobuf(
+            F.col("value"),
+            full_message_name(),
+            binaryDescriptorSet=desc,
+            options={"mode": "PERMISSIVE"},
+        )
+        return df.select(
+            elide_defaults(raw, self.schema).alias("payload"),
+            F.when(F.col("value").isNull(), F.lit("null message"))
+            .when(raw.isNull(), F.lit("DESERIALIZE: unparseable protobuf"))
+            .alias("error"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+        )
+
+    def use_jvm_decode(self, spark) -> bool:
+        """JVM path eligibility: connector on classpath, every field type
+        maps identically, and unknown-field detection not requested —
+        ``from_protobuf`` silently skips unknown field numbers, so the
+        reference's FAIL_ON_UNKNOWN_FIELDS contract (RowMapper.java:44-49)
+        requires the Python codec."""
+        from beast_spark.plans.descriptors import jvm_decode_supported
+
+        if self.settings.force_python_decode or self.settings.fail_on_unknown_fields:
+            return False
+        return jvm_decode_supported(self.schema) and decode_expr_available(spark)
+
     # -- A8: metadata -------------------------------------------------------
 
     def _metadata_columns(self) -> list[Column]:
@@ -153,7 +243,10 @@ class ProtoIngest:
         if missing:
             raise ValueError(f"input frame lacks Kafka columns: {missing}")
 
-        decoded = self._decode_map_in_pandas(df)
+        if self.use_jvm_decode(df.sparkSession):
+            decoded = self._decode_from_protobuf(df)
+        else:
+            decoded = self._decode_map_in_pandas(df)
         is_null_err = F.col("error") == "null message"
         fatal = (is_null_err & F.lit(self.settings.fail_on_null_message)) | (
             F.col("error").startswith("DESERIALIZE")
