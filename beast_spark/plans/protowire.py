@@ -218,7 +218,24 @@ def _skip(wire_type: int, buf: bytes, pos: int) -> int:
 def decode_message(
     buf: bytes, schema: tuple[PField, ...], fail_on_unknown: bool = False
 ) -> dict:
-    """Decode one message; absent (default) fields are omitted from the dict."""
+    """Decode one message; absent (default) fields are omitted from the dict.
+
+    Every malformed-input failure surfaces as ``ProtoDecodeError`` (the
+    A9 DESERIALIZE contract) — including ones Python raises natively,
+    e.g. invalid UTF-8 in a string field or a timestamp outside the
+    platform's epoch range.
+    """
+    try:
+        return _decode_message_inner(buf, schema, fail_on_unknown)
+    except ProtoDecodeError:
+        raise
+    except Exception as exc:
+        raise ProtoDecodeError(f"malformed message: {exc}") from exc
+
+
+def _decode_message_inner(
+    buf: bytes, schema: tuple[PField, ...], fail_on_unknown: bool = False
+) -> dict:
     by_number = {f.number: f for f in schema}
     out: dict = {}
     pos = 0
