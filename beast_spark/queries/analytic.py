@@ -264,3 +264,88 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = ivf_topk(e, e.filter(F.col("vec_id") == 0), n_centroids=8, nprobe=2, k=10)
     return res.select("vec_id", "cos_sim", "rank")
+
+
+@register(
+    "q69_sliding_window_batch",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+             value
+      FROM events
+    )
+    SELECT wstart, wstart + INTERVAL 2 HOUR AS wend,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM w
+    GROUP BY wstart
+    """,
+    doc="Sliding event-time windows on the batch face (2h window, 1h "
+    "slide — every event lands in exactly two windows; the oracle "
+    "replicates Spark's epoch-aligned window assignment via unnest of "
+    "the two candidate starts). Streaming twin: streaming/windows.py.",
+)
+def q69_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@register(
+    "q70_media_integrity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS content_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    doc="Multimodal binary columns with a real oracle: text bytes as an "
+    "opaque media payload; per-item byte length + sha256 content address "
+    "(the dedup/integrity key for any media type) must agree with DuckDB "
+    "byte-for-byte. Complements q50's rows-only feature extraction.",
+)
+def q70_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(content).alias("content_len"),
+        F.sha2(content, 256).alias("content_sha"),
+    )
+
+
+@register(
+    "q71_collect_aggregates",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+             AS segments_csv,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Collection aggregates: collect_set with a deterministic sort "
+    "folded to CSV (collect_list/set order is engine- and "
+    "partition-dependent; sorting before comparison is the only stable "
+    "contract).",
+)
+def q71_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments_csv"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
