@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the
+contract (SURVEY §4.3) — correctness tests can't catch a silently
+de-optimized plan that still returns the right rows 100× slower at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beast_spark.queries import all_queries
+from beast_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_fixed_dims_broadcast(spark, sf_dir, queries):
+    """region/nation are fixed-cardinality — their joins must broadcast,
+    never shuffle, at any scale factor."""
+    plan = _plan(queries["q02_revenue_by_region_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir, queries):
+    """groupBy must plan map-side partial aggregation (two HashAggregate
+    stages) so the shuffle moves pre-combined rows, not raw ones."""
+    plan = _plan(queries["q01_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
+    """No registered query may plan a CartesianProduct except the one that
+    IS a cross join (q57). BroadcastNestedLoopJoin is allowed only where
+    the join is genuinely non-equi against a broadcast-size side."""
+    offenders = []
+    for name, spec in sorted(queries.items()):
+        plan = _plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan and name != "q57_cross_join":
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian products: {offenders}"
+
+
+def test_no_row_python_udfs_in_plans(spark, sf_dir, queries):
+    """Python may appear only Arrow-batched (ArrowEvalPython / mapInPandas
+    / FlatMapGroupsInPandas) — BatchEvalPython (row-at-a-time pickling)
+    is banned from every registered plan."""
+    offenders = []
+    for name, spec in sorted(queries.items()):
+        plan = _plan(spec.fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs found in: {offenders}"
+
+
+def test_scan_prunes_to_referenced_columns(spark, sf_dir):
+    """A two-column projection over lineitem must not read the other 13
+    columns (ReadSchema pruning — the difference between reading 2/16ths
+    and 16/16ths of 100 TB)."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
