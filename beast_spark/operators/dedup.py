@@ -291,3 +291,52 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id).
+
+    Near-dup PAIRS (from Jaccard/MinHash/SimHash) still need grouping
+    into clusters before a keep-one policy can run. Min-label
+    propagation: every node starts labeled with itself; each round every
+    node takes the min label among itself and its neighbors; converges in
+    O(graph diameter) rounds — near-dup clusters are short chains, so
+    this is small. Each round is one join + one aggregation;
+    ``localCheckpoint`` truncates the growing lineage (at warehouse scale
+    checkpoint to durable storage instead). Deterministic output:
+    cluster_id = min doc id reachable. Docs without any near-dup edge are
+    not emitted (singleton clusters are implicit).
+    """
+    edges = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -349,3 +349,33 @@ def q71_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_mktsegment").alias("n_segments"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+@register(
+    "q72_percentiles_distributed",
+    oracle="""
+    SELECT l_returnflag,
+           floor((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50_price,
+           floor((quantile_cont(l_extendedprice, 0.9)) * 100 + 0.5) / 100 AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles via the distributed counts+cumulative-window "
+    "operator (operators/percentiles.py) — same numbers as q41's "
+    "percentile(), but no per-group value buffer, so a hot group cannot "
+    "OOM an executor at 100 TB. Excluded from the headline bench (the "
+    "built-in wins locally; this is the memory-bounded scale path).",
+    bench=False,
+)
+def q72_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.percentiles import exact_percentiles
+
+    l = load_table(spark, sf_dir, "lineitem")
+    res = exact_percentiles(
+        l, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+    )
+    return res.select(
+        "l_returnflag",
+        rnd(F.col("p50"), 2).alias("p50_price"),
+        rnd(F.col("p90"), 2).alias("p90_price"),
+    )

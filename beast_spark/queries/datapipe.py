@@ -145,9 +145,9 @@ def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q35_ngram_jaccard_pairs",
-    oracle="""
+# 3-gram Jaccard pairs at threshold 0.4 — shared by q35 (pairs) and q73
+# (clusters over those pairs).
+_JACCARD_PAIRS_ORACLE = """
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -170,7 +170,12 @@ def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes s1 ON i.doc1 = s1.doc_id
     JOIN sizes s2 ON i.doc2 = s2.doc_id
     WHERE n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.4
-    """,
+"""
+
+
+@register(
+    "q35_ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
     doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.4) via shingle self-join.",
     bench=False,  # quadratic-ish; excluded from the headline bench set
 )
@@ -252,3 +257,35 @@ def q39_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
 def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") == 0), dims=64, k=10)
+
+
+@register(
+    "q73_dedup_clusters",
+    oracle="WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Near-dup CLUSTERS: connected components over the exact-Jaccard "
+    "pair graph via distributed min-label propagation "
+    "(operators/dedup.py::dedup_clusters) — pairs alone can't drive a "
+    "keep-one policy. Oracle: DuckDB recursive CTE computing min "
+    "reachable id. Iterative (O(diameter) joins), excluded from the "
+    "headline bench with the other quadratic-ish dedup variants.",
+    bench=False,
+)
+def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+    return dedup_clusters(pairs)

@@ -71,3 +71,34 @@ def test_sample_frames(spark):
     assert all(len(r.frame_bytes) == 25 for r in rows)
     assert rows[0].frame_bytes == bytes(range(25))
     assert rows[3].frame_bytes == bytes(range(75, 100))
+
+
+def test_exact_percentiles_matches_builtin(spark, sf_dir):
+    """Counts-based distributed percentiles == percentile() to 1e-9
+    (same ANSI interpolation), including duplicate-heavy columns."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.percentiles import exact_percentiles
+    from beast_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    mine = {
+        r.l_returnflag: (r.p25, r.p50, r.p99)
+        for r in exact_percentiles(
+            l, ["l_returnflag"], "l_quantity", {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+        ).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.p25, r.p50, r.p99)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert mine.keys() == ref.keys()
+    for k in mine:
+        for a, b in zip(mine[k], ref[k]):
+            assert abs(a - b) < 1e-9
