@@ -289,3 +289,44 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
     return dedup_clusters(pairs)
+
+
+@register(
+    "q74_frame_sampling",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, CAST(t.i AS INT) AS frame_idx, hx, blen,
+             greatest(blen // 4, 1) AS flen
+      FROM m, range(4) t(i)
+    )
+    SELECT media_id, frame_idx,
+           CAST(len(substring(hx, frame_idx * (blen // 4) * 2 + 1, flen * 2)) // 2
+                AS INT) AS frame_len,
+           substring(hx, frame_idx * (blen // 4) * 2 + 1, flen * 2) AS frame_hex
+    FROM f
+    """,
+    doc="Multimodal frame sampling (operators/multimodal.py::sample_frames): "
+    "each media blob explodes into 4 evenly-spaced byte-range frames, "
+    "verified byte-for-byte against DuckDB via hex (frame boundaries are "
+    "pure integer arithmetic — the real-codec swap point is the slice).",
+    bench=False,
+)
+def q74_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        F.hex("frame_bytes").alias("frame_hex"),
+    )

@@ -69,3 +69,11 @@ def test_scan_prunes_to_referenced_columns(spark, sf_dir):
     read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_sort_within_partitions_plans_no_exchange(spark, sf_dir):
+    """Per-partition sort (SURVEY §2.B sort row) must not shuffle — a
+    Sort node with global=false and no Exchange below it."""
+    df = load_table(spark, sf_dir, "orders").sortWithinPartitions("o_orderdate")
+    plan = _plan(df)
+    assert "Sort" in plan and "Exchange" not in plan

