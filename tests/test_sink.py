@@ -146,3 +146,40 @@ def test_foreach_batch_streaming_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "wh"))
     assert out.count() == 6
     assert spark.read.json(str(tmp_path / "dlq")).count() == 1
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting from the same checkpoint must not re-ingest already
+    committed offsets (the reference's whole offset-commit machinery,
+    A18-A21, collapsed into Structured Streaming's WAL): batch0 rows
+    appear exactly once in the warehouse even after a second run that
+    also picks up batch1."""
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    spark.createDataFrame(kafka_rows(4), KAFKA_DDL).write.parquet(str(src_dir / "batch0"))
+
+    schema = spark.createDataFrame([], KAFKA_DDL).schema
+    ing = ProtoIngest(TEST_SCHEMA)
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src_dir) + "/*")
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ing.apply))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(str(tmp_path / "wh")).count() == 4
+
+    more = kafka_rows(7)[4:]  # offsets 4..6, new data only
+    spark.createDataFrame(more, KAFKA_DDL).write.parquet(str(src_dir / "batch1"))
+    run_once()
+
+    out = spark.read.parquet(str(tmp_path / "wh"))
+    assert out.count() == 7  # 4 + 3, batch0 NOT re-ingested
+    # and every insert-id key is unique (A12's dedup key invariant)
+    assert out.select("message_offset").distinct().count() == 7
