@@ -330,3 +330,28 @@ def q74_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame_bytes").alias("frame_len"),
         F.hex("frame_bytes").alias("frame_hex"),
     )
+
+
+@register(
+    "q75_normalized_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fp,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Normalization-aware exact dedup: fingerprint of lower+collapsed-"
+    "whitespace text (functions/text.py::fingerprint) — catches dups that "
+    "raw-byte hashing (q30) misses; both engines must agree on the md5 of "
+    "the normalized form.",
+)
+def q75_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("norm_fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -77,3 +77,36 @@ def test_sort_within_partitions_plans_no_exchange(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders").sortWithinPartitions("o_orderdate")
     plan = _plan(df)
     assert "Sort" in plan and "Exchange" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join config must actually split a hot key at
+    runtime: final adaptive plan shows SortMergeJoin(skew=true). Local
+    data is small, so the skew thresholds are lowered for the probe and
+    restored after."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert j.count() == 150_000
+        j.collect()  # execute this exact queryExecution so AQE finalizes it
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
