@@ -379,3 +379,63 @@ def q72_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("p50"), 2).alias("p50_price"),
         rnd(F.col("p90"), 2).alias("p90_price"),
     )
+
+
+@register(
+    "q76_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey,
+                 o_totalprice AS total_price,
+                 CAST(o_custkey AS DOUBLE) AS cust_key
+          FROM orders)
+    UNPIVOT (val FOR metric IN (total_price, cust_key))
+    """,
+    doc="Unpivot/melt (wide → long): one row per (key, metric, value) — "
+    "the inverse of q42's pivot. Spark 3.4+ native unpivot; DuckDB "
+    "UNPIVOT; both drop NULL cells by default.",
+)
+def q76_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "cust_key"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q77_union_by_name",
+    oracle="""
+    SELECT * FROM
+      (SELECT c_custkey AS entity_id, c_acctbal AS balance, c_mktsegment AS segment
+       FROM customer WHERE c_nationkey = 1)
+    UNION ALL BY NAME
+      (SELECT s_suppkey AS entity_id, s_acctbal AS balance
+       FROM supplier WHERE s_nationkey = 1)
+    """,
+    doc="Schema-evolving union: unionByName(allowMissingColumns=True) "
+    "aligns by column NAME and null-fills the absent ones (DuckDB: UNION "
+    "ALL BY NAME) — positional UNION would silently mix columns here.",
+)
+def q77_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(F.col("s_suppkey").alias("entity_id"), F.col("s_acctbal").alias("balance"))
+    )
+    return c.unionByName(s, allowMissingColumns=True)

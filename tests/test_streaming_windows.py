@@ -174,3 +174,22 @@ def test_rate_source_smoke(spark):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) AS n FROM rate_smoke").collect()[0].n >= 0
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    from beast_spark.streaming.windows import sliding
+
+    stream = _stream_from(spark, tmp_path, _event_rows())
+    agg = sliding(
+        stream, "ts", "30 minutes", "15 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")], watermark="2 hours",
+    )
+    out = _run(agg, spark, "slid")
+    batch = (
+        spark.createDataFrame(_event_rows(), EVENT_DDL)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("window"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.window.start, r.user_id): r.n for r in out.collect()}
+    want = {(r.window.start, r.user_id): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
