@@ -197,3 +197,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def kmeans_lite(
+    data: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF centroid training.
+
+    Init: the first ``k`` vectors by id (deterministic seed). Each round:
+    broadcast the k centroids, assign every vector to its nearest (the
+    same map-side argmax as ``ivf_assign``), recompute centroids as
+    per-cluster dimension means via posexplode + groupBy — two shuffles
+    per round over (cluster, dim) cells, never a per-cluster value
+    buffer. A fixed iteration count keeps the plan static and the result
+    reproducible; convergence monotonicity is asserted in tests.
+
+    Returns (cid, embedding array<double>) — feed to ``ivf_assign`` /
+    adapt ``ivf_topk`` for the trained-centroid search path.
+    """
+    centroids = data.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            data, centroids.select(F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)),
+            id_col, vec_col, round_digits,
+        )
+        cells = assigned.select(
+            "cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+        )
+        means = (
+            cells.groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s.getField("m")).alias("cvec"))
+        )
+        centroids = means.localCheckpoint()
+    return centroids
+
+
+def ivf_inertia(
+    data: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 − cosine-to-assigned-centroid): the quantization error a
+    Lloyd round must not increase."""
+    assigned = ivf_assign(
+        data,
+        centroids.select(F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)),
+        id_col,
+        vec_col,
+    )
+    c = centroids.select("cid", "cvec")
+    scored = assigned.join(F.broadcast(c), "cid").select(
+        (1 - cosine(F.col(vec_col), F.col("cvec"))).alias("err")
+    )
+    return scored.agg(F.avg("err")).collect()[0][0]

@@ -102,3 +102,24 @@ def test_exact_percentiles_matches_builtin(spark, sf_dir):
     for k in mine:
         for a, b in zip(mine[k], ref[k]):
             assert abs(a - b) < 1e-9
+
+
+def test_kmeans_lite_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd rounds must not increase quantization error, and the fixed
+    init + fixed iterations must be bit-reproducible across runs."""
+    from beast_spark.operators.similarity import ivf_inertia, kmeans_lite
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c0 = kmeans_lite(e, k=4, iters=0)
+    c2 = kmeans_lite(e, k=4, iters=2)
+    err0 = ivf_inertia(e, c0)
+    err2 = ivf_inertia(e, c2)
+    assert err2 <= err0 + 1e-9
+
+    again = kmeans_lite(e, k=4, iters=2)
+    a = {r.cid: list(r.cvec) for r in c2.collect()}
+    b = {r.cid: list(r.cvec) for r in again.collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == b[cid]
