@@ -355,3 +355,24 @@ def q75_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@register(
+    "q78_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) AS lev
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="String-similarity scalar surface: levenshtein edit distance over "
+    "24-char prefixes of adjacent documents (both engines implement the "
+    "same Wagner-Fischer distance; JVM-side, codegen).",
+)
+def q78_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc1"), F.substring("text", 1, 24).alias("t1"))
+    b = d.select(F.col("doc_id").alias("doc2"), F.substring("text", 1, 24).alias("t2"))
+    return (
+        a.join(b, b.doc2 == a.doc1 + 1)
+        .select("doc1", "doc2", F.levenshtein("t1", "t2").alias("lev"))
+    )

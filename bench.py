@@ -49,28 +49,32 @@ def main() -> None:
 
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name, spec in specs.items():
         # Release accumulated broadcast/shuffle state between queries so
         # each measurement reflects the query, not GC debt from prior ones.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not lose the run
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        payload["failures"] = failures
+    print(json.dumps(payload))
     spark.stop()
 
 
