@@ -439,3 +439,37 @@ def q77_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("entity_id"), F.col("s_acctbal").alias("balance"))
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "q79_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+           CAST(floor((12 * (year(DATE '1998-01-01') - year(o_orderdate))
+                 + (month(DATE '1998-01-01') - month(o_orderdate))) ) AS DOUBLE)
+             AS months_to_1998,
+           last_day(o_orderdate) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy
+    FROM orders
+    WHERE day(o_orderdate) = 1
+    """,
+    doc="Date arithmetic extras: add_months / months_between (whole months "
+    "from month-start rows, so both engines agree without fractional-day "
+    "conventions) / last_day / weekday / weekofyear (ISO week in both). "
+    "DuckDB dayofweek is 0-based Sunday; Spark's is 1-based — oracle "
+    "shifts to match.",
+)
+def q79_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.dayofmonth("o_orderdate") == 1)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.months_between(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "months_to_1998"
+        ),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )
