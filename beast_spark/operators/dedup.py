@@ -231,17 +231,18 @@ def simhash_signatures(
     tok = _fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+    # Per-bit ONES count + total token count; bit i of the signature is 1
+    # iff 2·ones_i > n (same sign rule as summing ±1 — c − (n−c) > 0 —
+    # but the plain masked sum codegens ~3× cheaper than a conditional).
+    bit_cols = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
         for i in range(bits)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_cols)
     sig = None
     for i in range(bits):
         term = F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            2 * F.col(f"c{i}") > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
     return sums.select("doc_id", sig.alias("simhash"))

@@ -72,6 +72,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Single-node ingest throughput: the proto roundtrip query pushes every
+    # events row through encode → decode → map → metadata (the reference's
+    # hot path, SURVEY §3.1); rows/s = events rows / q53 seconds.
+    if timings.get("q53_proto_ingest_roundtrip"):
+        n_events = load_table(spark, sf_dir, "events").count()
+        payload["ingest_rows_per_sec"] = round(
+            n_events / timings["q53_proto_ingest_roundtrip"]
+        )
     if failures:
         payload["failures"] = failures
     print(json.dumps(payload))
