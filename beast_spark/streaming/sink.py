@@ -124,10 +124,18 @@ class WarehouseSink:
     fmt: str = "parquet"
 
     def _write_valid(self, df: DataFrame) -> None:
+        # A25 batch face: piggyback row metrics on the write itself via
+        # observe() — no second scan (the reference counts per push in its
+        # StatsD client, stats/Stats.java:16-84).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         writer = df.write.mode("append").format(self.fmt)
         if self.partition_col:
             writer = writer.partitionBy("dt")
         writer.save(self.table_path)
+        self.last_write_metrics = dict(obs.get)
 
     def write_dlq(self, invalid: DataFrame) -> None:
         """JSON-lines DLQ partitioned dt=/topic= (GCSErrorWriter.java:40-91)."""

@@ -183,3 +183,11 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert out.count() == 7  # 4 + 3, batch0 NOT re-ingested
     # and every insert-id key is unique (A12's dedup key invariant)
     assert out.select("message_offset").distinct().count() == 7
+
+
+def test_write_metrics_observed_without_extra_scan(spark, tmp_path, valid_df):
+    """A25 batch face: the sink reports rows written from an observe()
+    on the write job itself — no second count() pass."""
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"))
+    sink.push(valid_df)
+    assert sink.last_write_metrics == {"rows_written": valid_df.count()}
