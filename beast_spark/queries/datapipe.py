@@ -376,3 +376,53 @@ def q78_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, b.doc2 == a.doc1 + 1)
         .select("doc1", "doc2", F.levenshtein("t1", "t2").alias("lev"))
     )
+
+
+@register(
+    "q80_embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+    """,
+    doc="Embedding-cosine near-dup PAIRS (exact all-pairs form): broadcast "
+    "self-join + JVM-side cosine, threshold 0.42 on this corpus (random "
+    "embeddings top out near 0.5). This is the correctness baseline; at "
+    "corpus scale run the same threshold over LSH buckets "
+    "(operators/similarity.py::lsh_bucket_col) to cut the quadratic "
+    "candidate volume, as q40 does for search.",
+    bench=False,
+)
+def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot, norm
+
+    # Norms are computed once per VECTOR before the join (N folds), not
+    # once per PAIR (N² folds) — per-pair work is a single dot product.
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("v1"),
+        norm(F.col("embedding")).alias("n1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("v2"),
+        norm(F.col("embedding")).alias("n2"),
+    )
+    joined = a.join(F.broadcast(b), F.col("vec1") < F.col("vec2"))
+    return (
+        joined.select(
+            "vec1",
+            "vec2",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.42)
+    )
