@@ -131,3 +131,30 @@ def _shingle_expr(toks: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(col: str | Column, n: int = 4) -> Column:
+    """md5 hex of every n-gram shingle, in document order."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i + 1, n)), "UTF-8")),
+    )
+
+
+def winnow_from_hashes(hashes: Column, window: int = 4) -> Column:
+    """Winnowing selection (MOSS-style rolling-hash fingerprints, public
+    scheme) over a shingle-hash array: min of every ``window`` consecutive
+    hashes, deduped + sorted — position-robust fingerprints selected
+    identically by any engine (lexicographic min over the same hex).
+
+    ``hashes`` MUST be a materialized column (withColumn the result of
+    :func:`shingle_hashes` first): referencing the hash-array EXPRESSION
+    here makes Catalyst recompute the whole md5 array once per window —
+    an O(windows × shingles) hashing blowup (measured ~50×).
+    """
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hashes) - window),
+        lambda j: F.array_min(F.slice(hashes, j + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(wins))

@@ -133,3 +133,58 @@ def sample_frames(
         F.expr(f"substring({content_col}, frame_idx * (length({content_col}) div {n_frames}) + 1, "
                f"greatest(length({content_col}) div {n_frames}, 1))").alias("frame_bytes"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    content_col: str = "content",
+    strict: bool = False,
+) -> DataFrame:
+    """content → resized content (``resized`` binary + updated meta dims).
+
+    Real image resizing (PIL/opencv) happens at the marked stub; the fake
+    path emits a deterministic byte-downsample of the original content so
+    sizes, Arrow batching and downstream schema behave like production.
+    Same contract as :func:`decode_features`: Arrow-batched mapInPandas,
+    null passthrough, ``strict=True`` raises where the codec would run.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("resized_w", T.IntegerType(), True),
+            T.StructField("resized_h", T.IntegerType(), True),
+        ]
+    )
+    cols = df.columns
+    budget = max(1, target_w * target_h // 256)  # fake byte budget
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for raw in pdf[content_col]:
+                if raw is None:
+                    outs.append(None)
+                elif strict:
+                    raise NotImplementedError(
+                        "real image codec unavailable in this environment; "
+                        "install PIL/opencv and replace the byte-downsample"
+                    )
+                else:
+                    b = bytes(raw)
+                    step = max(1, len(b) // budget)
+                    outs.append(b[::step][:budget])
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in cols},
+                    "resized": outs,
+                    "resized_w": target_w,
+                    "resized_h": target_h,
+                }
+            )
+
+    return df.mapInPandas(resize, out_schema)

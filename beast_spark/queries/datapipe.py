@@ -426,3 +426,47 @@ def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.42)
     )
+
+
+@register(
+    "q81_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 7
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 2),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+             ) AS hashes
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_sort(list_distinct(
+             list_transform(range(1, len(hashes) - 2), j -> list_min(hashes[j:j+3]))
+           ))) AS INT) AS n_fps,
+           array_to_string(list_sort(list_distinct(
+             list_transform(range(1, len(hashes) - 2), j -> list_min(hashes[j:j+3]))
+           )), ',') AS fps_csv
+    FROM sh
+    """,
+    doc="Rolling-hash document fingerprints (winnowing, MOSS-style): md5 "
+    "each 4-gram shingle, keep the minimum of every 4-hash sliding "
+    "window — position-robust fingerprints for containment/near-dup "
+    "detection, selected identically by both engines (lexicographic min "
+    "over the same hex hashes).",
+)
+def q81_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.text import shingle_hashes, token_count, winnow_from_hashes
+
+    d = load_table(spark, sf_dir, "documents").filter(token_count("text") >= 7)
+    # Materialize the hash array between projections — see winnow_from_hashes.
+    hashed = d.withColumn("_sh", shingle_hashes("text", n=4))
+    fps = winnow_from_hashes(F.col("_sh"), window=4)
+    return hashed.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_join(fps, ",").alias("fps_csv"),
+    )

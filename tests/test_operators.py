@@ -123,3 +123,19 @@ def test_kmeans_lite_monotone_and_deterministic(spark, sf_dir):
     assert a.keys() == b.keys()
     for cid in a:
         assert a[cid] == b[cid]
+
+
+def test_resize_media_contract(spark):
+    """Resize stub: deterministic fake bytes, null passthrough, dims set."""
+    from beast_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 5000), (2, None)], "media_id long, content binary"
+    )
+    out = {r.media_id: r for r in resize_media(df, 64, 64).collect()}
+    assert out[1].resized_w == 64 and out[1].resized_h == 64
+    assert 0 < len(out[1].resized) <= 16
+    assert out[2].resized is None
+    # determinism
+    again = {r.media_id: r for r in resize_media(df, 64, 64).collect()}
+    assert bytes(again[1].resized) == bytes(out[1].resized)
