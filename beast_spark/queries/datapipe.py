@@ -470,3 +470,55 @@ def q81_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).alias("n_fps"),
         F.array_join(fps, ",").alias("fps_csv"),
     )
+
+
+@register(
+    "q82_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             floor(tf * ln(nd / CAST(df AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term frequency × ln(N/df), "
+    "ranked with a term tiebreak after shared floor-rounding so the "
+    "selection is engine-stable. Corpus size N stays in-plan (broadcast "
+    "1-row aggregate) — no driver-side count.",
+)
+def q82_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            rnd(F.col("tf") * F.log(F.col("nd") / F.col("df").cast("double")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
