@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from beast_spark.functions.text import shingles, tokens
+from beast_spark.functions.text import tokens
 
 __all__ = [
     "exact_dedup_groups",
@@ -57,8 +57,19 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return _fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("shingle")
+    # Materialize the token array before the shingle transform: a lambda
+    # over the split() EXPRESSION re-splits the document once per shingle
+    # (Catalyst inlines the subtree per element) — on long documents that
+    # is O(tokens²) splitting. With the column materialized it is O(tokens).
+    from beast_spark.functions.text import _shingle_expr
+
+    return (
+        _fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingle_expr(F.col("_toks"), n))).alias("shingle"),
+        )
     )
 
 
