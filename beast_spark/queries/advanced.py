@@ -112,10 +112,22 @@ def q29_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
-        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
-        rnd(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+    # One percentile buffer per (group, column), not per (group, percentage):
+    # passing array(0.5, 0.9) shares the l_extendedprice counts-map between
+    # both quantiles (2x faster than two separate aggregates — the price
+    # column is near-unique, so its buffer dominates the aggregation).
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p"),
+            rnd(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+        )
+        .select(
+            "l_returnflag",
+            rnd(F.col("_p")[0], 2).alias("p50_price"),
+            rnd(F.col("_p")[1], 2).alias("p90_price"),
+            "median_qty",
+        )
     )
 
 
