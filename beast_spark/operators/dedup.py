@@ -120,23 +120,41 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc in a single shuffle.
+    """k-permutation MinHash signature per doc with ZERO shuffles.
 
     Hash family: ONE xxhash64 over the shingle string, then k derived
     functions ``xxhash64(h, i)`` over that fixed-width base hash. The
     corpus text is hashed exactly once; each extra permutation costs a
     constant 16-byte hash instead of rehashing every character k times —
     the dominant term when shingles are long.
-    Signature = array<bigint> length k.
+
+    A document's shingles all live in its own row, so each min is an
+    ``array_min(transform(...))`` over the per-row hash array — a narrow
+    map-only plan (no explode, no groupBy): nothing moves over the
+    network no matter how large the corpus. Both the token and base-hash
+    arrays are materialized with ``withColumn`` between projections so
+    Catalyst does not re-inline their subtrees per lambda element.
+    Docs with fewer than ``n`` tokens have no shingles and are dropped
+    (same contract as the explode formulation). Signature =
+    array<bigint> length k.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
-    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    hashed = base.select(
-        "doc_id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(k)]
-    )
-    mins = hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("signature")
+    from beast_spark.functions.text import _shingle_expr
+
+    return (
+        _fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .withColumn("_sh", F.array_distinct(_shingle_expr(F.col("_toks"), n)))
+        .filter(F.size("_sh") >= 1)
+        .withColumn("_h", F.transform("_sh", lambda s: F.xxhash64(s)))
+        .select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform("_h", lambda h: F.xxhash64(h, F.lit(i))))
+                    for i in range(k)
+                ]
+            ).alias("signature"),
+        )
     )
 
 
