@@ -133,13 +133,16 @@ def _shingle_expr(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_hashes(col: str | Column, n: int = 4) -> Column:
-    """md5 hex of every n-gram shingle, in document order."""
-    toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i + 1, n)), "UTF-8")),
-    )
+def shingle_hashes(toks: Column, n: int = 4) -> Column:
+    """md5 hex of every n-gram shingle, in document order.
+
+    ``toks`` MUST be a materialized token-array column (``withColumn`` the
+    result of :func:`tokens` first, then pass that column): the shingle
+    lambda random-accesses the array per element, and Catalyst inlines a
+    raw ``split()`` EXPRESSION into every access — re-splitting the
+    document once per shingle, an O(tokens²) blowup.
+    """
+    return F.transform(_shingle_expr(toks, n), lambda s: F.md5(F.encode(s, "UTF-8")))
 
 
 def winnow_from_hashes(hashes: Column, window: int = 4) -> Column:

@@ -459,16 +459,26 @@ def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the same hex hashes).",
 )
 def q81_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.functions.text import shingle_hashes, token_count, winnow_from_hashes
+    from beast_spark.functions.text import shingle_hashes, tokens, winnow_from_hashes
 
-    d = load_table(spark, sf_dir, "documents").filter(token_count("text") >= 7)
-    # Materialize the hash array between projections — see winnow_from_hashes.
-    hashed = d.withColumn("_sh", shingle_hashes("text", n=4))
-    fps = winnow_from_hashes(F.col("_sh"), window=4)
-    return hashed.select(
-        "doc_id",
-        F.size(fps).alias("n_fps"),
-        F.array_join(fps, ",").alias("fps_csv"),
+    # Each stage's array is materialized with withColumn before the next
+    # stage random-accesses it (tokens → md5 shingles → winnowed mins):
+    # see shingle_hashes/winnow_from_hashes for the re-inlining hazard.
+    # _fps is materialized too so size() and array_join() don't each
+    # recompute the winnowing pass.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", tokens("text"))
+        .filter(F.size("_toks") >= 7)
+    )
+    return (
+        d.withColumn("_sh", shingle_hashes(F.col("_toks"), n=4))
+        .withColumn("_fps", winnow_from_hashes(F.col("_sh"), window=4))
+        .select(
+            "doc_id",
+            F.size("_fps").alias("n_fps"),
+            F.array_join("_fps", ",").alias("fps_csv"),
+        )
     )
 
 
