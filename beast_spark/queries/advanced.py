@@ -90,10 +90,19 @@ def q29_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o2.o_orderdate") >= F.col("o1.o_orderdate") - F.expr("INTERVAL 30 DAYS"))
         & (F.col("o2.o_orderdate") <= F.col("o1.o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     )
+    # Group by (custkey, orderkey), not orderkey alone: the join output is
+    # already hash-partitioned on custkey, and HashPartitioning on a subset
+    # of the grouping keys satisfies the aggregation's distribution — so
+    # the groupBy runs in place instead of re-shuffling the joined table.
+    # orderkey is unique, so the extra key changes nothing semantically.
     return (
         o1.join(o2, cond, "left")
-        .groupBy(F.col("o1.o_orderkey").alias("o_orderkey"))
+        .groupBy(
+            F.col("o1.o_custkey").alias("_custkey"),
+            F.col("o1.o_orderkey").alias("o_orderkey"),
+        )
         .agg(F.count(F.col("o2.o_orderkey")).alias("nearby_orders"))
+        .select("o_orderkey", "nearby_orders")
     )
 
 
