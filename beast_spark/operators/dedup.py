@@ -318,8 +318,12 @@ def simhash_pairs(
             F.col("y.doc_id").alias("doc2"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # Filter BEFORE the distinct: hamming is a pure function of the
+        # pair, so the result set is identical, but the cheap codegen'd
+        # filter drops far-apart pairs before the dedup shuffle instead
+        # of shuffling every band collision.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
