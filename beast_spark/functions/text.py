@@ -160,4 +160,8 @@ def winnow_from_hashes(hashes: Column, window: int = 4) -> Column:
         F.sequence(F.lit(0), F.size(hashes) - window),
         lambda j: F.array_min(F.slice(hashes, j + 1, window)),
     )
-    return F.array_sort(F.array_distinct(wins))
+    # Guard size(hashes) < window: sequence(0, negative) would feed
+    # slice() a descending index range (runtime error / wrong windows).
+    return F.when(
+        F.size(hashes) >= window, F.array_sort(F.array_distinct(wins))
+    ).otherwise(F.array().cast("array<string>"))

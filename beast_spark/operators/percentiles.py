@@ -32,7 +32,13 @@ def exact_percentiles(
     quantiles: dict[str, float],
 ) -> DataFrame:
     """Per-key exact percentiles: one output column per ``{name: q}``."""
-    counts = df.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULLs are ignored, matching percentile() / quantile_cont — a NULL
+    # group would otherwise inflate n and shift every rank.
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w_cum = (
         Window.partitionBy(*key_cols)
         .orderBy(value_col)

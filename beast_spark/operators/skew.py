@@ -33,7 +33,15 @@ def salted_join(
 
     The small side is exploded ``salt``× (acceptable when it is orders of
     magnitude smaller); result columns match ``big.join(small, on, how)``.
+
+    Only ``inner``/``left`` are supported: with ``right``/``full`` an
+    unmatched small-side key would surface once per salt replica.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full would emit unmatched small-side keys salt times"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     small_s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = big_s.join(small_s, [on, "_salt"], how)

@@ -142,7 +142,7 @@ def _to_signed32(value: int) -> int:
 # decode
 # ---------------------------------------------------------------------------
 
-def _decode_scalar(f: PField, wire_type: int, buf: bytes, pos: int):
+def _decode_scalar(f: PField, wire_type: int, buf: bytes, pos: int, fail_on_unknown: bool = False):
     t = f.type
     if t in _VARINT_TYPES:
         raw, pos = _read_varint(buf, pos)
@@ -197,7 +197,10 @@ def _decode_scalar(f: PField, wire_type: int, buf: bytes, pos: int):
             return {"seconds": d.get("seconds", 0), "nanos": d.get("nanos", 0)}, pos
         if t == "struct":
             return json.dumps(_decode_wkt_struct(chunk), sort_keys=True), pos
-        return decode_message(chunk, f.fields, fail_on_unknown=False), pos
+        # Unknown-field failure applies recursively at every nesting level
+        # (RowMapper.java:44-49 — getMappings is built recursively, so a
+        # drifted nested record must fail the same way a top-level one does).
+        return decode_message(chunk, f.fields, fail_on_unknown=fail_on_unknown), pos
     raise ProtoDecodeError(f"unsupported field type {t!r}")
 
 
@@ -255,10 +258,10 @@ def _decode_message_inner(
             vals = out.setdefault(f.name, [])
             inner_wt = 0 if f.type in _VARINT_TYPES else (1 if f.type in _FIXED64_TYPES else 5)
             while pos < end:
-                v, pos = _decode_scalar(f, inner_wt, buf, pos)
+                v, pos = _decode_scalar(f, inner_wt, buf, pos, fail_on_unknown)
                 vals.append(v)
             continue
-        value, pos = _decode_scalar(f, wire_type, buf, pos)
+        value, pos = _decode_scalar(f, wire_type, buf, pos, fail_on_unknown)
         if f.repeated:
             out.setdefault(f.name, []).append(value)
         else:

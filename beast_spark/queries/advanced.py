@@ -565,8 +565,8 @@ def q59_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.abs(F.col("p_retailprice") - 1000.0).alias("abs_diff"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
         rnd(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
         rnd(F.log("p_retailprice"), 4).alias("price_ln"),
         rnd(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),

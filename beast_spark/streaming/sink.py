@@ -173,10 +173,24 @@ class WarehouseSink:
         if self.partition_col:
             good, oob_rows = classify_oob(out, self.partition_col, self.oob)
             if self.dlq_path and oob_rows.limit(1).count() > 0:
+                # Batch frames without Kafka metadata (or with a metadata
+                # namespace) lack topic/insert_id — fall back to NULLs so
+                # direct batch use works as the class docstring promises.
+                topic = (
+                    F.col("message_topic")
+                    if "message_topic" in oob_rows.columns
+                    else F.lit(None).cast("string")
+                )
+                iid = (
+                    F.col("insert_id")
+                    if "insert_id" in oob_rows.columns
+                    else F.lit(None).cast("string")
+                )
                 (
                     oob_rows.withColumn("error", F.lit("OOB partition date"))
                     .withColumn("dt", F.date_format(F.current_timestamp(), "yyyy-MM-dd"))
-                    .withColumn("topic", F.col("message_topic"))
+                    .withColumn("topic", topic)
+                    .withColumn("insert_id", iid)
                     .select("topic", "dt", "error", "insert_id")
                     .write.mode("append")
                     .partitionBy("dt", "topic")

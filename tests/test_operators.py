@@ -104,6 +104,21 @@ def test_exact_percentiles_matches_builtin(spark, sf_dir):
             assert abs(a - b) < 1e-9
 
 
+def test_exact_percentiles_ignores_nulls(spark):
+    """NULL values must not enter n or the rank math — same as
+    percentile() / quantile_cont (ADVICE r1: NULL group inflated n)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.percentiles import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1.0, None, 2.0, None, 3.0, 4.0]], "k string, v double"
+    )
+    got = exact_percentiles(df, ["k"], "v", {"p50": 0.5}).collect()[0].p50
+    ref = df.groupBy("k").agg(F.expr("percentile(v, 0.5)").alias("p")).collect()[0].p
+    assert abs(got - ref) < 1e-9 and abs(got - 2.5) < 1e-9
+
+
 def test_kmeans_lite_monotone_and_deterministic(spark, sf_dir):
     """Lloyd rounds must not increase quantization error, and the fixed
     init + fixed iterations must be bit-reproducible across runs."""

@@ -68,6 +68,41 @@ def test_unknown_field_policy():
     assert decode_message(raw, TEST_SCHEMA, fail_on_unknown=False) == {"order_number": "x"}
 
 
+def test_unknown_field_policy_applies_to_nested_messages():
+    """RowMapper.java:44-49 via recursive getMappings — a schema-drifted
+    NESTED record fails under fail_on_unknown exactly like a top-level one."""
+    from tests.fixtures import ITEM_FIELDS
+
+    wide_item = ITEM_FIELDS + (PField(99, "extra", "string"),)
+    wide = tuple(
+        PField(12, "shipping", "message", fields=wide_item) if f.number == 12 else f
+        for f in TEST_SCHEMA
+    )
+    raw = encode_message(
+        {"order_number": "x", "shipping": {"item_id": 1, "extra": "drifted"}}, wide
+    )
+    with pytest.raises(UnknownFieldError):
+        decode_message(raw, TEST_SCHEMA, fail_on_unknown=True)
+    lax = decode_message(raw, TEST_SCHEMA, fail_on_unknown=False)
+    assert lax["shipping"] == {"item_id": 1}
+
+
+def test_unknown_field_policy_applies_to_repeated_nested():
+    wide_kv = (PField(1, "key", "string"), PField(2, "value", "string"), PField(9, "x", "int64"))
+    wide = tuple(
+        PField(17, "current_state", "message", repeated=True, fields=wide_kv)
+        if f.number == 17
+        else f
+        for f in TEST_SCHEMA
+    )
+    raw = encode_message({"current_state": [{"key": "k", "x": 5}]}, wide)
+    with pytest.raises(UnknownFieldError):
+        decode_message(raw, TEST_SCHEMA, fail_on_unknown=True)
+    assert decode_message(raw, TEST_SCHEMA, fail_on_unknown=False) == {
+        "current_state": [{"key": "k"}]
+    }
+
+
 def test_unknown_enum_number_falls_back_to_string():
     """EnumField.java:15-25 — unknown enum numbers stringify."""
     schema = (PField(1, "status", "enum", enum_names=((0, "A"), (1, "B"))),)

@@ -21,6 +21,41 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit unmatched small-side keys salt× (ADVICE r1)."""
+    big = spark.range(0, 10).withColumn("k", F.col("id").cast("int"))
+    small = spark.createDataFrame([(0, "x")], "k int, tag string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_salted_left_join_keeps_unmatched_big_rows(spark):
+    big = spark.createDataFrame([(0,), (1,), (7,)], "k int")
+    small = spark.createDataFrame([(0, "x"), (1, "y")], "k int, tag string")
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, "k", how="left")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_winnow_short_doc_yields_empty_fingerprints(spark):
+    """size(hashes) < window must give [] — not a negative-sequence error."""
+    from beast_spark.functions.text import shingle_hashes, tokens, winnow_from_hashes
+
+    df = (
+        spark.createDataFrame(
+            [(1, "only three words here"), (2, "a much longer document " * 5)],
+            "id int, text string",
+        )
+        .withColumn("toks", tokens("text"))
+        .withColumn("hashes", shingle_hashes(F.col("toks"), n=4))
+        .withColumn("fp", winnow_from_hashes(F.col("hashes"), window=4))
+    )
+    rows = {r.id: r.fp for r in df.collect()}
+    assert rows[1] == []
+    assert len(rows[2]) > 0
+
+
 def test_two_stage_agg_matches_plain(spark):
     df = spark.range(0, 5000).withColumn("k", (F.col("id") % 4).cast("int"))
     plain = df.groupBy("k").agg(F.sum("id").alias("total"), F.count(F.lit(1)).alias("n"))

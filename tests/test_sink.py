@@ -92,6 +92,26 @@ def test_no_dlq_configured_halts_on_invalid(spark, tmp_path):
         sink.push(valid, invalid)
 
 
+def test_oob_dlq_on_plain_batch_frame_without_kafka_metadata(spark, tmp_path):
+    """Direct batch use (no message_topic/insert_id columns) must DLQ an
+    OOB row with NULL topic instead of raising AnalysisException (ADVICE r1)."""
+    now = dt.datetime.now()
+    df = spark.createDataFrame(
+        [(1, now), (2, now - dt.timedelta(days=3000))], "id int, ts timestamp"
+    )
+    sink = WarehouseSink(
+        table_path=str(tmp_path / "wh"),
+        dlq_path=str(tmp_path / "dlq"),
+        partition_col="ts",
+    )
+    sink.push(df)
+    assert spark.read.parquet(str(tmp_path / "wh")).count() == 1
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert dlq.count() == 1
+    row = dlq.collect()[0]
+    assert row.error == "OOB partition date"
+
+
 def test_retry_backoff(spark, tmp_path, valid_df):
     """RetryExecutor.java:38-58: ≤N attempts, exponential delay, then raise."""
 

@@ -3,6 +3,12 @@
 report mismatches — the standalone form of the driver's correctness gate
 and tests/test_oracle_parity.py.
 
+The comparison is HASH-EXACT, mirroring the driver's gate: columns sorted
+by name, every cell stringified with no numeric tolerance, rows sorted by
+the stringified tuple.  A LONG-vs-DOUBLE drift ("151" vs "151.0") fails
+here exactly as it fails the driver (this caught q59 in round 1 only at
+the driver — the old sweep used a 1e-9 float tolerance and missed it).
+
 Usage: python tools/oracle_sweep.py [/root/testdata/sf0.01] [name_filter]
 Exit code 1 on any failure.
 """
@@ -17,22 +23,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
 
 
+def _cell(v) -> str:
+    """Stringify one cell with no dtype coercion; normalize containers so
+    numpy arrays (Spark->pandas) and lists (DuckDB->pandas) print alike."""
+    import numpy as np
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) and v != v:  # NaN
+        return "<NULL>"
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, np.generic):
+        v = v.item()
+    return str(v)
+
+
+def canonical_rows(df, cols):
+    return sorted(tuple(_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None))
+
+
 def compare(sdf, odf):
     cols = sorted(sdf.columns)
     if cols != sorted(odf.columns):
         return f"columns {cols} vs {sorted(odf.columns)}"
-    sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
     if len(sdf) != len(odf):
         return f"rows {len(sdf)} vs {len(odf)}"
-    for c in cols:
-        a, b = sdf[c], odf[c]
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
-            ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
-        else:
-            ok = (a.astype(str) == b.astype(str)) | (a.isna() & b.isna())
-        if not ok.all():
-            return f"col {c}: {int((~ok).sum())} diffs"
+    a, b = canonical_rows(sdf, cols), canonical_rows(odf, cols)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            for c, va, vb in zip(cols, ra, rb):
+                if va != vb:
+                    return f"row {i} col {c}: spark={va!r} oracle={vb!r}"
     return None
 
 
@@ -49,10 +77,13 @@ def main() -> int:
     for t in TABLES.split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    checked, bad = 0, []
+    checked, bad, unoracled = 0, [], []
     for name in sorted(qs):
+        if name_filter not in name:
+            continue
         sql = oracles.get(name)
-        if not sql or name_filter not in name:
+        if not sql:
+            unoracled.append(name)
             continue
         checked += 1
         try:
@@ -66,6 +97,8 @@ def main() -> int:
             print(f"FAIL {name}: {err}")
         else:
             print(f"ok   {name} ({len(sdf)} rows)")
+    if unoracled:
+        print(f"no_oracle ({len(unoracled)}): {' '.join(unoracled)}")
     print(f"\n{checked} checked, {len(bad)} failed @ {sf}")
     spark.stop()
     return 1 if bad else 0
