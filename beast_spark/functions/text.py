@@ -56,7 +56,9 @@ def quality_score(col: str | Column) -> Column:
     """
     n = token_count(col)
     len_ok = F.when((n >= 20) & (n <= 80), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(len_ok * unique_ratio(col), 4)
+    # floor-form rounding (not F.round): identical in every engine, so
+    # oracle SQL can replay the score exactly.
+    return F.floor(len_ok * unique_ratio(col) * 10000 + F.lit(0.5)) / 10000
 
 
 def normalized_text(col: str | Column) -> Column:

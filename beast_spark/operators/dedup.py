@@ -118,7 +118,12 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    n: int = 3,
+    hash_family: str = "xxh",
 ) -> DataFrame:
     """k-permutation MinHash signature per doc with ZERO shuffles.
 
@@ -137,22 +142,48 @@ def minhash_signatures(
     Docs with fewer than ``n`` tokens have no shingles and are dropped
     (same contract as the explode formulation). Signature =
     array<bigint> length k.
+
+    ``hash_family``: ``"xxh"`` (default — fastest, Spark-only) or
+    ``"md5"`` — the same construction over the 60-bit md5 prefix from
+    :mod:`beast_spark.functions.hashing`, reproducible bit-exact by any
+    engine with ``md5()`` (this is what the q36 DuckDB oracle replays).
     """
+    from beast_spark.functions.hashing import md5_long
     from beast_spark.functions.text import _shingle_expr
+
+    # NOTE: HOF lambdas must be strictly single-parameter — PySpark
+    # arity-inspects them, and a default arg (or md5_long's chars=) makes
+    # it pass the ARRAY INDEX as the second argument. Bind loop vars via
+    # closure factories only.
+    if hash_family == "xxh":
+
+        def base(s):
+            return F.xxhash64(s)
+
+        def mk_perm(i):
+            return lambda h: F.xxhash64(h, F.lit(i))
+
+    elif hash_family == "md5":
+
+        def base(s):
+            return md5_long(s)
+
+        def mk_perm(i):
+            return lambda h: md5_long(F.concat(h.cast("string"), F.lit(f":{i}")))
+
+    else:
+        raise ValueError(f"hash_family must be 'xxh' or 'md5', got {hash_family!r}")
 
     return (
         _fan_out(df)
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
         .withColumn("_sh", F.array_distinct(_shingle_expr(F.col("_toks"), n)))
         .filter(F.size("_sh") >= 1)
-        .withColumn("_h", F.transform("_sh", lambda s: F.xxhash64(s)))
+        .withColumn("_h", F.transform("_sh", base))
         .select(
             "doc_id",
             F.array(
-                *[
-                    F.array_min(F.transform("_h", lambda h: F.xxhash64(h, F.lit(i))))
-                    for i in range(k)
-                ]
+                *[F.array_min(F.transform("_h", mk_perm(i))) for i in range(k)]
             ).alias("signature"),
         )
     )
@@ -167,6 +198,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.35,
     max_bucket: int = 1000,
+    hash_family: str = "xxh",
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding over MinHash signatures.
 
@@ -174,17 +206,27 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of equal signature positions) is then
     computed exactly from the signatures and filtered by ``threshold``.
     ``max_bucket`` drops degenerate buckets (all-identical corpora)
-    before the quadratic pair expansion.
+    before the quadratic pair expansion. ``hash_family="md5"`` makes the
+    whole pipeline engine-replayable (see :func:`minhash_signatures`);
+    its band bucket is then the md5 hex of the band's signature slice
+    instead of an xxhash64.
     """
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
+
+    def bucket_expr(cols):
+        if hash_family == "md5":
+            return F.md5(
+                F.encode(F.concat_ws("|", *[c.cast("string") for c in cols]), "UTF-8")
+            )
+        return F.xxhash64(*cols)
     # Signatures are consumed three times (banding + both estimate-join
     # sides) but are tiny (one row of k longs per doc) while their
     # subtree — shingle + hash the whole corpus — is the expensive part.
     # Persist the signatures so the corpus is shingled exactly once; at
     # warehouse scale the equivalent is materializing sigs to a table.
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, hash_family=hash_family).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -192,8 +234,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * r + j] for j in range(r)]
+                        bucket_expr(
+                            [F.col("signature")[b * r + j] for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -248,7 +290,7 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, hash_family: str = "xxh"
 ) -> DataFrame:
     """64-bit SimHash per document from whitespace tokens.
 
@@ -256,10 +298,23 @@ def simhash_signatures(
     vectors (one shuffle: ``bits`` parallel sums); signature bit i = 1 iff
     sum_i > 0. Emitted as one BIGINT (bit 63 may set the sign — it is a
     bit pattern, not a number).
+
+    ``hash_family="md5"`` uses the engine-replayable 60-bit md5 prefix
+    (callers should then pass ``bits=60`` — the top 4 bits of the token
+    hash are always zero, so including them would bias those signature
+    bits to 0 for every doc).
     """
+    if hash_family == "md5":
+        from beast_spark.functions.hashing import md5_long
+
+        token_hash = md5_long("tok")
+    elif hash_family == "xxh":
+        token_hash = F.xxhash64("tok")
+    else:
+        raise ValueError(f"hash_family must be 'xxh' or 'md5', got {hash_family!r}")
     tok = _fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", token_hash)
     # Per-bit ONES count + total token count; bit i of the signature is 1
     # iff 2·ones_i > n (same sign rule as summing ±1 — c − (n−c) > 0 —
     # but the plain masked sum codegens ~3× cheaper than a conditional).
@@ -278,15 +333,24 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bits: int = 64,
+    hash_family: str = "xxh",
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
 
-    Candidate generation: 4 × 16-bit band join (a pair within Hamming
-    distance 3 must agree on ≥1 band; wider distances may miss — standard
-    SimHash banding tradeoff), then exact popcount(xor) filter.
+    Candidate generation: 4 × (bits/4)-wide band join (a pair within
+    Hamming distance 3 must agree on ≥1 band; wider distances may miss —
+    standard SimHash banding tradeoff), then exact popcount(xor) filter.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    if bits % 4 != 0:
+        raise ValueError(f"bits={bits} must be divisible by the 4 bands")
+    w = bits // 4
+    mask = (1 << w) - 1
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, hash_family=hash_family)
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -295,8 +359,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), w * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
                     for b in range(4)

@@ -7,7 +7,7 @@ container has no image/audio libraries, so decode resolves to either
 
 * a clearly-marked ``NotImplementedError`` stub (``strict=True``), or
 * a deterministic fake decoder (``strict=False``, default for tests):
-  features are derived from a stable blake2b digest of the bytes, so
+  features are derived from a stable sha256 stream of the bytes, so
   every downstream operator (dedup by content hash, feature extraction,
   ANN over media embeddings) is exercised end-to-end with real shuffles
   and real Arrow batches.
@@ -52,14 +52,19 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def _fake_features(raw: bytes, dims: int) -> list[float]:
-    """Deterministic pseudo-features from a blake2b stream of the content."""
-    out: list[float] = []
-    counter = 0
-    while len(out) < dims:
-        h = hashlib.blake2b(raw, digest_size=32, salt=counter.to_bytes(8, "little")).digest()
-        out.extend(int.from_bytes(h[i : i + 4], "little") / 2**32 - 0.5 for i in range(0, 32, 4))
-        counter += 1
-    return out[:dims]
+    """Deterministic pseudo-features from the content's sha256 stream.
+
+    Feature i = ``u32(sha256(HEX ':' i)[:8]) / 2^32 - 0.5`` where HEX is
+    the uppercase hex of the bytes. Every term is a power-of-two divide,
+    so the value is EXACT in float64 — any engine with sha256() replays
+    it bit-for-bit (the q50 DuckDB oracle does:
+    ``('0x'||substr(sha256(hex(content)||':'||i),1,8))::BIGINT/4294967296.0 - 0.5``).
+    """
+    hx = raw.hex().upper()
+    return [
+        int(hashlib.sha256(f"{hx}:{i}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+        for i in range(dims)
+    ]
 
 
 def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -84,7 +89,7 @@ def decode_features(
     in both modes.
     """
     out_schema = T.StructType(
-        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
     )
     cols = df.columns
 

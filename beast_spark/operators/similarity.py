@@ -25,6 +25,7 @@ from beast_spark.functions.vectors import cosine, dot
 __all__ = [
     "brute_force_topk",
     "hyperplanes",
+    "hyperplanes_md5",
     "lsh_bucket_col",
     "lsh_topk",
     "ivf_assign",
@@ -69,6 +70,27 @@ def hyperplanes(dims: int, n_planes: int = 8, seed: int = 7) -> list[list[float]
     return rng.standard_normal((n_planes, dims)).tolist()
 
 
+def hyperplanes_md5(dims: int, n_planes: int = 8) -> list[list[float]]:
+    """Rademacher (±1) hyperplanes derived from md5 — engine-replayable.
+
+    Component (p, d) = +1 iff the first hex digit of ``md5("p:d")`` is
+    odd. Sign-random-projection only needs the component distribution to
+    be symmetric, so ±1 entries are as valid an LSH family as gaussians
+    (public SimHash/SRP results) — and any engine with ``md5()`` can
+    reconstruct the planes exactly, which is how the q40 DuckDB oracle
+    replays the bucketing bit-for-bit.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id: bit p = 1 iff <vec, plane_p> > 0."""
     bucket = F.lit(0).cast("long")
@@ -90,22 +112,28 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 7,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     Recall < 1 by construction (single-probe); increase recall with fewer
     planes or multi-probe. Returns same shape as brute_force_topk.
+    Pass ``planes`` (e.g. :func:`hyperplanes_md5`) to override the seeded
+    gaussian planes. cos_sim rounds with the cross-engine floor form
+    (floor(x·1e6 + 0.5)/1e6), never engine-native round().
     """
-    planes = hyperplanes(dims, n_planes, seed)
+    if planes is None:
+        planes = hyperplanes(dims, n_planes, seed)
     d = data.withColumn("bucket", lsh_bucket_col(vec_col, planes))
     q = queries.withColumn("bucket", lsh_bucket_col(vec_col, planes)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), "bucket"
     )
     joined = d.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col(id_col))
+    cos = cosine(F.col("query_vec"), F.col(vec_col))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

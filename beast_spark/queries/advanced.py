@@ -335,16 +335,63 @@ def q52_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q49_approx_sketches",
-    oracle=None,  # approximate algorithms differ per engine — rows-only
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           TRUE AS hll_within_3sigma,
+           TRUE AS approx_median_rank_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
     doc="Sketch surface: approx_count_distinct (HLL++) + percentile_approx "
-    "per order status — the at-scale substitutes for q12/q41 exact forms.",
+    "per order status — the at-scale substitutes for q12/q41 exact forms. "
+    "Sketch outputs are engine-specific, so the oracle checks the sketch "
+    "ERROR INVARIANTS instead: HLL estimate within 3σ (3 × the default "
+    "rsd=0.05) of the exact distinct count; the approx median's true rank "
+    "fraction in [0.4, 0.6] (default accuracy 10000 → rank error ≤ "
+    "n/10000 ≪ 10% of rank). A broken sketch flips a boolean and fails "
+    "the value hash. Kept as three cheap passes (sketches / exact "
+    "distinct / rank probe) joined on the 3-row status frame: one "
+    "combined agg would Expand the input for countDistinct UNDER exact "
+    "percentile buffers (measured 27s vs <1s at sf0.1).",
 )
 def q49_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    sk = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("_hll"),
+        F.percentile_approx("o_totalprice", 0.5).alias("_ap50"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    ex = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    # True rank fraction of the approx median: one more scan with the
+    # 3-row sketch frame broadcast — no second wide shuffle.
+    frac = (
+        o.join(F.broadcast(sk.select("o_orderstatus", "_ap50")), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("_ap50"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("_frac")
+        )
+    )
+    return (
+        ex.join(F.broadcast(sk), "o_orderstatus")
+        .join(F.broadcast(frac), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("_hll") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.15
+            ).alias("hll_within_3sigma"),
+            F.col("_frac").between(0.4, 0.6).alias("approx_median_rank_ok"),
+        )
     )
 
 
@@ -606,11 +653,53 @@ def q60_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB replay of detect_lang + quality_score: same marker lexicons,
+    same distinct-token-intersection scoring, same (score DESC, lang DESC)
+    argmax tie-break as Spark's reverse(array_sort(struct(score, lang)))."""
+    from beast_spark.functions.text import LANG_MARKERS
+
+    score_structs = ",\n          ".join(
+        "{'score': len(list_intersect(toks, [%s])), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_distinct(string_split(text, ' ')) AS toks,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, labeled_lang, n_tokens, n_uniq,
+        unnest([
+          {score_structs}
+        ]) AS s
+      FROM t
+    ),
+    best AS (
+      SELECT doc_id, labeled_lang, n_tokens, n_uniq, s.score, s.lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s.score DESC, s.lang DESC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS detected_lang,
+           floor(((CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+                  * (n_uniq / CAST(n_tokens AS DOUBLE))) * 10000 + 0.5) / 10000
+             AS quality
+    FROM best WHERE rn = 1
+    """
+
+
 @register(
     "q55_language_id",
-    oracle=None,  # heuristic classifier — predictions have no SQL oracle
+    oracle=_lang_id_oracle(),
     doc="Language identification: marker-lexicon argmax over tokens "
-    "(JVM-side expression; see functions.text.detect_lang).",
+    "(JVM-side expression; see functions.text.detect_lang) — the heuristic "
+    "is deterministic string ops, replayed exactly by the DuckDB oracle.",
 )
 def q55_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.functions.text import detect_lang, quality_score
@@ -626,9 +715,21 @@ def q55_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q50_multimodal_features",
-    oracle=None,  # fake codec features — engine-specific; rows-only
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INT) AS content_len,
+           sha256(text) AS content_sha,
+           ('0x' || substr(sha256(hex(encode(text)) || ':0'), 1, 8))::BIGINT
+             / 4294967296.0 - 0.5 AS f0,
+           ('0x' || substr(sha256(hex(encode(text)) || ':7'), 1, 8))::BIGINT
+             / 4294967296.0 - 0.5 AS f7
+    FROM documents
+    """,
     doc="Multimodal plumbing: documents' bytes as binary media column → "
-    "content hash dedup key + mapInPandas feature extraction (stub codec).",
+    "content hash dedup key + mapInPandas feature extraction. The stub "
+    "codec derives features from the content's sha256 stream (exact "
+    "power-of-two arithmetic in float64), so the DuckDB oracle replays "
+    "the mapInPandas output value-exactly.",
     bench=False,
 )
 def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,5 +745,6 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "content_len",
         "content_sha",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 8).alias("f7"),
     )

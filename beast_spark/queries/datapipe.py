@@ -25,7 +25,7 @@ from beast_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from beast_spark.operators.similarity import brute_force_topk, lsh_topk
+from beast_spark.operators.similarity import brute_force_topk, hyperplanes_md5, lsh_topk
 from beast_spark.queries import register
 from beast_spark.queries._util import rnd
 from beast_spark.sources.tables import load_table
@@ -184,24 +184,118 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
 
 
+# DuckDB replay of the md5-family MinHash+LSH pipeline (k=16, 8 bands × 2
+# rows, 3-token shingles, est_jaccard ≥ 0.35, bucket size ∈ [2, 1000]).
+# H(s) = first 15 md5 hex digits as a 60-bit long; permutation i rehashes
+# the DECIMAL string of the base hash suffixed ':i' — both exactly what
+# operators/dedup.py::minhash_signatures(hash_family="md5") computes.
+_MINHASH_SIG_SQL = ",\n    ".join(
+    "list_min(list_transform(h, x -> "
+    f"('0x'||substr(md5(x::VARCHAR || ':{i}'),1,15))::BIGINT))" for i in range(16)
+)
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ),
+    base AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS h
+      FROM sh WHERE len(shingles) >= 1
+    ),
+    sigs AS (
+      SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sig FROM base
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(concat_ws('|', sig[2*b.band + 1], sig[2*b.band + 2])) AS bucket
+      FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+    ),
+    bsz AS (
+      SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+      FROM banded x
+      JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      JOIN bsz ON bsz.band = x.band AND bsz.bucket = x.bucket
+      WHERE bsz.n BETWEEN 2 AND 1000
+    )
+    SELECT doc1, doc2,
+           list_sum(list_transform(range(1, 17),
+               i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 16.0
+             AS est_jaccard
+    FROM cand
+    JOIN sigs s1 ON s1.doc_id = cand.doc1
+    JOIN sigs s2 ON s2.doc_id = cand.doc2
+    WHERE list_sum(list_transform(range(1, 17),
+              i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.35
+"""
+
+
 @register(
     "q36_minhash_lsh_dedup",
-    oracle=None,  # xxhash64-based — not reproducible in DuckDB; rows-only check
-    doc="MinHash(16) + LSH(8 bands) near-dup candidates with estimated Jaccard.",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash(16) + LSH(8 bands) near-dup candidates with estimated "
+    "Jaccard — md5 hash family, replayed end-to-end by the DuckDB oracle "
+    "(signatures, banding, bucket cap, estimate filter).",
 )
 def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", k=16, bands=8, threshold=0.35)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    )
+
+
+# DuckDB replay of the md5-family 60-bit SimHash (4 × 15-bit bands,
+# Hamming ≤ 8): per-token hash → per-bit majority vote → band join.
+_SIMHASH_BITSUMS = ",\n           ".join(
+    f"sum((h >> {i}) & 1) AS c{i}" for i in range(60)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN 2*c{i} > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)" for i in range(60)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+           {_SIMHASH_BITSUMS}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM agg
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS chunk
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+"""
 
 
 @register(
     "q37_simhash_pairs",
-    oracle=None,  # xxhash64-based — rows-only check
-    doc="SimHash-64 near-dup pairs within Hamming distance 8 via 16-bit band join.",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash-60 near-dup pairs within Hamming distance 8 via 15-bit "
+    "band join — md5 hash family, replayed end-to-end by the DuckDB oracle.",
 )
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8, bits=60, hash_family="md5")
 
 
 @register(
@@ -249,14 +343,60 @@ def q39_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# DuckDB replay of the md5-Rademacher LSH bucketing + in-bucket exact
+# cosine top-10: plane (p,d) = ±1 from md5("p:d") first-hex-digit parity,
+# bucket bit p = 1 iff <v, plane_p> > 0 (dots in double in both engines).
+_LSH_ANN_ORACLE = """
+    WITH planes AS (
+      SELECT b.p,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS p) b
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.comp) AS dp
+      FROM e, planes
+    ),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id,
+             floor((list_dot_product(qv.qvec, e.v)
+                    / (sqrt(list_dot_product(qv.qvec, qv.qvec)) * sqrt(list_dot_product(e.v, e.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM e
+      JOIN buckets ON buckets.vec_id = e.vec_id
+      JOIN qb ON buckets.bucket = qb.bucket
+      CROSS JOIN qv
+      WHERE e.vec_id <> 0
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
 @register(
     "q40_lsh_ann",
-    oracle=None,  # approximate by construction — rows-only check
-    doc="Random-hyperplane LSH bucketed ANN (8 planes) for query vec_id=0.",
+    oracle=_LSH_ANN_ORACLE,
+    doc="Random-hyperplane LSH bucketed ANN (6 md5-Rademacher planes) for "
+    "query vec_id=0 — bucketing and in-bucket ranking replayed exactly by "
+    "the DuckDB oracle. 6 planes = 64 buckets: candidate volume drops "
+    "~64×, while the test corpus still fills the top-10.",
 )
 def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") == 0), dims=64, k=10)
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") == 0), dims=64, k=10, planes=hyperplanes_md5(64, 6)
+    )
 
 
 @register(

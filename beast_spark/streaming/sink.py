@@ -122,11 +122,14 @@ class WarehouseSink:
     retry: RetrySettings = field(default_factory=RetrySettings)
     oob: OOBSettings = field(default_factory=OOBSettings)
     fmt: str = "parquet"
+    statsd: object | None = None  # optional streaming.stats.StatsDClient
 
     def _write_valid(self, df: DataFrame) -> None:
         # A25 batch face: piggyback row metrics on the write itself via
         # observe() — no second scan (the reference counts per push in its
         # StatsD client, stats/Stats.java:16-84).
+        import time as _time
+
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -134,8 +137,14 @@ class WarehouseSink:
         writer = df.write.mode("append").format(self.fmt)
         if self.partition_col:
             writer = writer.partitionBy("dt")
+        start = _time.monotonic()
         writer.save(self.table_path)
         self.last_write_metrics = dict(obs.get)
+        if self.statsd is not None:
+            # Stats.java:16-84 per-push metrics: bq.sink.push.records + .time
+            tags = "," + self.statsd.table_tags(self.table_path)
+            self.statsd.count(f"sink.push.records{tags}", self.last_write_metrics["rows_written"])
+            self.statsd.time_it(f"sink.push.time{tags}", start)
 
     def write_dlq(self, invalid: DataFrame) -> None:
         """JSON-lines DLQ partitioned dt=/topic= (GCSErrorWriter.java:40-91)."""
@@ -145,6 +154,8 @@ class WarehouseSink:
             if invalid.limit(1).count() > 0:
                 raise FatalIngestError("invalid rows present and no DLQ configured")
             return
+        if "topic" not in invalid.columns:
+            invalid = invalid.withColumn("topic", F.lit(None).cast("string"))
         (
             invalid.withColumn("dt", F.date_format(F.current_timestamp(), "yyyy-MM-dd"))
             .write.mode("append")
@@ -198,6 +209,47 @@ class WarehouseSink:
                 )
             out = good.withColumn("dt", F.to_date(F.col(self.partition_col)))
         return self._retrying_write(out)
+
+    def push_with_row_errors(self, df: DataFrame, insert_fn) -> None:
+        """Per-row error disposition after a write — ``BqSink.java:41-80``.
+
+        ``insert_fn(df)`` attempts the insert and returns a frame of the
+        FAILED rows (original columns + ``error_type`` in
+        ``{'invalid', 'retryable', 'oob'}``), or None / empty when every
+        row landed. The reference's "stopped rows" contract:
+
+        1. any *invalid* row ⇒ the whole batch fails (no partial commit);
+        2. *retryable* rows are re-inserted ONCE, alone — not the whole
+           batch (``BqSink.java:58-66``); a second failure fails the batch;
+        3. *oob* rows hand off to the DLQ writer; a DLQ failure fails the
+           batch (``BqSink.java:69-78``).
+
+        This is the warehouse twin of the response-parser path
+        (``BQResponseParser.java:46-67``); :meth:`push` keeps the
+        pre-write classification for sinks with all-or-nothing writes.
+        """
+        errors = insert_fn(df)
+        if errors is None:
+            return
+        errors = errors.persist()
+        try:
+            if errors.limit(1).count() == 0:
+                return
+            invalid = errors.filter(F.col("error_type") == "invalid")
+            if invalid.limit(1).count() > 0:
+                raise FatalIngestError(
+                    "batch contains invalid (unhandled) rows - failing whole batch"
+                )
+            retryable = errors.filter(F.col("error_type") == "retryable").drop("error_type")
+            if retryable.limit(1).count() > 0:
+                retried = insert_fn(retryable)
+                if retried is not None and retried.limit(1).count() > 0:
+                    raise FatalIngestError("stopped rows failed on single re-insert")
+            oob = errors.filter(F.col("error_type") == "oob").drop("error_type")
+            if oob.limit(1).count() > 0:
+                self.write_dlq(oob.withColumn("error", F.lit("OOB row")))
+        finally:
+            errors.unpersist()
 
     def _retrying_write(self, df: DataFrame) -> int:
         attempts = 0

@@ -128,25 +128,28 @@ class MetricsListener(StreamingQueryListener):
     metrics exporter can drain.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, statsd=None, table: str = "") -> None:
         self.progress: list[BatchMetrics] = []
         self.started: list[str] = []
         self.terminated: list[str] = []
+        self.statsd = statsd  # optional streaming.stats.StatsDClient (A25 wire)
+        self.table = table
 
     def onQueryStarted(self, event) -> None:
         self.started.append(event.id)
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        self.progress.append(
-            BatchMetrics(
-                batch_id=p.batchId,
-                num_input_rows=p.numInputRows,
-                input_rows_per_second=p.inputRowsPerSecond or 0.0,
-                process_rows_per_second=p.processedRowsPerSecond or 0.0,
-                sink_description=p.sink.description if p.sink else "",
-            )
+        m = BatchMetrics(
+            batch_id=p.batchId,
+            num_input_rows=p.numInputRows,
+            input_rows_per_second=p.inputRowsPerSecond or 0.0,
+            process_rows_per_second=p.processedRowsPerSecond or 0.0,
+            sink_description=p.sink.description if p.sink else "",
         )
+        self.progress.append(m)
+        if self.statsd is not None:
+            self.statsd.emit_batch(m, table=self.table)
 
     def onQueryTerminated(self, event) -> None:
         self.terminated.append(event.id)

@@ -112,6 +112,65 @@ def test_oob_dlq_on_plain_batch_frame_without_kafka_metadata(spark, tmp_path):
     assert row.error == "OOB partition date"
 
 
+def test_stopped_rows_partial_retry(spark, tmp_path):
+    """BqSink.java:41-80 disposition: retryable rows are re-inserted ONCE,
+    alone — not the whole batch (BqSinkTest's stopped-rows case)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    calls = []
+
+    def insert_fn(batch):
+        ids = sorted(r.id for r in batch.collect())
+        calls.append(ids)
+        if len(calls) == 1:  # first attempt: row 2 fails retryably
+            return batch.filter(F.col("id") == 2).withColumn("error_type", F.lit("retryable"))
+        return None  # re-insert of the stopped rows succeeds
+
+    sink.push_with_row_errors(df, insert_fn)
+    assert calls == [[1, 2, 3], [2]]  # second call got ONLY the stopped row
+
+
+def test_stopped_rows_second_failure_fails_batch(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+
+    def insert_fn(batch):
+        return batch.filter(F.col("id") == 2).withColumn("error_type", F.lit("retryable"))
+
+    with pytest.raises(FatalIngestError, match="re-insert"):
+        sink.push_with_row_errors(df, insert_fn)
+
+
+def test_invalid_rows_fail_whole_batch_without_retry(spark, tmp_path):
+    """Unhandled records mark the whole batch failed (BqSink.java:49-55)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    calls = []
+
+    def insert_fn(batch):
+        calls.append(1)
+        return batch.filter(F.col("id") == 1).withColumn("error_type", F.lit("invalid"))
+
+    with pytest.raises(FatalIngestError, match="invalid"):
+        sink.push_with_row_errors(df, insert_fn)
+    assert calls == [1]  # no re-insert attempted
+
+
+def test_oob_row_errors_go_to_dlq(spark, tmp_path):
+    """OOB-classified failed rows hand off to the DLQ writer (BqSink.java:69-78)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+
+    def insert_fn(batch):
+        if "error_type" in batch.columns:
+            return None
+        return batch.filter(F.col("id") == 2).withColumn("error_type", F.lit("oob"))
+
+    sink.push_with_row_errors(df, insert_fn)
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert dlq.count() == 1 and dlq.collect()[0].id == 2
+
+
 def test_retry_backoff(spark, tmp_path, valid_df):
     """RetryExecutor.java:38-58: ≤N attempts, exponential delay, then raise."""
 
