@@ -145,3 +145,42 @@ def alter_table_sql(table: str, added: list[tuple[str, T.DataType]]) -> str | No
         return None
     cols = ", ".join(f"{name} {dtype.simpleString()}" for name, dtype in top)
     return f"ALTER TABLE {table} ADD COLUMNS ({cols})"
+
+
+EXPIRY_PROP = "beast.partition.expiry.ms"
+LABEL_PREFIX = "label."
+
+
+def table_properties_ddl(
+    table: str,
+    current: dict[str, str],
+    labels: dict[str, str] | None = None,
+    partition_expiry_ms: int | None = None,
+) -> list[str]:
+    """Label + partition-expiry sync DDL — ``BQClient.java:66-114`` +
+    ``BQTableDefinition.java:45-59`` parity on Spark catalog tables.
+
+    The reference updates the table when its labels differ or the
+    day-partition ``expirationMs`` differs (0 / unset both meaning
+    "never", ``shouldChangePartitionExpiryForStandardTable``). Spark has
+    no native partition TTL, so expiry is recorded as the table property
+    ``beast.partition.expiry.ms`` (enforced by the retention job that
+    drops ``dt=`` partitions past the TTL) and labels as ``label.<k>``
+    properties. Emits only the statements a real diff requires — no DDL
+    when nothing changed (the reference's "Skipping bigquery table
+    update" branch).
+    """
+    desired = {f"{LABEL_PREFIX}{k}": v for k, v in (labels or {}).items()}
+    if partition_expiry_ms and partition_expiry_ms > 0:
+        desired[EXPIRY_PROP] = str(partition_expiry_ms)
+    managed = lambda k: k == EXPIRY_PROP or k.startswith(LABEL_PREFIX)  # noqa: E731
+    changed = {k: v for k, v in desired.items() if current.get(k) != v}
+    dropped = [k for k in current if managed(k) and k not in desired]
+    ddls: list[str] = []
+    if changed:
+        props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(changed.items()))
+        ddls.append(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+    if dropped:
+        props = ", ".join(f"'{k}'" for k in sorted(dropped))
+        ddls.append(f"ALTER TABLE {table} UNSET TBLPROPERTIES ({props})")
+    return ddls

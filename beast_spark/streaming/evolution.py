@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from beast_spark.plans.protowire import PField
-from beast_spark.plans.schema import alter_table_sql, schema_diff, spark_schema_for
+from beast_spark.plans.schema import (
+    alter_table_sql,
+    schema_diff,
+    spark_schema_for,
+    table_properties_ddl,
+)
 
 __all__ = ["SchemaEvolver", "BatchLedger", "idempotent"]
 
@@ -43,6 +48,8 @@ class SchemaEvolver:
     """Stop→diff→DDL→restart orchestration for one sink table."""
 
     table: str | None = None  # catalog table name (DDL path); None → path table
+    labels: dict[str, str] | None = None  # BQConfig table labels analog
+    partition_expiry_ms: int | None = None  # expirationMs analog (0/None = never)
 
     def plan(self, old: T.StructType, new: T.StructType) -> dict:
         """Dry-run: what would change. Raises on incompatible changes."""
@@ -64,9 +71,29 @@ class SchemaEvolver:
         plan = self.plan(spark_schema_for(old_schema), spark_schema_for(new_schema))
         if plan["ddl"]:
             spark.sql(plan["ddl"])
+        if self.table:
+            plan["property_ddl"] = self.sync_properties(spark)
         if plan["restart_required"] and restart is not None:
             restart()
         return plan
+
+    def current_properties(self, spark: SparkSession) -> dict[str, str]:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        return {r.key: r.value for r in rows}
+
+    def sync_properties(self, spark: SparkSession) -> list[str]:
+        """Diff + apply label / partition-expiry properties
+        (``BQClient.shouldUpdateTable``'s label/expiry clauses). Returns
+        the DDL executed — empty when nothing differed."""
+        ddls = table_properties_ddl(
+            self.table,
+            self.current_properties(spark),
+            labels=self.labels,
+            partition_expiry_ms=self.partition_expiry_ms,
+        )
+        for ddl in ddls:
+            spark.sql(ddl)
+        return ddls
 
 
 class BatchLedger:

@@ -1,0 +1,174 @@
+"""Descriptor-registry watcher — the A23 control loop's *initiator*.
+
+The reference registers a callback with its schema registry client; a
+descriptor refresh triggers ``ProtoUpdateListener.onProtoUpdate``
+(``protomapping/ProtoUpdateListener.java:101-126``): re-parse the proto
+mapping, upsert the warehouse table, and ONLY THEN swap the live parser
+("First get latest protomapping, update bq schema, and if all goes fine
+then only update beast's proto mapping config"). A failure — including a
+metadata-column collision — raises the ``BQTableUpdateFailure`` analog
+and leaves the old parser serving.
+
+Spark has no registry push channel, so the watcher POLLS a descriptor
+file (any registry client can materialize to it) and drives the same
+sequence through :class:`~beast_spark.streaming.evolution.SchemaEvolver`:
+
+    change detected → build new ingest (collision check) → stop query
+    → ALTER TABLE ADD COLUMNS → restart from the SAME checkpoint.
+
+Offsets live in the checkpoint WAL, so the restart resumes exactly where
+the old query stopped; old warehouse rows backfill the new columns as
+NULL (parquet mergeSchema / additive DDL).
+
+Registry file format: JSON list of PField trees — the Python-codec
+analog of a compiled descriptor set (the JVM path's binary descriptor
+sets are produced by ``plans/descriptors.py`` from the same PField
+source of truth).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from beast_spark.config import IngestSettings
+from beast_spark.plans.protowire import PField
+from beast_spark.streaming.evolution import SchemaEvolver
+from beast_spark.streaming.ingest import ProtoIngest
+
+__all__ = [
+    "TableUpdateFailure",
+    "ProtoUpdateWatcher",
+    "dump_registry",
+    "load_registry",
+]
+
+
+class TableUpdateFailure(RuntimeError):
+    """Update-callback failure (``BQTableUpdateFailure`` analog): the DDL
+    or the new mapping was rejected; the previous parser stays live."""
+
+
+# -- PField <-> JSON (registry file format) ------------------------------
+
+
+def _field_to_dict(f: PField) -> dict:
+    d: dict = {"number": f.number, "name": f.name, "type": f.type}
+    if f.repeated:
+        d["repeated"] = True
+    if f.fields:
+        d["fields"] = [_field_to_dict(c) for c in f.fields]
+    if f.enum_names:
+        d["enum_names"] = [[n, s] for n, s in f.enum_names]
+    return d
+
+
+def _field_from_dict(d: dict) -> PField:
+    return PField(
+        number=d["number"],
+        name=d["name"],
+        type=d["type"],
+        repeated=d.get("repeated", False),
+        fields=tuple(_field_from_dict(c) for c in d.get("fields", ())),
+        enum_names=tuple((n, s) for n, s in d.get("enum_names", ())),
+    )
+
+
+def dump_registry(path: str, schema: tuple[PField, ...]) -> None:
+    with open(path, "w") as fh:
+        json.dump([_field_to_dict(f) for f in schema], fh, indent=1)
+
+
+def load_registry(path: str) -> tuple[PField, ...]:
+    with open(path) as fh:
+        return tuple(_field_from_dict(d) for d in json.load(fh))
+
+
+# -- the watcher ---------------------------------------------------------
+
+
+class ProtoUpdateWatcher:
+    """Poll a registry file; on change run stop→evolve→restart→swap.
+
+    ``stop`` / ``restart`` are callables owning the streaming query
+    lifecycle (stop gracefully; start a new query from the same
+    checkpoint). ``on_swap(new_ingest)`` receives the validated new
+    :class:`ProtoIngest` — the converter-swap analog of
+    ``setProtoParser`` — so the restart closure can decode with it.
+    """
+
+    def __init__(
+        self,
+        registry_path: str,
+        spark: SparkSession,
+        evolver: SchemaEvolver,
+        settings: IngestSettings | None = None,
+        stop: Callable[[], None] | None = None,
+        restart: Callable[[], object] | None = None,
+        on_swap: Callable[[ProtoIngest], None] | None = None,
+    ) -> None:
+        self.registry_path = registry_path
+        self.spark = spark
+        self.evolver = evolver
+        self.settings = settings or IngestSettings()
+        self.stop = stop
+        self.restart = restart
+        self.on_swap = on_swap
+        # Startup mirrors createStencilClient's eager first update: load
+        # the current descriptors and build the live parser immediately.
+        self.schema = load_registry(registry_path)
+        self.ingest = self._validated_ingest(self.schema)
+        self._digest = self._file_digest()
+
+    def _file_digest(self) -> str:
+        with open(self.registry_path, "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+
+    def _validated_ingest(self, schema: tuple[PField, ...]) -> ProtoIngest:
+        ingest = ProtoIngest(schema, settings=self.settings)
+        ingest._metadata_columns()  # force the A8 collision check now
+        return ingest
+
+    def poll(self) -> dict | None:
+        """One poll: returns the applied evolution plan on change, None
+        when the registry is unchanged. Raises TableUpdateFailure (old
+        parser stays live) when the update cannot be applied."""
+        digest = self._file_digest()
+        if digest == self._digest:
+            return None
+        new_schema = load_registry(self.registry_path)
+        try:
+            new_ingest = self._validated_ingest(new_schema)
+            if self.stop is not None:
+                self.stop()
+            plan = self.evolver.evolve(self.spark, self.schema, new_schema)
+        except TableUpdateFailure:
+            raise
+        except Exception as exc:
+            raise TableUpdateFailure(
+                f"error while updating table on registry refresh: {exc}"
+            ) from exc
+        # DDL succeeded → swap the live parser (setProtoParser analog)
+        # BEFORE the restart, so the restarted query decodes with the new
+        # schema from its first micro-batch.
+        self.schema = new_schema
+        self.ingest = new_ingest
+        self._digest = digest
+        if self.on_swap is not None:
+            self.on_swap(new_ingest)
+        if plan["restart_required"] and self.restart is not None:
+            self.restart()
+        return plan
+
+    def watch(self, interval_s: float = 60.0, max_polls: int | None = None) -> None:
+        """Blocking poll loop (driver-side sidecar thread at deployment;
+        ``max_polls`` bounds it for tests)."""
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            self.poll()
+            polls += 1
+            time.sleep(interval_s)

@@ -73,11 +73,17 @@ def main() -> None:
         timings[name] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
+    # Short keys (q01, q36, …) + compact separators keep the line well
+    # under 2000 chars: the driver records only a bounded tail of stdout,
+    # and round-1's full-name line (~2.4 kB) overflowed it and was never
+    # parsed. The q-prefix is unique by construction (queries/__init__
+    # enforces unique names).
+    short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
     }
     # Single-node ingest throughput: the proto roundtrip query pushes every
@@ -90,7 +96,7 @@ def main() -> None:
         )
     if failures:
         payload["failures"] = failures
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

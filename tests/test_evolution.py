@@ -61,6 +61,61 @@ def test_parquet_schema_merge_on_read(spark, tmp_path):
     assert rows[1].score is None and rows[2].score == 9.5
 
 
+def test_label_and_expiry_property_sync(spark, tmp_path):
+    """BQClient.java:66-114 + BQTableDefinition.java:45-59 parity: labels
+    and partition expiry diff into TBLPROPERTIES DDL; no-op when equal;
+    expiry removal (back to 'never') unsets the property."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
+    spark.sql("DROP TABLE IF EXISTS evo_test.p")
+    spark.sql(
+        f"CREATE TABLE evo_test.p (id bigint) USING parquet LOCATION '{tmp_path}/p'"
+    )
+    ev = SchemaEvolver(
+        table="evo_test.p", labels={"team": "data", "env": "prod"},
+        partition_expiry_ms=86400000,
+    )
+    ddls = ev.sync_properties(spark)
+    assert ddls == [
+        "ALTER TABLE evo_test.p SET TBLPROPERTIES ("
+        "'beast.partition.expiry.ms'='86400000', 'label.env'='prod', 'label.team'='data')"
+    ]
+    props = ev.current_properties(spark)
+    assert props["label.team"] == "data"
+    assert props["beast.partition.expiry.ms"] == "86400000"
+    # second sync: nothing changed -> no DDL (the "Skipping" branch)
+    assert ev.sync_properties(spark) == []
+    # label change + expiry back to never (0) -> SET + UNSET
+    ev.labels = {"team": "ml"}
+    ev.partition_expiry_ms = 0
+    ddls = ev.sync_properties(spark)
+    assert ddls == [
+        "ALTER TABLE evo_test.p SET TBLPROPERTIES ('label.team'='ml')",
+        "ALTER TABLE evo_test.p UNSET TBLPROPERTIES "
+        "('beast.partition.expiry.ms', 'label.env')",
+    ]
+    props = ev.current_properties(spark)
+    assert props["label.team"] == "ml"
+    assert "label.env" not in props and "beast.partition.expiry.ms" not in props
+    spark.sql("DROP TABLE evo_test.p")
+
+
+def test_evolve_applies_property_sync_with_ddl(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
+    spark.sql("DROP TABLE IF EXISTS evo_test.q")
+    spark.sql(
+        "CREATE TABLE evo_test.q (id bigint, name string) USING parquet "
+        f"LOCATION '{tmp_path}/q'"
+    )
+    ev = SchemaEvolver(table="evo_test.q", labels={"owner": "beast"})
+    plan = ev.evolve(spark, OLD, NEW)
+    assert plan["added"] == [("score", "double")]
+    assert plan["property_ddl"] == [
+        "ALTER TABLE evo_test.q SET TBLPROPERTIES ('label.owner'='beast')"
+    ]
+    assert "score" in spark.table("evo_test.q").columns
+    spark.sql("DROP TABLE evo_test.q")
+
+
 def test_batch_ledger_idempotence(spark, tmp_path):
     ledger = BatchLedger(str(tmp_path / "ledger"))
     out_dir = str(tmp_path / "out")

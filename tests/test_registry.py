@@ -1,0 +1,144 @@
+"""Registry-refresh watcher (A23 initiator) — ProtoUpdateListener parity:
+descriptor change → stop → DDL → restart from checkpoint → parser swap;
+failures (metadata collision, type change) leave the old parser live."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.config import IngestSettings
+from beast_spark.plans.protowire import PField, encode_message
+from beast_spark.streaming.evolution import SchemaEvolver
+from beast_spark.streaming.registry import (
+    ProtoUpdateWatcher,
+    TableUpdateFailure,
+    dump_registry,
+    load_registry,
+)
+from beast_spark.streaming.sink import WarehouseSink
+from tests.fixtures import KAFKA_DDL, TEST_SCHEMA
+
+V1 = (PField(1, "order_number", "string"), PField(6, "discount", "int64"))
+V2 = V1 + (PField(20, "region", "string"),)
+V2_BAD_TYPE = (PField(1, "order_number", "int64"), PField(6, "discount", "int64"))
+
+
+def test_registry_roundtrip(tmp_path):
+    path = str(tmp_path / "reg.json")
+    dump_registry(path, TEST_SCHEMA)  # full surface: nested/repeated/enum/map
+    assert load_registry(path) == TEST_SCHEMA
+
+
+def _kafka_row(i: int, schema, extra: dict | None = None) -> tuple:
+    msg = {"order_number": f"order-{i}", "discount": i * 10, **(extra or {})}
+    return (
+        f"k{i}".encode(),
+        encode_message(msg, schema),
+        "orders",
+        0,
+        100 + i,
+        dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(seconds=i),
+    )
+
+
+def test_watcher_end_to_end_evolves_stream(spark, tmp_path):
+    """Descriptor file replaced → stream output gains the new column, old
+    rows read back NULL for it, and offsets are preserved (no re-ingest):
+    ProtoUpdateListener.java:101-126 behavior on the Spark runtime."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    spark.createDataFrame([_kafka_row(i, V1) for i in range(3)], KAFKA_DDL).write.parquet(
+        str(src_dir / "b0")
+    )
+
+    in_schema = spark.createDataFrame([], KAFKA_DDL).schema
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    live = {}
+
+    def run_stream(ingest):
+        stream = spark.readStream.schema(in_schema).format("parquet").load(str(src_dir) + "/*")
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ingest.apply))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    watcher = ProtoUpdateWatcher(
+        reg,
+        spark,
+        SchemaEvolver(table=None),  # path table: parquet merges added columns
+        settings=IngestSettings(),
+        stop=lambda: live.setdefault("stopped", True),
+        restart=lambda: run_stream(watcher.ingest),
+        on_swap=lambda ing: live.update(ingest=ing),
+    )
+    run_stream(watcher.ingest)
+    assert spark.read.parquet(str(tmp_path / "wh")).count() == 3
+
+    assert watcher.poll() is None  # unchanged registry → no-op
+
+    # registry refresh: wider schema + new data arriving under it
+    dump_registry(reg, V2)
+    spark.createDataFrame(
+        [_kafka_row(i, V2, {"region": "emea"}) for i in range(3, 5)], KAFKA_DDL
+    ).write.parquet(str(src_dir / "b1"))
+    plan = watcher.poll()
+
+    assert plan["added"] == [("region", "string")]
+    assert live["stopped"] and live["ingest"].schema == V2
+    out = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "wh"))
+    rows = {r.message_offset: r for r in out.collect()}
+    assert len(rows) == 5  # offsets preserved: batch b0 NOT re-ingested
+    assert rows[100].region is None  # old rows NULL-backfill the new column
+    assert rows[104].region == "emea"
+
+
+def test_watcher_rejects_type_change_and_keeps_old_parser(spark, tmp_path):
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None))
+    dump_registry(reg, V2_BAD_TYPE)
+    with pytest.raises(TableUpdateFailure, match="registry refresh"):
+        watcher.poll()
+    assert watcher.schema == V1  # old parser stays live
+    # and the same failed update keeps failing (digest NOT advanced)
+    with pytest.raises(TableUpdateFailure):
+        watcher.poll()
+
+
+def test_watcher_rejects_metadata_collision(spark, tmp_path):
+    """ProtoUpdateListener's collision failure: a refreshed schema whose
+    column collides with a metadata column must fail the update."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None))
+    colliding = V1 + (PField(21, "message_offset", "int64"),)
+    dump_registry(reg, colliding)
+    with pytest.raises(TableUpdateFailure, match="registry refresh"):
+        watcher.poll()
+    assert watcher.schema == V1
+
+
+def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS reg_test")
+    spark.sql("DROP TABLE IF EXISTS reg_test.t")
+    spark.sql(
+        "CREATE TABLE reg_test.t (order_number string, discount bigint) USING parquet "
+        f"LOCATION '{tmp_path}/t'"
+    )
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table="reg_test.t"))
+    dump_registry(reg, V2)
+    plan = watcher.poll()
+    assert plan["ddl"] == "ALTER TABLE reg_test.t ADD COLUMNS (region string)"
+    assert "region" in spark.table("reg_test.t").columns
+    spark.sql("DROP TABLE reg_test.t")
