@@ -27,7 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_media_meta", "decode_features", "sample_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_meta",
+    "decode_features",
+    "decode_image",
+    "encode_ppm",
+    "resize_image_nearest",
+    "sample_frames",
+]
 
 # Canonical media-row shape: content + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -49,6 +57,111 @@ MEDIA_SCHEMA = T.StructType(
         ),
     ]
 )
+
+
+# -- real codec: netpbm (PPM P6 / PGM P5) — pure bytes, no libraries ----
+#
+# The container ships no PIL/opencv/pyav, but the netpbm formats are
+# fully decodable with stdlib byte parsing, so the IMAGE leg of the
+# multimodal stack is a real codec, not a stub: header parse → raw pixel
+# plane → stats/resize. Other formats (JPEG/PNG/audio/video) stay behind
+# the deterministic fake (or ``strict`` raise) until a real library is
+# available.
+
+
+def encode_ppm(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Binary netpbm encode: P5 grayscale (1 channel) / P6 RGB (3)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (P5) or 3 (P6)")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
+    magic = b"P5" if channels == 1 else b"P6"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary netpbm image → (channels, width, height, pixels).
+
+    Tolerates arbitrary whitespace and ``#`` comments in the header (the
+    netpbm spec); raises ValueError for anything that is not a valid
+    8-bit P5/P6 — callers use that as the "not an image we can decode"
+    signal and fall back to the fake/strict path.
+    """
+    if raw[:2] == b"P5":
+        channels = 1
+    elif raw[:2] == b"P6":
+        channels = 3
+    else:
+        raise ValueError("not a binary netpbm (P5/P6) image")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(raw):
+            raise ValueError("truncated netpbm header")
+        c = raw[pos]
+        if c in b"#":  # comment to end-of-line
+            while pos < len(raw) and raw[pos] not in b"\r\n":
+                pos += 1
+        elif c in b" \t\r\n":
+            pos += 1
+        elif c in b"0123456789":
+            start = pos
+            while pos < len(raw) and raw[pos] in b"0123456789":
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        else:
+            raise ValueError(f"bad netpbm header byte {bytes([c])!r}")
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit netpbm supported, maxval={maxval}")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    n = width * height * channels
+    pixels = raw[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError(f"raster has {len(pixels)} bytes, expected {n}")
+    return channels, width, height, pixels
+
+
+def resize_image_nearest(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample of a netpbm image, re-encoded as netpbm.
+
+    src index = ``i * src_dim // target_dim`` (exact integer math — the
+    standard nearest-neighbor grid, deterministic everywhere).
+    """
+    channels, w, h, px = decode_image(raw)
+    out = bytearray(target_w * target_h * channels)
+    o = 0
+    for y in range(target_h):
+        sy = y * h // target_h
+        row = sy * w * channels
+        for x in range(target_w):
+            sx = row + (x * w // target_w) * channels
+            out[o : o + channels] = px[sx : sx + channels]
+            o += channels
+    return encode_ppm(target_w, target_h, bytes(out), channels)
+
+
+def _image_features(raw: bytes, dims: int) -> list[float] | None:
+    """Real decoded-pixel features for netpbm content, else None.
+
+    [channels, width, height, mean, min, max, first-pixel, last-pixel]
+    truncated/zero-padded to ``dims``. mean is an exact-int sum divided
+    once in float64 — replayable by any engine from the same pixels.
+    """
+    try:
+        channels, w, h, px = decode_image(raw)
+    except ValueError:
+        return None
+    feats = [
+        float(channels),
+        float(w),
+        float(h),
+        sum(px) / len(px),
+        float(min(px)),
+        float(max(px)),
+        float(px[0]),
+        float(px[-1]),
+    ]
+    return (feats + [0.0] * dims)[:dims]
 
 
 def _fake_features(raw: bytes, dims: int) -> list[float]:
@@ -81,12 +194,14 @@ def decode_features(
     dims: int = 32,
     strict: bool = False,
 ) -> DataFrame:
-    """content → float feature vector (``features`` array<float> column).
+    """content → float feature vector (``features`` array<double> column).
 
-    ``strict=True`` raises NotImplementedError where a real codec (PIL /
-    torchaudio / pyav) would run — the container ships none of them. The
-    Spark-side contract (schema, batching, null passthrough) is identical
-    in both modes.
+    netpbm (P5/P6) content decodes with the REAL codec
+    (:func:`decode_image` → pixel stats). Everything else falls back to
+    the deterministic sha256 fake, or — with ``strict=True`` — raises
+    NotImplementedError where a real codec (PIL / torchaudio / pyav)
+    would run; the container ships none of them. The Spark-side contract
+    (schema, batching, null passthrough) is identical in every mode.
     """
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
@@ -101,10 +216,14 @@ def decode_features(
             for raw in pdf[content_col]:
                 if raw is None:
                     feats.append(None)
+                    continue
+                real = _image_features(bytes(raw), dims)
+                if real is not None:
+                    feats.append(real)
                 elif strict:
                     raise NotImplementedError(
-                        "real media codec unavailable in this environment; "
-                        "install PIL/pyav and replace _fake_features"
+                        "no real codec for this content (netpbm is built in; "
+                        "install PIL/pyav for other formats)"
                     )
                 else:
                     feats.append(_fake_features(bytes(raw), dims))
@@ -149,11 +268,12 @@ def resize_media(
 ) -> DataFrame:
     """content → resized content (``resized`` binary + updated meta dims).
 
-    Real image resizing (PIL/opencv) happens at the marked stub; the fake
-    path emits a deterministic byte-downsample of the original content so
-    sizes, Arrow batching and downstream schema behave like production.
-    Same contract as :func:`decode_features`: Arrow-batched mapInPandas,
-    null passthrough, ``strict=True`` raises where the codec would run.
+    netpbm content resizes with the REAL codec (nearest-neighbor,
+    :func:`resize_image_nearest`); other formats fall back to a
+    deterministic byte-downsample (or ``strict`` raise) so sizes, Arrow
+    batching and downstream schema behave like production. Same contract
+    as :func:`decode_features`: Arrow-batched mapInPandas, null
+    passthrough.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -174,13 +294,19 @@ def resize_media(
             for raw in pdf[content_col]:
                 if raw is None:
                     outs.append(None)
-                elif strict:
+                    continue
+                b = bytes(raw)
+                try:
+                    outs.append(resize_image_nearest(b, target_w, target_h))
+                    continue
+                except ValueError:
+                    pass  # not netpbm → fake/strict path below
+                if strict:
                     raise NotImplementedError(
-                        "real image codec unavailable in this environment; "
-                        "install PIL/opencv and replace the byte-downsample"
+                        "no real codec for this content (netpbm is built in; "
+                        "install PIL/opencv for other formats)"
                     )
                 else:
-                    b = bytes(raw)
                     step = max(1, len(b) // budget)
                     outs.append(b[::step][:budget])
             yield pd.DataFrame(

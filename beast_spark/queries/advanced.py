@@ -748,3 +748,75 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 1).alias("f0"),
         F.element_at("features", 8).alias("f7"),
     )
+
+
+@register(
+    "q83_ppm_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+                 i -> CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 100) AS BIGINT) % 256) AS u8
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id,
+           1.0 AS channels, 8.0 AS width, 8.0 AS height,
+           list_sum(u8) / 64.0 AS px_mean,
+           CAST(list_min(u8) AS DOUBLE) AS px_min,
+           CAST(list_max(u8) AS DOUBLE) AS px_max,
+           CAST(u8[1] AS DOUBLE) AS px_first
+    FROM px
+    """,
+    doc="REAL image codec end-to-end: embeddings quantize to 8x8 grayscale "
+    "pixels (JVM-side), a mapInPandas stage encodes each row as a binary "
+    "netpbm P5 image, decode_features parses the actual image format "
+    "(header + raster, operators/multimodal.py::decode_image) and emits "
+    "decoded-pixel stats. The oracle recomputes the stats from the same "
+    "quantization directly — any header/raster bug breaks the hash.",
+    bench=False,
+)
+def q83_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from beast_spark.operators.multimodal import encode_ppm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    u8 = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.transform(
+            "embedding",
+            lambda v: F.floor(F.abs(v.cast("double")) * 100).cast("int") % 256,
+        ).alias("u8"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [encode_ppm(8, 8, bytes(list(px))) for px in pdf["u8"]],
+                }
+            )
+
+    imgs = u8.mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+    feats = decode_features(imgs, dims=8, strict=True)  # real codec MUST run
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).alias("channels"),
+        F.element_at("features", 2).alias("width"),
+        F.element_at("features", 3).alias("height"),
+        F.element_at("features", 4).alias("px_mean"),
+        F.element_at("features", 5).alias("px_min"),
+        F.element_at("features", 6).alias("px_max"),
+        F.element_at("features", 7).alias("px_first"),
+    )
