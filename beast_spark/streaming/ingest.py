@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from beast_spark.config import IngestSettings
 from beast_spark.plans.mapping import auto_mapping, compile_mapping
-from beast_spark.plans.protowire import PField, decode_message
+from beast_spark.plans.protowire import PField, compile_decoder, decode_message
 from beast_spark.plans.schema import METADATA_FIELDS, spark_schema_for
 
 KAFKA_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp")
@@ -128,6 +128,10 @@ class ProtoIngest:
         def decode_batches(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            # Compile the schema dispatch ONCE per worker, not per value
+            # (protowire.compile_decoder) — the Python codec is the 100 TB
+            # ingest bottleneck, so the per-row loop stays byte-walking only.
+            decode = compile_decoder(schema, fail_unknown)
             for pdf in batches:
                 payloads, errors = [], []
                 for raw in pdf["value"]:
@@ -136,7 +140,7 @@ class ProtoIngest:
                         errors.append("null message")
                         continue
                     try:
-                        payloads.append(decode_message(bytes(raw), schema, fail_unknown))
+                        payloads.append(decode(bytes(raw)))
                         errors.append(None)
                     except Exception as exc:  # DESERIALIZE error (A9)
                         payloads.append(None)

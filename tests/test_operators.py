@@ -159,6 +159,43 @@ def test_exact_percentiles_matches_builtin(spark, sf_dir):
             assert abs(a - b) < 1e-9
 
 
+def test_minhash_lsh_recall_and_estimate_bound_vs_exact(spark, sf_dir):
+    """Quality invariants of the LSH approximation against exact ground
+    truth (q35's jaccard_pairs): strong near-dups (exact J >= 0.5) must
+    be recalled by the banding, and for every reported pair the MinHash
+    estimate must be within 0.3 of the exact Jaccard (k=16 -> sd of the
+    estimate is sqrt(J(1-J)/16) <= 0.125; 0.3 ~ 2.4 sigma, deterministic
+    for this fixed corpus)."""
+    from beast_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    got = {
+        (r.doc1, r.doc2): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", k=16, bands=8, threshold=0.2, hash_family="md5"
+        ).collect()
+    }
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    assert strong, "fixture corpus must contain strong near-dups"
+    missed = strong - set(got)
+    assert not missed, f"LSH missed strong pairs: {missed}"
+    for p, est in got.items():
+        assert abs(est - exact.get(p, 0.0)) <= 0.3, (p, est, exact.get(p))
+    # both hash families report the same STRONG pairs (family-agnostic op)
+    got_xxh = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", k=16, bands=8, threshold=0.2, hash_family="xxh"
+        ).collect()
+    }
+    assert strong <= got_xxh
+
+
 def test_exact_percentiles_ignores_nulls(spark):
     """NULL values must not enter n or the rank math — same as
     percentile() / quantile_cont (ADVICE r1: NULL group inflated n)."""

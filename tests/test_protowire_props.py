@@ -130,13 +130,31 @@ def test_roundtrip_identity_modulo_elision(data):
     assert got == want
 
 
+@settings(max_examples=200, deadline=None)
+@given(VALUES)
+def test_compiled_decoder_equivalent_to_generic(data):
+    """compile_decoder (hot ingest path) must agree with decode_message
+    bit-for-bit on every valid message, in both unknown-field modes."""
+    from beast_spark.plans.protowire import compile_decoder
+
+    wire = encode_message(data, SCHEMA)
+    assert compile_decoder(SCHEMA, True)(wire) == decode_message(
+        wire, SCHEMA, fail_on_unknown=True
+    )
+    assert compile_decoder(SCHEMA, False)(wire) == decode_message(wire, SCHEMA)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(max_size=200))
 def test_garbage_bytes_never_raise_uncontrolled(buf):
-    try:
-        decode_message(buf, SCHEMA, fail_on_unknown=False)
-    except ProtoDecodeError:
-        pass  # the one allowed failure mode (A9 DESERIALIZE)
+    from beast_spark.plans.protowire import compile_decoder
+
+    compiled = compile_decoder(SCHEMA, False)
+    for attempt in (lambda: decode_message(buf, SCHEMA, fail_on_unknown=False), lambda: compiled(buf)):
+        try:
+            attempt()
+        except ProtoDecodeError:
+            pass  # the one allowed failure mode (A9 DESERIALIZE)
 
 
 @settings(max_examples=100, deadline=None)
