@@ -113,13 +113,20 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 7,
     planes: list[list[float]] | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
-    Recall < 1 by construction (single-probe); increase recall with fewer
-    planes or multi-probe. Returns same shape as brute_force_topk.
-    Pass ``planes`` (e.g. :func:`hyperplanes_md5`) to override the seeded
-    gaussian planes. cos_sim rounds with the cross-engine floor form
+    Recall < 1 by construction; raise it with fewer planes or
+    ``probes`` > 1 (standard multi-probe LSH, public technique): the
+    query additionally probes the ``probes − 1`` buckets at Hamming
+    distance 1 from its own — the likeliest homes of near neighbors that
+    landed just across one hyperplane. Candidate volume grows linearly
+    with probes while staying ~``probes/2^P`` of the corpus; only the
+    tiny query frame fans out, the data side is still one bucket each.
+    Returns same shape as brute_force_topk. Pass ``planes`` (e.g.
+    :func:`hyperplanes_md5`) to override the seeded gaussian planes.
+    cos_sim rounds with the cross-engine floor form
     (floor(x·1e6 + 0.5)/1e6), never engine-native round().
     """
     if planes is None:
@@ -128,6 +135,12 @@ def lsh_topk(
     q = queries.withColumn("bucket", lsh_bucket_col(vec_col, planes)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), "bucket"
     )
+    if probes > 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(min(probes - 1, len(planes)))
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
     joined = d.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col(id_col))
     cos = cosine(F.col("query_vec"), F.col(vec_col))
     scored = joined.select(

@@ -399,6 +399,72 @@ def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe variant: the query also probes every bucket at Hamming
+# distance 1 (7 probes over 6 planes ⇒ all single-bit flips) — the
+# standard recall lever that keeps the data side single-bucket. The
+# oracle replays it with a bucket IN-list built by XOR.
+_LSH_MULTIPROBE_ORACLE = """
+    WITH planes AS (
+      SELECT b.p,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS p) b
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.comp) AS dp
+      FROM e, planes
+    ),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    qb AS (
+      SELECT xor(bucket, f.flip) AS probe
+      FROM (SELECT bucket FROM buckets WHERE vec_id = 0),
+           (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f
+    ),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id,
+             floor((list_dot_product(qv.qvec, e.v)
+                    / (sqrt(list_dot_product(qv.qvec, qv.qvec)) * sqrt(list_dot_product(e.v, e.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM e
+      JOIN buckets ON buckets.vec_id = e.vec_id
+      JOIN qb ON buckets.bucket = qb.probe
+      CROSS JOIN qv
+      WHERE e.vec_id <> 0
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@register(
+    "q84_lsh_ann_multiprobe",
+    oracle=_LSH_MULTIPROBE_ORACLE,
+    doc="Multi-probe LSH ANN (6 md5-Rademacher planes, 7 probes = own "
+    "bucket + all Hamming-1 flips) for query vec_id=0 — recall recovered "
+    "without widening the data-side bucketing; probing replayed exactly "
+    "by the DuckDB oracle.",
+)
+def q84_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e,
+        e.filter(F.col("vec_id") == 0),
+        dims=64,
+        k=10,
+        planes=hyperplanes_md5(64, 6),
+        probes=7,
+    )
+
+
 @register(
     "q73_dedup_clusters",
     oracle="WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS_ORACLE + """),

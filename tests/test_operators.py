@@ -159,6 +159,33 @@ def test_exact_percentiles_matches_builtin(spark, sf_dir):
             assert abs(a - b) < 1e-9
 
 
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe must (a) be a superset of single-probe's candidates,
+    (b) recall at least as many of the exact top-10 (q38 ground truth),
+    and here strictly more — the corpus is small enough that bit-flip
+    probes matter."""
+    from beast_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplanes_md5,
+        lsh_topk,
+    )
+    from beast_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    planes = hyperplanes_md5(64, 6)
+    exact = {r.vec_id for r in brute_force_topk(e, q, k=10).collect()}
+    single = {r.vec_id for r in lsh_topk(e, q, dims=64, k=500, planes=planes).collect()}
+    multi = {
+        r.vec_id
+        for r in lsh_topk(e, q, dims=64, k=500, planes=planes, probes=7).collect()
+    }
+    assert single <= multi
+    assert len(exact & multi) >= len(exact & single)
+    assert len(multi) > len(single)
+
+
 def test_minhash_lsh_recall_and_estimate_bound_vs_exact(spark, sf_dir):
     """Quality invariants of the LSH approximation against exact ground
     truth (q35's jaccard_pairs): strong near-dups (exact J >= 0.5) must
