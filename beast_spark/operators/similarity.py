@@ -20,13 +20,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from beast_spark.functions.vectors import cosine, dot
+from beast_spark.functions.vectors import cosine, dot, norm
 
 __all__ = [
     "brute_force_topk",
     "hyperplanes",
     "hyperplanes_md5",
     "lsh_bucket_col",
+    "lsh_neardup_pairs",
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
@@ -153,6 +154,45 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def lsh_neardup_pairs(
+    data: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.42,
+    n_planes: int = 8,
+    seed: int = 7,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup PAIRS over shared LSH buckets — the scale path
+    for the exact all-pairs cosine form: the self-join keys on the bucket
+    id, so candidate volume falls ~2^P-fold and the join shuffles both
+    sides BY BUCKET (co-partitioned equi-join — no broadcast of the full
+    corpus, no cartesian). Norms are computed once per vector before the
+    join; per-pair work is a single dot product. Recall < 1 single-probe
+    (pairs split by one hyperplane are missed) — the usual
+    planes/probes/threshold tradeoff.
+    """
+    if planes is None:
+        planes = hyperplanes(dims, n_planes, seed)
+    d = data.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("bucket", lsh_bucket_col("_v", planes)).withColumn("_n", norm(F.col("_v")))
+    a = d.select("bucket", F.col("_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
+    b = d.select("bucket", F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
+    joined = a.join(b, ["bucket"]).filter(F.col("vec1") < F.col("vec2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        joined.select(
+            "vec1",
+            "vec2",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

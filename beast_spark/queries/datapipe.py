@@ -635,6 +635,51 @@ def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q85_embedding_lsh_neardup_pairs",
+    oracle="""
+    WITH planes AS (
+      SELECT b.p,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS p) b
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.comp) AS dp
+      FROM e, planes
+    ),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec1, bb.vec_id AS vec2,
+             floor((list_dot_product(av.v, bv.v)
+                    / (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM buckets a
+      JOIN buckets bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      JOIN e av ON av.vec_id = a.vec_id
+      JOIN e bv ON bv.vec_id = bb.vec_id
+    )
+    SELECT vec1, vec2, cos_sim FROM scored WHERE cos_sim >= 0.42
+    """,
+    doc="Embedding-cosine near-dup pairs over shared LSH buckets — the "
+    "SCALE path for q80's exact all-pairs form: the self-join keys on the "
+    "bucket (co-partitioned equi-join, candidate volume /2^6), norms "
+    "hoisted out of the pair loop; bucketing + scoring replayed exactly "
+    "by the DuckDB oracle.",
+)
+def q85_embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import lsh_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, dims=64, threshold=0.42, planes=hyperplanes_md5(64, 6))
+
+
+@register(
     "q81_winnowing_fingerprints",
     oracle="""
     WITH t AS (

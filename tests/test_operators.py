@@ -186,6 +186,39 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     assert len(multi) > len(single)
 
 
+def test_lsh_neardup_pairs_subset_of_exact_with_equal_scores(spark, sf_dir):
+    """Bucketed near-dup pairs must be a SUBSET of the exact all-pairs
+    result (same threshold), with identical cos_sim for every pair it
+    reports — LSH may lose recall, never invent or mis-score a pair."""
+    from beast_spark.functions.vectors import dot, norm
+    from beast_spark.operators.similarity import hyperplanes_md5, lsh_neardup_pairs
+    from beast_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.vec1, r.vec2): r.cos_sim
+        for r in lsh_neardup_pairs(
+            e, dims=64, threshold=0.3, planes=hyperplanes_md5(64, 4)
+        ).collect()
+    }
+    assert got, "threshold 0.3 over 16 buckets must produce pairs on this corpus"
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("v1"),
+                 norm(F.col("embedding")).alias("n1"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("v2"),
+                 norm(F.col("embedding")).alias("n2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    exact = {
+        (r.vec1, r.vec2): r.cos_sim
+        for r in a.join(F.broadcast(b), F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .collect()
+    }
+    for p, c in got.items():
+        assert p in exact and exact[p] == c
+
+
 def test_minhash_lsh_recall_and_estimate_bound_vs_exact(spark, sf_dir):
     """Quality invariants of the LSH approximation against exact ground
     truth (q35's jaccard_pairs): strong near-dups (exact J >= 0.5) must
