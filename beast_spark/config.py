@@ -65,6 +65,26 @@ class RetrySettings:
 
 
 @dataclass(frozen=True)
+class StatsSettings:
+    """StatsD emission config (config/AppConfig.java:33-48). Disabled by
+    default, like the reference (``@DefaultValue("false") STATSD_ENABLED``
+    → NoOpStatsDClient)."""
+
+    enabled: bool = field(default_factory=lambda: _env_bool("STATSD_ENABLED", False))
+    host: str = field(default_factory=lambda: os.environ.get("STATSD_HOST", "127.0.0.1"))
+    port: int = field(default_factory=lambda: _env_int("STATSD_PORT", 8125))
+    prefix: str = field(default_factory=lambda: os.environ.get("STATSD_PREFIX", "beast"))
+
+    def client(self):
+        """Build the matching emitter (streaming/stats.py::StatsDClient)."""
+        from beast_spark.streaming.stats import StatsDClient
+
+        return StatsDClient(
+            host=self.host, port=self.port, prefix=self.prefix, enabled=self.enabled
+        )
+
+
+@dataclass(frozen=True)
 class OOBSettings:
     """Out-of-bounds partition-date window (handler/error/OOBError.java:22-26):
     a day-partition key older than ``past_days`` or further than

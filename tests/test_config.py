@@ -3,7 +3,7 @@ actually flow into the settings dataclasses."""
 
 from __future__ import annotations
 
-from beast_spark.config import IngestSettings, OOBSettings, RetrySettings
+from beast_spark.config import IngestSettings, OOBSettings, RetrySettings, StatsSettings
 
 
 def test_ingest_settings_env_overrides(monkeypatch):
@@ -40,3 +40,18 @@ def test_reference_defaults_without_env(monkeypatch):
     assert IngestSettings().fail_on_unknown_fields  # reference default: true
     assert RetrySettings().max_push_attempts == 5
     assert OOBSettings().past_days == 1825 and OOBSettings().future_days == 366
+
+
+def test_statsd_settings_env_and_disabled_default(monkeypatch):
+    """AppConfig.java:33-48: STATSD_* keys; disabled default = no-op client."""
+    for k in ("STATSD_ENABLED", "STATSD_HOST", "STATSD_PORT", "STATSD_PREFIX"):
+        monkeypatch.delenv(k, raising=False)
+    s = StatsSettings()
+    assert not s.enabled and s.port == 8125
+    assert s.client().enabled is False  # NoOpStatsDClient analog
+    monkeypatch.setenv("STATSD_ENABLED", "true")
+    monkeypatch.setenv("STATSD_HOST", "metrics.local")
+    monkeypatch.setenv("STATSD_PORT", "9125")
+    monkeypatch.setenv("STATSD_PREFIX", "beastly")
+    s = StatsSettings()
+    assert (s.enabled, s.host, s.port, s.prefix) == (True, "metrics.local", 9125, "beastly")
