@@ -498,6 +498,39 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q86_lsh_dedup_clusters",
+    oracle="WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="The full SCALE-PATH dedup composition: MinHash+LSH candidate "
+    "pairs (md5 family, q36) → connected components → cluster ids — the "
+    "pipeline a 100 TB corpus dedup actually runs (no quadratic stage "
+    "anywhere: bucketed candidates, O(diameter) label propagation). "
+    "Oracle: recursive CTE over the SAME replayed LSH pair graph.",
+    bench=False,
+)
+def q86_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    return dedup_clusters(pairs)
+
+
+@register(
     "q74_frame_sampling",
     oracle="""
     WITH m AS (
