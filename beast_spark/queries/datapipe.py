@@ -145,6 +145,34 @@ def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q87_regex_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(customer|supplier|order|part)\b')) AS INT)
+             AS n_redacted,
+           md5(regexp_replace(text, '\b(customer|supplier|order|part)\b', '<ENT>', 'g'))
+             AS redacted_md5
+    FROM documents
+    """,
+    doc="Regex entity redaction — the anonymization/masking pass a "
+    "training-data pipeline runs before release: count + mask entity "
+    "tokens, fingerprint the redacted text (md5 compresses the full "
+    "redaction output into a hash-comparable value). Pure Column "
+    "regexp_replace/extract_all — JVM codegen, no UDF.",
+)
+def q87_regex_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = r"\b(customer|supplier|order|part)\b"
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias("n_redacted"),
+        F.md5(F.encode(F.regexp_replace("text", pat, "<ENT>"), "UTF-8")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
 # 3-gram Jaccard pairs at threshold 0.4 — shared by q35 (pairs) and q73
 # (clusters over those pairs).
 _JACCARD_PAIRS_ORACLE = """
