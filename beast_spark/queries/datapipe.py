@@ -146,6 +146,46 @@ def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q88_deterministic_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+               WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split
+    """,
+    doc="Deterministic train/val/test split by content-independent id "
+    "hash (80/10/10) — the reproducible alternative to sample(): stable "
+    "across engines, runs, partitionings and appends, which random "
+    "sampling is not. Same md5 hash family as the dedup operators; the "
+    "oracle replays the assignment bit-exact.",
+)
+def q88_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), token_count("text").alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "q87_regex_redaction",
     oracle=r"""
     SELECT doc_id,
