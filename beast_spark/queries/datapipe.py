@@ -146,6 +146,69 @@ def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q89_corpus_prep_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 80 AND uniq_ratio >= 0.5
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT CASE
+             WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY split
+    """,
+    doc="The canonical corpus-prep pipeline as ONE declarative plan: "
+    "quality filter (token band + lexical diversity) → exact normalized "
+    "dedup keeping the lowest doc_id per fingerprint → deterministic "
+    "80/10/10 split → per-split accounting. One shuffle for the dedup "
+    "window, one for the final 3-group agg; every stage is an operator "
+    "already verified alone (q32, q75, q88) — this checks their "
+    "composition end to end.",
+)
+def q89_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.functions.text import fingerprint, token_count, unique_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    from pyspark.sql.window import Window
+
+    kept = d.select(
+        "doc_id", n.alias("n_tokens"), fingerprint("text").alias("fp")
+    ).filter(n.between(20, 80) & (unique_ratio("text") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "q88_deterministic_split",
     oracle="""
     WITH s AS (
