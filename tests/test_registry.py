@@ -127,6 +127,22 @@ def test_watcher_rejects_metadata_collision(spark, tmp_path):
     assert watcher.schema == V1
 
 
+def test_watch_loop_polls_and_applies(spark, tmp_path, monkeypatch):
+    """watch() drives poll() on an interval; a registry change mid-loop
+    is picked up without external calls."""
+    import beast_spark.streaming.registry as reg_mod
+
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None))
+    polls = []
+    monkeypatch.setattr(reg_mod.time, "sleep", lambda s: polls.append(s))
+    dump_registry(reg, V2)
+    watcher.watch(interval_s=0.01, max_polls=3)
+    assert polls == [0.01] * 3
+    assert watcher.schema == V2  # change applied from inside the loop
+
+
 def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS reg_test")
     spark.sql("DROP TABLE IF EXISTS reg_test.t")
