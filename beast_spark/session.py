@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's parquet stores naive timestamps; read them as plain
+        # TIMESTAMP (not NTZ) so timestamp functions/arithmetic behave the
+        # same under our session as under any external one (tables.py also
+        # normalizes NTZ on read for sessions we don't build).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -44,8 +44,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _normalize_timestamps(_load_events(spark, sf_dir))
+    return _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-tz) on read.
+
+    The driver's parquet stores naive timestamps (isAdjustedToUTC=false),
+    which Spark 4 infers as TIMESTAMP_NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on (the default —
+    and the driver's own SparkSession may leave it on). NTZ rejects
+    ``unix_millis``/arithmetic helpers and collects differently from the
+    DuckDB oracle's naive timestamps. Casting NTZ -> TIMESTAMP keeps the
+    wall-clock value (interpreted in the session tz), so downstream
+    functions and the stringified oracle compare behave identically
+    regardless of which session loaded the table. Column-pruning and
+    filter pushdown still reach the scan: the cast is a Project above it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import time
 from typing import Callable
 
@@ -37,6 +38,7 @@ from pyspark.sql import SparkSession
 
 from beast_spark.config import IngestSettings
 from beast_spark.plans.protowire import PField
+from beast_spark.plans.schema import spark_schema_for
 from beast_spark.streaming.evolution import SchemaEvolver
 from beast_spark.streaming.ingest import ProtoIngest
 
@@ -46,6 +48,14 @@ __all__ = [
     "dump_registry",
     "load_registry",
 ]
+
+
+_log = logging.getLogger(__name__)
+
+# Injection point for tests: patching the stdlib ``time.sleep`` globally
+# races with background threads (py4j callbacks, sink retry backoff) that
+# also sleep during a test run.
+_sleep = time.sleep
 
 
 class TableUpdateFailure(RuntimeError):
@@ -141,14 +151,33 @@ class ProtoUpdateWatcher:
         if digest == self._digest:
             return None
         new_schema = load_registry(self.registry_path)
+        # Validate BEFORE touching the query: a mapping rejection
+        # (metadata collision) or an incompatible diff (type change —
+        # plan() dry-runs schema_diff without executing DDL) must leave
+        # the stream running.
         try:
             new_ingest = self._validated_ingest(new_schema)
-            if self.stop is not None:
-                self.stop()
-            plan = self.evolver.evolve(self.spark, self.schema, new_schema)
+            self.evolver.plan(spark_schema_for(self.schema), spark_schema_for(new_schema))
         except TableUpdateFailure:
             raise
         except Exception as exc:
+            raise TableUpdateFailure(
+                f"error while updating table on registry refresh: {exc}"
+            ) from exc
+        stopped = False
+        try:
+            if self.stop is not None:
+                self.stop()
+                stopped = True
+            plan = self.evolver.evolve(self.spark, self.schema, new_schema)
+        except Exception as exc:
+            # DDL failed after the query stopped: resume the OLD query
+            # (self.ingest is still the previous parser) so the documented
+            # "previous parser stays live" contract holds end-to-end.
+            if stopped and self.restart is not None:
+                self.restart()
+            if isinstance(exc, TableUpdateFailure):
+                raise
             raise TableUpdateFailure(
                 f"error while updating table on registry refresh: {exc}"
             ) from exc
@@ -166,9 +195,15 @@ class ProtoUpdateWatcher:
 
     def watch(self, interval_s: float = 60.0, max_polls: int | None = None) -> None:
         """Blocking poll loop (driver-side sidecar thread at deployment;
-        ``max_polls`` bounds it for tests)."""
+        ``max_polls`` bounds it for tests). A rejected update is logged and
+        the loop keeps polling with the old parser live — the sidecar must
+        outlive a bad registry push (ProtoUpdateListener catches its
+        BQTableUpdateFailure the same way)."""
         polls = 0
         while max_polls is None or polls < max_polls:
-            self.poll()
+            try:
+                self.poll()
+            except TableUpdateFailure:
+                _log.exception("registry refresh rejected; old parser stays live")
             polls += 1
-            time.sleep(interval_s)
+            _sleep(interval_s)

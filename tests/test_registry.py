@@ -136,11 +136,70 @@ def test_watch_loop_polls_and_applies(spark, tmp_path, monkeypatch):
     dump_registry(reg, V1)
     watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None))
     polls = []
-    monkeypatch.setattr(reg_mod.time, "sleep", lambda s: polls.append(s))
+    # Patch the module's injection point, NOT time.sleep itself: the global
+    # patch races with background threads (py4j, sink backoff) that sleep.
+    monkeypatch.setattr(reg_mod, "_sleep", lambda s: polls.append(s))
     dump_registry(reg, V2)
     watcher.watch(interval_s=0.01, max_polls=3)
     assert polls == [0.01] * 3
     assert watcher.schema == V2  # change applied from inside the loop
+
+
+def test_failed_evolution_after_stop_restarts_old_query(spark, tmp_path):
+    """DDL failure AFTER the query stopped must restart the OLD query:
+    the 'previous parser stays live' contract holds end-to-end, not just
+    for pre-stop validation failures (ProtoUpdateListener.java:101-126
+    catches its BQTableUpdateFailure without killing the consumer)."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    calls = []
+    watcher = ProtoUpdateWatcher(
+        reg,
+        spark,
+        # V2 validates fine, but the ALTER TABLE targets a missing table →
+        # evolve() raises strictly after stop() ran.
+        SchemaEvolver(table="no_such_db.no_such_table"),
+        stop=lambda: calls.append("stop"),
+        restart=lambda: calls.append("restart"),
+        on_swap=lambda ing: calls.append("swap"),
+    )
+    dump_registry(reg, V2)
+    with pytest.raises(TableUpdateFailure, match="registry refresh"):
+        watcher.poll()
+    assert calls == ["stop", "restart"]  # resumed; parser never swapped
+    assert watcher.schema == V1
+
+    # watch() must survive the same rejection and keep polling
+    import beast_spark.streaming.registry as reg_mod
+
+    old_sleep = reg_mod._sleep
+    reg_mod._sleep = lambda s: None
+    try:
+        watcher.watch(interval_s=0.0, max_polls=2)
+    finally:
+        reg_mod._sleep = old_sleep
+    assert calls == ["stop", "restart"] * 3  # one retry per poll, loop alive
+    assert watcher.schema == V1
+
+
+def test_rejected_mapping_never_stops_query(spark, tmp_path):
+    """Validation failures (type change) happen BEFORE stop(): the stream
+    is never interrupted for an update that cannot apply."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    calls = []
+    watcher = ProtoUpdateWatcher(
+        reg,
+        spark,
+        SchemaEvolver(table=None),
+        stop=lambda: calls.append("stop"),
+        restart=lambda: calls.append("restart"),
+    )
+    dump_registry(reg, V2_BAD_TYPE)
+    with pytest.raises(TableUpdateFailure):
+        watcher.poll()
+    assert calls == []  # query untouched
+    assert watcher.schema == V1
 
 
 def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
