@@ -7,13 +7,22 @@ contract each enforces for scale:
   produces drifting types across runs — never in production paths);
 * parquet is the default interchange (columnar, predicate pushdown,
   column pruning);
-* JDBC is declared but gated: the container ships no drivers.
+* JDBC runs against any driver on the classpath. The container ships no
+  network-DB drivers (postgres/mysql stay gated), but Spark's own
+  distribution bundles Derby — the embedded pure-Java database it uses
+  for the Hive metastore — so the JDBC read/write legs are exercised for
+  real against ``jdbc:derby:`` (see tests/test_sources.py and the JDBC
+  WarehouseSink cases in tests/test_sink.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+#: Embedded pure-Java driver shipped in Spark's own jars/ (derby-10.16 +
+#: derbytools); the in-container stand-in for a warehouse JDBC endpoint.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
@@ -58,3 +67,30 @@ def read_jdbc(
             f"JDBC driver {driver_class} not on the classpath; add it via spark.jars"
         )
     return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver_class: str = "org.postgresql.Driver",
+    mode: str = "append",
+    **options,
+) -> None:
+    """Append a frame to a JDBC table (creates it on first append — the
+    Spark JDBC writer's SaveMode.Append contract). The scale contract:
+    one INSERT batch per partition, ``numPartitions``/``batchsize``
+    options bound the connection fan-out against a real warehouse."""
+    if not jdbc_available(df.sparkSession, driver_class):
+        raise RuntimeError(
+            f"JDBC driver {driver_class} not on the classpath; add it via spark.jars"
+        )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver_class)
+        .options(**options)
+        .mode(mode)
+        .save()
+    )

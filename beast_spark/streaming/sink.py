@@ -116,13 +116,18 @@ class WarehouseSink:
     """Parquet/warehouse appender with retry + DLQ, usable directly on a
     batch frame or via :meth:`foreach_batch_writer` on a stream."""
 
-    table_path: str
+    table_path: str  # filesystem path, or the dbtable name when fmt="jdbc"
     dlq_path: str | None = None
     partition_col: str | None = None  # day-partitioned table key (A24)
     retry: RetrySettings = field(default_factory=RetrySettings)
     oob: OOBSettings = field(default_factory=OOBSettings)
     fmt: str = "parquet"
     statsd: object | None = None  # optional streaming.stats.StatsDClient
+    # fmt="jdbc" target: {"url": ..., "driver": ...} (+ batchsize,
+    # numPartitions, isolationLevel for a real warehouse). This is the
+    # BqSink.insertAll twin executed for real — the tests run it against
+    # Spark's bundled embedded Derby.
+    write_options: dict = field(default_factory=dict)
 
     def _write_valid(self, df: DataFrame) -> None:
         # A25 batch face: piggyback row metrics on the write itself via
@@ -132,13 +137,29 @@ class WarehouseSink:
 
         from pyspark.sql import Observation
 
+        if self.fmt == "jdbc":
+            # JDBC has no STRUCT/ARRAY types: BigQuery stores the decoded
+            # proto's nested records natively, a generic warehouse table
+            # stores them JSON-encoded (the standard lossless adaptation —
+            # schema-on-read recovers them with from_json).
+            complex_cols = [
+                f.name for f in df.schema.fields if f.dataType.typeName() in ("struct", "array", "map")
+            ]
+            for c in complex_cols:
+                df = df.withColumn(c, F.to_json(F.col(c)))
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-        writer = df.write.mode("append").format(self.fmt)
-        if self.partition_col:
-            writer = writer.partitionBy("dt")
+        writer = df.write.mode("append").format(self.fmt).options(**self.write_options)
         start = _time.monotonic()
-        writer.save(self.table_path)
+        if self.fmt == "jdbc":
+            # JDBC has no directory partitioning; the dt column computed by
+            # push() lands as a plain column (BigQuery's _PARTITIONDATE
+            # pseudo-column analog, BQTableDefinition.java:45-59).
+            writer.option("dbtable", self.table_path).save()
+        else:
+            if self.partition_col:
+                writer = writer.partitionBy("dt")
+            writer.save(self.table_path)
         self.last_write_metrics = dict(obs.get)
         if self.statsd is not None:
             # Stats.java:16-84 per-push metrics: bq.sink.push.records + .time

@@ -264,6 +264,96 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert out.select("message_offset").distinct().count() == 7
 
 
+def _derby(spark, tmp_path) -> dict:
+    """JDBC write_options for an embedded Derby DB under tmp_path (the
+    in-container stand-in for the reference's warehouse insert endpoint;
+    derby ships in Spark's own jars/)."""
+    spark._jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    return {
+        "url": f"jdbc:derby:{tmp_path}/db;create=true",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+
+
+def test_jdbc_sink_append_with_insert_id(spark, tmp_path, valid_df):
+    """A12 on a real JDBC endpoint: rows + the insertId dedup key land in
+    the table (BqSink.java:82-93 insertAll → JDBC append twin)."""
+    opts = _derby(spark, tmp_path)
+    sink = WarehouseSink(table_path="WH_ROWS", fmt="jdbc", write_options=opts)
+    assert sink.push(valid_df) == 1
+    back = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_ROWS").load()
+    assert back.count() == 4
+    assert "orders_0_100" in {r.insert_id for r in back.select("insert_id").collect()}
+    assert sink.last_write_metrics == {"rows_written": 4}
+
+
+def test_jdbc_sink_day_partition_column(spark, tmp_path, valid_df):
+    """A24 on JDBC: no directory partitions, so the computed dt lands as a
+    plain DATE column (the _PARTITIONDATE pseudo-column analog)."""
+    opts = _derby(spark, tmp_path)
+    sink = WarehouseSink(
+        table_path="WH_PART", fmt="jdbc", write_options=opts, partition_col="created_at"
+    )
+    sink.push(valid_df)
+    back = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_PART").load()
+    assert {str(r.dt) for r in back.select("dt").distinct().collect()} == {"2024-01-01"}
+
+
+def test_jdbc_sink_retry_then_success(spark, tmp_path, valid_df):
+    """A15 against the real JDBC write: transient failures burn retry
+    attempts, the final attempt actually lands rows in the database."""
+
+    class FlakyJdbc(WarehouseSink):
+        calls = 0
+
+        def _write_valid(self, df):
+            FlakyJdbc.calls += 1
+            if FlakyJdbc.calls <= 2:
+                raise IOError("transient connection reset")
+            super()._write_valid(df)
+
+    opts = _derby(spark, tmp_path)
+    fast = RetrySettings(max_push_attempts=5, backoff_initial_ms=1, backoff_rate=2, backoff_max_ms=4)
+    sink = FlakyJdbc(table_path="WH_RETRY", fmt="jdbc", write_options=opts, retry=fast)
+    assert sink.push(valid_df) == 3
+    back = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_RETRY").load()
+    assert back.count() == 4
+
+
+def test_jdbc_streaming_exactly_once(spark, tmp_path):
+    """The full A1→A21 contract against a real JDBC table: file stream →
+    decode → JDBC append via foreachBatch; a restart from the same
+    checkpoint must not duplicate any insert_id."""
+    opts = _derby(spark, tmp_path)
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    spark.createDataFrame(kafka_rows(4), KAFKA_DDL).write.parquet(str(src_dir / "batch0"))
+
+    schema = spark.createDataFrame([], KAFKA_DDL).schema
+    ing = ProtoIngest(TEST_SCHEMA)
+    sink = WarehouseSink(
+        table_path="WH_STREAM", fmt="jdbc", write_options=opts, dlq_path=str(tmp_path / "dlq")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src_dir) + "/*")
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ing.apply))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(kafka_rows(7)[4:], KAFKA_DDL).write.parquet(str(src_dir / "batch1"))
+    run_once()
+
+    back = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_STREAM").load()
+    assert back.count() == 7  # batch0 NOT re-inserted on restart
+    assert back.select("insert_id").distinct().count() == 7
+
+
 def test_write_metrics_observed_without_extra_scan(spark, tmp_path, valid_df):
     """A25 batch face: the sink reports rows written from an observe()
     on the write job itself — no second count() pass."""
