@@ -45,6 +45,7 @@ from beast_spark.streaming.ingest import ProtoIngest
 __all__ = [
     "TableUpdateFailure",
     "ProtoUpdateWatcher",
+    "HttpDescriptorFetcher",
     "dump_registry",
     "load_registry",
 ]
@@ -98,6 +99,42 @@ def load_registry(path: str) -> tuple[PField, ...]:
         return tuple(_field_from_dict(d) for d in json.load(fh))
 
 
+# -- registry clients ----------------------------------------------------
+
+
+class HttpDescriptorFetcher:
+    """Stencil-client analog: pull descriptors over HTTP and materialize
+    them to the watched registry file.
+
+    The reference's update listener fetches refreshed descriptors from a
+    Stencil registry URL (``protomapping/ProtoUpdateListener.java:85-99``,
+    ``createStencilClient``'s ``STENCIL_URL`` config). The watcher's
+    contract is file-based, so any registry client plugs in by writing
+    the file; this one GETs ``url`` each poll and replaces the file
+    atomically (tmp + rename — a half-written registry must never be
+    loadable). A fetch failure keeps the cached file — and therefore the
+    old parser — serving, exactly like the Stencil client's cache-on-error
+    behavior.
+    """
+
+    def __init__(self, url: str, dest_path: str, timeout_s: float = 10.0) -> None:
+        self.url = url
+        self.dest_path = dest_path
+        self.timeout_s = timeout_s
+
+    def __call__(self) -> None:
+        import os
+        import urllib.request
+
+        with urllib.request.urlopen(self.url, timeout=self.timeout_s) as resp:
+            body = resp.read()
+        json.loads(body)  # reject non-JSON payloads before touching the file
+        tmp = self.dest_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        os.replace(tmp, self.dest_path)
+
+
 # -- the watcher ---------------------------------------------------------
 
 
@@ -120,6 +157,7 @@ class ProtoUpdateWatcher:
         stop: Callable[[], None] | None = None,
         restart: Callable[[], object] | None = None,
         on_swap: Callable[[ProtoIngest], None] | None = None,
+        fetcher: Callable[[], None] | None = None,
     ) -> None:
         self.registry_path = registry_path
         self.spark = spark
@@ -128,6 +166,11 @@ class ProtoUpdateWatcher:
         self.stop = stop
         self.restart = restart
         self.on_swap = on_swap
+        # Optional registry client (e.g. HttpDescriptorFetcher) invoked at
+        # the top of every poll to refresh the watched file from upstream.
+        self.fetcher = fetcher
+        if fetcher is not None:
+            fetcher()  # eager first fetch (createStencilClient parity)
         # Startup mirrors createStencilClient's eager first update: load
         # the current descriptors and build the live parser immediately.
         self.schema = load_registry(registry_path)
@@ -147,6 +190,13 @@ class ProtoUpdateWatcher:
         """One poll: returns the applied evolution plan on change, None
         when the registry is unchanged. Raises TableUpdateFailure (old
         parser stays live) when the update cannot be applied."""
+        if self.fetcher is not None:
+            try:
+                self.fetcher()
+            except Exception:
+                # Stencil cache-on-error: an unreachable registry keeps the
+                # materialized file — and the old parser — serving.
+                _log.warning("registry fetch failed; serving cached descriptors")
         digest = self._file_digest()
         if digest == self._digest:
             return None

@@ -14,6 +14,7 @@ from beast_spark.config import IngestSettings
 from beast_spark.plans.protowire import PField, encode_message
 from beast_spark.streaming.evolution import SchemaEvolver
 from beast_spark.streaming.registry import (
+    HttpDescriptorFetcher,
     ProtoUpdateWatcher,
     TableUpdateFailure,
     dump_registry,
@@ -200,6 +201,125 @@ def test_rejected_mapping_never_stops_query(spark, tmp_path):
         watcher.poll()
     assert calls == []  # query untouched
     assert watcher.schema == V1
+
+
+class _RegistryServer:
+    """Minimal Stencil-registry stand-in: serves a mutable JSON payload."""
+
+    def __init__(self):
+        import http.server
+        import json as _json
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                server.hits += 1
+                body = server.body
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self.hits = 0
+        self.body = b"[]"
+        self._json = _json
+        self.httpd = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}/descriptors"
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve(self, schema):
+        import beast_spark.streaming.registry as reg_mod
+
+        self.body = self._json.dumps(
+            [reg_mod._field_to_dict(f) for f in schema]
+        ).encode()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_fetcher_end_to_end_evolves_stream(spark, tmp_path):
+    """The full A23 loop with a REAL HTTP registry in it: descriptors are
+    fetched over HTTP (ProtoUpdateListener.java:85-99), materialized to
+    the watched file, and a served-schema change mid-stream evolves the
+    pipeline; a registry outage keeps the old parser serving."""
+    server = _RegistryServer()
+    try:
+        server.serve(V1)
+        reg = str(tmp_path / "reg.json")
+        src_dir = tmp_path / "incoming"
+        os.makedirs(src_dir)
+        spark.createDataFrame([_kafka_row(i, V1) for i in range(3)], KAFKA_DDL).write.parquet(
+            str(src_dir / "b0")
+        )
+
+        in_schema = spark.createDataFrame([], KAFKA_DDL).schema
+        sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+
+        def run_stream(ingest):
+            stream = spark.readStream.schema(in_schema).format("parquet").load(str(src_dir) + "/*")
+            q = (
+                stream.writeStream.foreachBatch(sink.foreach_batch_writer(ingest.apply))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # no registry file on disk: the eager first fetch materializes it
+        watcher = ProtoUpdateWatcher(
+            reg,
+            spark,
+            SchemaEvolver(table=None),
+            stop=lambda: None,
+            restart=lambda: run_stream(watcher.ingest),
+            fetcher=HttpDescriptorFetcher(server.url, reg),
+        )
+        assert watcher.schema == V1 and server.hits == 1
+        run_stream(watcher.ingest)
+        assert watcher.poll() is None  # served registry unchanged → no-op
+
+        server.serve(V2)
+        spark.createDataFrame(
+            [_kafka_row(i, V2, {"region": "apac"}) for i in range(3, 5)], KAFKA_DDL
+        ).write.parquet(str(src_dir / "b1"))
+        plan = watcher.poll()
+        assert plan["added"] == [("region", "string")]
+        out = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "wh"))
+        rows = {r.message_offset: r for r in out.collect()}
+        assert len(rows) == 5 and rows[104].region == "apac"
+
+        # registry outage: cached descriptors keep serving, poll is a no-op
+        server.close()
+        assert watcher.poll() is None
+        assert watcher.schema == V2
+    finally:
+        try:
+            server.close()
+        except Exception:
+            pass
+
+
+def test_http_fetcher_rejects_non_json_payload(tmp_path):
+    import pytest as _pytest
+
+    server = _RegistryServer()
+    try:
+        server.body = b"<html>registry down</html>"
+        dest = str(tmp_path / "reg.json")
+        with _pytest.raises(Exception):
+            HttpDescriptorFetcher(server.url, dest)()
+        assert not os.path.exists(dest)  # half-written file never lands
+    finally:
+        server.close()
 
 
 def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
