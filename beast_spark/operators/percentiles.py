@@ -64,4 +64,10 @@ def exact_percentiles(
         v_hi = F.min(F.when(in_hi, F.col("v")))
         fr = F.max(F.when(in_lo, frac))  # per-group constant
         aggs.append((v_lo + fr * (v_hi - v_lo)).alias(name))
-    return ranked.groupBy(*key_cols).agg(*aggs)
+    result = ranked.groupBy(*key_cols).agg(*aggs)
+    # Groups whose values are ALL NULL vanish from `counts`; SQL
+    # percentile()/quantile_cont returns such groups with a NULL result,
+    # so surface them via a left join from the distinct key frame (tiny:
+    # one row per group, broadcast-joined in practice).
+    keys = df.select(*key_cols).distinct()
+    return keys.join(result, on=key_cols, how="left")

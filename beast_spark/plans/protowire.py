@@ -386,9 +386,11 @@ def compile_decoder(schema: tuple[PField, ...], fail_on_unknown: bool = False):
                 else:
                     out[f.name] = v
             return out
-        except (ProtoDecodeError, RecursionError):
+        except ProtoDecodeError:
             raise
         except Exception as exc:
+            # RecursionError included: decode_message wraps it the same way,
+            # so both decode paths raise the same type on pathological depth.
             raise ProtoDecodeError(f"malformed message: {exc}") from exc
 
     return decode

@@ -177,10 +177,13 @@ def table_properties_ddl(
     changed = {k: v for k, v in desired.items() if current.get(k) != v}
     dropped = [k for k in current if managed(k) and k not in desired]
     ddls: list[str] = []
+    # SQL-literal escaping: a label value holding a quote must not produce
+    # malformed (or injectable) DDL.
+    esc = lambda s: str(s).replace("'", "''")  # noqa: E731
     if changed:
-        props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(changed.items()))
+        props = ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in sorted(changed.items()))
         ddls.append(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
     if dropped:
-        props = ", ".join(f"'{k}'" for k in sorted(dropped))
+        props = ", ".join(f"'{esc(k)}'" for k in sorted(dropped))
         ddls.append(f"ALTER TABLE {table} UNSET TBLPROPERTIES ({props})")
     return ddls

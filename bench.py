@@ -86,6 +86,7 @@ def main() -> None:
     # parsed. The q-prefix is unique by construction (queries/__init__
     # enforces unique names).
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
+    assert len(short) == len(timings), "duplicate q-number prefix would drop a timing"
     payload = {
         "metric": "total_query_seconds",
         "value": total,

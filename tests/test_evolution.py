@@ -99,6 +99,25 @@ def test_label_and_expiry_property_sync(spark, tmp_path):
     spark.sql("DROP TABLE evo_test.p")
 
 
+def test_property_values_with_quotes_escape_cleanly(spark, tmp_path):
+    """A label value containing a single quote must produce valid DDL
+    (escaped '' ) and round-trip through the catalog, not malformed /
+    injectable SQL (ADVICE r2)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
+    spark.sql("DROP TABLE IF EXISTS evo_test.esc")
+    spark.sql(
+        f"CREATE TABLE evo_test.esc (id bigint) USING parquet LOCATION '{tmp_path}/esc'"
+    )
+    ev = SchemaEvolver(table="evo_test.esc", labels={"desc": "o'brien's table"})
+    ddls = ev.sync_properties(spark)
+    assert ddls == [
+        "ALTER TABLE evo_test.esc SET TBLPROPERTIES ('label.desc'='o''brien''s table')"
+    ]
+    assert ev.current_properties(spark)["label.desc"] == "o'brien's table"
+    assert ev.sync_properties(spark) == []  # diff compares unescaped values
+    spark.sql("DROP TABLE evo_test.esc")
+
+
 def test_evolve_applies_property_sync_with_ddl(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
     spark.sql("DROP TABLE IF EXISTS evo_test.q")

@@ -271,6 +271,19 @@ def test_exact_percentiles_ignores_nulls(spark):
     assert abs(got - ref) < 1e-9 and abs(got - 2.5) < 1e-9
 
 
+def test_exact_percentiles_all_null_group_surfaces_null(spark):
+    """A group whose values are ALL NULL must appear with a NULL
+    percentile — same row set as percentile()/quantile_cont (ADVICE r2:
+    the NULL filter silently dropped such groups)."""
+    from beast_spark.operators.percentiles import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)], "k string, v double"
+    )
+    rows = {r.k: r.p50 for r in exact_percentiles(df, ["k"], "v", {"p50": 0.5}).collect()}
+    assert rows == {"a": 2.0, "b": None}
+
+
 def test_kmeans_lite_monotone_and_deterministic(spark, sf_dir):
     """Lloyd rounds must not increase quantization error, and the fixed
     init + fixed iterations must be bit-reproducible across runs."""

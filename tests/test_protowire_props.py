@@ -157,6 +157,37 @@ def test_garbage_bytes_never_raise_uncontrolled(buf):
             pass  # the one allowed failure mode (A9 DESERIALIZE)
 
 
+def test_recursion_blowup_raises_proto_decode_error_on_both_paths():
+    """Pathological nesting depth must raise ProtoDecodeError from BOTH
+    decode paths, not a bare RecursionError from the compiled one
+    (ADVICE r2: the two 'equivalent' paths disagreed on exception type)."""
+    import sys
+
+    from beast_spark.plans.protowire import PField, compile_decoder, encode_message
+
+    depth = 60
+    schema = (PField(1, "leaf", "int64"),)
+    for _ in range(depth):
+        schema = (PField(1, "child", "message", fields=schema),)
+    msg = {"leaf": 7}
+    for _ in range(depth):
+        msg = {"child": msg}
+    wire = encode_message(msg, schema)
+    compiled = compile_decoder(schema, False)
+    assert compiled(wire) == decode_message(wire, schema) == msg
+
+    limit = sys.getrecursionlimit()
+    try:
+        sys.setrecursionlimit(90)  # decode needs ~several frames per level
+        for attempt in (lambda: compiled(wire), lambda: decode_message(wire, schema)):
+            try:
+                attempt()
+            except ProtoDecodeError:
+                pass  # RecursionError must arrive wrapped (or not at all)
+    finally:
+        sys.setrecursionlimit(limit)
+
+
 @settings(max_examples=100, deadline=None)
 @given(VALUES, st.binary(min_size=1, max_size=30))
 def test_trailing_garbage_is_detected_or_decoded(data, junk):
