@@ -30,18 +30,23 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
     doc: str = ""
     bench: bool = field(default=True)  # include in bench.py headline set
+    bench_reason: str = ""  # why bench=False; printed by bench.py ("no silent caps")
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, doc: str = "", bench: bool = True
+    name: str, oracle: str | None, doc: str = "", bench: bool = True, bench_reason: str = ""
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, bench=bench)
+        if not bench and not bench_reason:
+            raise ValueError(f"{name!r}: bench=False requires a bench_reason")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, bench=bench, bench_reason=bench_reason
+        )
         return fn
 
     return deco

@@ -731,6 +731,7 @@ def q55_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "power-of-two arithmetic in float64), so the DuckDB oracle replays "
     "the mapInPandas output value-exactly.",
     bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
 )
 def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -774,6 +775,7 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoded-pixel stats. The oracle recomputes the stats from the same "
     "quantization directly — any header/raster bug breaks the hash.",
     bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
 )
 def q83_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T

@@ -366,6 +366,7 @@ def q71_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OOM an executor at 100 TB. Excluded from the headline bench (the "
     "built-in wins locally; this is the memory-bounded scale path).",
     bench=False,
+    bench_reason="memory-bounded scale twin of q41; built-in wins locally",
 )
 def q72_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.percentiles import exact_percentiles

@@ -308,7 +308,8 @@ _JACCARD_PAIRS_ORACLE = """
     "q35_ngram_jaccard_pairs",
     oracle=_JACCARD_PAIRS_ORACLE,
     doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.4) via shingle self-join.",
-    bench=False,  # quadratic-ish; excluded from the headline bench set
+    bench=False,
+    bench_reason="deliberately-quadratic exact baseline; q36 is the benched scale path",
 )
 def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -619,6 +620,7 @@ def q84_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reachable id. Iterative (O(diameter) joins), excluded from the "
     "headline bench with the other quadratic-ish dedup variants.",
     bench=False,
+    bench_reason="iterative label propagation over the q35 quadratic pair graph",
 )
 def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -650,6 +652,7 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anywhere: bucketed candidates, O(diameter) label propagation). "
     "Oracle: recursive CTE over the SAME replayed LSH pair graph.",
     bench=False,
+    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
 )
 def q86_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -685,6 +688,7 @@ def q86_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified byte-for-byte against DuckDB via hex (frame boundaries are "
     "pure integer arithmetic — the real-codec swap point is the slice).",
     bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
 )
 def q74_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.multimodal import sample_frames
@@ -768,6 +772,7 @@ def q78_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.py::lsh_bucket_col) to cut the quadratic "
     "candidate volume, as q40 does for search.",
     bench=False,
+    bench_reason="deliberately-quadratic exact baseline; q85 is the benched scale path",
 )
 def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.functions.vectors import dot, norm

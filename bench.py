@@ -87,12 +87,20 @@ def main() -> None:
     # enforces unique names).
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
     assert len(short) == len(timings), "duplicate q-number prefix would drop a timing"
+    # No silent caps: name what was NOT timed and why (reasons truncated to
+    # keep the single line inside the driver's bounded stdout tail).
+    excluded = {
+        s.name.split("_", 1)[0]: s.bench_reason[:48]
+        for s in sorted(all_queries().values(), key=lambda s: s.name)
+        if not s.bench
+    }
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": short,
         "sf": sf,
+        "excluded": excluded,
     }
     # Single-node ingest throughput: the proto roundtrip query pushes every
     # events row through encode → decode → map → metadata (the reference's
