@@ -30,8 +30,10 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_meta",
+    "decode_bmp",
     "decode_features",
     "decode_image",
+    "encode_bmp",
     "encode_ppm",
     "resize_image_nearest",
     "sample_frames",
@@ -79,20 +81,90 @@ def encode_ppm(width: int, height: int, pixels: bytes, channels: int = 1) -> byt
     return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
 
 
-def decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
-    """Parse a binary netpbm image → (channels, width, height, pixels).
+def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from top-down RGB pixel bytes.
 
-    Tolerates arbitrary whitespace and ``#`` comments in the header (the
-    netpbm spec); raises ValueError for anything that is not a valid
-    8-bit P5/P6 — callers use that as the "not an image we can decode"
-    signal and fall back to the fake/strict path.
+    Emits the canonical on-disk layout: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40), bottom-up row order, BGR byte order, rows
+    padded to 4-byte boundaries — the format every Windows-origin
+    training corpus actually contains.
     """
+    import struct
+
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError(f"pixel buffer {len(pixels_rgb)} != {width}x{height}x3")
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = pixels_rgb[y * row_len : (y + 1) * row_len]
+        for x in range(0, row_len, 3):  # RGB → BGR
+            raster += bytes((row[x + 2], row[x + 1], row[x]))
+        raster += b"\x00" * pad
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    return b"BM" + struct.pack("<IHHI", offset + len(raster), 0, 0, offset) + dib + raster
+
+
+def decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a 24-bit BI_RGB BMP → (3, width, height, top-down RGB bytes).
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    rasters, BGR→RGB, and 4-byte row padding. Raises ValueError for
+    anything else (compressed, paletted, ≠24bpp) — the "fall back to
+    fake/strict" signal, same contract as the netpbm decoder.
+    """
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP image")
+    if len(raw) < 54:
+        raise ValueError("truncated BMP header")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    dib_size = struct.unpack_from("<I", raw, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    row_len = w * 3
+    stride = (row_len + 3) & ~3
+    if len(raw) < offset + stride * h:
+        raise ValueError("truncated BMP raster")
+    out = bytearray(row_len * h)
+    for y in range(h):
+        sy = y if top_down else h - 1 - y
+        src = offset + sy * stride
+        dst = y * row_len
+        for x in range(0, row_len, 3):  # BGR → RGB
+            out[dst + x] = raw[src + x + 2]
+            out[dst + x + 1] = raw[src + x + 1]
+            out[dst + x + 2] = raw[src + x]
+    return 3, w, h, bytes(out)
+
+
+def decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary image → (channels, width, height, pixels).
+
+    Dispatches on magic bytes: netpbm P5/P6 (whitespace/comment-tolerant
+    header per the spec) or 24-bit BI_RGB BMP (:func:`decode_bmp`).
+    Raises ValueError for anything else — callers use that as the "not
+    an image we can decode" signal and fall back to the fake/strict path.
+    """
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
     if raw[:2] == b"P5":
         channels = 1
     elif raw[:2] == b"P6":
         channels = 3
     else:
-        raise ValueError("not a binary netpbm (P5/P6) image")
+        raise ValueError("not a binary netpbm (P5/P6) or BMP image")
     pos, fields = 2, []
     while len(fields) < 3:
         if pos >= len(raw):
@@ -122,7 +194,8 @@ def decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
 
 
 def resize_image_nearest(raw: bytes, target_w: int, target_h: int) -> bytes:
-    """Nearest-neighbor resample of a netpbm image, re-encoded as netpbm.
+    """Nearest-neighbor resample, re-encoded in the INPUT's format
+    (netpbm in → netpbm out, BMP in → BMP out).
 
     src index = ``i * src_dim // target_dim`` (exact integer math — the
     standard nearest-neighbor grid, deterministic everywhere).
@@ -137,6 +210,8 @@ def resize_image_nearest(raw: bytes, target_w: int, target_h: int) -> bytes:
             sx = row + (x * w // target_w) * channels
             out[o : o + channels] = px[sx : sx + channels]
             o += channels
+    if raw[:2] == b"BM":
+        return encode_bmp(target_w, target_h, bytes(out))
     return encode_ppm(target_w, target_h, bytes(out), channels)
 
 

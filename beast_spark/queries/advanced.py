@@ -752,6 +752,89 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q90_bmp_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(range(1, 64),
+                 i -> CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 100) AS BIGINT) % 256) AS u8
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id,
+           3.0 AS channels, 3.0 AS width, 7.0 AS height,
+           list_sum(u8) / 63.0 AS px_mean,
+           CAST(list_min(u8) AS DOUBLE) AS px_min,
+           CAST(list_max(u8) AS DOUBLE) AS px_max,
+           CAST(u8[1] AS DOUBLE) AS px_first,
+           CAST(u8[63] AS DOUBLE) AS px_last
+    FROM px
+    """,
+    doc="REAL BMP codec end-to-end (the second real image format beside "
+    "netpbm): embeddings quantize to 63 RGB bytes (JVM-side), a "
+    "mapInPandas stage encodes each row as a 3x7 24-bit BI_RGB BMP — "
+    "bottom-up rows, BGR order, and a REAL 4-byte row pad (9-byte rows, "
+    "12-byte stride) — and decode_features parses the actual file "
+    "(operators/multimodal.py::decode_bmp) back to top-down RGB stats. "
+    "The oracle recomputes the stats from the same quantization; any "
+    "header/stride/byte-order bug breaks the hash.",
+    bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
+)
+def q90_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from beast_spark.operators.multimodal import encode_bmp
+
+    e = load_table(spark, sf_dir, "embeddings")
+    u8 = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.slice(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(F.abs(v.cast("double")) * 100).cast("int") % 256,
+            ),
+            1,
+            63,
+        ).alias("u8"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [encode_bmp(3, 7, bytes(list(px))) for px in pdf["u8"]],
+                }
+            )
+
+    imgs = u8.mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+    feats = decode_features(imgs, dims=8, strict=True)  # real codec MUST run
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).alias("channels"),
+        F.element_at("features", 2).alias("width"),
+        F.element_at("features", 3).alias("height"),
+        F.element_at("features", 4).alias("px_mean"),
+        F.element_at("features", 5).alias("px_min"),
+        F.element_at("features", 6).alias("px_max"),
+        F.element_at("features", 7).alias("px_first"),
+        F.element_at("features", 8).alias("px_last"),
+    )
+
+
+
+
+@register(
     "q83_ppm_pixel_stats",
     oracle="""
     WITH px AS (

@@ -96,6 +96,56 @@ def test_resize_image_nearest_exact_grid():
     assert list(px) == [7, 7, 9, 9]
 
 
+def test_bmp_codec_roundtrip_padding_and_row_order():
+    """Real BMP codec: encode→decode identity through the bottom-up/BGR/
+    4-byte-pad on-disk layout; top-down (negative height) variant; and
+    rejection of non-24bpp / compressed / truncated files."""
+    import struct
+
+    from beast_spark.operators.multimodal import decode_bmp, decode_image, encode_bmp
+
+    # 3x2 RGB with distinct bytes — row length 9 forces a real 3-byte pad
+    px = bytes(range(18))
+    raw = encode_bmp(3, 2, px)
+    assert decode_image(raw) == (3, 3, 2, px)  # dispatches on "BM" magic
+    stride = 12  # (9 + 3) & ~3
+    assert len(raw) == 54 + stride * 2
+    # on-disk raster: LAST pixel row first (bottom-up), BGR within pixels
+    assert raw[54:57] == bytes([11, 10, 9])  # px row 1 (y=1) first pixel, B,G,R
+    assert raw[54 + stride : 54 + stride + 3] == bytes([2, 1, 0])
+
+    # top-down variant (negative height) decodes to the same pixels
+    top_down = bytearray(raw)
+    struct.pack_into("<i", top_down, 22, -2)
+    rows = [raw[54 + stride : 54 + stride + 9], raw[54 : 54 + 9]]  # swap rows
+    top_down[54 : 54 + 9] = rows[0]
+    top_down[54 + stride : 54 + stride + 9] = rows[1]
+    assert decode_bmp(bytes(top_down)) == (3, 3, 2, px)
+
+    import pytest as _pytest
+
+    bad_bpp = bytearray(raw)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    compressed = bytearray(raw)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    for bad in (b"BMxx", bytes(bad_bpp), bytes(compressed), raw[:-4]):
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_resize_preserves_bmp_format():
+    from beast_spark.operators.multimodal import decode_image, encode_bmp, resize_image_nearest
+
+    src = encode_bmp(4, 4, bytes(range(48)))
+    out = resize_image_nearest(src, 2, 2)
+    assert out[:2] == b"BM"  # BMP in → BMP out
+    channels, w, h, px = decode_image(out)
+    # picks source pixels (0,0),(2,0),(0,2),(2,2) → byte offsets 0,6,24,30
+    assert (channels, w, h) == (3, 2, 2)
+    assert list(px) == list(bytes(range(48))[0:3] + bytes(range(48))[6:9]
+                            + bytes(range(48))[24:27] + bytes(range(48))[30:33])
+
+
 def test_decode_features_real_path_for_netpbm(spark):
     """netpbm content must take the REAL codec path even under strict,
     and emit decoded-pixel stats, not fake sha256 features."""
