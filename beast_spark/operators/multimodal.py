@@ -30,11 +30,14 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_meta",
+    "audio_stats",
     "decode_bmp",
     "decode_features",
     "decode_image",
+    "decode_wav",
     "encode_bmp",
     "encode_ppm",
+    "encode_wav",
     "resize_image_nearest",
     "sample_frames",
 ]
@@ -213,6 +216,126 @@ def resize_image_nearest(raw: bytes, target_w: int, target_h: int) -> bytes:
     if raw[:2] == b"BM":
         return encode_bmp(target_w, target_h, bytes(out))
     return encode_ppm(target_w, target_h, bytes(out), channels)
+
+
+# -- real codec: WAV (RIFF PCM 16-bit) — pure bytes, no libraries -------
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """16-bit PCM WAV from interleaved int16 samples (RIFF/WAVE layout:
+    fmt chunk + data chunk, little-endian)."""
+    import struct
+
+    if len(samples) % channels:
+        raise ValueError(f"{len(samples)} samples not divisible by {channels} channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a 16-bit PCM WAV → (channels, sample_rate, n_frames, samples).
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/INFO and
+    odd-size padding, per the spec); raises ValueError for anything that
+    is not integer PCM 16-bit — the "fall back to fake/strict" signal,
+    same contract as the image decoders.
+    """
+    import struct
+
+    if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only integer PCM 16-bit supported (format={audio_format}, bits={bits})")
+    if channels < 1:
+        raise ValueError("bad channel count")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return channels, sample_rate, n // channels, samples
+
+
+def audio_stats(df: DataFrame, content_col: str = "content", strict: bool = False) -> DataFrame:
+    """content → typed audio stats columns (the audio twin of
+    :func:`decode_features`): channels, sample_rate, n_frames,
+    duration_ms, peak (max |sample|), sum_sq (exact int64), zero
+    crossings, first/last sample. WAV PCM decodes with the REAL codec;
+    other content yields NULL stats (or raises under ``strict``). Every
+    stat is integer math or one float64 divide — replayable exactly by
+    any engine from the same samples."""
+    stat_fields = [
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_cross", T.LongType(), True),
+        T.StructField("first_s", T.IntegerType(), True),
+        T.StructField("last_s", T.IntegerType(), True),
+    ]
+    out_schema = T.StructType(df.schema.fields + stat_fields)
+    cols = df.columns
+    names = [f.name for f in stat_fields]
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf[content_col]:
+                if raw is None:
+                    rows.append([None] * len(names))
+                    continue
+                try:
+                    ch, rate, n_frames, s = decode_wav(bytes(raw))
+                except ValueError:
+                    if strict:
+                        raise NotImplementedError(
+                            "no real codec for this content (WAV PCM is built in; "
+                            "install torchaudio/pyav for other formats)"
+                        )
+                    rows.append([None] * len(names))
+                    continue
+                zc = sum(1 for i in range(len(s) - 1) if (s[i] >= 0) != (s[i + 1] >= 0))
+                rows.append(
+                    [
+                        ch,
+                        rate,
+                        n_frames,
+                        n_frames * 1000.0 / rate,
+                        max(abs(v) for v in s) if s else None,
+                        sum(v * v for v in s),
+                        zc,
+                        s[0] if s else None,
+                        s[-1] if s else None,
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in cols},
+                    **{n: [r[i] for r in rows] for i, n in enumerate(names)},
+                }
+            )
+
+    return df.mapInPandas(stats, out_schema)
 
 
 def _image_features(raw: bytes, dims: int) -> list[float] | None:

@@ -905,3 +905,87 @@ def q83_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 6).alias("px_max"),
         F.element_at("features", 7).alias("px_first"),
     )
+
+
+@register(
+    "q91_wav_audio_stats",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+                 i -> greatest(least(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS INT),
+                                     32767), -32768)) AS pcm
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id,
+           1 AS channels, 8000 AS sample_rate,
+           CAST(64 AS BIGINT) AS n_frames, 8.0 AS duration_ms,
+           CAST(list_max(list_transform(pcm, x -> abs(x))) AS INT) AS peak,
+           CAST(list_sum(list_transform(pcm, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(range(1, 64),
+                    i -> (pcm[i] >= 0) != (pcm[i + 1] >= 0))) AS BIGINT) AS zero_cross,
+           CAST(pcm[1] AS INT) AS first_s,
+           CAST(pcm[64] AS INT) AS last_s
+    FROM s
+    """,
+    doc="REAL audio codec end-to-end (the audio leg of the multimodal "
+    "stack): embeddings quantize to 64 int16 PCM samples (JVM-side, "
+    "clamped), a mapInPandas stage encodes each row as a mono 8 kHz "
+    "RIFF/WAVE file, and audio_stats parses the actual container "
+    "(operators/multimodal.py::decode_wav — chunk walk, fmt/data, LE "
+    "int16) back to sample stats under strict mode. The oracle "
+    "recomputes every stat from the same quantization — integer math "
+    "plus one float64 divide, so any RIFF/fmt/byte-order bug breaks "
+    "the hash.",
+    bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
+)
+def q91_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from beast_spark.operators.multimodal import audio_stats, encode_wav
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pcm = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.transform(
+            "embedding",
+            lambda v: F.greatest(
+                F.least(F.floor(v.cast("double") * 1000).cast("int"), F.lit(32767)),
+                F.lit(-32768),
+            ),
+        ).alias("pcm"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [encode_wav(8000, 1, list(s)) for s in pdf["pcm"]],
+                }
+            )
+
+    wavs = pcm.mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return audio_stats(wavs, strict=True).select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "peak",
+        "sum_sq",
+        "zero_cross",
+        "first_s",
+        "last_s",
+    )

@@ -146,6 +146,53 @@ def test_resize_preserves_bmp_format():
                             + bytes(range(48))[24:27] + bytes(range(48))[30:33])
 
 
+def test_wav_codec_roundtrip_chunk_walk_and_rejection():
+    """Real WAV codec: encode→decode identity; RIFF chunk-walk tolerance
+    (extra LIST chunk, odd-size padding); non-PCM/truncated rejection."""
+    import struct
+
+    from beast_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    raw = encode_wav(8000, 2, samples)
+    assert decode_wav(raw) == (2, 8000, 3, samples)
+
+    # insert an odd-size LIST chunk between fmt and data (spec: pad to even)
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    tolerant = raw[:fmt_end] + extra + raw[fmt_end:]
+    tolerant = tolerant[:4] + struct.pack("<I", len(tolerant) - 8) + tolerant[8:]
+    assert decode_wav(tolerant) == (2, 8000, 3, samples)
+
+    import pytest as _pytest
+
+    float_fmt = bytearray(raw)
+    struct.pack_into("<H", float_fmt, raw.index(b"fmt ") + 8, 3)  # IEEE float
+    for bad in (b"RIFFxxxx", b"OggS....", bytes(float_fmt), raw[:-3]):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_stats_real_path_and_strict(spark):
+    """WAV content takes the REAL codec path under strict; non-audio
+    content yields NULL stats non-strict / raises strict."""
+    from beast_spark.operators.multimodal import audio_stats, encode_wav
+
+    wav = encode_wav(1000, 1, [100, -200, 300, 0])
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not audio"), (3, None)], "media_id long, content binary"
+    )
+    rows = {r.media_id: r for r in audio_stats(df).collect()}
+    r = rows[1]
+    assert (r.channels, r.sample_rate, r.n_frames, r.duration_ms) == (1, 1000, 4, 4.0)
+    assert (r.peak, r.sum_sq, r.first_s, r.last_s) == (300, 100 * 100 + 200 * 200 + 300 * 300, 100, 0)
+    assert r.zero_cross == 2  # 100→-200 and -200→300 flip sign; 300→0 does not
+    assert rows[2].peak is None and rows[3].peak is None
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        audio_stats(df, strict=True).collect()
+
+
 def test_decode_features_real_path_for_netpbm(spark):
     """netpbm content must take the REAL codec path even under strict,
     and emit decoded-pixel stats, not fake sha256 features."""
