@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from beast_spark.functions.text import (
     fingerprint,
@@ -951,4 +952,127 @@ def q82_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "score", "rank")
+    )
+
+
+@register(
+    "q92_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, h % 4 AS shard,
+             sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT shard,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(sum(CASE WHEN n_tokens > 0
+                          AND (cum - 1) // 2048 <> (cum - n_tokens) // 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+    FROM o GROUP BY shard, pack_id
+    """,
+    doc="Sequence-packing accounting for LLM pretraining (concat-and-chunk): "
+    "docs are laid out in deterministic hash order and chunked every 2048 "
+    "tokens; per pack: docs starting in it, their token mass, and how many "
+    "straddle a chunk boundary. Sharded by id-hash so the cumulative window "
+    "is per-shard — N parallel sorts, no global single-partition window, "
+    "which is what makes the layout computable at 100 TB. Same md5 family "
+    "as q88; the oracle replays shard, order, offsets and boundaries "
+    "bit-exact.",
+)
+def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    t = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        h.alias("h"),
+        (h % 4).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("cum", F.sum("n_tokens").over(w))
+    straddle = (F.col("n_tokens") > 0) & (
+        F.expr("(cum - 1) div 2048") != F.expr("(cum - n_tokens) div 2048")
+    )
+    return (
+        o.withColumn("pack_id", F.expr("(cum - n_tokens) div 2048"))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.sum(F.when(straddle, 1).otherwise(0)).cast("bigint").alias("n_straddle"),
+        )
+    )
+
+
+@register(
+    "q93_stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || ':samp'),1,15))::BIGINT, doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(n_lang) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN rk <= ceil(n_lang * 0.1) THEN 1 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN rk <= ceil(n_lang * 0.1) THEN doc_id END) AS BIGINT) AS sampled_id_sum,
+           CAST(sum(CASE WHEN rk <= ceil(n_lang * 0.1) THEN n_tokens END) AS BIGINT) AS sampled_tokens
+    FROM r GROUP BY lang
+    """,
+    doc="Stratified deterministic sampling: exactly ceil(10%) of every "
+    "language stratum, selected by salted id-hash rank — reproducible "
+    "across runs/engines/appends (unlike sampleBy, which is per-run "
+    "random and only approximate per stratum). The salt (':samp') keeps "
+    "the choice independent of q88's split hash. sampled_id_sum pins the "
+    "EXACT selected set, not just its size. One shuffle on the stratum "
+    "key; at extreme stratum skew swap the rank for a quantile-threshold "
+    "cut, same selection contract.",
+)
+def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":samp")))
+    t = d.select(
+        "lang",
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("h", "doc_id")
+    w_all = Window.partitionBy("lang")
+    r = t.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_lang"),
+    )
+    keep = F.col("rk") <= F.ceil(F.col("n_lang") * 0.1)
+    return r.groupBy("lang").agg(
+        F.max("n_lang").cast("bigint").alias("n_total"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(keep, F.col("doc_id"))).cast("bigint").alias("sampled_id_sum"),
+        F.sum(F.when(keep, F.col("n_tokens"))).cast("bigint").alias("sampled_tokens"),
     )
