@@ -117,6 +117,25 @@ def jaccard_pairs(
     )
 
 
+#: Mersenne prime 2³¹−1: the universal-hash modulus for the md5 MinHash
+#: family. With h, aᵢ < p the affine product stays < 2⁶², inside int64 in
+#: every engine — the property that makes the family cross-engine exact.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_affine_params(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (aᵢ, bᵢ) for the md5 family's k affine permutations.
+
+    Derived from md5 of fixed labels, so any engine (the DuckDB oracle
+    replays these as literals) can recompute them: aᵢ ∈ [1, p−1],
+    bᵢ ∈ [0, p−1]."""
+    from beast_spark.functions.hashing import md5_long_py
+
+    a = [md5_long_py(f"minhash-a:{i}") % (MINHASH_P - 1) + 1 for i in range(k)]
+    b = [md5_long_py(f"minhash-b:{i}") % MINHASH_P for i in range(k)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -144,9 +163,13 @@ def minhash_signatures(
     array<bigint> length k.
 
     ``hash_family``: ``"xxh"`` (default — fastest, Spark-only) or
-    ``"md5"`` — the same construction over the 60-bit md5 prefix from
-    :mod:`beast_spark.functions.hashing`, reproducible bit-exact by any
-    engine with ``md5()`` (this is what the q36 DuckDB oracle replays).
+    ``"md5"`` — ONE md5 per shingle reduced mod p = 2³¹−1, then k
+    universal affine permutations ``(aᵢ·h + bᵢ) mod p`` (Carter–Wegman;
+    aᵢ/bᵢ themselves md5-derived constants, see :func:`minhash_affine_params`).
+    h < p and aᵢ < p keep every product inside int64, so the whole
+    construction is reproducible bit-exact by any engine with ``md5()``
+    and 64-bit integers (this is what the q36 DuckDB oracle replays) —
+    at k× less hashing than deriving each permutation with its own md5.
     """
     from beast_spark.functions.hashing import md5_long
     from beast_spark.functions.text import _shingle_expr
@@ -164,12 +187,13 @@ def minhash_signatures(
             return lambda h: F.xxhash64(h, F.lit(i))
 
     elif hash_family == "md5":
+        a, b = minhash_affine_params(k)
 
         def base(s):
-            return md5_long(s)
+            return md5_long(s) % MINHASH_P
 
         def mk_perm(i):
-            return lambda h: md5_long(F.concat(h.cast("string"), F.lit(f":{i}")))
+            return lambda h: (h * F.lit(a[i]) + F.lit(b[i])) % MINHASH_P
 
     else:
         raise ValueError(f"hash_family must be 'xxh' or 'md5', got {hash_family!r}")

@@ -322,9 +322,15 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # H(s) = first 15 md5 hex digits as a 60-bit long; permutation i rehashes
 # the DECIMAL string of the base hash suffixed ':i' — both exactly what
 # operators/dedup.py::minhash_signatures(hash_family="md5") computes.
+# The md5 family's affine permutations (aᵢ·h + bᵢ) mod p over the
+# 31-bit-reduced base hash — constants recomputed from the same md5
+# labels the Spark side uses (operators/dedup.py::minhash_affine_params).
+from beast_spark.operators.dedup import MINHASH_P, minhash_affine_params  # noqa: E402
+
+_MH_A, _MH_B = minhash_affine_params(16)
 _MINHASH_SIG_SQL = ",\n    ".join(
-    "list_min(list_transform(h, x -> "
-    f"('0x'||substr(md5(x::VARCHAR || ':{i}'),1,15))::BIGINT))" for i in range(16)
+    f"list_min(list_transform(h, x -> (x * {_MH_A[i]} + {_MH_B[i]}) % {MINHASH_P}))"
+    for i in range(16)
 )
 _MINHASH_ORACLE = f"""
     WITH toks AS (
@@ -338,7 +344,8 @@ _MINHASH_ORACLE = f"""
     ),
     base AS (
       SELECT doc_id,
-             list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS h
+             list_transform(shingles,
+                 s -> ('0x'||substr(md5(s),1,15))::BIGINT % {MINHASH_P}) AS h
       FROM sh WHERE len(shingles) >= 1
     ),
     sigs AS (

@@ -60,12 +60,14 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
-            # Slow queries are where run-to-run noise (JIT warmth, GC
-            # timing, residual machine load) distorts most — re-measure
+            # Run-to-run noise (JIT warmth, GC timing, residual machine
+            # load) distorts everything above the trivial tier — re-measure
             # up to twice, keeping the best run, and stop early once a
-            # repeat lands within 20% of the best (converged).
+            # repeat lands within 20% of the best (converged). Sub-0.2s
+            # queries stay single-run: their absolute jitter is in the
+            # noise floor either way.
             tries = 0
-            while elapsed > 1.0 and tries < 2:
+            while elapsed > 0.2 and tries < 2:
                 t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 again = time.perf_counter() - t1
