@@ -79,6 +79,37 @@ def test_sort_within_partitions_plans_no_exchange(spark, sf_dir):
     assert "Sort" in plan and "Exchange" not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Selective dim filter + shuffle join must accept Spark's runtime
+    bloom filter on the fact side (might_contain pushed to the scan) —
+    the 100 TB behavior. Local scans sit below the 10 GB application-side
+    threshold, so the probe lowers it to simulate scale; what the test
+    pins is that OUR star-join shape stays bloom-compatible (a cast or
+    expression on the join key would silently disqualify it forever)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle-join path
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            l.join(sel, l.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session's AQE skew-join config must actually split a hot key at
     runtime: final adaptive plan shows SortMergeJoin(skew=true). Local
