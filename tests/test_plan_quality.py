@@ -79,6 +79,30 @@ def test_sort_within_partitions_plans_no_exchange(spark, sf_dir):
     assert "Sort" in plan and "Exchange" not in plan
 
 
+def test_day_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
+    """Reading the sink's dt=-partitioned layout with a day predicate must
+    prune at the DIRECTORY level (PartitionFilters on the scan), not read
+    every partition and filter rows — the difference between touching one
+    day and touching five years of a 100 TB table."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from beast_spark.streaming.sink import WarehouseSink
+
+    path = str(tmp_path / "wh")
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        df = spark.createDataFrame([(1, day)], "id long, day string").withColumn(
+            "ts", F.to_timestamp("day")
+        )
+        WarehouseSink(table_path=path, partition_col="ts").push(df)
+    scan = spark.read.parquet(path).filter(F.col("dt") == dtm.date(2024, 1, 2))
+    plan = _plan(scan)
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "dt" in pf and "2024-01-02" in pf
+    assert scan.count() == 1
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Selective dim filter + shuffle join must accept Spark's runtime
     bloom filter on the fact side (might_contain pushed to the scan) —
