@@ -354,6 +354,28 @@ def test_jdbc_streaming_exactly_once(spark, tmp_path):
     assert back.select("insert_id").distinct().count() == 7
 
 
+def test_multisink_fans_out_to_parquet_and_jdbc(spark, tmp_path, valid_df):
+    """A10 heterogeneous fan-out (the reference pushes one batch to
+    BigQuery AND the GCS error path): one persist-once push lands the
+    same batch in a parquet warehouse and a real JDBC table."""
+    from beast_spark.streaming.sink import MultiSink
+
+    opts = _derby(spark, tmp_path)
+    multi = MultiSink(
+        [
+            WarehouseSink(table_path=str(tmp_path / "wh")),
+            WarehouseSink(table_path="WH_FAN", fmt="jdbc", write_options=opts),
+        ]
+    )
+    multi.push(valid_df)
+    pq = spark.read.parquet(str(tmp_path / "wh"))
+    jd = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_FAN").load()
+    assert pq.count() == jd.count() == 4
+    assert {r.insert_id for r in pq.select("insert_id").collect()} == {
+        r.insert_id for r in jd.select("insert_id").collect()
+    }
+
+
 def test_write_metrics_observed_without_extra_scan(spark, tmp_path, valid_df):
     """A25 batch face: the sink reports rows written from an observe()
     on the write job itself — no second count() pass."""
