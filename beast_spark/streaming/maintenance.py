@@ -31,7 +31,13 @@ from pyspark.sql import SparkSession
 
 from beast_spark.plans.schema import EXPIRY_PROP
 
-__all__ = ["expired_partitions", "expire_partitions", "compact_partition", "partition_stats"]
+__all__ = [
+    "expired_partitions",
+    "expire_partitions",
+    "compact_partition",
+    "partition_stats",
+    "require_partition_filter",
+]
 
 _DT_RE = re.compile(r"^dt=(\d{4}-\d{2}-\d{2})$")
 
@@ -109,6 +115,29 @@ def expire_partitions(
             spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (dt='{day}')")
         fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
     return [day for day, _ in doomed]
+
+
+def require_partition_filter(df) -> None:
+    """BigQuery's ``requirePartitionFilter=true`` policy (A24,
+    ``BQTableDefinition.java:18-63``): reject a query over a
+    day-partitioned table whose plan does not prune on the partition
+    column — at 100 TB an unfiltered scan of a years-deep table is
+    almost always a bug, and BigQuery refuses to run it.
+
+    Raises ValueError unless every scan of a dt-partitioned relation in
+    the physical plan carries at least one partition filter. Call it on
+    a frame before executing it (policy gate, not an optimizer hook)."""
+    leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "FileSourceScanExec":
+            continue
+        part_cols = list(leaf.relation().partitionSchema().fieldNames())
+        if "dt" in part_cols and leaf.partitionFilters().isEmpty():
+            raise ValueError(
+                "query scans a day-partitioned table without a partition filter "
+                "(requirePartitionFilter policy); add a dt predicate"
+            )
 
 
 def partition_stats(spark: SparkSession, partition_path: str) -> dict:

@@ -82,6 +82,22 @@ def test_expire_needs_a_ttl_source(spark, tmp_path):
         expire_partitions(spark, str(tmp_path / "wh"))
 
 
+def test_require_partition_filter_policy(spark, tmp_path):
+    """A24's requirePartitionFilter=true: an unfiltered scan of the
+    day-partitioned table is rejected; a dt-predicated one passes."""
+    from beast_spark.streaming.maintenance import require_partition_filter
+
+    path = str(tmp_path / "wh")
+    _write_days(spark, path, ["2024-01-01", "2024-02-01"])
+    unfiltered = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="partition filter"):
+        require_partition_filter(unfiltered)
+    filtered = unfiltered.filter(F.col("dt") == "2024-01-01")
+    require_partition_filter(filtered)  # no raise
+    # non-partitioned frames are not policed
+    require_partition_filter(spark.range(5))
+
+
 def test_compaction_rewrites_small_files_preserving_rows(spark, tmp_path):
     path = str(tmp_path / "wh")
     # 6 separate pushes → ≥6 file sets in one day partition
