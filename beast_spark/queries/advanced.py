@@ -395,26 +395,10 @@ def q49_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q53_proto_ingest_roundtrip",
-    oracle="""
-    SELECT event_id, event_type, user_id, ts,
-           floor((value) * 100 + 0.5) / 100 AS value,
-           props
-    FROM events
-    """,
-    doc="Full ingest pipeline as a query: events rows → proto-encode "
-    "(wire codec, mapInPandas) → Kafka-shaped frame → ProtoIngest decode/"
-    "map/metadata → original values back out (proto3 zero-elision "
-    "re-coalesced). Oracle = the source table itself: an encode/decode "
-    "identity check across 10k+ rows per SF.",
-)
-def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.plans.protowire import PField, encode_message
-    from beast_spark.streaming.ingest import ProtoIngest
-    from pyspark.sql import types as T
+def _q53_proto():
+    from beast_spark.plans.protowire import PField
 
-    proto = (
+    return (
         PField(1, "event_id", "int64"),
         PField(2, "ts", "timestamp"),
         PField(3, "user_id", "int64"),
@@ -422,6 +406,19 @@ def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         PField(5, "value", "double"),
         PField(6, "props", "string"),
     )
+
+
+Q53_PROTO = _q53_proto()
+
+
+def kafka_shaped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table proto-encoded into a Kafka-shaped frame (the test
+    harness's stand-in for A1's source; also used by bench.py to time the
+    decode leg alone)."""
+    from beast_spark.plans.protowire import encode_message
+    from pyspark.sql import types as T
+
+    proto = Q53_PROTO
     e = load_table(spark, sf_dir, "events")
 
     kafka_schema = T.StructType(
@@ -468,8 +465,27 @@ def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # events arrives as one parquet file → repartition so the Python
     # encode/decode stages use all cores (Arrow batches per partition).
-    kafka_shaped = e.repartition(16).mapInPandas(encode_batches, kafka_schema)
-    valid, _ = ProtoIngest(proto).apply(kafka_shaped)
+    return e.repartition(16).mapInPandas(encode_batches, kafka_schema)
+
+
+@register(
+    "q53_proto_ingest_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id, ts,
+           floor((value) * 100 + 0.5) / 100 AS value,
+           props
+    FROM events
+    """,
+    doc="Full ingest pipeline as a query: events rows → proto-encode "
+    "(wire codec, mapInPandas) → Kafka-shaped frame → ProtoIngest decode/"
+    "map/metadata → original values back out (proto3 zero-elision "
+    "re-coalesced). Oracle = the source table itself: an encode/decode "
+    "identity check across 10k+ rows per SF.",
+)
+def q53_proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ingest import ProtoIngest
+
+    valid, _ = ProtoIngest(Q53_PROTO).apply(kafka_shaped_events(spark, sf_dir))
     # proto3 elision turned zeros into NULLs (reference semantics,
     # RowMapper.java:61); re-coalesce for the identity comparison.
     return valid.select(
