@@ -1083,3 +1083,105 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, F.col("doc_id"))).cast("bigint").alias("sampled_id_sum"),
         F.sum(F.when(keep, F.col("n_tokens"))).cast("bigint").alias("sampled_tokens"),
     )
+
+
+_EMBED_PAIRS_SQL = """
+    planes AS (
+      SELECT b.p,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS p) b
+    ),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT ev.vec_id, planes.p, list_dot_product(ev.v, planes.comp) AS dp
+      FROM ev, planes
+    ),
+    bkt AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    embed_pairs AS (
+      SELECT a.vec_id AS doc1, bb.vec_id AS doc2
+      FROM bkt a
+      JOIN bkt bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      JOIN ev av ON av.vec_id = a.vec_id
+      JOIN ev bv ON bv.vec_id = bb.vec_id
+      WHERE list_dot_product(av.v, bv.v)
+            / (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v)))
+            >= 0.42
+    )
+"""
+
+
+@register(
+    "q94_multisignal_dedup",
+    oracle="WITH RECURSIVE "
+    + _EMBED_PAIRS_SQL
+    + r""",
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    text_pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc1, doc2 FROM text_pairs
+      UNION
+      SELECT doc1, doc2 FROM embed_pairs
+    ),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM clusters
+    """,
+    doc="Multi-signal dedup — the composition a production corpus dedup "
+    "actually runs: EXACT duplicates (normalized-text fingerprint "
+    "self-join on the hash key) UNION SEMANTIC near-duplicates "
+    "(embedding cosine over shared md5-Rademacher LSH buckets, the q85 "
+    "scale path; documents and embeddings share ids) → one edge set → "
+    "connected components → (doc, cluster, cluster size). No quadratic "
+    "stage: both generators are bucketed equi-joins, the components are "
+    "O(diameter) label-propagation rounds. Oracle: both pair sets "
+    "replayed exactly, then a recursive CTE over the same graph.",
+    bench=False,
+    bench_reason="iterative label propagation; both pair generators are benched (q85/q30)",
+)
+def q94_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.text import fingerprint
+    from beast_spark.operators.dedup import dedup_clusters
+    from beast_spark.operators.similarity import lsh_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = d.select("doc_id", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    text_pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    embed_pairs = lsh_neardup_pairs(
+        e, dims=64, threshold=0.42, planes=hyperplanes_md5(64, 6)
+    ).select(F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"))
+    pairs = text_pairs.union(embed_pairs).distinct()
+    clusters = dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size")
+    )
