@@ -146,6 +146,44 @@ def test_resize_preserves_bmp_format():
                             + bytes(range(48))[24:27] + bytes(range(48))[30:33])
 
 
+def test_media_codec_roundtrip_properties():
+    """Property-based: encode→decode is the identity for ALL dims/content
+    on every real codec (netpbm, BMP incl. pad widths, WAV incl. multi-
+    channel) — the hypothesis sweep covers the stride/pad edge cases a
+    hand-picked geometry can miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from beast_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(1, 3), st.data())
+    def roundtrip_images(w, h, ch, data):
+        if ch == 2:
+            ch = 1  # netpbm/BMP are 1- or 3-channel
+        px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)))
+        assert decode_image(encode_ppm(w, h, px, channels=ch)) == (ch, w, h, px)
+        if ch == 3:
+            assert decode_bmp(encode_bmp(w, h, px)) == (3, w, h, px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 3), st.integers(1, 40), st.data())
+    def roundtrip_wav(ch, frames, data):
+        n = ch * frames
+        s = data.draw(st.lists(st.integers(-32768, 32767), min_size=n, max_size=n))
+        assert decode_wav(encode_wav(8000, ch, s)) == (ch, 8000, frames, s)
+
+    roundtrip_images()
+    roundtrip_wav()
+
+
 def test_wav_codec_roundtrip_chunk_walk_and_rejection():
     """Real WAV codec: encode→decode identity; RIFF chunk-walk tolerance
     (extra LIST chunk, odd-size padding); non-PCM/truncated rejection."""
