@@ -49,7 +49,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="beast_spark_bench")
+    # Scan-split sizing is a DATA×CLUSTER decision: partitions should land
+    # at a few × cores. Spark's 128MB default is right at warehouse scale
+    # but leaves the bench's 1-11MB tables on 1-3 partitions of a 32-core
+    # machine — single-threaded scans measuring scheduler latency, not the
+    # engine. 1MB splits the largest local table ~11 ways; override via
+    # SPARK_GRAFT_MAX_PARTITION_BYTES when benching bigger SFs.
+    spark = get_spark(
+        app_name="beast_spark_bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "1MB"
+            )
+        },
+    )
 
     # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
