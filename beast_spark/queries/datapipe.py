@@ -1185,3 +1185,96 @@ def q94_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size")
     )
+
+
+@register(
+    "q95_table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           floor((min(l_quantity)) * 100 + 0.5) / 100 AS min_v,
+           floor((max(l_quantity)) * 100 + 0.5) / 100 AS max_v,
+           floor((avg(l_quantity)) * 100 + 0.5) / 100 AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           floor((min(l_extendedprice)) * 100 + 0.5) / 100,
+           floor((max(l_extendedprice)) * 100 + 0.5) / 100,
+           floor((avg(l_extendedprice)) * 100 + 0.5) / 100
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           floor((min(l_discount)) * 100 + 0.5) / 100,
+           floor((max(l_discount)) * 100 + 0.5) / 100,
+           floor((avg(l_discount)) * 100 + 0.5) / 100
+    FROM lineitem
+    """,
+    doc="ANALYZE-style column profiling (null count, exact distinct, "
+    "min/max/mean per column) in ONE scan: the Spark side computes every "
+    "column's stats in a single aggregate pass and unpivots — at 100 TB "
+    "you profile N columns for the price of one table read, not N. The "
+    "profiling a training-data pipeline runs for schema-drift detection.",
+)
+def q95_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            rnd(F.min(c), 2).alias(f"{c}__min"),
+            rnd(F.max(c), 2).alias(f"{c}__max"),
+            rnd(F.avg(c), 2).alias(f"{c}__mean"),
+        ]
+    one = l.agg(*aggs)
+    # unpivot the single stats row into one row per column
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").cast("bigint").alias("n_nonnull"),
+                F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_v"),
+                F.col(f"{c}__max").cast("double").alias("max_v"),
+                F.col(f"{c}__mean").cast("double").alias("mean_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+@register(
+    "q96_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(l_quantity / 5.0), 9) AS BIGINT) AS bucket
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    )
+    SELECT bucket,
+           5.0 * bucket AS lo,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+    doc="Equi-width histogram (10 buckets of width 5 over l_quantity, "
+    "top bucket clamped): one groupBy on a computed bucket key — the "
+    "shuffle moves 10 rows regardless of table size. The distribution "
+    "profile behind drift monitoring and skew diagnosis.",
+)
+def q96_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_quantity") / 5.0), F.lit(9)).cast("bigint")
+    return (
+        l.filter(F.col("l_quantity").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.lit(5.0) * F.col("bucket")).alias("lo"), "n")
+    )
