@@ -38,8 +38,13 @@ def kafka_options(
 
 
 def kafka_source_available(spark: SparkSession) -> bool:
+    # Class.forName, NOT attribute access: py4j resolves a missing class
+    # path to a JavaPackage object without raising, which made the
+    # attribute-probe version report the connector present when it isn't.
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False

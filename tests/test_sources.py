@@ -92,3 +92,37 @@ def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
     assert "o_custkey" not in read_schema  # untouched columns pruned
+
+
+def test_kafka_option_wiring_contract(spark):
+    """A1 option wiring (BeastFactory.java:193-202, KafkaConfig.java:17-29):
+    regex subscription via subscribePattern, startingOffsets passthrough,
+    MAX_POLL_RECORDS default mapped to maxOffsetsPerTrigger=500, and the
+    connector gate raising a clear error (jar absent from the container,
+    probe documented in COVERAGE.md)."""
+    from beast_spark.streaming.kafka import (
+        kafka_options,
+        kafka_source_available,
+        read_stream,
+    )
+
+    opts = kafka_options(brokers="b1:9092,b2:9092", topic_pattern="orders-.*")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribePattern": "orders-.*",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "500",  # KAFKA_CONSUMER_MAX_POLL_RECORDS default
+    }
+    # explicit earliest + unbounded batches
+    opts = kafka_options(
+        brokers="b:9092", topic_pattern="t", starting_offsets="earliest",
+        max_offsets_per_trigger=None, fail_on_data_loss=False,
+    )
+    assert opts["startingOffsets"] == "earliest"
+    assert "maxOffsetsPerTrigger" not in opts
+    assert opts["failOnDataLoss"] == "false"
+
+    assert not kafka_source_available(spark)
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_stream(spark, brokers="b:9092", topic_pattern="t")
