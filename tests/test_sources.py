@@ -126,3 +126,51 @@ def test_kafka_option_wiring_contract(spark):
     assert not kafka_source_available(spark)
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_stream(spark, brokers="b:9092", topic_pattern="t")
+
+
+def test_write_sorted_clusters_row_groups_for_skipping(spark, tmp_path):
+    """Sort-on-write must produce parquet row groups with narrow,
+    mostly-disjoint min/max ranges on the sort column (the stats any
+    engine uses to skip row groups); an unsorted write of the same data
+    produces full-range row groups that can never be skipped."""
+    import pyarrow.parquet as pq
+
+    from beast_spark.sources.files import write_sorted
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .selectExpr("cast(hash(id) % 100000 as long) as k", "id as payload")
+        .repartition(4)
+    )
+    # force several row groups per file so skipping has units to work on
+    small_rg = {"parquet.block.size": str(64 * 1024)}
+    unsorted, srt = str(tmp_path / "unsorted"), str(tmp_path / "sorted")
+    df.write.options(**small_rg).mode("overwrite").parquet(unsorted)
+    df.sortWithinPartitions("k").write.options(**small_rg).mode("overwrite").parquet(srt)
+    write_sorted(df, str(tmp_path / "api"), ["k"])  # API smoke
+
+    def ranges(path):
+        import glob as g
+
+        spans = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ki = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "k"
+            )
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(ki).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    full = max(x for _, x in ranges(unsorted)) - min(x for x, _ in ranges(unsorted))
+    sorted_spans = ranges(srt)
+    assert len(sorted_spans) >= 8  # several row groups — skipping has units
+    avg_span = sum(hi - lo for lo, hi in sorted_spans) / len(sorted_spans)
+    # sorted row groups cover a small slice of the domain; unsorted ones
+    # cover essentially all of it
+    assert avg_span < full * 0.35
+    unsorted_avg = sum(hi - lo for lo, hi in ranges(unsorted)) / len(ranges(unsorted))
+    assert unsorted_avg > full * 0.9
