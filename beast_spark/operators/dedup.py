@@ -213,6 +213,137 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    sigs: DataFrame, k: int, bands: int, hash_family: str = "xxh"
+) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, signature) frame — the LSH
+    banding step, shared by full and incremental dedup. md5 family: the
+    bucket is the md5 hex of the band's signature slice (engine-
+    replayable); xxh: one xxhash64 over the slice."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+
+    def bucket_expr(cols):
+        if hash_family == "md5":
+            return F.md5(
+                F.encode(F.concat_ws("|", *[c.cast("string") for c in cols]), "UTF-8")
+            )
+        return F.xxhash64(*cols)
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_expr(
+                            [F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_pairs(
+    existing_sigs: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+    hash_family: str = "xxh",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCREMENT against an already-deduped corpus without
+    recomputing it: returns ``(new_sigs, pairs)`` where pairs involve at
+    least one new document (new-vs-new and new-vs-existing; the
+    existing-vs-existing pairs were found when the corpus was built).
+
+    This is how a 100 TB corpus absorbs nightly appends: signatures are
+    materialized once (``existing_sigs`` = the persisted signature
+    table, (doc_id, signature)), each increment only shingles ITS OWN
+    documents, and candidate generation is the same band equi-join over
+    the union of bucket memberships. Union the returned ``new_sigs``
+    into the signature table afterwards. Exactness: pairs(full corpus) ==
+    pairs(existing) ∪ pairs(increment) for any split (tested). Caveat:
+    ``max_bucket`` is evaluated on the UNION's bucket size, so a bucket
+    that crosses the cap only once the increment lands is dropped here
+    exactly as a full recompute would drop it — the two sides stay
+    consistent, but a cap-crossing bucket's older pairs remain from the
+    earlier run (dedup keeps found pairs; it never un-finds them)."""
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
+    ).persist()
+    all_sigs = existing_sigs.select("doc_id", "signature").unionByName(new_sigs)
+    banded = band_signatures(all_sigs, k=k, bands=bands, hash_family=hash_family)
+    new_ids = new_sigs.select(F.col("doc_id").alias("_nid"))
+    tagged = banded.join(
+        F.broadcast(new_ids.withColumn("_is_new", F.lit(True))),
+        banded.doc_id == F.col("_nid"),
+        "left",
+    ).select("doc_id", "band", "bucket", F.coalesce("_is_new", F.lit(False)).alias("is_new"))
+    buckets = (
+        tagged.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(F.collect_set("doc_id")).alias("docs"),
+            F.array_sort(F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))).alias(
+                "new_docs"
+            ),
+        )
+        # only buckets a NEW doc touches can yield new pairs; the cap
+        # guards the same degenerate buckets as the full pass
+        .filter(
+            (F.size("new_docs") >= 1) & (F.size("docs") >= 2) & (F.size("docs") <= max_bucket)
+        )
+    )
+    pairs = buckets.select(
+        F.col("new_docs"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size("docs")),
+                        lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).filter(
+        F.array_contains("new_docs", F.col("p.doc1"))
+        | F.array_contains("new_docs", F.col("p.doc2"))
+    )
+    cand = pairs.select("p.doc1", "p.doc2").distinct()
+    s1 = all_sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
+    s2 = all_sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))
+    est = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig1", "sig2", lambda a, b: F.when(a == b, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(k)),
+                4,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+    return new_sigs, est
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,36 +368,13 @@ def minhash_lsh_pairs(
     """
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
-    r = k // bands
-
-    def bucket_expr(cols):
-        if hash_family == "md5":
-            return F.md5(
-                F.encode(F.concat_ws("|", *[c.cast("string") for c in cols]), "UTF-8")
-            )
-        return F.xxhash64(*cols)
     # Signatures are consumed three times (banding + both estimate-join
     # sides) but are tiny (one row of k longs per doc) while their
     # subtree — shingle + hash the whole corpus — is the expensive part.
     # Persist the signatures so the corpus is shingled exactly once; at
     # warehouse scale the equivalent is materializing sigs to a table.
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, hash_family=hash_family).persist()
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_expr(
-                            [F.col("signature")[b * r + j] for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = band_signatures(sigs, k=k, bands=bands, hash_family=hash_family)
     # Candidate pairs straight from the bucket contents: one shuffle for
     # the groupBy, pair expansion stays in codegen (array lambdas), and
     # the max_bucket guard is a size filter on the collected set — no

@@ -419,6 +419,40 @@ def test_exact_percentiles_all_null_group_surfaces_null(spark):
     assert rows == {"a": 2.0, "b": None}
 
 
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
+    """Incremental dedup exactness: for an 80/20 corpus split,
+    pairs(full) == pairs(existing 80) ∪ incremental(20 vs 80) — the
+    nightly-append contract that lets a 100 TB corpus keep a signature
+    table instead of re-shingling everything."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(k=16, bands=8, threshold=0.2, hash_family="md5")
+
+    def pairset(df_pairs):
+        return {(r.doc1, r.doc2, r.est_jaccard) for r in df_pairs.collect()}
+
+    full = pairset(minhash_lsh_pairs(d, "doc_id", "text", **kw))
+    existing = pairset(minhash_lsh_pairs(old, "doc_id", "text", **kw))
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    new_sigs, inc = incremental_minhash_pairs(old_sigs, new, "doc_id", "text", **kw)
+    assert existing | pairset(inc) == full
+    assert existing.isdisjoint(pairset(inc))  # no re-found old pairs
+    # returned signatures are exactly the increment's (union-ready)
+    assert new_sigs.count() == minhash_signatures(
+        new, "doc_id", "text", k=16, hash_family="md5"
+    ).count()
+
+
 def test_kmeans_lite_monotone_and_deterministic(spark, sf_dir):
     """Lloyd rounds must not increase quantization error, and the fixed
     init + fixed iterations must be bit-reproducible across runs."""
