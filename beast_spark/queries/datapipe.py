@@ -1278,3 +1278,30 @@ def q96_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bucket", (F.lit(5.0) * F.col("bucket")).alias("lo"), "n")
     )
+
+
+@register(
+    "q97_incremental_dedup",
+    oracle="WITH full_pairs AS (" + _MINHASH_ORACLE + """)
+    SELECT doc1, doc2, est_jaccard FROM full_pairs
+    WHERE doc1 % 5 = 0 OR doc2 % 5 = 0
+    """,
+    doc="Incremental dedup against a persisted signature table "
+    "(operators/dedup.py::incremental_minhash_pairs): documents split "
+    "80/20 by id, the 20% increment is shingled ALONE and banded against "
+    "the existing signatures — the nightly-append path at 100 TB. The "
+    "oracle exploits the proven equivalence pairs(increment) == "
+    "pairs(full corpus) restricted to pairs touching a new doc: it "
+    "replays the full q36 construction and filters to new-doc pairs.",
+)
+def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import incremental_minhash_pairs, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    _, pairs = incremental_minhash_pairs(
+        old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    )
+    return pairs
