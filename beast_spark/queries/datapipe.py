@@ -1300,7 +1300,9 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
-    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    # the "persisted signature table" of the contract: shingle the old
+    # corpus ONCE (in production this is a parquet read, not a persist)
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5").persist()
     _, pairs = incremental_minhash_pairs(
         old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
     )
