@@ -68,6 +68,16 @@ def exact_percentiles(
     # Groups whose values are ALL NULL vanish from `counts`; SQL
     # percentile()/quantile_cont returns such groups with a NULL result,
     # so surface them via a left join from the distinct key frame (tiny:
-    # one row per group, broadcast-joined in practice).
-    keys = df.select(*key_cols).distinct()
-    return keys.join(result, on=key_cols, how="left")
+    # one row per group, broadcast-joined in practice). NULL is a valid
+    # group key under groupBy semantics, so the join must be null-safe —
+    # plain `on=key_cols` would orphan a NULL-keyed group's computed row.
+    keys = df.select(*key_cols).distinct().alias("_pk")
+    res = result.alias("_pr")
+    cond = None
+    for c in key_cols:
+        term = F.col(f"_pk.{c}").eqNullSafe(F.col(f"_pr.{c}"))
+        cond = term if cond is None else (cond & term)
+    return keys.join(res, on=cond, how="left").select(
+        *[F.col(f"_pk.{c}").alias(c) for c in key_cols],
+        *[F.col(f"_pr.{name}").alias(name) for name in quantiles],
+    )

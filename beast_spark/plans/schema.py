@@ -177,9 +177,11 @@ def table_properties_ddl(
     changed = {k: v for k, v in desired.items() if current.get(k) != v}
     dropped = [k for k in current if managed(k) and k not in desired]
     ddls: list[str] = []
-    # SQL-literal escaping: a label value holding a quote must not produce
-    # malformed (or injectable) DDL.
-    esc = lambda s: str(s).replace("'", "''")  # noqa: E731
+    # SQL-literal escaping: a label value holding a quote or backslash must
+    # not produce malformed (or injectable) DDL. Backslashes double first —
+    # with the default escapedStringLiterals=false a trailing '\' would
+    # otherwise escape the closing quote.
+    esc = lambda s: str(s).replace("\\", "\\\\").replace("'", "''")  # noqa: E731
     if changed:
         props = ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in sorted(changed.items()))
         ddls.append(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")

@@ -35,11 +35,13 @@ __all__ = [
     "expired_partitions",
     "expire_partitions",
     "compact_partition",
+    "recover_compaction",
     "partition_stats",
     "require_partition_filter",
 ]
 
 _DT_RE = re.compile(r"^dt=(\d{4}-\d{2}-\d{2})$")
+_REPLACED_RE = re.compile(r"^\.dt=(\d{4}-\d{2}-\d{2})\.replaced$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -140,6 +142,37 @@ def require_partition_filter(df) -> None:
             )
 
 
+def recover_compaction(spark: SparkSession, table_path: str) -> list[str]:
+    """Heal crashed compaction swaps; returns the recovered days.
+
+    :func:`compact_partition`'s swap is two renames (live → ``.replaced``,
+    tmp → live). A crash between them leaves the partition's data alive
+    but invisible in ``.dt=<day>.replaced``. This scans the table root for
+    such orphans and renames them back to ``dt=<day>`` whenever the live
+    dir is missing; a ``.replaced`` dir WITH a live sibling is a completed
+    swap whose cleanup delete didn't run, so it is deleted instead. Safe
+    to run any time (startup, cron, before each compaction — and
+    ``compact_partition`` runs it automatically)."""
+    fs, root, jvm = _fs(spark, table_path)
+    if not fs.exists(root):
+        return []
+    Path = jvm.org.apache.hadoop.fs.Path
+    recovered: list[str] = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        m = _REPLACED_RE.match(status.getPath().getName())
+        if not m:
+            continue
+        day = m.group(1)
+        live = Path(f"{table_path}/dt={day}")
+        if fs.exists(live):
+            fs.delete(status.getPath(), True)  # swap finished; orphan cleanup
+        elif fs.rename(status.getPath(), live):
+            recovered.append(day)
+    return sorted(recovered)
+
+
 def partition_stats(spark: SparkSession, partition_path: str) -> dict:
     """{n_files, total_bytes} of the data files in one partition dir."""
     fs, root, _ = _fs(spark, partition_path)
@@ -163,11 +196,19 @@ def compact_partition(
 
     Skips partitions already at/below ``min_files``. The rewrite is
     read → repartition(ceil(bytes/target)) → write to a sibling temp dir
-    → atomic directory swap, so readers never see a half-compacted
-    partition; the swapped-out originals are deleted last. Returns
-    before/after stats. Run per-partition from an orchestrator (each
-    partition is independent — embarrassingly parallel across days).
+    → two-rename directory swap (live → ``.replaced``, tmp → live), so
+    readers never see a HALF-compacted partition — but there IS a brief
+    window between the two renames where the partition is absent
+    entirely, and a crash inside that window strands the data in the
+    hidden ``.dt=<day>.replaced`` dir. Both are handled: each run first
+    calls :func:`recover_compaction` on the table, which restores any
+    ``.replaced`` dir whose live partition is missing, so a crashed swap
+    heals on the next maintenance pass (or an explicit recovery call).
+    Returns before/after stats. Run per-partition from an orchestrator
+    (each partition is independent — embarrassingly parallel across
+    days).
     """
+    recover_compaction(spark, table_path)
     part_path = f"{table_path}/dt={day}"
     before = partition_stats(spark, part_path)
     if before["n_files"] <= min_files:

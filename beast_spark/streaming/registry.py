@@ -170,7 +170,21 @@ class ProtoUpdateWatcher:
         # the top of every poll to refresh the watched file from upstream.
         self.fetcher = fetcher
         if fetcher is not None:
-            fetcher()  # eager first fetch (createStencilClient parity)
+            # Eager first fetch (createStencilClient parity) — but with the
+            # same cache-on-error behavior as poll(): a registry outage at
+            # watcher startup falls back to a previously materialized file
+            # instead of preventing construction. Only when no cached
+            # registry exists is the fetch failure fatal.
+            import os
+
+            try:
+                fetcher()
+            except Exception:
+                if not os.path.exists(registry_path):
+                    raise
+                _log.warning(
+                    "eager registry fetch failed; starting from cached descriptors"
+                )
         # Startup mirrors createStencilClient's eager first update: load
         # the current descriptors and build the live parser immediately.
         self.schema = load_registry(registry_path)
@@ -200,12 +214,14 @@ class ProtoUpdateWatcher:
         digest = self._file_digest()
         if digest == self._digest:
             return None
-        new_schema = load_registry(self.registry_path)
         # Validate BEFORE touching the query: a mapping rejection
         # (metadata collision) or an incompatible diff (type change —
         # plan() dry-runs schema_diff without executing DDL) must leave
-        # the stream running.
+        # the stream running. load_registry is INSIDE the try: a push that
+        # is valid JSON but the wrong shape (missing 'number' → KeyError)
+        # must surface as TableUpdateFailure so watch() survives it.
         try:
+            new_schema = load_registry(self.registry_path)
             new_ingest = self._validated_ingest(new_schema)
             self.evolver.plan(spark_schema_for(self.schema), spark_schema_for(new_schema))
         except TableUpdateFailure:

@@ -118,6 +118,26 @@ def test_property_values_with_quotes_escape_cleanly(spark, tmp_path):
     spark.sql("DROP TABLE evo_test.esc")
 
 
+def test_property_values_with_backslashes_escape_cleanly(spark, tmp_path):
+    """With escapedStringLiterals=false a value ending in '\\' would
+    escape the closing quote — backslashes must double before quote
+    doubling and still round-trip unescaped (ADVICE r3)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
+    spark.sql("DROP TABLE IF EXISTS evo_test.bs")
+    spark.sql(
+        f"CREATE TABLE evo_test.bs (id bigint) USING parquet LOCATION '{tmp_path}/bs'"
+    )
+    value = "C:\\data\\"  # trailing backslash: the malformed-DDL trigger
+    ev = SchemaEvolver(table="evo_test.bs", labels={"path": value})
+    ddls = ev.sync_properties(spark)
+    assert ddls == [
+        "ALTER TABLE evo_test.bs SET TBLPROPERTIES ('label.path'='C:\\\\data\\\\')"
+    ]
+    assert ev.current_properties(spark)["label.path"] == value
+    assert ev.sync_properties(spark) == []  # diff compares unescaped values
+    spark.sql("DROP TABLE evo_test.bs")
+
+
 def test_evolve_applies_property_sync_with_ddl(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS evo_test")
     spark.sql("DROP TABLE IF EXISTS evo_test.q")

@@ -16,6 +16,7 @@ from beast_spark.streaming.maintenance import (
     expire_partitions,
     expired_partitions,
     partition_stats,
+    recover_compaction,
 )
 from beast_spark.streaming.sink import WarehouseSink
 
@@ -119,6 +120,49 @@ def test_compaction_rewrites_small_files_preserving_rows(spark, tmp_path):
     # already-compact partition: no-op
     again = compact_partition(spark, path, "2024-02-01", target_file_bytes=1 << 30)
     assert not again["compacted"]
+
+
+def test_compaction_crash_between_renames_recovers(spark, tmp_path):
+    """A crash between the two swap renames leaves the partition's data
+    stranded in the hidden .dt=<day>.replaced dir (ADVICE r3: invisible
+    to readers, no recovery). recover_compaction must restore it, and
+    compact_partition must self-heal by running recovery first."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "wh")
+    _write_days(spark, path, ["2024-02-01"], rows_per_day=20)
+    rows = {r.id for r in spark.read.parquet(path).collect()}
+
+    # Simulate the crash window: live renamed to .replaced, tmp never
+    # swapped in → the partition is missing entirely.
+    os.rename(f"{path}/dt=2024-02-01", f"{path}/.dt=2024-02-01.replaced")
+    assert not glob.glob(f"{path}/dt=*")
+
+    assert recover_compaction(spark, path) == ["2024-02-01"]
+    assert {r.id for r in spark.read.parquet(path).collect()} == rows
+    assert not glob.glob(f"{path}/.dt=*")
+    assert recover_compaction(spark, path) == []  # idempotent
+
+    # A completed swap whose cleanup delete crashed: stale .replaced
+    # beside a live partition is deleted, not restored.
+    shutil.copytree(f"{path}/dt=2024-02-01", f"{path}/.dt=2024-02-01.replaced")
+    assert recover_compaction(spark, path) == []
+    assert not glob.glob(f"{path}/.dt=*")
+    assert {r.id for r in spark.read.parquet(path).collect()} == rows
+
+    # compact_partition self-heals: crash state in, compacted table out.
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(1000 + batch * 20 + j, "2024-02-02") for j in range(20)],
+            "id long, day string",
+        ).withColumn("ts", F.to_timestamp("day"))
+        WarehouseSink(table_path=path, partition_col="ts").push(df)
+    os.rename(f"{path}/dt=2024-02-01", f"{path}/.dt=2024-02-01.replaced")
+    result = compact_partition(spark, path, "2024-02-02", target_file_bytes=1 << 30)
+    assert result["compacted"]
+    assert glob.glob(f"{path}/dt=2024-02-01")  # recovered by the compaction run
+    assert {r.id for r in spark.read.parquet(path).collect()} > rows
 
 
 def test_compaction_respects_target_file_size(spark, tmp_path):

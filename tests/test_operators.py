@@ -419,6 +419,27 @@ def test_exact_percentiles_all_null_group_surfaces_null(spark):
     assert rows == {"a": 2.0, "b": None}
 
 
+def test_exact_percentiles_null_key_group_keeps_value(spark):
+    """groupBy groups NULL keys; percentile() returns a value for the
+    NULL-key group. The all-NULL-group key join must be null-safe or the
+    NULL-keyed group's computed percentile silently becomes NULL
+    (ADVICE r3: eqNullSafe)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.percentiles import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)],
+        "k string, v double",
+    )
+    rows = {r.k: r.p50 for r in exact_percentiles(df, ["k"], "v", {"p50": 0.5}).collect()}
+    ref = {
+        r.k: r.p
+        for r in df.groupBy("k").agg(F.expr("percentile(v, 0.5)").alias("p")).collect()
+    }
+    assert rows == ref == {"a": 2.0, None: 20.0}
+
+
 def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
     """Incremental dedup exactness: for an 80/20 corpus split,
     pairs(full) == pairs(existing 80) ∪ incremental(20 vs 80) — the

@@ -322,6 +322,52 @@ def test_http_fetcher_rejects_non_json_payload(tmp_path):
         server.close()
 
 
+def test_malformed_shape_push_survives_watch_loop(spark, tmp_path):
+    """A push that is valid JSON but the wrong SHAPE (missing 'number' →
+    KeyError inside load_registry) must be wrapped as TableUpdateFailure
+    so watch() survives it — the sidecar must outlive a bad registry push
+    (ADVICE r3: load_registry was outside the validation try)."""
+    import json
+
+    import beast_spark.streaming.registry as reg_mod
+
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None))
+    with open(reg, "w") as fh:
+        json.dump([{"name": "order_number", "type": "string"}], fh)  # no 'number'
+    with pytest.raises(TableUpdateFailure, match="registry refresh"):
+        watcher.poll()
+    assert watcher.schema == V1  # old parser stays live
+
+    old_sleep = reg_mod._sleep
+    reg_mod._sleep = lambda s: None
+    try:
+        watcher.watch(interval_s=0.0, max_polls=2)  # must not raise
+    finally:
+        reg_mod._sleep = old_sleep
+    assert watcher.schema == V1
+
+
+def test_eager_fetch_outage_falls_back_to_cached_file(spark, tmp_path):
+    """A registry outage at watcher STARTUP must fall back to a previously
+    materialized registry file, like poll()'s cache-on-error (ADVICE r3);
+    with no cached file the failure is fatal."""
+
+    def dead_fetcher():
+        raise OSError("registry unreachable")
+
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, V1)  # previously materialized cache
+    watcher = ProtoUpdateWatcher(reg, spark, SchemaEvolver(table=None), fetcher=dead_fetcher)
+    assert watcher.schema == V1  # constructed from the cache
+
+    with pytest.raises(OSError, match="unreachable"):
+        ProtoUpdateWatcher(
+            str(tmp_path / "absent.json"), spark, SchemaEvolver(table=None), fetcher=dead_fetcher
+        )
+
+
 def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS reg_test")
     spark.sql("DROP TABLE IF EXISTS reg_test.t")
