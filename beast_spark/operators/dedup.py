@@ -32,6 +32,8 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "incremental_minhash_pairs",
+    "incremental_minhash_pairs_indexed",
     "simhash_signatures",
     "simhash_pairs",
 ]
@@ -342,6 +344,128 @@ def incremental_minhash_pairs(
         .select("doc1", "doc2", "est_jaccard")
     )
     return new_sigs, est
+
+
+def existing_bucket_docs(existing_index: DataFrame, touched: DataFrame) -> DataFrame:
+    """Existing docs per touched (band, bucket): the ONLY read of the
+    persisted corpus-side state an indexed increment performs.
+
+    ``existing_index`` is the materialized (doc_id, band, bucket) band
+    table; ``touched`` the (band, bucket) set the increment lands in —
+    O(increment) rows, broadcast. The semi-join filters the index scan
+    without shuffling it (BroadcastHashJoin preserves the streamed
+    side's partitioning), and when the index table is BUCKETED by
+    (band, bucket) (``sources/bucketing.py::write_bucketed``) the groupBy
+    clusters on the scan's own distribution — the whole corpus side runs
+    with ZERO shuffle Exchange, test-asserted. This is the O(increment)
+    vs O(corpus) difference for a nightly append at 100 TB."""
+    return (
+        existing_index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ex_docs"))
+    )
+
+
+def incremental_minhash_pairs_indexed(
+    existing_index: DataFrame,
+    existing_sigs: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+    hash_family: str = "xxh",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup an increment against a PERSISTED band/bucket index: returns
+    ``(new_sigs, new_bands, pairs)``.
+
+    :func:`incremental_minhash_pairs` avoids re-shingling the corpus but
+    still re-bands and re-shuffles every existing signature per
+    increment. This variant reads the banding from ``existing_index``
+    (the (doc_id, band, bucket) table :func:`band_signatures` produced
+    when each batch was absorbed — persist it bucketed by (band, bucket))
+    so the corpus side is never re-hashed, never re-banded, and never
+    re-shuffled: the increment's touched buckets are broadcast into a
+    semi-join filter on the index scan and the per-bucket aggregation
+    rides the table's own bucketing (see :func:`existing_bucket_docs`).
+    Append the returned ``new_sigs`` / ``new_bands`` to their tables
+    afterwards and the next increment pays the same O(increment) cost.
+
+    Exactness: same pair set as :func:`incremental_minhash_pairs` (and
+    therefore pairs(full) == pairs(existing) ∪ pairs(increment)) —
+    property-tested. ``max_bucket`` is evaluated on the union bucket
+    size, consistent with the full recompute. Pair generation is
+    new×new + new×existing per bucket — never the existing×existing
+    quadratic term a full-bucket expansion would pay."""
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
+    ).persist()
+    new_bands = band_signatures(new_sigs, k=k, bands=bands, hash_family=hash_family)
+    new_buckets = new_bands.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("new_docs")
+    )
+    ex = existing_bucket_docs(existing_index, new_buckets.select("band", "bucket"))
+    # Both sides are O(touched buckets) now; the corpus never reaches
+    # this join. ex is broadcast so the plan stays shuffle-free even
+    # when new_buckets rides an earlier partitioning.
+    buckets = (
+        new_buckets.join(F.broadcast(ex), ["band", "bucket"], "left")
+        # typed empty array of the id type: a zero-length slice of new_docs
+        .withColumn("ex_nn", F.coalesce("ex_docs", F.slice("new_docs", 1, 0)))
+        .withColumn("n_union", F.size("new_docs") + F.size("ex_nn"))
+        .filter((F.col("n_union") >= 2) & (F.col("n_union") <= max_bucket))
+    )
+    new_new = F.flatten(
+        F.transform(
+            "new_docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("new_docs"), i + 2, F.size("new_docs")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
+    new_existing = F.flatten(
+        F.transform(
+            "new_docs",
+            lambda x: F.transform(
+                "ex_nn",
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc1"), F.greatest(x, y).alias("doc2")
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(F.concat(new_new, new_existing)).alias("p"))
+    cand = pairs.select("p.doc1", "p.doc2").distinct()
+    all_sigs = existing_sigs.select("doc_id", "signature").unionByName(
+        new_sigs.select("doc_id", "signature")
+    )
+    s1 = all_sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
+    s2 = all_sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))
+    # cand is increment-sized: broadcast it over the signature scans so
+    # the signature table is read, never shuffled.
+    est = (
+        s1.join(F.broadcast(cand), "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig1", "sig2", lambda a, b: F.when(a == b, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(k)),
+                4,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+    return new_sigs, new_bands, est
 
 
 def minhash_lsh_pairs(

@@ -1307,3 +1307,64 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
     )
     return pairs
+
+
+@register(
+    "q98_incremental_dedup_indexed",
+    oracle="WITH full_pairs AS (" + _MINHASH_ORACLE + """)
+    SELECT doc1, doc2, est_jaccard FROM full_pairs
+    WHERE doc1 % 5 = 0 OR doc2 % 5 = 0
+    """,
+    doc="Incremental dedup against a PERSISTED band/bucket index "
+    "(operators/dedup.py::incremental_minhash_pairs_indexed): the "
+    "existing corpus's signatures AND banding are materialized once — "
+    "the band index as a parquet table bucketed by (band, bucket) "
+    "(sources/bucketing.py) — and the 20% increment is shingled alone, "
+    "its touched buckets broadcast into a semi-join filter on the index "
+    "scan. Unlike q97 (which re-bands and re-shuffles every existing "
+    "signature per increment), the corpus side here runs with ZERO "
+    "shuffle Exchange (plan-asserted): a nightly append costs "
+    "O(increment), not O(corpus), at 100 TB. Same oracle as q97: "
+    "pairs(increment) == pairs(full corpus) restricted to new-doc pairs.",
+)
+def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from beast_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs_indexed,
+        minhash_signatures,
+    )
+    from beast_spark.sources.bucketing import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    # Materialize the persisted state a nightly append reads: the
+    # signature table (plain parquet — only ever joined via a broadcast
+    # of increment-sized candidates) and the band index, bucketed by
+    # (band, bucket) so the increment's bucket probe and per-bucket
+    # aggregation run Exchange-free on the corpus side.
+    base = tempfile.mkdtemp(prefix="beast_q98_")
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    old_sigs.write.mode("overwrite").parquet(f"{base}/sigs")
+    ex_sigs = spark.read.parquet(f"{base}/sigs")
+    write_bucketed(
+        band_signatures(ex_sigs, k=16, bands=8, hash_family="md5"),
+        "beast_q98_lsh_index",
+        ["band", "bucket"],
+        n_buckets=16,
+        path=f"{base}/index",
+    )
+    _, _, pairs = incremental_minhash_pairs_indexed(
+        spark.table("beast_q98_lsh_index"),
+        ex_sigs,
+        new,
+        "doc_id",
+        "text",
+        k=16,
+        bands=8,
+        threshold=0.35,
+        hash_family="md5",
+    )
+    return pairs

@@ -18,14 +18,23 @@ __all__ = ["write_bucketed", "assert_no_shuffle_join"]
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    """``bucket_col`` may be one column or a list (composite bucket key —
+    e.g. the LSH band index buckets by (band, bucket)); joins and
+    aggregations clustering on the SAME full column set run Exchange-free.
+    ``path`` makes the table external at that location instead of managed
+    under the session warehouse dir."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort:
-        writer = writer.sortBy(bucket_col)
+        writer = writer.sortBy(*cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
