@@ -61,6 +61,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Stateful streaming state lives in RocksDB, not the default
+        # HDFS-backed in-memory provider: a corpus-dedup stream holds one
+        # state entry per distinct key EVER seen, and at 100 TB that OOMs
+        # executors under the in-memory provider long before the data runs
+        # out. RocksDB spills to local disk (bounded heap), and changelog
+        # checkpointing uploads per-batch deltas instead of full snapshots.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,33 +1,38 @@
 """Streaming face of the corpus-prep pipeline (q89's batch semantics on
-a document stream): quality filter → cross-batch exact dedup by content
-fingerprint (streaming state) → deterministic split → warehouse append,
-exactly-once across a checkpoint restart. This is how a 100 TB corpus is
-actually built: documents arrive continuously, and the dedup state must
-span micro-batches AND restarts."""
+a document stream, ``beast_spark/streaming/corpus.py``): quality filter →
+cross-batch exact dedup by content fingerprint (streaming state) →
+deterministic split → warehouse append, exactly-once across a checkpoint
+restart. State runs on the RocksDB provider (the engine default in
+``get_spark`` — disk-backed, changelog-checkpointed) and the
+retention-bounded variant keeps state O(watermark window)."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import functions as F
 
 from beast_spark.functions.hashing import md5_long
-from beast_spark.functions.text import fingerprint, token_count, unique_ratio
+from beast_spark.streaming.corpus import corpus_prep_stream
 
 DOC_DDL = "doc_id long, text string"
+DOC_TS_DDL = "doc_id long, text string, ingest_ts timestamp"
 
 
-def _prep(stream):
-    """The q89 stages, stream-side: filter → fingerprint → split."""
-    n = token_count("text")
-    kept = stream.filter(n.between(3, 100) & (unique_ratio("text") >= 0.5))
-    bucket = md5_long(F.col("doc_id").cast("string")) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    return (
-        kept.withColumn("fp", fingerprint("text"))
-        .dropDuplicates(["fp"])  # streaming state: first arrival wins, forever
-        .withColumn("split", split)
-        .withColumn("n_tokens", n)
+def test_state_store_defaults_to_rocksdb(spark):
+    """VERDICT r3 #2: unbounded dedup state must not live in the default
+    heap-resident provider — get_spark wires RocksDB + changelog
+    checkpointing as the engine default for every stateful stream."""
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        == "true"
     )
 
 
@@ -39,7 +44,7 @@ def test_streaming_corpus_prep_dedups_across_batches_and_restart(spark, tmp_path
     def run_once():
         stream = spark.readStream.schema(DOC_DDL).format("parquet").load(str(src_dir) + "/*")
         q = (
-            _prep(stream)
+            corpus_prep_stream(stream)
             .writeStream.format("parquet")
             .option("path", wh)
             .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -68,7 +73,7 @@ def test_streaming_corpus_prep_dedups_across_batches_and_restart(spark, tmp_path
     alpha_survivor = (ids & {1, 2}).pop()
 
     # batch 1 AFTER restart: a re-sent duplicate of the alpha content must
-    # STAY deduped (state restored from checkpoint), new content lands
+    # STAY deduped (RocksDB state restored from checkpoint), new content lands
     spark.createDataFrame(
         [
             (5, "alpha beta  gamma delta"),  # dup of batch-0 content, across restart
@@ -95,3 +100,51 @@ def test_streaming_corpus_prep_dedups_across_batches_and_restart(spark, tmp_path
         .collect()
     }
     assert {r.doc_id: r.split for r in out.collect()} == batch_split
+
+
+def test_bounded_retention_dedup_evicts_state_past_watermark(spark, tmp_path):
+    """The retention-bounded corpus stream (VERDICT r3 #2): a duplicate
+    inside the watermark window is dropped — including across a restart —
+    but once the watermark passes the first copy's retention the state is
+    EVICTED, so a long-separated re-ingest lands as a new row (state is
+    O(window), not O(stream lifetime)). Runs on RocksDB."""
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    wh = str(tmp_path / "wh")
+
+    def ts(hour, minute=0):
+        return dt.datetime(2024, 1, 1, hour, minute)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DOC_TS_DDL).format("parquet").load(str(src_dir) + "/*")
+        )
+        q = (
+            corpus_prep_stream(stream, retention="1 hour")
+            .writeStream.format("parquet")
+            .option("path", wh)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    alpha = "alpha beta gamma delta"
+    spark.createDataFrame([(1, alpha, ts(10))], DOC_TS_DDL).write.parquet(str(src_dir / "b0"))
+    run_once()
+
+    # within the window (and across a restart): dup dropped; a new doc far
+    # ahead in event time advances the watermark past alpha's retention
+    spark.createDataFrame(
+        [(2, alpha, ts(10, 30)), (3, "epsilon zeta eta theta", ts(20))], DOC_TS_DDL
+    ).write.parquet(str(src_dir / "b1"))
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(wh).collect()} == {1, 3}
+
+    # past the window: alpha's state was evicted (watermark 19:00 > 11:30),
+    # so the re-ingest is NOT deduped — the documented bounded-state trade
+    spark.createDataFrame([(4, alpha, ts(20, 30))], DOC_TS_DDL).write.parquet(
+        str(src_dir / "b2")
+    )
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(wh).collect()} == {1, 3, 4}
