@@ -1368,3 +1368,172 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         hash_family="md5",
     )
     return pairs
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "q99_table_profile_approx",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           floor((min(l_quantity)) * 100 + 0.5) / 100 AS min_v,
+           floor((max(l_quantity)) * 100 + 0.5) / 100 AS max_v,
+           floor((avg(l_quantity)) * 100 + 0.5) / 100 AS mean_v,
+           TRUE AS hll_within_3sigma
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(count(l_extendedprice) AS BIGINT),
+           floor((min(l_extendedprice)) * 100 + 0.5) / 100,
+           floor((max(l_extendedprice)) * 100 + 0.5) / 100,
+           floor((avg(l_extendedprice)) * 100 + 0.5) / 100,
+           TRUE
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(count(l_discount) AS BIGINT),
+           floor((min(l_discount)) * 100 + 0.5) / 100,
+           floor((max(l_discount)) * 100 + 0.5) / 100,
+           floor((avg(l_discount)) * 100 + 0.5) / 100,
+           TRUE
+    FROM lineitem
+    """,
+    doc="q95's 100-TB drift-monitoring twin (VERDICT r3 #4): the exact "
+    "3× countDistinct in one aggregate plans an Expand (3× rows into the "
+    "shuffle); this twin swaps in approx_count_distinct (HLL++), whose "
+    "sketches are ordinary agg buffers — ONE scan, a single partial/"
+    "final HashAggregate pair, NO Expand (plan-asserted in "
+    "tests/test_plan_quality.py), and the sketches are mergeable across "
+    "partitions/days. The HLL estimates are engine-specific, so the "
+    "q49-style invariant oracle checks |hll − exact| ≤ 3σ (3 × default "
+    "rsd 0.05) per column via a separate exact verification pass; a "
+    "broken sketch flips the boolean and fails the hash.",
+)
+def q99_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(c).alias(f"{c}__hll"),
+            rnd(F.min(c), 2).alias(f"{c}__min"),
+            rnd(F.max(c), 2).alias(f"{c}__max"),
+            rnd(F.avg(c), 2).alias(f"{c}__mean"),
+        ]
+    sketch = l.agg(*aggs)  # the production pass: one scan, no Expand
+    # Verification pass (oracle scaffolding, like q49's exact leg): the
+    # exact distincts live in their OWN aggregate so the production
+    # subtree above stays Expand-free.
+    exact = l.agg(
+        *[F.countDistinct(c).alias(f"{c}__exact") for c in _PROFILE_COLS]
+    )
+    one = sketch.withColumn("_k", F.lit(1)).join(
+        exact.withColumn("_k", F.lit(1)), "_k"
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").cast("bigint").alias("n_nonnull"),
+                F.col(f"{c}__min").cast("double").alias("min_v"),
+                F.col(f"{c}__max").cast("double").alias("max_v"),
+                F.col(f"{c}__mean").cast("double").alias("mean_v"),
+                (
+                    F.abs(F.col(f"{c}__hll") - F.col(f"{c}__exact"))
+                    <= 3 * 0.05 * F.col(f"{c}__exact")
+                ).alias("hll_within_3sigma"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+@register(
+    "q100_unified_profile",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             CAST(count(l_quantity) AS BIGINT) AS q_nn,
+             floor((min(l_quantity)) * 100 + 0.5) / 100 AS q_min,
+             floor((max(l_quantity)) * 100 + 0.5) / 100 AS q_max,
+             floor((avg(l_quantity)) * 100 + 0.5) / 100 AS q_mean,
+             CAST(count(l_extendedprice) AS BIGINT) AS e_nn,
+             floor((min(l_extendedprice)) * 100 + 0.5) / 100 AS e_min,
+             floor((max(l_extendedprice)) * 100 + 0.5) / 100 AS e_max,
+             floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS e_mean,
+             CAST(count(l_discount) AS BIGINT) AS d_nn,
+             floor((min(l_discount)) * 100 + 0.5) / 100 AS d_min,
+             floor((max(l_discount)) * 100 + 0.5) / 100 AS d_max,
+             floor((avg(l_discount)) * 100 + 0.5) / 100 AS d_mean,
+             [
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 0),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 1),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 2),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 3),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 4),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 5),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 6),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 7),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 8),
+               count(*) FILTER (l_quantity IS NOT NULL AND least(floor(l_quantity / 5.0), 9) = 9)
+             ] AS hist
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col, n_rows, q_nn AS n_nonnull, q_min AS min_v,
+           q_max AS max_v, q_mean AS mean_v, hist AS hist_counts FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, e_nn, e_min, e_max, e_mean,
+           CAST(NULL AS BIGINT[]) FROM s
+    UNION ALL
+    SELECT 'l_discount', n_rows, d_nn, d_min, d_max, d_mean,
+           CAST(NULL AS BIGINT[]) FROM s
+    """,
+    doc="Unified drift profile (VERDICT r3 #8): q95's per-column stats "
+    "AND q96's 10-bucket equi-width histogram (width 5 over l_quantity, "
+    "top bucket clamped) out of ONE aggregate over ONE table scan — the "
+    "histogram buckets are conditional sums, ordinary agg buffers, so "
+    "drift monitoring reads the table once for statistics and "
+    "distributions. Exactly one 'Scan parquet' node and no Expand in the "
+    "plan (test-asserted). All outputs exact → plain value-hash oracle.",
+)
+def q100_unified_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_quantity") / 5.0), F.lit(9))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            rnd(F.min(c), 2).alias(f"{c}__min"),
+            rnd(F.max(c), 2).alias(f"{c}__max"),
+            rnd(F.avg(c), 2).alias(f"{c}__mean"),
+        ]
+    aggs += [
+        F.sum(
+            F.when(F.col("l_quantity").isNotNull() & (bucket == i), 1).otherwise(0)
+        ).alias(f"hist_{i}")
+        for i in range(10)
+    ]
+    one = l.agg(*aggs)
+    hist = F.array(*[F.col(f"hist_{i}").cast("bigint") for i in range(10)])
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").cast("bigint").alias("n_nonnull"),
+                F.col(f"{c}__min").cast("double").alias("min_v"),
+                F.col(f"{c}__max").cast("double").alias("max_v"),
+                F.col(f"{c}__mean").cast("double").alias("mean_v"),
+                (hist if c == "l_quantity" else F.lit(None).cast("array<bigint>")).alias(
+                    "hist_counts"
+                ),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("s")).select("s.*")

@@ -103,6 +103,42 @@ def test_day_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
     assert scan.count() == 1
 
 
+def test_approx_profile_production_pass_has_no_expand(spark, sf_dir):
+    """q99's drift-monitoring pass (stats + HLL sketches in one agg) must
+    plan a single partial/final HashAggregate pair with NO Expand — the
+    whole point of the approx twin vs q95's 3× exact countDistinct
+    (which multiplies shuffle input 3×). Probes the production subtree
+    alone; the registered q99 additionally carries the exact
+    verification leg its invariant oracle needs."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    sketch = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.approx_count_distinct(c).alias(f"{c}__hll")
+          for c in ("l_quantity", "l_extendedprice", "l_discount")],
+        *[F.avg(c).alias(f"{c}__mean")
+          for c in ("l_quantity", "l_extendedprice", "l_discount")],
+    )
+    import re
+
+    plan = _plan(sketch)
+    assert "Expand" not in plan
+    # the details section lists each node exactly once as "(n) NodeName"
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_unified_profile_reads_table_once_without_expand(spark, sf_dir, queries):
+    """q100 folds stats AND the histogram into one aggregate: exactly one
+    table scan, no Expand — drift monitoring pays one read for both."""
+    import re
+
+    plan = _plan(queries["q100_unified_profile"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" not in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Selective dim filter + shuffle join must accept Spark's runtime
     bloom filter on the fact side (might_contain pushed to the scan) —
