@@ -995,16 +995,36 @@ def q82_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-exact.",
 )
 def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sequence_packing(d, "doc_id", "text", seq_len=2048, n_shards=4)
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Concat-and-chunk packing accounting, sharded by id-hash.
+
+    ``n_shards`` bounds the per-sort data: each shard's cumulative
+    window sorts 1/n_shards of the corpus, so at 100 TB you size it to
+    keep a shard inside one executor's comfortable sort budget
+    (VERDICT r3 #6: 4 was hard-coded — 4 tasks each sorting 25 TB is
+    wrong; thousands of shards is right at that scale). Global totals
+    (doc count, token mass) are shard-count invariant — property-tested
+    across {1, 4, 16} — while pack boundaries are per-shard by design
+    (each shard is an independent token stream)."""
     from beast_spark.functions.hashing import md5_long
     from beast_spark.functions.text import token_count
 
-    d = load_table(spark, sf_dir, "documents")
-    h = md5_long(F.col("doc_id").cast("string"))
-    t = d.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
+    h = md5_long(F.col(id_col).cast("string"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
         h.alias("h"),
-        (h % 4).alias("shard"),
+        (h % n_shards).alias("shard"),
     )
     w = (
         Window.partitionBy("shard")
@@ -1013,10 +1033,10 @@ def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = t.withColumn("cum", F.sum("n_tokens").over(w))
     straddle = (F.col("n_tokens") > 0) & (
-        F.expr("(cum - 1) div 2048") != F.expr("(cum - n_tokens) div 2048")
+        F.expr(f"(cum - 1) div {seq_len}") != F.expr(f"(cum - n_tokens) div {seq_len}")
     )
     return (
-        o.withColumn("pack_id", F.expr("(cum - n_tokens) div 2048"))
+        o.withColumn("pack_id", F.expr(f"(cum - n_tokens) div {seq_len}"))
         .groupBy("shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1026,9 +1046,7 @@ def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q93_stratified_sample",
-    oracle="""
+_STRATIFIED_ORACLE = """
     WITH r AS (
       SELECT lang, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
@@ -1045,7 +1063,12 @@ def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN rk <= ceil(n_lang * 0.1) THEN doc_id END) AS BIGINT) AS sampled_id_sum,
            CAST(sum(CASE WHEN rk <= ceil(n_lang * 0.1) THEN n_tokens END) AS BIGINT) AS sampled_tokens
     FROM r GROUP BY lang
-    """,
+    """
+
+
+@register(
+    "q93_stratified_sample",
+    oracle=_STRATIFIED_ORACLE,
     doc="Stratified deterministic sampling: exactly ceil(10%) of every "
     "language stratum, selected by salted id-hash rank — reproducible "
     "across runs/engines/appends (unlike sampleBy, which is per-run "
@@ -1082,6 +1105,40 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(keep, 1)).cast("bigint").alias("n_sampled"),
         F.sum(F.when(keep, F.col("doc_id"))).cast("bigint").alias("sampled_id_sum"),
         F.sum(F.when(keep, F.col("n_tokens"))).cast("bigint").alias("sampled_tokens"),
+    )
+
+
+@register(
+    "q101_stratified_sample_threshold",
+    oracle=_STRATIFIED_ORACLE,
+    doc="q93's scale twin (VERDICT r3 #5): the SAME selection contract — "
+    "exactly ceil(10%) per language stratum by ascending (salted md5, "
+    "doc_id) — via a quantile-threshold cut instead of a full-stratum "
+    "rank window (operators/sampling.py::stratified_sample_threshold). "
+    "The hash space is histogrammed per stratum (one pre-combined "
+    "groupBy), the boundary bucket + residual rank are derived on that "
+    "tiny frame, and ONLY the boundary bucket (~1/4096 of each stratum) "
+    "is ever sorted — a single giant stratum no longer serializes into "
+    "one window partition. Oracle identical to q93: same selected set, "
+    "hash-exact.",
+)
+def q101_stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.functions.text import token_count
+    from beast_spark.operators.sampling import stratified_sample_threshold
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", token_count("text").alias("n_tokens"))
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":samp")))
+    picked = stratified_sample_threshold(t, "lang", "doc_id", h, frac=0.1)
+    totals = t.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    sampled = picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sampled_id_sum"),
+        F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+    )
+    return totals.join(sampled, "lang").select(
+        "lang", "n_total", "n_sampled", "sampled_id_sum", "sampled_tokens"
     )
 
 

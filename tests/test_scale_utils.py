@@ -132,3 +132,74 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame([(1, "hello world42 foo-bar!")], "id int, text string")
     # tokens: hello | world | 42 | foo | - | bar | !  → 7
     assert df.select(bpe_token_count("text").alias("n")).first().n == 7
+
+
+def test_stratified_threshold_matches_rank_and_is_bucket_invariant(spark, sf_dir):
+    """Quantile-threshold stratified sampling (VERDICT r3 #5): the
+    threshold cut must select the EXACT set the full-stratum rank window
+    selects, for any bucket granularity — bucket_bits=1 makes nearly the
+    whole stratum the boundary bucket (degenerates toward the rank
+    formulation), 12 gives 4096 buckets (the scale shape where only
+    ~1/4096 of a stratum is ever sorted)."""
+    from pyspark.sql.window import Window
+
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.operators.sampling import stratified_sample_threshold
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":samp")))
+
+    w_rank = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    w_all = Window.partitionBy("lang")
+    ranked = (
+        d.withColumn("_h", h)
+        .select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rk") <= F.ceil(F.col("n") * 0.1))
+    )
+    expect = {(r.lang, r.doc_id) for r in ranked.collect()}
+    assert expect  # non-degenerate probe
+
+    for bits in (1, 4, 12):
+        picked = stratified_sample_threshold(
+            d, "lang", "doc_id", h, frac=0.1, bucket_bits=bits
+        )
+        got = {(r.lang, r.doc_id) for r in picked.collect()}
+        assert got == expect, f"bucket_bits={bits} selected a different set"
+
+
+def test_sequence_packing_shard_count_invariants(spark, sf_dir):
+    """VERDICT r3 #6: n_shards is a parameter (each shard sorts
+    1/n_shards of the corpus). Global accounting — total docs and total
+    token mass — must be IDENTICAL for any shard count; within each run
+    the per-shard pack layout must be internally consistent (contiguous
+    pack ids; straddles bounded by the shard's internal chunk
+    boundaries)."""
+    from collections import defaultdict
+
+    from beast_spark.queries.datapipe import sequence_packing
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    totals = set()
+    for shards in (1, 4, 16):
+        rows = sequence_packing(d, "doc_id", "text", seq_len=2048, n_shards=shards).collect()
+        totals.add((sum(r.n_docs for r in rows), sum(r.pack_tokens for r in rows)))
+        per_shard = defaultdict(list)
+        for r in rows:
+            per_shard[r.shard].append(r)
+        assert set(per_shard) <= set(range(shards))
+        for shard_rows in per_shard.values():
+            pack_ids = sorted(r.pack_id for r in shard_rows)
+            # every pack a doc STARTS in; contiguous from 0 (a doc starts in
+            # pack p only after packs 0..p-1 were filled by earlier docs)
+            assert pack_ids == list(range(len(pack_ids)))
+            shard_tokens = sum(r.pack_tokens for r in shard_rows)
+            n_boundaries = max(0, (shard_tokens - 1)) // 2048
+            assert sum(r.n_straddle for r in shard_rows) <= n_boundaries
+    assert len(totals) == 1  # doc/token totals are shard-count invariant
