@@ -128,6 +128,17 @@ class WarehouseSink:
     # BqSink.insertAll twin executed for real — the tests run it against
     # Spark's bundled embedded Derby.
     write_options: dict = field(default_factory=dict)
+    # Effectively-once JDBC (VERDICT r3 #7): a plain append can double
+    # rows when a crash lands between the write and the BatchLedger
+    # commit (the reference leans on BQ insertId server-side dedup,
+    # BQRowWithInsertId.java:9-12). With jdbc_staging=True the batch is
+    # written to a {table}_STG staging table (overwrite — a replay
+    # truncates any half-written leftover) and published by ONE
+    # INSERT..SELECT keyed on merge_key with NOT EXISTS against the
+    # target: atomic on the database, and a replay of an already-
+    # published batch inserts zero rows. Crash-injection tested.
+    jdbc_staging: bool = False
+    merge_key: str = "insert_id"
 
     def _write_valid(self, df: DataFrame) -> None:
         # A25 batch face: piggyback row metrics on the write itself via
@@ -151,7 +162,12 @@ class WarehouseSink:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         writer = df.write.mode("append").format(self.fmt).options(**self.write_options)
         start = _time.monotonic()
-        if self.fmt == "jdbc":
+        published: int | None = None
+        if self.fmt == "jdbc" and self.jdbc_staging:
+            staging = f"{self.table_path}_STG"
+            writer.mode("overwrite").option("dbtable", staging).save()
+            published = self._publish_staging(df, staging)
+        elif self.fmt == "jdbc":
             # JDBC has no directory partitioning; the dt column computed by
             # push() lands as a plain column (BigQuery's _PARTITIONDATE
             # pseudo-column analog, BQTableDefinition.java:45-59).
@@ -161,11 +177,65 @@ class WarehouseSink:
                 writer = writer.partitionBy("dt")
             writer.save(self.table_path)
         self.last_write_metrics = dict(obs.get)
+        if published is not None:
+            self.last_write_metrics["rows_published"] = published
         if self.statsd is not None:
             # Stats.java:16-84 per-push metrics: bq.sink.push.records + .time
             tags = "," + self.statsd.table_tags(self.table_path)
             self.statsd.count(f"sink.push.records{tags}", self.last_write_metrics["rows_written"])
             self.statsd.time_it(f"sink.push.time{tags}", start)
+
+    def _publish_staging(self, df: DataFrame, staging: str) -> int:
+        """Atomically publish the staged batch into the target, keyed on
+        ``merge_key`` — the BQ insertId dedup twin for plain JDBC.
+
+        One ``INSERT INTO target SELECT .. FROM staging WHERE NOT EXISTS
+        (key match)`` statement: atomic on the database, so the batch is
+        either fully published or not at all, and re-publishing an
+        already-published batch inserts zero rows. Together with the
+        overwrite-mode staging write this closes BOTH crash windows a
+        plain append + BatchLedger leaves open: crash before publish →
+        replay rewrites staging and publishes once; crash after publish,
+        before ledger commit → replay's publish is a keyed no-op.
+        Returns the number of rows actually inserted."""
+        if self.merge_key not in df.columns:
+            raise ValueError(
+                f"jdbc_staging needs merge key column {self.merge_key!r} "
+                f"(have: {df.columns})"
+            )
+        jvm = df.sparkSession._jvm
+        jvm.java.lang.Class.forName(self.write_options["driver"])
+        conn = jvm.java.sql.DriverManager.getConnection(self.write_options["url"])
+        try:
+            # Spark's JDBC writer quotes column identifiers (exact case);
+            # table names are config-trusted and Derby-normalized.
+            cols = ", ".join(f'"{c}"' for c in df.columns)
+            rs = conn.getMetaData().getTables(None, None, self.table_path, None)
+            exists = rs.next()
+            rs.close()
+            stmt = conn.createStatement()
+            try:
+                if not exists:
+                    stmt.executeUpdate(
+                        f"CREATE TABLE {self.table_path} AS "
+                        f"SELECT {cols} FROM {staging} WITH NO DATA"
+                    )
+                # Spark maps StringType to CLOB on Derby, and CLOBs are
+                # not comparable — force the key comparison through
+                # VARCHAR (insert_id = topic_partition_offset, far under
+                # 512 chars).
+                key = f'"{self.merge_key}"'
+                k = "CAST({} AS VARCHAR(512))"
+                return stmt.executeUpdate(
+                    f"INSERT INTO {self.table_path} ({cols}) "
+                    f"SELECT {cols} FROM {staging} s WHERE NOT EXISTS "
+                    f"(SELECT 1 FROM {self.table_path} t "
+                    f"WHERE {k.format(f't.{key}')} = {k.format(f's.{key}')})"
+                )
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
 
     def write_dlq(self, invalid: DataFrame) -> None:
         """JSON-lines DLQ partitioned dt=/topic= (GCSErrorWriter.java:40-91)."""

@@ -354,6 +354,68 @@ def test_jdbc_streaming_exactly_once(spark, tmp_path):
     assert back.select("insert_id").distinct().count() == 7
 
 
+def test_jdbc_staged_publish_effectively_once_across_crashes(spark, tmp_path, valid_df):
+    """VERDICT r3 #7: a plain JDBC append + BatchLedger can double rows
+    when a crash lands between the write and the ledger commit. The
+    staged-publish path (overwrite staging + one keyed INSERT..SELECT
+    NOT EXISTS) must survive BOTH crash windows with zero duplicates —
+    the BQ insertId server-side dedup twin (BQRowWithInsertId.java:9-12)."""
+    opts = _derby(spark, tmp_path)
+    sink = WarehouseSink(
+        table_path="WH_EO", fmt="jdbc", write_options=opts, jdbc_staging=True
+    )
+
+    def table_rows():
+        back = spark.read.format("jdbc").options(**opts).option("dbtable", "WH_EO").load()
+        return sorted(r.insert_id for r in back.select("insert_id").collect())
+
+    # normal publish
+    sink.push(valid_df)
+    first = table_rows()
+    assert len(first) == 4 == len(set(first))
+    assert sink.last_write_metrics == {"rows_written": 4, "rows_published": 4}
+
+    # crash window A: batch written AND published, ledger commit lost →
+    # the stream replays the same batch. Keyed publish inserts nothing.
+    sink.push(valid_df)
+    assert table_rows() == first
+    assert sink.last_write_metrics["rows_published"] == 0
+
+    # crash window B: staging written, publish crashed mid-flight → the
+    # replay rewrites staging (truncating the leftover) and publishes.
+    from beast_spark.config import RetrySettings
+
+    crashing = WarehouseSink(
+        table_path="WH_EO",
+        fmt="jdbc",
+        write_options=opts,
+        jdbc_staging=True,
+        retry=RetrySettings(max_push_attempts=1, backoff_initial_ms=1),
+    )
+    boom = {"armed": True}
+    orig = WarehouseSink._publish_staging
+
+    def crash_once(self, df, staging):
+        if boom.pop("armed", False):
+            raise IOError("crash between staging write and publish")
+        return orig(self, df, staging)
+
+    new_batch = ProtoIngest(TEST_SCHEMA).apply(
+        spark.createDataFrame(kafka_rows(7)[4:], KAFKA_DDL)
+    )[0]
+    WarehouseSink._publish_staging = crash_once
+    try:
+        with pytest.raises(IOError):
+            crashing.push(new_batch)
+        assert table_rows() == first  # nothing published by the crashed run
+        crashing.push(new_batch)  # the replay
+    finally:
+        WarehouseSink._publish_staging = orig
+    final = table_rows()
+    assert len(final) == 7 == len(set(final))
+    assert crashing.last_write_metrics["rows_published"] == 3
+
+
 def test_multisink_fans_out_to_parquet_and_jdbc(spark, tmp_path, valid_df):
     """A10 heterogeneous fan-out (the reference pushes one batch to
     BigQuery AND the GCS error path): one persist-once push lands the
