@@ -34,7 +34,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Null-ish scalars stringify differently per engine (Spark
+            # toPandas -> None, DuckDB fetchdf -> NaN); the driver's gate
+            # (tools/oracle_sweep.py::_cell) maps both to one token — do
+            # the same here so a NULL array<...> cell doesn't false-fail.
+            df[c] = df[c].map(
+                lambda v: "<NULL>"
+                if v is None or (isinstance(v, float) and v != v)
+                else v
+            ).astype(str)
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(bool)
         elif pd.api.types.is_integer_dtype(df[c]):
