@@ -1005,3 +1005,112 @@ def q91_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_s",
         "last_s",
     )
+
+
+@register(
+    "q102_scd2_priority_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                     THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), islands AS (
+      SELECT *, sum(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ), grouped AS (
+      SELECT o_custkey, island,
+             min(o_orderpriority) AS attr_value,
+             min(o_orderdate) AS valid_from,
+             count(*) AS n_rows
+      FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, attr_value, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, island
+           ) AS valid_to,
+           n_rows,
+           lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, island
+           ) IS NULL AS is_current
+    FROM grouped
+    """,
+    doc="SCD type-2 history build (gaps-and-islands): per customer, runs "
+    "of the same o_orderpriority over order time collapse into "
+    "[valid_from, valid_to) intervals with an is_current flag — the "
+    "changelog->dimension-history operator a warehouse fed by this "
+    "engine runs nightly. The reference maintains its one BQ table via "
+    "streaming inserts only (sink/bq/BqSink.java:82-93); history "
+    "maintenance is part of the engine surface it lacks. One hash "
+    "exchange on o_custkey reused by all three window passes.",
+)
+def q102_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.scd import scd2_from_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    return scd2_from_changelog(
+        o,
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+
+
+@register(
+    "q105_merge_upsert_latest",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             o_orderdate, 0 AS src
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             o_orderdate, 1 AS src
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC, src DESC
+             ) AS rn
+      FROM tagged
+    )
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    doc="MERGE-style latest-wins upsert: the pre-1998 order book is the "
+    "target snapshot, 1998+ orders the update feed; each customer's row "
+    "is replaced by their latest order (update side wins ties). "
+    "Expressed as union + one row_number window — a single shuffle on "
+    "the key, vs a join-based MERGE that shuffles both sides and the "
+    "result. Covers the idempotent-upsert semantics the reference "
+    "delegates to BigQuery insertId dedup (BQRowWithInsertId.java:9-12).",
+)
+def q105_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.scd import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    target = o.filter(F.col("o_orderdate") < cutoff)
+    updates = o.filter(F.col("o_orderdate") >= cutoff)
+    merged = merge_upsert(
+        target, updates, key_cols=["o_custkey"], order_cols=["o_orderdate", "o_orderkey"]
+    )
+    return merged.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_orderdate",
+    )

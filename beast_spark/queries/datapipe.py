@@ -1594,3 +1594,116 @@ def q100_unified_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+@register(
+    "q103_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS INT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           CAST(least(64, len(toks) - start) AS INT) AS chunk_tokens
+    FROM s
+    """,
+    doc="Token-budget document chunking for LLM training prep: split each "
+    "document into 64-token chunks with 16-token overlap (stride 48); "
+    "the tail chunk may be short. Pure map-side — split/sequence/"
+    "posexplode/slice built-ins, zero shuffle, so at 100 TB it scales "
+    "with input splits and never exchanges. Chunk boundaries are "
+    "deterministic functions of the text alone, so appends re-chunk "
+    "only the new documents.",
+)
+def q103_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, stride = 64, 48
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(1), F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk), F.size("toks") - F.col("start"))
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "q104_psi_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a,
+             CAST(least(floor(value / 50.0), 9) AS INT) AS bucket
+      FROM events
+    ), c AS (
+      SELECT event_type, bucket,
+             CAST(sum(in_a) AS BIGINT) AS a_cnt,
+             CAST(sum(1 - in_a) AS BIGINT) AS b_cnt
+      FROM e GROUP BY event_type, bucket
+    ), t AS (
+      SELECT event_type, bucket, a_cnt, b_cnt,
+             sum(a_cnt) OVER (PARTITION BY event_type) AS a_tot,
+             sum(b_cnt) OVER (PARTITION BY event_type) AS b_tot
+      FROM c
+    )
+    SELECT event_type,
+           CAST(max(a_tot) AS BIGINT) AS a_total,
+           CAST(max(b_tot) AS BIGINT) AS b_total,
+           floor(sum(
+             ((a_cnt + 0.5) / (a_tot + 5.0) - (b_cnt + 0.5) / (b_tot + 5.0))
+             * ln(((a_cnt + 0.5) / (a_tot + 5.0)) / ((b_cnt + 0.5) / (b_tot + 5.0)))
+           ) * 10000 + 0.5) / 10000 AS psi
+    FROM t
+    GROUP BY event_type
+    """,
+    doc="Population-stability-index drift between the first half of the "
+    "event month and the second, per event_type: 10 fixed-width value "
+    "buckets (width 50, top-clamped), Laplace-smoothed shares "
+    "(+0.5/bucket), PSI = sum((p-q)*ln(p/q)). The production drift "
+    "metric q95/q99 profiles feed: one table scan, one small groupBy "
+    "(types x buckets <= 50 rows), window totals on the tiny aggregate "
+    "— at 100 TB the scan dominates and nothing else grows with data. "
+    "Fixed bins mean slices can be profiled on different days and "
+    "compared without a joint scan.",
+)
+def q104_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    in_a = F.when(F.col("ts") < cutoff, 1).otherwise(0)
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    c = (
+        e.select(F.col("event_type"), in_a.alias("in_a"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("in_a").alias("a_cnt"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("b_cnt"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    t = c.withColumn("a_tot", F.sum("a_cnt").over(w)).withColumn(
+        "b_tot", F.sum("b_cnt").over(w)
+    )
+    p = (F.col("a_cnt") + 0.5) / (F.col("a_tot") + 5.0)
+    q = (F.col("b_cnt") + 0.5) / (F.col("b_tot") + 5.0)
+    return t.groupBy("event_type").agg(
+        F.max("a_tot").alias("a_total"),
+        F.max("b_tot").alias("b_total"),
+        rnd(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    )

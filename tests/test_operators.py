@@ -586,3 +586,71 @@ def test_resize_media_contract(spark):
     # determinism
     again = {r.media_id: r for r in resize_media(df, 64, 64).collect()}
     assert bytes(again[1].resized) == bytes(out[1].resized)
+
+
+def test_scd2_from_changelog_islands(spark):
+    """A,A,B,A collapses to three intervals; a value returning later
+    opens a NEW interval (SCD2, not distinct-value history)."""
+    from datetime import datetime
+
+    from beast_spark.operators.scd import scd2_from_changelog
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1), "A"),
+        (1, 11, datetime(2024, 1, 2), "A"),
+        (1, 12, datetime(2024, 1, 3), "B"),
+        (1, 13, datetime(2024, 1, 4), "A"),
+        (2, 20, datetime(2024, 1, 1), "C"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, ts timestamp, v string")
+    out = scd2_from_changelog(df, ["k"], "v", ["ts", "seq"])
+    got = sorted(
+        (r.k, r.attr_value, r.valid_from, r.valid_to, r.n_rows, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "A", datetime(2024, 1, 1), datetime(2024, 1, 3), 2, False),
+        (1, "A", datetime(2024, 1, 4), None, 1, True),
+        (1, "B", datetime(2024, 1, 3), datetime(2024, 1, 4), 1, False),
+        (2, "C", datetime(2024, 1, 1), None, 1, True),
+    ]
+    # exactly one current row per key
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_single_exchange(spark):
+    """All three window passes share one hash exchange on the key."""
+    from datetime import datetime
+
+    from beast_spark.operators.scd import scd2_from_changelog
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), "A")], "k long, seq long, ts timestamp, v string"
+    )
+    plan = scd2_from_changelog(df, ["k"], "v", ["ts", "seq"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_merge_upsert_semantics(spark):
+    from beast_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 5, "old"), (2, 5, "keep")], "k long, seq long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 5, "new"), (3, 1, "insert")], "k long, seq long, v string"
+    )
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"], ["seq"]).collect()}
+    # full tie on (k=1, seq=5): update side wins; unmatched key 3 inserted
+    assert out == {1: "new", 2: "keep", 3: "insert"}
+
+
+def test_merge_upsert_latest_wins_not_source(spark):
+    """A stale update must NOT clobber a newer target row."""
+    from beast_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, 9, "newer")], "k long, seq long, v string")
+    updates = spark.createDataFrame([(1, 3, "stale")], "k long, seq long, v string")
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"], ["seq"]).collect()}
+    assert out == {1: "newer"}
