@@ -1114,3 +1114,65 @@ def q105_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
         "o_orderdate",
     )
+
+
+def _morton_spread_sql(expr: str) -> str:
+    """DuckDB twin of sources.layout._spread_bits (decimal mask literals)."""
+    x = expr
+    for shift, mask in [
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ]:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def _morton_quant_sql(col: str, lo: float, hi: float) -> str:
+    return (
+        f"CAST(least(greatest(floor((CAST({col} AS DOUBLE) - {lo}) / "
+        f"({hi} - {lo}) * 65535), 0), 65535) AS BIGINT)"
+    )
+
+
+_MORTON_ORACLE = f"""
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber,
+             {_morton_quant_sql('l_quantity', 1.0, 50.0)} AS qa,
+             {_morton_quant_sql('l_extendedprice', 900.0, 105000.0)} AS qb
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ({_morton_spread_sql('qa')} |
+            ({_morton_spread_sql('qb')} << 1)) AS zkey
+    FROM q
+"""
+
+
+@register(
+    "q106_morton_zorder_key",
+    oracle=_MORTON_ORACLE,
+    doc="Morton (Z-order) interleaved sort key over (l_quantity, "
+    "l_extendedprice): the key computation behind "
+    "sources/layout.write_zordered, which clusters parquet row groups "
+    "into small rectangles of two-column space so min/max pruning works "
+    "on BOTH columns (the reference's only layout lever is single-column "
+    "day partitioning, BQTableDefinition.java:18-63). Pure codegen "
+    "integer expressions — mask-doubling bit spread, no UDF, no shuffle; "
+    "the oracle replays the identical bit arithmetic in SQL so every "
+    "spread step is value-checked.",
+)
+def q106_morton_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.sources.layout import morton_key, quantize
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_key(
+            quantize(F.col("l_quantity"), 1.0, 50.0),
+            quantize(F.col("l_extendedprice"), 900.0, 105000.0),
+        ).alias("zkey"),
+    )

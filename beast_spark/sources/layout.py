@@ -1,0 +1,126 @@
+"""Z-order (Morton-curve) data layout for multi-column row-group skipping.
+
+The reference's only layout lever is BigQuery day partitioning
+(`sink/bq/BQTableDefinition.java:18-63`) — one time column. A 100-TB
+parquet lake needs pruning on MORE than one column: sorting by `a` gives
+perfect row-group min/max skipping on `a` and none on `b`. Interleaving
+the bits of both columns into one Morton key and sorting by it clusters
+rows so that EVERY row group covers a small rectangle of (a, b) space —
+predicates on either column (or both) skip most groups.
+
+Everything here is built-in integer expressions (shiftleft / bitwiseOR /
+bitwiseAND), so the key computation stays inside whole-stage codegen; the
+write is one range-exchange + in-partition sort, exactly what a plain
+sort-on-write costs. No UDF, no driver loop.
+
+Bit-spreading uses the classic mask doubling sequence (public-domain
+"Interleave bits by Binary Magic Numbers" bit hack), not per-bit loops:
+5 mask steps spread 16 bits to 32 positions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 16  # quantization bits per dimension (2 dims -> 32-bit Morton key)
+
+# Mask-doubling spread: 16 relevant bits end up at even positions 0..30.
+_SPREAD_STEPS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int = BITS) -> Column:
+    """Map a numeric column into the integer grid [0, 2^bits).
+
+    ``lo``/``hi`` are the domain bounds (from table stats, a profile run
+    like q95/q99, or known semantics). Out-of-range values clamp to the
+    edge cells — they still land in a sorted extreme, never error.
+    """
+    cells = (1 << bits) - 1
+    scaled = F.floor((col.cast("double") - lo) / (hi - lo) * cells)
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(cells)).cast("long")
+
+
+def _spread_bits(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` to the even bit positions."""
+    x = col
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key(a: Column, b: Column) -> Column:
+    """Interleave two pre-quantized grid coordinates into one Morton key.
+
+    Bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1, so the
+    key orders rows along a Z-shaped space-filling curve over the grid.
+    """
+    return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[tuple[str, float, float]],
+    n_files: int = 32,
+) -> None:
+    """Write ``df`` as parquet laid out along the Morton curve of two
+    columns. ``cols`` is [(name, lo, hi), (name, lo, hi)].
+
+    `repartitionByRange` on the key gives near-equal file sizes (sampled
+    range boundaries — no skew from hot key prefixes), and the
+    in-partition sort makes every parquet row group a contiguous curve
+    segment, i.e. a small (a, b) rectangle for min/max pruning. At 100 TB
+    this is the same shuffle any sort-on-write pays; only the sort key
+    changes.
+    """
+    if len(cols) != 2:
+        raise ValueError("morton layout supports exactly 2 columns")
+    (ca, la, ha), (cb, lb, hb) = cols
+    key = morton_key(
+        quantize(F.col(ca), la, ha), quantize(F.col(cb), lb, hb)
+    ).alias("_zkey")
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroups_matching(path: str, col: str, lo: float, hi: float) -> tuple[int, int]:
+    """(matching, total) parquet row groups whose [min, max] statistics
+    intersect [lo, hi] — the exact skipping decision a scan makes.
+
+    Metadata-only (pyarrow footer read); used by tests and layout audits,
+    never in a query path.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    matching = total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st is None or st.min is None:
+                    matching += 1  # no stats -> scan must read it
+                elif st.max >= lo and st.min <= hi:
+                    matching += 1
+    return matching, total

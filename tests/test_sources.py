@@ -174,3 +174,64 @@ def test_write_sorted_clusters_row_groups_for_skipping(spark, tmp_path):
     assert avg_span < full * 0.35
     unsorted_avg = sum(hi - lo for lo, hi in ranges(unsorted)) / len(ranges(unsorted))
     assert unsorted_avg > full * 0.9
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout: a thin predicate on EITHER column skips most row
+    groups, while a single-column sort only prunes its own column."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.sources.layout import rowgroups_matching, write_zordered
+
+    n, dom = 100_000, 1_000_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % dom).alias("x"),
+        ((F.col("id") * 16807 + 12345) % dom).alias("y"),
+    )
+
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsorted")
+    write_zordered(df, zpath, [("x", 0, dom), ("y", 0, dom)], n_files=32)
+    (
+        df.repartitionByRange(32, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    lo, hi = 0, dom // 16  # a 1/16-wide slice of the domain
+    zx, zt = rowgroups_matching(zpath, "x", lo, hi)
+    zy, _ = rowgroups_matching(zpath, "y", lo, hi)
+    bx, bt = rowgroups_matching(xpath, "x", lo, hi)
+    by, _ = rowgroups_matching(xpath, "y", lo, hi)
+
+    # x-sorted baseline: near-perfect on x, useless on y.
+    assert bx <= max(2, bt // 8)
+    assert by == bt
+    # Z-order: real pruning on BOTH dimensions (each row group is a small
+    # rectangle of (x, y) space — a 1/16 slice can't touch most of them).
+    assert zx <= zt // 2, (zx, zt)
+    assert zy <= zt // 2, (zy, zt)
+
+
+def test_morton_key_orders_like_interleave(spark):
+    """Spot-check the bit spread against a pure-Python interleave."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.sources.layout import morton_key
+
+    def py_interleave(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", morton_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == py_interleave(a, b), (a, b)
