@@ -35,6 +35,7 @@ def scd2_from_changelog(
     key_cols: Sequence[str],
     attr_col: str,
     order_cols: Sequence[str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse an append-only changelog into SCD2 intervals.
 
@@ -46,6 +47,10 @@ def scd2_from_changelog(
 
     ``valid_from`` is the first order-column value of the run,
     ``valid_to`` the start of the next run (NULL on the current run).
+
+    ``weight_col`` makes ``n_rows`` a weighted sum instead of a count —
+    used by :func:`scd2_apply_increment`, whose seed rows stand in for an
+    already-collapsed interval of ``n_rows`` source rows.
 
     Three window passes, all partitioned by the same key — Spark plans a
     single hash exchange reused across them (EnsureRequirements sees the
@@ -60,10 +65,13 @@ def scd2_from_changelog(
     changed = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
     with_island = df.withColumn("_island", F.sum(changed).over(run))
 
+    n_rows = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n_rows")
     islands = with_island.groupBy(*key_cols, "_island").agg(
         F.min(attr_col).alias("attr_value"),  # constant within an island
         F.min(order_cols[0]).alias("valid_from"),
-        F.count(F.lit(1)).alias("n_rows"),
+        n_rows,
     )
     w2 = Window.partitionBy(*keys).orderBy(F.col("valid_from"), F.col("_island"))
     return (
@@ -104,4 +112,85 @@ def merge_upsert(
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
+    )
+
+
+def scd2_apply_increment(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Apply an append-only changelog increment to an existing SCD2
+    history in O(increment), not O(history).
+
+    Contract: every change row orders at-or-after its key's open
+    interval start (nightly appends do; out-of-order backfills need a
+    full rebuild). Then:
+
+    * keys untouched by the increment pass through via a LEFT ANTI join
+      against the (broadcast, increment-sized) touched-key set — the
+      history side never shuffles;
+    * a touched key's CLOSED intervals also pass through unchanged (its
+      open interval's ``valid_from`` is preserved below, so their
+      ``valid_to`` chain stays intact);
+    * its OPEN interval is re-collapsed together with the new rows: the
+      interval becomes a seed row weighted by its ``n_rows`` (secondary
+      order columns NULL, which sort first, so the seed precedes any
+      change sharing its ``valid_from``), and
+      :func:`scd2_from_changelog` runs over seeds + changes only.
+
+    Result is exactly ``scd2_from_changelog(old_rows + changes)``
+    (property-tested), for the cost of one broadcast join over history
+    plus a keyed shuffle of the increment.
+    """
+    touched = changes.select(*key_cols).distinct()
+    untouched, closed, open_ivl = scd2_split_history(history, touched, key_cols)
+
+    seeds = open_ivl.select(
+        *key_cols,
+        F.col("attr_value").alias(attr_col),
+        F.col("valid_from").alias(order_cols[0]),
+        *[F.lit(None).alias(c) for c in order_cols[1:]],
+        F.col("n_rows").alias("_w"),
+    )
+    inc = changes.select(*key_cols, attr_col, *order_cols).withColumn(
+        "_w", F.lit(1).cast("long")
+    )
+    rebuilt = scd2_from_changelog(
+        seeds.unionByName(inc),
+        key_cols,
+        attr_col,
+        order_cols,
+        weight_col="_w",
+    )
+    # same column order as scd2_from_changelog so full and incremental
+    # results are drop-in interchangeable
+    out_cols = [*key_cols, "attr_value", "valid_from", "n_rows", "valid_to", "is_current"]
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(rebuilt.select(*out_cols))
+    )
+
+
+def scd2_split_history(
+    history: DataFrame, touched: DataFrame, key_cols: Sequence[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Partition a persisted SCD2 history against an increment's touched
+    keys: (untouched rows, touched keys' closed intervals, touched keys'
+    open intervals). Both joins broadcast the increment-sized key set, so
+    the history side is scan → broadcast-join → filter with ZERO shuffle
+    Exchange (plan-asserted in tests) — the O(increment) half of
+    :func:`scd2_apply_increment`.
+    """
+    untouched = history.join(F.broadcast(touched), on=list(key_cols), how="left_anti")
+    touched_hist = history.join(
+        F.broadcast(touched), on=list(key_cols), how="left_semi"
+    )
+    return (
+        untouched,
+        touched_hist.filter(~F.col("is_current")),
+        touched_hist.filter(F.col("is_current")),
     )

@@ -1007,9 +1007,9 @@ def q91_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q102_scd2_priority_history",
-    oracle="""
+# Shared by q102 (the history build) and q107 (the point-in-time join
+# against it) — one definition so the two oracles can't drift apart.
+_SCD2_ORACLE = """
     WITH ordered AS (
       SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
              lag(o_orderpriority) OVER (
@@ -1042,7 +1042,12 @@ def q91_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY o_custkey ORDER BY valid_from, island
            ) IS NULL AS is_current
     FROM grouped
-    """,
+"""
+
+
+@register(
+    "q102_scd2_priority_history",
+    oracle=_SCD2_ORACLE,
     doc="SCD type-2 history build (gaps-and-islands): per customer, runs "
     "of the same o_orderpriority over order time collapse into "
     "[valid_from, valid_to) intervals with an is_current flag — the "
@@ -1175,4 +1180,88 @@ def q106_morton_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize(F.col("l_quantity"), 1.0, 50.0),
             quantize(F.col("l_extendedprice"), 900.0, 105000.0),
         ).alias("zkey"),
+    )
+
+
+@register(
+    "q107_scd2_temporal_join",
+    oracle=f"""
+    WITH hist AS ({_SCD2_ORACLE})
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           h.attr_value AS active_priority, h.valid_from
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.o_custkey
+     AND h.valid_from <= o.o_orderdate
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+    doc="Point-in-time (temporal) join: each order looked up against the "
+    "SCD2 priority history (q102) via interval containment "
+    "[valid_from, valid_to) — the fact-to-dimension-history lookup every "
+    "SCD2 warehouse runs. Zero-width intervals (two islands starting on "
+    "the same date) can never contain a date, so each order matches "
+    "exactly one interval and the output has exactly one row per order. "
+    "Plan: both sides hash-partition on o_custkey once; the interval "
+    "predicate filters inside the sort-merge join, and per-customer "
+    "interval lists are tiny, so the join never expands.",
+)
+def q107_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.scd import scd2_from_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_from_changelog(
+        o,
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        "attr_value",
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (F.col("o_custkey") == F.col("h_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+    )
+    return o.join(hist, cond).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("attr_value").alias("active_priority"),
+        "valid_from",
+    )
+
+
+@register(
+    "q108_scd2_incremental",
+    oracle=_SCD2_ORACLE,
+    doc="Incremental SCD2 maintenance (operators/scd.py::"
+    "scd2_apply_increment): history built from pre-1998 orders once, the "
+    "1998+ changelog applied as an increment — untouched keys pass "
+    "through a broadcast anti-join (history side never shuffles), "
+    "touched keys re-collapse only their OPEN interval (as a weighted "
+    "seed row) plus the new rows. Oracle is the FULL q102 history: the "
+    "incremental path must reproduce the from-scratch rebuild exactly, "
+    "at O(increment) cost — the nightly-append story of q98, applied to "
+    "dimension maintenance.",
+)
+def q108_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    history = scd2_from_changelog(
+        o.filter(F.col("o_orderdate") < cutoff),
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    return scd2_apply_increment(
+        history,
+        o.filter(F.col("o_orderdate") >= cutoff),
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
     )

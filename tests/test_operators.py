@@ -654,3 +654,56 @@ def test_merge_upsert_latest_wins_not_source(spark):
     updates = spark.createDataFrame([(1, 3, "stale")], "k long, seq long, v string")
     out = {r.k: r.v for r in merge_upsert(target, updates, ["k"], ["seq"]).collect()}
     assert out == {1: "newer"}
+
+
+def test_scd2_increment_equals_full_rebuild(spark, sf_dir):
+    """pairs(full) == pairs(old)+increment across several cutoffs,
+    including merge-with-open-interval and brand-new-key cases."""
+    from beast_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
+    from beast_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    args = dict(
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    full = {tuple(r) for r in scd2_from_changelog(o, **args).collect()}
+    for cutoff in ["1996-06-15", "2000-01-01"]:
+        c = F.lit(cutoff).cast("timestamp")
+        hist = scd2_from_changelog(o.filter(F.col("o_orderdate") < c), **args)
+        inc = scd2_apply_increment(hist, o.filter(F.col("o_orderdate") >= c), **args)
+        got = {tuple(r) for r in inc.collect()}
+        assert got == full, f"cutoff {cutoff}: {len(got ^ full)} differing rows"
+
+
+def test_scd2_increment_history_side_never_shuffles(spark, sf_dir, tmp_path):
+    """With history persisted (the production shape), the history side —
+    scan → broadcast anti/semi joins against the touched-key set →
+    open/closed split — must plan ZERO shuffle Exchange: the
+    O(increment) contract. The touched-key set is materialized to a
+    local frame first so the plan under test is exactly the history side
+    (in the composed operator the only hash Exchanges carry the
+    increment: the touched distinct + the rebuilt window)."""
+    from beast_spark.operators.scd import scd2_from_changelog, scd2_split_history
+    from beast_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    args = dict(
+        key_cols=["o_custkey"],
+        attr_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    c = F.lit("1998-01-01").cast("timestamp")
+    hpath = str(tmp_path / "hist")
+    scd2_from_changelog(o.filter(F.col("o_orderdate") < c), **args).write.parquet(hpath)
+    history = spark.read.parquet(hpath)
+
+    touched = o.filter(F.col("o_orderdate") >= c).select("o_custkey").distinct()
+    local_touched = spark.createDataFrame(touched.collect(), touched.schema)
+    for part in scd2_split_history(history, local_touched, ["o_custkey"]):
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "Broadcast" in plan, plan

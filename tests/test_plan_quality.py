@@ -201,3 +201,33 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_mapside_queries_plan_zero_exchange(spark, sf_dir, queries):
+    """q103 (chunking) and q106 (Morton key) are pure per-row transforms:
+    any Exchange appearing in their plans means a pointless shuffle that
+    would move the whole corpus at 100 TB."""
+    for name in ("q103_doc_chunking", "q106_morton_zorder_key"):
+        plan = _plan(queries[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir, queries):
+    """q105's window-form MERGE must shuffle once (union -> one hash
+    exchange on the key), not join-style twice-plus-result."""
+    import re
+
+    plan = _plan(queries["q105_merge_upsert_latest"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # bonus shape: rank()<=1 must push a per-partition WindowGroupLimit
+    # below the exchange so only each key's local top row shuffles
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_reuses_one_key_exchange(spark, sf_dir, queries):
+    """q102's three window passes are all keyed on o_custkey; the plan
+    must contain exactly one hash exchange on it."""
+    import re
+
+    plan = _plan(queries["q102_scd2_priority_history"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
