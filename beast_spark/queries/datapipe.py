@@ -1707,3 +1707,69 @@ def q104_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("b_tot").alias("b_total"),
         rnd(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
     )
+
+
+@register(
+    "q109_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             md5(array_to_string(t[i : i + 7], ' ')) AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+    ), eval_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src0'
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+    )
+    SELECT t.doc_id AS train_doc_id,
+           CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_grams
+    FROM train_grams t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: training documents sharing any "
+    "8-token n-gram with the eval set (source 'src0') — the overlap "
+    "check every LLM training pipeline runs before training. Gram "
+    "hashing is pure map-side (split/sequence/slice/md5 built-ins); the "
+    "eval side is benchmark-sized, so it BROADCASTS and the 100-TB "
+    "training corpus is scanned once with no shuffle before the join — "
+    "only matched (contaminated) rows reach the final groupBy. "
+    "Plan-asserted: BroadcastHashJoin, zero Exchange on the train side.",
+)
+def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id", "source", toks.alias("t"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), 8)), "UTF-8")
+        ).alias("g"),
+    )
+    # Dedup ONLY the eval side (benchmark-sized) before broadcasting; the
+    # train side must stay shuffle-free — its repeated grams are harmless
+    # because the final aggregate counts DISTINCT anyway.
+    eval_grams = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("eval_doc_id"), "g")
+        .distinct()
+    )
+    train_grams = grams.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )

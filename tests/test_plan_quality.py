@@ -231,3 +231,51 @@ def test_scd2_reuses_one_key_exchange(spark, sf_dir, queries):
 
     plan = _plan(queries["q102_scd2_priority_history"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir, queries):
+    """q109: the eval-gram set must broadcast; the training corpus side
+    may not hit a shuffle Exchange before the join (the whole point —
+    at 100 TB the corpus is scanned once, matched rows only shuffle
+    into the final aggregate)."""
+    import re
+
+    plan = _plan(queries["q109_decontamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # hash exchanges allowed: eval-side distinct (pre-broadcast) and the
+    # final contaminated-rows aggregate — never a third carrying the
+    # full train-gram stream into the join.
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parquet_aggregate_pushdown_available(spark, sf_dir):
+    """COUNT(*)/MIN/MAX over bare parquet can be answered from footer
+    metadata alone via the v2 source's aggregate pushdown — zero data
+    pages read, which at 100 TB is the difference between a metadata
+    sweep and a full scan. The engine default stays on the v1 source
+    (stable plan shapes); this pins that our layout remains pushdown-
+    compatible whenever a reader opts in."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        plan = _plan(df)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan
+        row = df.collect()[0]
+        assert row.n_rows > 0 and row.min_qty <= row.max_qty
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
