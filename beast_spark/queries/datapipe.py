@@ -1773,3 +1773,93 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").alias("n_shared_grams"),
         )
     )
+
+
+@register(
+    "q110_cleaned_corpus",
+    oracle="WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           md5(d.text) AS text_md5
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="The dedup pipeline's FINAL product: the cleaned corpus. "
+    "MinHash+LSH candidate pairs (q36) → connected components (q86) → "
+    "drop every non-canonical cluster member (canonical = min doc_id, "
+    "i.e. rows whose component label is their own id) via a LEFT ANTI "
+    "join of the removal list — which is near-dup-sized, so it "
+    "broadcasts and the corpus scan never shuffles. This is the query "
+    "whose OUTPUT feeds training; q36/q86 are its stages.",
+    bench=False,
+    bench_reason="iterative label propagation; candidate gen (q36) is benched",
+)
+def q110_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    removed = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(removed), "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
+@register(
+    "q111_weighted_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS w,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4 AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w, shard,
+             sum(w) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY shard) AS tot
+      FROM s
+    )
+    SELECT doc_id, w AS n_chars, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(cum * 12 / tot) AS BIGINT) AS pick_idx
+    FROM c
+    WHERE floor(cum * 12 / tot) > floor((cum - w) * 12 / tot)
+    """,
+    doc="Deterministic PPS sampling for data mixing "
+    "(operators/sampling.py::weighted_systematic_sample): k=48 docs "
+    "drawn proportionally to n_chars via sharded systematic selection — "
+    "12 equally spaced cumulative-weight boundaries per md5-shard, all "
+    "arithmetic BIGINT so the two engines can never disagree on a "
+    "boundary (pow/ln priority keys differ in the last ulp between "
+    "libm implementations; integer floors cannot). Four parallel "
+    "per-shard window sorts, no global ordering — same sharding story "
+    "as sequence packing (q92).",
+)
+def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.sampling import weighted_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_systematic_sample(d, "doc_id", "n_chars", k=48, shards=4)

@@ -707,3 +707,39 @@ def test_scd2_increment_history_side_never_shuffles(spark, sf_dir, tmp_path):
         plan = part._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, plan
         assert "BroadcastHashJoin" in plan or "Broadcast" in plan, plan
+
+
+def test_weighted_systematic_sample_contract(spark, sf_dir):
+    """Each shard yields its k_s picks with pick_idx covering 1..k_s
+    when no row outweighs a step; heavy rows collapse to ONE pick."""
+    from beast_spark.operators.sampling import weighted_systematic_sample
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_systematic_sample(d, "doc_id", "n_chars", k=48, shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pick_idx)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, idxs in by_shard.items():
+        # doc weights are tiny vs the per-shard step here, so every
+        # boundary lands in a distinct row: exactly 12 picks, idx 1..12
+        assert sorted(idxs) == list(range(1, 13)), (shard, sorted(idxs))
+
+    # determinism
+    again = weighted_systematic_sample(d, "doc_id", "n_chars", k=48, shards=4).collect()
+    assert {(r.doc_id, r.pick_idx) for r in again} == {
+        (r.doc_id, r.pick_idx) for r in out
+    }
+
+
+def test_weighted_sample_heavy_row_collapses(spark):
+    """A row spanning several boundaries is picked once (P<=1 cap)."""
+    from beast_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(1, 1000), (2, 1), (3, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_systematic_sample(df, "doc_id", "w", k=4, shards=1).collect()
+    ids = [r.doc_id for r in out]
+    assert ids.count(1) == 1  # heavy row once, not 4 times
+    assert len(ids) == len(set(ids))
