@@ -47,15 +47,18 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key_cols: list[str]) -> DataF
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Single-file local inputs arrive as one partition, serializing the
-    CPU-heavy shingle/hash stages. Repartition ONLY when the input has
-    fewer partitions than cores — at warehouse scale inputs are already
-    split and this is a no-op (no shuffle added)."""
+def fan_out(df: DataFrame) -> DataFrame:
+    """Single-file local inputs arrive as one partition, serializing
+    CPU-heavy per-row stages (shingling, gram hashing). Repartition ONLY
+    when the input has fewer partitions than cores — at warehouse scale
+    inputs are already split and this is a no-op (no shuffle added)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, parallelism // 2):
         return df.repartition(parallelism)
     return df
+
+
+_fan_out = fan_out  # internal alias, predates the public name
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

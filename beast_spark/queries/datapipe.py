@@ -1745,7 +1745,9 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = d.select(
+    from beast_spark.operators.dedup import fan_out
+
+    grams = fan_out(d).select(
         "doc_id", "source", toks.alias("t"), F.explode(idx).alias("i")
     ).select(
         "doc_id",
