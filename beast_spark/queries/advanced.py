@@ -1252,12 +1252,16 @@ def q108_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("1998-01-01").cast("timestamp")
+    # The persisted-history stand-in: production reads the history table
+    # from parquet (one cheap scan per branch); built inline here it must
+    # be pinned or the three consumer branches (untouched anti, closed
+    # semi, open seeds) each replay the full window build.
     history = scd2_from_changelog(
         o.filter(F.col("o_orderdate") < cutoff),
         key_cols=["o_custkey"],
         attr_col="o_orderpriority",
         order_cols=["o_orderdate", "o_orderkey"],
-    )
+    ).persist()
     return scd2_apply_increment(
         history,
         o.filter(F.col("o_orderdate") >= cutoff),

@@ -1865,3 +1865,80 @@ def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return weighted_systematic_sample(d, "doc_id", "n_chars", k=48, shards=4)
+
+
+@register(
+    "q112_ngram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c FROM bi GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ), scored AS (
+      SELECT b.doc_id, ln((c12.c + 1.0) / (c1.c + v.v)) AS lp
+      FROM bi b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(lp) / count(*) * 10000 + 0.5) / 10000 AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    doc="N-gram language-model quality scoring (the KenLM-style filter "
+    "every LLM corpus pipeline runs): a corpus bigram model with add-1 "
+    "smoothing over the unigram vocabulary, each document scored by its "
+    "mean log P(w2|w1). Low scores flag boilerplate/gibberish for the "
+    "quality gate (q32's rule-based twin). All built-ins: bigram "
+    "explode map-side (fan-out on single-file local inputs), two "
+    "count aggregates, hash joins on the bigram key, scalar vocabulary "
+    "broadcast — at 100 TB the model tables shard across the cluster "
+    "and nothing is driver-side.",
+)
+def q112_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = (
+        fan_out(d)
+        .select("doc_id", toks.alias("t"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        fan_out(d)
+        .select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logp"),
+    )
