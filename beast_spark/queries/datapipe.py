@@ -1922,8 +1922,12 @@ def q112_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
     )
-    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1(w1) = sum_w2 c12(w1, w2): aggregate the (small) count table,
+    # not the raw bigram stream a second time. The count table is
+    # pinned — it has two consumers (the score join and c1), and
+    # unpinned each would replay the full bigram explode + groupBy.
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         fan_out(d)
         .select(F.explode(toks).alias("w"))
@@ -1941,4 +1945,134 @@ def q112_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         rnd(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logp"),
+    )
+
+
+@register(
+    "q113_chisq_independence",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS et,
+             CAST(least(floor(value / 50.0), 9) AS INT) AS bk
+      FROM events
+    ), o AS (
+      SELECT et, bk, CAST(count(*) AS DOUBLE) AS obs FROM b GROUP BY et, bk
+    ), grid AS (
+      SELECT e.et, k.bk
+      FROM (SELECT DISTINCT et FROM b) e
+      CROSS JOIN (SELECT DISTINCT bk FROM b) k
+    ), full_grid AS (
+      SELECT g.et, g.bk, coalesce(o.obs, 0.0) AS obs
+      FROM grid g LEFT JOIN o ON g.et = o.et AND g.bk = o.bk
+    ), t AS (
+      SELECT et, bk, obs,
+             sum(obs) OVER (PARTITION BY et) AS rt,
+             sum(obs) OVER (PARTITION BY bk) AS ct,
+             sum(obs) OVER () AS n
+      FROM full_grid
+    )
+    SELECT floor(sum((obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n))
+                 * 10000 + 0.5) / 10000 AS chi2,
+           CAST((count(DISTINCT et) - 1) * (count(DISTINCT bk) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM t
+    """,
+    doc="Chi-square independence test between event_type and the value "
+    "distribution (10 fixed-width buckets, zero cells included via the "
+    "completed contingency grid) — the statistical companion to q104's "
+    "PSI: PSI measures drift of one column over time, chi-square "
+    "measures association between two columns in one snapshot. One "
+    "scan + a 50-cell aggregate; the grid completion cross-joins two "
+    "tiny distinct lists (broadcast nested loop, never a corpus "
+    "cartesian). All heavy work is the single groupBy.",
+)
+def q113_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("et"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bk"),
+    )
+    o = b.groupBy("et", "bk").agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    grid = b.select("et").distinct().crossJoin(F.broadcast(b.select("bk").distinct()))
+    full_grid = grid.join(o, ["et", "bk"], "left").select(
+        "et", "bk", F.coalesce(F.col("obs"), F.lit(0.0)).alias("obs")
+    )
+    t = (
+        full_grid.withColumn("rt", F.sum("obs").over(Window.partitionBy("et")))
+        .withColumn("ct", F.sum("obs").over(Window.partitionBy("bk")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    dev = F.col("obs") - exp
+    return t.agg(
+        rnd(F.sum(dev * dev / exp), 4).alias("chi2"),
+        ((F.countDistinct("et") - 1) * (F.countDistinct("bk") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "q114_ks_two_sample",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS et, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ), c AS (
+      SELECT et, value, in_a,
+             sum(in_a) OVER (PARTITION BY et ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(1 - in_a) OVER (PARTITION BY et ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(in_a) OVER (PARTITION BY et) AS n_a,
+             sum(1 - in_a) OVER (PARTITION BY et) AS n_b
+      FROM e
+    )
+    SELECT et AS event_type,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           floor(max(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b))
+                 * 10000 + 0.5) / 10000 AS ks_stat
+    FROM c GROUP BY et
+    """,
+    doc="Kolmogorov-Smirnov two-sample drift test per event_type: "
+    "max |ECDF_A - ECDF_B| between the first and second half of the "
+    "month, the continuous companion to q104's binned PSI (KS needs no "
+    "bin choice). ECDFs via RANGE-frame cumulative sums over the pooled "
+    "sample — the RANGE frame counts ties identically in any engine, "
+    "and the max is order-insensitive, so the statistic is exact. "
+    "Windows partition by event_type (parallel per series); a single "
+    "giant series would shard by value range with per-shard offsets, "
+    "the q92/q101 pattern.",
+)
+def q114_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    d = e.select(
+        F.col("event_type").alias("et"),
+        "value",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("et")
+    c = (
+        d.withColumn("cum_a", F.sum("in_a").over(w))
+        .withColumn("cum_b", F.sum(F.lit(1) - F.col("in_a")).over(w))
+        .withColumn("n_a", F.sum("in_a").over(full))
+        .withColumn("n_b", F.sum(F.lit(1) - F.col("in_a")).over(full))
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return c.groupBy(F.col("et").alias("event_type")).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        rnd(F.max(diff), 4).alias("ks_stat"),
     )
