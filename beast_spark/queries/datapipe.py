@@ -2076,3 +2076,111 @@ def q114_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").cast("long").alias("n_b"),
         rnd(F.max(diff), 4).alias("ks_stat"),
     )
+
+
+@register(
+    "q115_editdist_verified_neardups",
+    oracle="WITH cand AS (" + _MINHASH_ORACLE + """)
+    SELECT c.doc1, c.doc2,
+           levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) AS lev
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.doc1
+    JOIN documents b ON b.doc_id = c.doc2
+    WHERE levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) <= 16
+    """,
+    doc="Candidate-verify near-dup pipeline: MinHash+LSH proposes pairs "
+    "(q36, sub-quadratic), then an EXACT edit-distance check over "
+    "64-char prefixes confirms them (lev <= 16) — the two-stage shape "
+    "production dedup uses, because sketches alone admit false "
+    "positives. Verification cost is O(candidates), never O(n^2): the "
+    "expensive Wagner-Fischer only runs on LSH survivors, JVM-side "
+    "codegen, after two hash joins pull the texts. Both stages replay "
+    "bit-exact in the oracle (md5 hash family + DuckDB levenshtein).",
+)
+def q115_editdist_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    a = d.select(F.col("doc_id").alias("doc1"), F.substring("text", 1, 64).alias("t1"))
+    b = d.select(F.col("doc_id").alias("doc2"), F.substring("text", 1, 64).alias("t2"))
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .select("doc1", "doc2", F.levenshtein("t1", "t2").alias("lev"))
+        .filter(F.col("lev") <= 16)
+    )
+
+
+@register(
+    "q116_dq_audit",
+    oracle="""
+    SELECT 'orders_null_custkey' AS rule,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+           count(*) AS checked FROM orders
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) FROM orders
+    UNION ALL
+    SELECT 'orders_negative_price',
+           CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT),
+           count(*) FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+           count(*) FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           count(*) FROM orders
+    """,
+    doc="Data-quality audit (Deequ/dbt-test class): not-null, unique "
+    "primary key, range, enum-domain, and referential-integrity rules "
+    "over orders in ONE report. The four row-local rules fold into a "
+    "single aggregate over one scan (conditional counts are ordinary "
+    "agg buffers); the FK rule is a broadcast-able anti-join against "
+    "the customer key dimension. This is the pre-publish gate a "
+    "warehouse sink runs before committing a batch — the engine-side "
+    "generalization of the reference's per-row OOB/INVALID "
+    "classification (BQResponseParser.java:18-67).",
+)
+def q116_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    local = o.agg(
+        n.alias("checked"),
+        cnt(F.col("o_custkey").isNull()).alias("orders_null_custkey"),
+        (n - F.countDistinct("o_orderkey")).cast("long").alias("orders_duplicate_pk"),
+        cnt(F.col("o_totalprice") <= 0).alias("orders_negative_price"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("orders_bad_status"),
+    )
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_orphan_custkey"))
+    )
+    one = local.crossJoin(F.broadcast(orphans))
+    rules = [
+        "orders_null_custkey",
+        "orders_duplicate_pk",
+        "orders_negative_price",
+        "orders_bad_status",
+        "orders_orphan_custkey",
+    ]
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col(r).alias("violations"),
+                F.col("checked").alias("checked"),
+            )
+            for r in rules
+        ]
+    )
+    return one.select(F.explode(report).alias("s")).select("s.*")
