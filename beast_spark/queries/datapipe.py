@@ -2184,3 +2184,149 @@ def q116_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(report).alias("s")).select("s.*")
+
+
+@register(
+    "q117_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ), gstat AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_unique
+      FROM tri GROUP BY doc_id
+    ), wstat AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c) AS BIGINT) AS n_words
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_grams, g.n_unique,
+           floor((1.0 - CAST(g.n_unique AS DOUBLE) / g.n_grams) * 10000 + 0.5)
+             / 10000 AS dup_trigram_frac,
+           floor((CAST(w.top_word_count AS DOUBLE) / w.n_words) * 10000 + 0.5)
+             / 10000 AS top_word_frac
+    FROM gstat g JOIN wstat w ON g.doc_id = w.doc_id
+    """,
+    doc="Intra-document repetition signals (the Gopher/RefinedWeb "
+    "quality-filter class): duplicated-trigram fraction and "
+    "most-frequent-word share per document — high values flag looping/"
+    "boilerplate text that perplexity alone misses. Map-side trigram "
+    "explode (fan-out guarded), per-doc aggregates; everything shards "
+    "by doc_id so no stage sees more than one document's grams "
+    "together. Documents shorter than 3 tokens have no trigrams and "
+    "are absent, identically in both engines.",
+)
+def q117_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = d.select("doc_id", toks.alias("t"), F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+            F.element_at("t", F.col("i") + 2),
+        ).alias("g"),
+    )
+    gstat = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_unique"),
+    )
+    wstat = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_words"))
+    )
+    return gstat.join(wstat, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        rnd(1.0 - F.col("n_unique").cast("double") / F.col("n_grams"), 4).alias(
+            "dup_trigram_frac"
+        ),
+        rnd(F.col("top_word_count").cast("double") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+    )
+
+
+@register(
+    "q118_leakage_free_split",
+    oracle="WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    keyed AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN ('0x' || substr(md5(split_key::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(split_key::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+    doc="Leakage-free train/val/test split: near-duplicate documents "
+    "(LSH -> connected components, q86) share a split KEY — the cluster "
+    "canonical id — so an eval answer can never hide in train as a "
+    "near-copy, the leak a per-document hash split (q88) cannot "
+    "prevent. Singletons key on their own id; the md5-of-key split is "
+    "deterministic across engines, runs, and appends (an appended "
+    "near-dup joins its cluster's existing split). Cluster table is "
+    "near-dup-sized -> broadcast left join; corpus scan never shuffles.",
+    bench=False,
+    bench_reason="iterative label propagation; candidate gen (q36) is benched",
+)
+def q118_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "c_doc_id")
+    keyed = d.join(
+        F.broadcast(clusters), d.doc_id == F.col("c_doc_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = md5_long(F.col("split_key").cast("string")) % 100
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

@@ -743,3 +743,29 @@ def test_weighted_sample_heavy_row_collapses(spark):
     ids = [r.doc_id for r in out]
     assert ids.count(1) == 1  # heavy row once, not 4 times
     assert len(ids) == len(set(ids))
+
+
+def test_leakage_free_split_keeps_neardups_together(spark, sf_dir):
+    """Every LSH near-dup pair must land in the SAME split — the
+    property a per-document hash split cannot guarantee."""
+    from beast_spark.queries import all_queries
+    from beast_spark.operators.dedup import minhash_lsh_pairs
+    from beast_spark.sources.tables import load_table
+
+    split = {
+        r.doc_id: r.split
+        for r in all_queries()["q118_leakage_free_split"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).collect()
+    assert pairs, "test corpus should contain near-dups"
+    for p in pairs:
+        assert split[p.doc1] == split[p.doc2], (p.doc1, p.doc2)
+    # and the split is still roughly 80/10/10 over all docs
+    from collections import Counter
+
+    frac = Counter(split.values())
+    n = sum(frac.values())
+    assert 0.6 < frac["train"] / n < 0.95
