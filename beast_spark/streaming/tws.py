@@ -17,7 +17,10 @@ variables, **store-managed TTL** and **timers**. Two operators live here:
   with no further events (timer closure). Built-in ``session_window``
   can only emit on watermark; the timer path additionally lets a custom
   processor own the close condition (max-length splits, inactivity
-  actions, …).
+  actions, …). The same close protocol EXECUTES in this container via
+  ``streaming/stateful.py::sessionize_gapped`` (applyInPandasWithState
+  + event-time timeout) — this module is its forward-looking twin on
+  the typed-state API.
 
 The reference's only state is offset-ack bookkeeping (SURVEY §2.A
 A18-A21), subsumed by checkpoints; these operators are §2.B engine
