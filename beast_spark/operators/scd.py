@@ -144,6 +144,12 @@ def scd2_apply_increment(
     Result is exactly ``scd2_from_changelog(old_rows + changes)``
     (property-tested), for the cost of one broadcast join over history
     plus a keyed shuffle of the increment.
+
+    The broadcast hint assumes the increment's distinct-key set fits in
+    memory — true for any append a nightly job would take this path
+    for. An increment so large its key set exceeds broadcast limits is
+    a backfill: rebuild with :func:`scd2_from_changelog` instead (same
+    answer, full-shuffle cost, no memory cliff).
     """
     touched = changes.select(*key_cols).distinct()
     untouched, closed, open_ivl = scd2_split_history(history, touched, key_cols)

@@ -1804,8 +1804,9 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash+LSH candidate pairs (q36) → connected components (q86) → "
     "drop every non-canonical cluster member (canonical = min doc_id, "
     "i.e. rows whose component label is their own id) via a LEFT ANTI "
-    "join of the removal list — which is near-dup-sized, so it "
-    "broadcasts and the corpus scan never shuffles. This is the query "
+    "join of the removal list — near-dup-sized, so AQE broadcasts it "
+    "and the corpus scan never shuffles (unhinted: a pathological "
+    "corpus degrades to a shuffled anti-join, not an OOM). The query "
     "whose OUTPUT feeds training; q36/q86 are its stages.",
     bench=False,
     bench_reason="iterative label propagation; candidate gen (q36) is benched",
@@ -1822,7 +1823,10 @@ def q110_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
-    return d.join(F.broadcast(removed), "doc_id", "left_anti").select(
+    # No broadcast HINT: the removal list is near-dup-sized and AQE
+    # broadcasts it whenever it fits, but forcing the hint would OOM on
+    # a pathologically duplicated corpus where it doesn't.
+    return d.join(removed, "doc_id", "left_anti").select(
         "doc_id",
         "lang",
         "source",
@@ -2160,9 +2164,12 @@ def q116_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("o_totalprice") <= 0).alias("orders_negative_price"),
         cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("orders_bad_status"),
     )
+    # No broadcast hint on the key dimension: a billion-customer table's
+    # key column exceeds broadcast size — AQE broadcasts when it fits,
+    # else this is a plain shuffled anti-join (the correct fallback).
     orphans = (
         o.filter(F.col("o_custkey").isNotNull())
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("orders_orphan_custkey"))
     )
     one = local.crossJoin(F.broadcast(orphans))
@@ -2303,7 +2310,8 @@ def q117_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prevent. Singletons key on their own id; the md5-of-key split is "
     "deterministic across engines, runs, and appends (an appended "
     "near-dup joins its cluster's existing split). Cluster table is "
-    "near-dup-sized -> broadcast left join; corpus scan never shuffles.",
+    "near-dup-sized -> AQE broadcasts the left join (unhinted, so a "
+    "pathological corpus degrades to shuffle, not OOM).",
     bench=False,
     bench_reason="iterative label propagation; candidate gen (q36) is benched",
 )
@@ -2316,8 +2324,10 @@ def q118_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
     ).select("doc1", "doc2")
     clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "c_doc_id")
+    # No broadcast hint (see q110): AQE broadcasts the cluster table
+    # when it fits; forced, a pathological corpus would OOM.
     keyed = d.join(
-        F.broadcast(clusters), d.doc_id == F.col("c_doc_id"), "left"
+        clusters, d.doc_id == F.col("c_doc_id"), "left"
     ).select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
