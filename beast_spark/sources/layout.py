@@ -66,6 +66,37 @@ def morton_key(a: Column, b: Column) -> Column:
     return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
 
 
+# 3-way spread: bit i lands at position 3i (classic 21-bit 3D Morton
+# masks — our 16-bit inputs are a subset).
+_SPREAD3_STEPS = [
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def _spread_bits_3(col: Column) -> Column:
+    x = col
+    for shift, mask in _SPREAD3_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key_3(a: Column, b: Column, c: Column) -> Column:
+    """Three-way Morton interleave: bit i of a/b/c lands at 3i/3i+1/3i+2.
+
+    Row groups become small BOXES of three-column space — the layout for
+    a table filtered independently on three dimensions (e.g. time
+    bucket, tenant, value band)."""
+    return (
+        _spread_bits_3(a)
+        .bitwiseOR(F.shiftleft(_spread_bits_3(b), 1))
+        .bitwiseOR(F.shiftleft(_spread_bits_3(c), 2))
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -82,12 +113,20 @@ def write_zordered(
     this is the same shuffle any sort-on-write pays; only the sort key
     changes.
     """
-    if len(cols) != 2:
-        raise ValueError("morton layout supports exactly 2 columns")
-    (ca, la, ha), (cb, lb, hb) = cols
-    key = morton_key(
-        quantize(F.col(ca), la, ha), quantize(F.col(cb), lb, hb)
-    ).alias("_zkey")
+    if len(cols) == 2:
+        (ca, la, ha), (cb, lb, hb) = cols
+        key = morton_key(
+            quantize(F.col(ca), la, ha), quantize(F.col(cb), lb, hb)
+        ).alias("_zkey")
+    elif len(cols) == 3:
+        (ca, la, ha), (cb, lb, hb), (cc, lc, hc) = cols
+        key = morton_key_3(
+            quantize(F.col(ca), la, ha),
+            quantize(F.col(cb), lb, hb),
+            quantize(F.col(cc), lc, hc),
+        ).alias("_zkey")
+    else:
+        raise ValueError("morton layout supports 2 or 3 columns")
     (
         df.withColumn("_zkey", key)
         .repartitionByRange(n_files, "_zkey")

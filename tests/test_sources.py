@@ -235,3 +235,52 @@ def test_morton_key_orders_like_interleave(spark):
     }
     for a, b in rows:
         assert got[(a, b)] == py_interleave(a, b), (a, b)
+
+
+def test_morton3_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from beast_spark.sources.layout import morton_key_3
+
+    def py3(a, b, c):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (3 * i)
+            out |= ((b >> i) & 1) << (3 * i + 1)
+            out |= ((c >> i) & 1) << (3 * i + 2)
+        return out
+
+    rows = [(0, 0, 0), (1, 2, 4), (65535, 65535, 65535), (12345, 54321, 4097)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {
+        (r.a, r.b, r.c): r.z
+        for r in df.select(
+            "a", "b", "c", morton_key_3(F.col("a"), F.col("b"), F.col("c")).alias("z")
+        ).collect()
+    }
+    for a, b, c in rows:
+        assert got[(a, b, c)] == py3(a, b, c), (a, b, c)
+
+
+def test_zorder3_layout_prunes_all_three_axes(spark, tmp_path):
+    """3-way Morton: a thin slice on ANY of the three columns skips a
+    real fraction of row groups; a single-column sort prunes only its
+    own axis."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.sources.layout import rowgroups_matching, write_zordered
+
+    n, dom = 120_000, 1_000_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % dom).alias("x"),
+        ((F.col("id") * 16807 + 12345) % dom).alias("y"),
+        ((F.col("id") * 69621 + 777) % dom).alias("z"),
+    )
+    zpath = str(tmp_path / "z3")
+    write_zordered(
+        df, zpath, [("x", 0, dom), ("y", 0, dom), ("z", 0, dom)], n_files=64
+    )
+    lo, hi = 0, dom // 16
+    for c in ("x", "y", "z"):
+        m, t = rowgroups_matching(zpath, c, lo, hi)
+        assert m <= t // 2, (c, m, t)
