@@ -2340,3 +2340,93 @@ def q118_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+@register(
+    "q119_correlation_matrix",
+    oracle="""
+    SELECT 'l_quantity~l_extendedprice' AS pair,
+           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity~l_discount',
+           floor(corr(l_quantity, l_discount) * 10000 + 0.5) / 10000
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice~l_discount',
+           floor(corr(l_extendedprice, l_discount) * 10000 + 0.5) / 10000
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlation matrix over the numeric profile "
+    "columns — the feature-relationship layer of the profiling suite "
+    "(q95/q99/q100 moments, q96 distributions, q104/q113/q114 drift). "
+    "All three pairs in ONE aggregate over one scan (corr buffers are "
+    "ordinary mergeable agg state), unpivoted to rows.",
+)
+def q119_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    one = l.agg(
+        *[rnd(F.corr(a, b), 4).alias(f"r{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}~{b}").alias("pair"), F.col(f"r{i}").alias("r")
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return one.select(F.explode(report).alias("s")).select("s.*")
+
+
+@register(
+    "q120_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    ), med AS (
+      SELECT median(CAST(n_events AS DOUBLE)) AS med FROM daily
+    ), dev AS (
+      SELECT d.day, d.n_events, abs(d.n_events - m.med) AS dev, m.med
+      FROM daily d CROSS JOIN med m
+    ), mad AS (
+      SELECT median(dev) AS mad FROM dev
+    )
+    SELECT dev.day, dev.n_events, dev.dev, dev.dev > 3 * mad.mad AS is_anomaly
+    FROM dev CROSS JOIN mad
+    """,
+    doc="Robust volume-anomaly detection: daily event counts scored by "
+    "absolute deviation from the median, flagged beyond 3x the median "
+    "absolute deviation (MAD) — outlier-immune, unlike mean/stddev "
+    "z-scores. The heavy stage is one groupBy to ~30 daily rows; the "
+    "median/MAD scalars compute on that tiny frame and broadcast back. "
+    "Counts and interpolated medians are exact binary fractions, so "
+    "both engines agree bit-for-bit with no rounding needed.",
+)
+def q120_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = daily.agg(
+        F.expr("percentile(CAST(n_events AS DOUBLE), 0.5)").alias("med")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        F.abs(F.col("n_events") - F.col("med")).alias("dev"),
+    )
+    mad = dev.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        "dev",
+        (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
