@@ -2430,3 +2430,378 @@ def q120_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev",
         (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "q121_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS tot_w
+      FROM s
+    )
+    SELECT s.lang, s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           floor((s.n_docs / CAST(t.tot AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS share,
+           floor((sqrt(CAST(s.n_docs AS DOUBLE)) / t.tot_w) * 1000000 + 0.5)
+             / 1000000 AS weight
+    FROM s CROSS JOIN t
+    """,
+    doc="Temperature-scaled data-mixture weights (alpha = 0.5): each "
+    "(lang, source) stratum's sampling weight is p^alpha renormalized — "
+    "the multilingual rebalancing rule that upsamples tail languages "
+    "without letting any head stratum dominate. Pairs with q111 (PPS "
+    "row selection) and q93 (stratified sampling): this query computes "
+    "the TARGET mixture those operators then realize. One groupBy to a "
+    "strata-sized frame; the normalizing constants broadcast back — "
+    "nothing driver-side at any scale. sqrt is correctly-rounded IEEE "
+    "in both engines, so only the tiny cross-strata sum needs rounding.",
+)
+def q121_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").alias("tot"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("tot_w"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        rnd(F.col("n_docs") / F.col("tot").cast("double"), 6).alias("share"),
+        rnd(F.sqrt(F.col("n_docs").cast("double")) / F.col("tot_w"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+@register(
+    "q122_vocab_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+      SELECT word, count(*) AS cnt FROM w GROUP BY word
+    ), t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c
+    ), r AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM c
+    )
+    SELECT r.rank, r.word, CAST(r.cnt AS BIGINT) AS cnt,
+           floor((r.cnt / CAST(t.tot AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS share,
+           floor((r.cum / CAST(t.tot AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS cum_share
+    FROM r CROSS JOIN t
+    WHERE r.rank <= 20
+    """,
+    doc="Vocabulary coverage (Zipf head): the 20 most frequent corpus "
+    "words with per-word and cumulative token-mass share — the "
+    "tokenizer-design / stopword-audit view of the corpus. Scale shape: "
+    "word counts shuffle once on the word key; the top-20 is a "
+    "distributed TakeOrdered (no global sort materialized); the rank/"
+    "cumulative window then runs on a 20-row frame, so the "
+    "single-partition window is constant-size at ANY corpus scale. The "
+    "count table is pinned — total token mass and the top-k read it "
+    "twice.",
+)
+def q122_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        fan_out(d)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    t = c.agg(F.sum("cnt").alias("tot"))
+    top = c.orderBy(F.desc("cnt"), F.asc("word")).limit(20)
+    order = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        F.row_number().over(order).alias("rank"),
+        "word",
+        "cnt",
+        F.sum("cnt").over(cum).alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(t)).select(
+        "rank",
+        "word",
+        "cnt",
+        rnd(F.col("cnt") / F.col("tot").cast("double"), 6).alias("share"),
+        rnd(F.col("cum") / F.col("tot").cast("double"), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "q123_token_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+      SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+      FROM w GROUP BY doc_id, word
+    ), s AS (
+      SELECT doc_id,
+             sum(c) AS n,
+             count(*) AS n_unique,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           floor(h * 10000 + 0.5) / 10000 AS entropy,
+           CASE WHEN n_unique > 1
+                THEN floor(h / ln(CAST(n_unique AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
+                ELSE 0.0 END AS norm_entropy
+    FROM s
+    """,
+    doc="Per-document token entropy (nats) and normalized entropy — the "
+    "information-density quality signal: looping/boilerplate text "
+    "scores near 0, natural text near its vocabulary ceiling. "
+    "Complements q117 (dup-trigram fraction catches LOCAL repetition; "
+    "entropy catches global skew) and q112 (corpus-model likelihood). "
+    "H = ln(n) - sum(c*ln c)/n over per-doc word counts: explode "
+    "map-side, one shuffle on (doc, word), per-doc merge — "
+    "embarrassingly parallel by document at any scale.",
+)
+def q123_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        fan_out(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias(
+            "h"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_unique").alias("n_unique"),
+        rnd(F.col("h"), 4).alias("entropy"),
+        F.when(
+            F.col("n_unique") > 1,
+            rnd(F.col("h") / F.log(F.col("n_unique").cast("double")), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+@register(
+    "q124_boilerplate_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' '))
+               AS chash
+      FROM t, unnest(range(0, (len(t) + 7) // 8)) AS u(i)
+    ), fl AS (
+      SELECT chash FROM ch GROUP BY chash
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           CAST(count(fl.chash) AS BIGINT) AS n_boiler,
+           floor(count(fl.chash) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS boiler_frac
+    FROM ch LEFT JOIN fl ON ch.chash = fl.chash
+    GROUP BY ch.doc_id
+    """,
+    doc="Boilerplate-chunk detection (the C4/RefinedWeb line-dedup rule, "
+    "re-expressed over fixed 8-token chunks since the synthetic corpus "
+    "has no newlines): a chunk appearing verbatim in >= 2 distinct "
+    "documents is boilerplate (headers, footers, licence blocks); each "
+    "document reports its contaminated fraction. Chunking is pure "
+    "map-side array slicing (no per-token shuffle — only the fixed-size "
+    "chunk HASHES shuffle, 1/8th the token count); the flagged-chunk "
+    "list is small by construction (repeated-content only), so the "
+    "join back is AQE-broadcast, unhinted — a pathological corpus "
+    "degrades to shuffle, not OOM.",
+)
+def q124_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    with_arr = fan_out(d).select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = ((F.size("t") + F.lit(7)) / F.lit(8)).cast("int")
+    ch = (
+        with_arr.select(
+            "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.slice(F.col("t"), F.col("i") * 8 + 1, F.lit(8)), " "
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chash"),
+        )
+        .persist()  # two consumers: the flag aggregate and the per-doc report
+    )
+    fl = (
+        ch.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chash", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        ch.join(fl, "chash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("is_boiler").alias("n_boiler"),
+            rnd(
+                F.count("is_boiler") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@register(
+    "q125_cluster_representatives",
+    oracle="WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS rep_id
+      FROM m
+    )
+    SELECT doc_id, cluster_id, rep_id, doc_id = rep_id AS keep
+    FROM ranked
+    """,
+    doc="Quality-aware cluster-representative selection: within each "
+    "near-dup cluster (LSH pairs -> connected components, q86) KEEP the "
+    "highest-quality member (longest text, doc_id tiebreak) and drop "
+    "the rest — the keep-best refinement of q110's keep-min-id rule "
+    "(min-id keeps whichever copy happened to get the small id; a "
+    "corpus pipeline wants the least-truncated copy). The ranking "
+    "window partitions BY CLUSTER — parallel across clusters, no "
+    "global sort; clusters are near-dup-sized so the documents join "
+    "stays AQE-broadcast, unhinted.",
+    bench=False,
+    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
+)
+def q125_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    clusters = dedup_clusters(pairs)
+    m = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("rep_id"),
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+    )
+
+
+@register(
+    "q126_winsorized_stats",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(e.value) * 10000 + 0.5) / 10000 AS raw_mean,
+           floor(avg(least(greatest(e.value, p.p05), p.p95)) * 10000 + 0.5)
+             / 10000 AS winsor_mean,
+           CAST(sum(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Winsorized robust statistics: per event_type, clip values to "
+    "the exact interpolated [p05, p95] band and report raw vs "
+    "winsorized mean plus the clipped count — the outlier-resistant "
+    "metric layer beside q120's MAD anomaly flags. Two passes over "
+    "events (exact percentiles cannot stream in one); the per-group "
+    "percentile frame is group-count-sized and broadcasts back for the "
+    "clip pass. At 100 TB swap the exact quantile for percentile_approx "
+    "(one pass, mergeable sketch) — the exact form here IS the oracle "
+    "cross-check for that swap.",
+)
+def q126_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = e.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "wv"
+        ),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int")
+        .alias("is_clip"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg("value"), 4).alias("raw_mean"),
+        rnd(F.avg("wv"), 4).alias("winsor_mean"),
+        F.sum("is_clip").cast("long").alias("n_clipped"),
+    )

@@ -169,3 +169,76 @@ def q27_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types"))
     return per_user.groupBy("n_types").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q127_conversion_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT strftime(signup_ts, '%Y-%m-%d') AS cohort_day,
+           count(*) AS n_signups,
+           CAST(sum(CASE WHEN first_purchase_ts IS NOT NULL
+                          AND first_purchase_ts <= signup_ts + INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           floor(sum(CASE WHEN first_purchase_ts IS NOT NULL
+                           AND first_purchase_ts <= signup_ts + INTERVAL 7 DAY
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS conv_rate
+    FROM p GROUP BY strftime(signup_ts, '%Y-%m-%d')
+    """,
+    doc="Ordered temporal conversion funnel: per user, first signup -> "
+    "first purchase AT OR AFTER it; cohorts by signup day report the "
+    "7-day conversion rate. The ORDERED step distinguishes this from "
+    "q27's unordered event-type histogram — a purchase before signup "
+    "does not count. Both event slices reduce per-user before joining "
+    "(the join input is one row per user per side, not per event), the "
+    "equi-key is user_id so Catalyst plans a hash join with the ts "
+    "range as residual — no theta explosion at any scale.",
+)
+def q127_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    p = (
+        s.join(
+            pur,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("pts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    converted = (
+        F.col("first_purchase_ts").isNotNull()
+        & (
+            F.col("first_purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+        )
+    ).cast("int")
+    return p.groupBy(
+        F.date_format("signup_ts", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        rnd(F.sum(converted) / F.count(F.lit(1)).cast("double"), 4).alias(
+            "conv_rate"
+        ),
+    )
