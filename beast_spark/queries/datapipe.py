@@ -2805,3 +2805,108 @@ def q126_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("wv"), 4).alias("winsor_mean"),
         F.sum("is_clip").cast("long").alias("n_clipped"),
     )
+
+
+@register(
+    "q128_sketch_merge_profile",
+    oracle="""
+    SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_slices,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS merged_within_3sigma,
+           TRUE AS singlepass_within_3sigma
+    FROM orders
+    """,
+    doc="Incremental distinct-count profiling via mergeable HLL "
+    "sketches (operators/sketches.py): one DataSketches sketch per "
+    "order-month slice, global distinct answered by UNIONING the "
+    "slice binaries — the pattern that lets a day-partitioned "
+    "warehouse table (BQClient.java:66-114) answer 'distinct "
+    "customers ever' on every nightly append by sketching ONLY the "
+    "new slice, O(slices) not O(rows). Sketch estimates are "
+    "engine-specific, so the oracle checks the q49-style error "
+    "INVARIANT: both the slice-merged and the single-pass estimates "
+    "within 3 sigma (3 x 1.04/sqrt(2^12) = 4.9%) of the exact count; "
+    "a broken sketch or a lossy union flips a boolean and fails the "
+    "value hash.",
+)
+def q128_sketch_merge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.sketches import (
+        hll_rse,
+        merged_distinct,
+        sketch_by_slice,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    slices = sketch_by_slice(
+        o, [F.date_format("o_orderdate", "yyyy-MM").alias("mon")], "o_custkey"
+    )
+    merged = merged_distinct(slices).select("distinct_est", "n_slices")
+    single = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias(
+            "single_est"
+        )
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    tol = 3.0 * hll_rse(12)
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(single))
+        .select(
+            "n_slices",
+            "exact_customers",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_customers"))
+                <= tol * F.col("exact_customers")
+            ).alias("merged_within_3sigma"),
+            (
+                F.abs(F.col("single_est") - F.col("exact_customers"))
+                <= tol * F.col("exact_customers")
+            ).alias("singlepass_within_3sigma"),
+        )
+    )
+
+
+@register(
+    "q129_incremental_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_value,
+           floor((sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  / (100.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+    doc="Materialized-rollup maintenance (operators/rollup.py): the "
+    "daily revenue rollup is built from pre-cutoff history ONCE, then "
+    "the appended tail is aggregated ALONE and merged in — the merge "
+    "shuffles only rollup-grain partial aggregates (exact integer-cent "
+    "sums + counts), never the raw history. The oracle is the "
+    "full-table rebuild, so the O(increment) path must be EXACT, not "
+    "approximately right — integer aggregate state makes merge order "
+    "unobservable (same contract as q108's incremental SCD2). Averages "
+    "derive from merged sums at read time.",
+)
+def q129_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.rollup import daily_rollup, merge_rollups
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20"
+    base = daily_rollup(
+        e.filter(F.col("ts") < cutoff), ["event_type"], "ts", "value"
+    )
+    inc = daily_rollup(
+        e.filter(F.col("ts") >= cutoff), ["event_type"], "ts", "value"
+    )
+    maintained = merge_rollups(base, inc)
+    return maintained.select(
+        "day",
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        (F.col("sum_cents") / 100.0).alias("total_value"),
+        rnd(F.col("sum_cents") / (100.0 * F.col("n_rows")), 4).alias(
+            "avg_value"
+        ),
+    )

@@ -769,3 +769,88 @@ def test_leakage_free_split_keeps_neardups_together(spark, sf_dir):
     frac = Counter(split.values())
     n = sum(frac.values())
     assert 0.6 < frac["train"] / n < 0.95
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_rows(df):
+    return sorted(
+        (r.day, r.event_type, r.n_rows, r.sum_cents)
+        for r in df.select("day", "event_type", "n_rows", "sum_cents").collect()
+    )
+
+
+@pytest.mark.parametrize("cutoff", ["2024-01-05", "2024-01-15", "2024-01-25"])
+def test_incremental_rollup_matches_full(spark, sf_dir, cutoff):
+    """merge(rollup(base), rollup(inc)) == rollup(all), exactly."""
+    from beast_spark.operators.rollup import daily_rollup, merge_rollups
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    full = daily_rollup(e, ["event_type"], "ts", "value")
+    base = daily_rollup(e.filter(F.col("ts") < cutoff), ["event_type"], "ts", "value")
+    inc = daily_rollup(e.filter(F.col("ts") >= cutoff), ["event_type"], "ts", "value")
+    assert _rollup_rows(merge_rollups(base, inc)) == _rollup_rows(full)
+
+
+def test_incremental_rollup_merge_is_associative(spark, sf_dir):
+    """Applying increments one at a time == batching them — any append
+    schedule converges to the same table."""
+    from beast_spark.operators.rollup import daily_rollup, merge_rollups
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-10", "2024-01-20"]
+    a = daily_rollup(e.filter(F.col("ts") < cuts[0]), ["event_type"], "ts", "value")
+    b = daily_rollup(
+        e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ["event_type"],
+        "ts",
+        "value",
+    )
+    c = daily_rollup(e.filter(F.col("ts") >= cuts[1]), ["event_type"], "ts", "value")
+    one_at_a_time = merge_rollups(merge_rollups(a, b), c)
+    batched = merge_rollups(a, merge_rollups(b, c))
+    full = daily_rollup(e, ["event_type"], "ts", "value")
+    assert _rollup_rows(one_at_a_time) == _rollup_rows(batched) == _rollup_rows(full)
+
+
+def test_merge_rollups_rejects_schema_drift(spark):
+    from beast_spark.operators.rollup import merge_rollups
+
+    a = spark.createDataFrame([("d", "t", 1, 100)], "day string, event_type string, n_rows long, sum_cents long")
+    b = spark.createDataFrame([("d", 1, 100)], "day string, n_rows long, sum_cents long")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_rollups(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch profiling (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_merge_within_error_bound(spark, sf_dir):
+    """Slice-merged estimate tracks the exact distinct within 3 sigma,
+    and appending a slice to a persisted sketch table == resketching."""
+    from beast_spark.operators.sketches import hll_rse, merged_distinct, sketch_by_slice
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    slices = sketch_by_slice(e, [day], "user_id")
+    est, n_slices, n_rows = merged_distinct(slices).collect()[0]
+    exact = e.select("user_id").distinct().count()
+    assert n_rows == e.count()
+    assert n_slices == e.select(day).distinct().count()
+    assert abs(est - exact) <= 3 * hll_rse() * max(exact, 1)
+
+    # Append path: sketch ONLY the tail slice, union with the existing
+    # sketch table — same estimate invariant, history never rescanned.
+    cut = "2024-01-20"
+    old = sketch_by_slice(e.filter(F.col("ts") < cut), [day], "user_id")
+    new = sketch_by_slice(e.filter(F.col("ts") >= cut), [day], "user_id")
+    est2 = merged_distinct(old.unionByName(new)).collect()[0][0]
+    assert abs(est2 - exact) <= 3 * hll_rse() * max(exact, 1)

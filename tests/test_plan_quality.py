@@ -281,3 +281,30 @@ def test_parquet_aggregate_pushdown_available(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_vocab_coverage_topk_is_distributed(spark, sf_dir, queries):
+    """q122's top-20 must plan as TakeOrderedAndProject (distributed
+    partial top-k) — a global Sort before the limit would serialize the
+    whole vocabulary through one partition at scale."""
+    plan = _plan(queries["q122_vocab_coverage"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_conversion_funnel_plans_hash_join(spark, sf_dir, queries):
+    """q127's signup->purchase join carries a ts-range predicate; Catalyst
+    must still extract the user_id equi-key (hash or sort-merge join with
+    the range as residual), never a nested-loop over event pairs."""
+    plan = _plan(queries["q127_conversion_funnel"].fn(spark, sf_dir))
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_merge_shuffles_only_aggregates(spark, sf_dir, queries):
+    """q129's merge stage must consume pre-aggregated (partial) state:
+    both rollup inputs aggregate BEFORE the union-merge, so every
+    exchange in the plan moves rollup-grain rows, with map-side partial
+    aggregation on each."""
+    plan = _plan(queries["q129_incremental_rollup"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final per rollup + merge
+    assert "partial_sum" in plan
