@@ -9,14 +9,10 @@ an append-only changelog increment, applied in O(increment) (untouched
 keys never shuffle — see operators/scd.py), and committed by an atomic
 directory swap.
 
-Exactly-once: the applied-batch ledger is written INSIDE the new history
-directory before the swap, so the swap is the single commit point — a
-replayed batch after any crash either sees the old directory (ledger
-lacks the batch → re-apply) or the new one (ledger has it → skip).
-There is no window where the batch is half-applied, because nothing
-mutates the live directory in place. The two-rename swap itself has the
-same brief-absence window as partition compaction and reuses the same
-``.replaced`` recovery rule (streaming/maintenance.py).
+Exactly-once commit is the shared swap-ledger protocol
+(``streaming/swap.py``): ledger inside the new directory before the
+swap, the swap as the single commit point, ``.replaced`` crash
+recovery.
 
 Scale: per batch the history is read once through broadcast anti/semi
 joins (no shuffle) and rewritten. Rewriting the full history per batch
@@ -28,20 +24,17 @@ algebra and the commit protocol are identical.
 
 from __future__ import annotations
 
-import json
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from beast_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
-
-_LEDGER = "_applied_batches.json"
+from beast_spark.streaming.swap import SwapCommittedTable
 
 __all__ = ["Scd2Maintainer"]
 
 
-class Scd2Maintainer:
+class Scd2Maintainer(SwapCommittedTable):
     """Owns one SCD2 history directory fed by a changelog stream."""
 
     def __init__(
@@ -51,47 +44,17 @@ class Scd2Maintainer:
         attr_col: str,
         order_cols: Sequence[str],
     ) -> None:
-        self.history_path = history_path
+        super().__init__(history_path)
         self.key_cols = list(key_cols)
         self.attr_col = attr_col
         self.order_cols = list(order_cols)
 
-    # -- commit protocol -------------------------------------------------
-
-    def _recover(self) -> None:
-        """Heal a crash inside the two-rename swap: live dir missing but
-        ``.replaced`` present → restore it."""
-        replaced = self.history_path + ".replaced"
-        if not os.path.exists(self.history_path) and os.path.exists(replaced):
-            os.rename(replaced, self.history_path)
-
-    def applied_batches(self) -> set[int]:
-        self._recover()
-        ledger = os.path.join(self.history_path, _LEDGER)
-        if not os.path.exists(ledger):
-            return set()
-        with open(ledger) as fh:
-            return set(json.load(fh))
+    @property
+    def history_path(self) -> str:
+        return self.path
 
     def read_history(self, spark: SparkSession) -> DataFrame | None:
-        self._recover()
-        if not os.path.exists(self.history_path):
-            return None
-        return spark.read.parquet(self.history_path)
-
-    def _swap_in(self, tmp: str) -> None:
-        replaced = self.history_path + ".replaced"
-        if os.path.exists(replaced):
-            import shutil
-
-            shutil.rmtree(replaced)
-        if os.path.exists(self.history_path):
-            os.rename(self.history_path, replaced)
-        os.rename(tmp, self.history_path)  # <- the commit point
-        if os.path.exists(replaced):
-            import shutil
-
-            shutil.rmtree(replaced)
+        return self.read_table(spark)
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -108,15 +71,7 @@ class Scd2Maintainer:
             updated = scd2_apply_increment(
                 history, batch_df, self.key_cols, self.attr_col, self.order_cols
             )
-        tmp = self.history_path + ".applying"
-        if os.path.exists(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)
-        updated.write.parquet(tmp)
-        with open(os.path.join(tmp, _LEDGER), "w") as fh:
-            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
-        self._swap_in(tmp)
+        self.commit(updated, batch_id)
 
     # -- wiring ----------------------------------------------------------
 

@@ -1,0 +1,78 @@
+"""Streaming rollup maintenance: an event stream keeps a materialized
+daily aggregate current via ``foreachBatch`` +
+:func:`beast_spark.operators.rollup.merge_rollups`.
+
+The reference streams raw rows into day-partitioned warehouse tables
+(``sink/bq/BqSink.java:41-80``) and leaves report aggregation to the
+warehouse — every dashboard refresh rescans history. This module keeps
+the aggregate itself current: each micro-batch is reduced to
+rollup-grain partial aggregates (exact integer-cent sums, counts) and
+MERGED into the stored rollup — O(batch + rollup) per trigger, the raw
+history is never rescanned.
+
+Unlike SCD2 maintenance (``streaming/dimensions.py``), the merge is
+commutative and associative, so there is NO per-key ordering contract:
+out-of-order batches, backfills, and late data all converge to exactly
+the full-rebuild table (property-tested batch-side in
+``tests/test_operators.py``).
+
+Exactly-once commit is the shared swap-ledger protocol
+(``streaming/swap.py``). Rewriting the full rollup per batch is the
+local-parquet simplification — the rollup is aggregate-sized, orders of
+magnitude smaller than its input; at warehouse scale the same merge
+feeds a keyed MERGE (streaming/sink.py staged keyed publish) on the
+(day, keys) primary key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from beast_spark.operators.rollup import daily_rollup, merge_rollups
+from beast_spark.streaming.swap import SwapCommittedTable
+
+__all__ = ["RollupMaintainer"]
+
+
+class RollupMaintainer(SwapCommittedTable):
+    """Owns one materialized rollup directory fed by an event stream."""
+
+    def __init__(
+        self,
+        rollup_path: str,
+        key_cols: Sequence[str],
+        ts_col: str,
+        value_col: str,
+    ) -> None:
+        super().__init__(rollup_path)
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def read_rollup(self, spark: SparkSession) -> DataFrame | None:
+        return self.read_table(spark)
+
+    # -- the foreachBatch body -------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-swap crash: already committed
+        spark = batch_df.sparkSession
+        inc = daily_rollup(batch_df, self.key_cols, self.ts_col, self.value_col)
+        existing = self.read_table(spark)
+        updated = inc if existing is None else merge_rollups(existing, inc)
+        self.commit(updated, batch_id)
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, events: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible). Any
+        batch order converges — the merge is order-insensitive."""
+        return (
+            events.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,96 @@
+"""Streaming rollup maintenance: the aggregate table an event stream
+maintains batch-by-batch must equal the from-scratch rollup over all
+rows, replays must be no-ops (swap-committed ledger), and — unlike SCD2
+— batch ORDER must not matter (merge is commutative/associative)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from beast_spark.operators.rollup import daily_rollup
+from beast_spark.streaming.rollup import RollupMaintainer
+
+DDL = "ts timestamp, event_type string, value double"
+ARGS = dict(key_cols=["event_type"], ts_col="ts", value_col="value")
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+def _rollset(df):
+    return {tuple(r) for r in df.select("day", "event_type", "n_rows", "sum_cents").collect()}
+
+
+def _at(d):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+
+B0 = [(_at(0), "view", 1.25), (_at(0), "click", 2.50), (_at(1), "view", 0.75)]
+B1 = [(_at(1), "view", 3.00), (_at(2), "purchase", 9.99)]
+B2 = [(_at(0), "view", 0.01), (_at(2), "purchase", 0.02)]
+
+
+def test_streamed_rollup_equals_full_rebuild(spark, tmp_path):
+    src = tmp_path / "src"
+    for i, b in enumerate([B0, B1, B2]):
+        _rows(spark, b).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    m = RollupMaintainer(str(tmp_path / "roll"), **ARGS)
+    stream = (
+        spark.readStream.schema(_rows(spark, []).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = m.stream_from(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert len(m.applied_batches()) == 3
+    want = _rollset(daily_rollup(_rows(spark, B0 + B1 + B2), **ARGS))
+    assert _rollset(m.read_rollup(spark)) == want
+
+    # restarting with the same checkpoint and no new data changes nothing
+    q2 = m.stream_from(
+        spark.readStream.schema(_rows(spark, []).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert _rollset(m.read_rollup(spark)) == want
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    m = RollupMaintainer(str(tmp_path / "roll"), **ARGS)
+    m.apply_batch(_rows(spark, B0), 0)
+    m.apply_batch(_rows(spark, B1), 1)
+    want = _rollset(m.read_rollup(spark))
+    # driver replays batch 1 after a post-swap crash: counts must NOT double
+    m.apply_batch(_rows(spark, B1), 1)
+    assert _rollset(m.read_rollup(spark)) == want
+    assert m.applied_batches() == {0, 1}
+
+
+def test_batch_order_does_not_matter(spark, tmp_path):
+    """The SCD2 maintainer needs per-key arrival order; the rollup merge
+    must not — any schedule converges to the rebuild."""
+    fwd = RollupMaintainer(str(tmp_path / "fwd"), **ARGS)
+    rev = RollupMaintainer(str(tmp_path / "rev"), **ARGS)
+    for i, b in enumerate([B0, B1, B2]):
+        fwd.apply_batch(_rows(spark, b), i)
+    for i, b in enumerate([B2, B1, B0]):
+        rev.apply_batch(_rows(spark, b), i)
+    want = _rollset(daily_rollup(_rows(spark, B0 + B1 + B2), **ARGS))
+    assert _rollset(fwd.read_rollup(spark)) == want
+    assert _rollset(rev.read_rollup(spark)) == want
+
+
+def test_crashed_swap_recovers(spark, tmp_path):
+    m = RollupMaintainer(str(tmp_path / "roll"), **ARGS)
+    m.apply_batch(_rows(spark, B0), 0)
+    want = _rollset(m.read_rollup(spark))
+    # simulate a crash between the two renames: live gone, .replaced left
+    os.rename(m.path, m.path + ".replaced")
+    assert m.read_rollup(spark) is not None  # _recover healed it
+    assert _rollset(m.read_rollup(spark)) == want
