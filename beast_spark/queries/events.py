@@ -242,3 +242,126 @@ def q127_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+
+
+@register(
+    "q130_rolling_mau_sketch",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+    ), u AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+    )
+    SELECT d.day AS wend,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT u.day) AS BIGINT) AS n_days,
+           TRUE AS sketch_within_3sigma
+    FROM d JOIN u
+      ON u.day <= d.day
+     AND CAST(u.day AS DATE) > CAST(d.day AS DATE) - 7
+    GROUP BY d.day
+    """,
+    doc="Rolling 7-day distinct users (the MAU/WAU family) answered "
+    "from MERGEABLE per-day HLL sketches (operators/sketches.py): the "
+    "raw stream is sketched once per day slice; every window estimate "
+    "is a union of <= 7 day-sized binaries — so at 100 TB the rolling "
+    "series costs O(days^2) sketch merges, never a rescan, and a new "
+    "day extends the series by sketching ONLY that day (the q128 "
+    "append story applied to windows; sliding countDistinct cannot "
+    "partial-aggregate, sketches can). Oracle: exact windowed distinct "
+    "plus the q49-style 3-sigma invariant on the sketch estimate. The "
+    "day-range join is days x days (tiny both sides at any scale).",
+)
+def q130_rolling_mau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.sketches import hll_rse, sketch_by_slice
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    sk = sketch_by_slice(e, [day], "user_id")
+    wends = sk.select(F.col("day").alias("wend"))
+    in_window = (F.col("day") <= F.col("wend")) & (
+        F.to_date("day") > F.date_sub(F.to_date("wend"), 7)
+    )
+    rolled = (
+        sk.join(wends, in_window)
+        .groupBy("wend")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    ud = e.select(day, "user_id").distinct()
+    exact = (
+        ud.join(wends, in_window)
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    tol = 3.0 * hll_rse()
+    return exact.join(rolled, "wend").select(
+        "wend",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= tol * F.col("exact_users")
+        ).alias("sketch_within_3sigma"),
+    )
+
+
+@register(
+    "q131_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+    ), f AS (
+      SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id
+    ), c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM f GROUP BY cohort
+    ), act AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', CAST(f.cohort AS DATE),
+                            CAST(ud.day AS DATE)) AS INT) AS day_offset,
+             CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+      FROM ud JOIN f ON ud.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT act.cohort, act.day_offset, act.n_active, c.cohort_size,
+           floor(act.n_active / CAST(c.cohort_size AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS retention_rate
+    FROM act JOIN c ON act.cohort = c.cohort
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen day, each "
+    "later active day counted as an offset from it — the day-N "
+    "retention table every growth dashboard draws. Heavy work is two "
+    "user-keyed aggregates (distinct activity days; first-seen) and "
+    "one join ON USER (co-partitioned shuffles — the cohort axis never "
+    "explodes); the cohort-size join at the end touches only the "
+    "cohorts x offsets result frame, which is bounded by days^2 "
+    "regardless of user count.",
+)
+def q131_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ud = e.select("user_id", day).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = (
+        ud.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("day"), F.to_date("cohort")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    c = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return act.join(c, "cohort").select(
+        "cohort",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        rnd(F.col("n_active") / F.col("cohort_size").cast("double"), 4).alias(
+            "retention_rate"
+        ),
+    )
