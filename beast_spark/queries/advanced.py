@@ -1269,3 +1269,64 @@ def q108_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_col="o_orderpriority",
         order_cols=["o_orderdate", "o_orderkey"],
     )
+
+
+@register(
+    "q132_table_diff_cdc",
+    oracle="""
+    WITH old_v AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new_v AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), d AS (
+      SELECT coalesce(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.price <> n.price THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_v o FULL OUTER JOIN new_v n ON o.k = n.k
+    )
+    SELECT change_type, count(*) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change_type
+    """,
+    doc="Snapshot diff / CDC derivation: two versions of a keyed table "
+    "(deterministically derived from orders: rows dropped, rows added, "
+    "every 7th price bumped) full-outer-joined on the primary key and "
+    "classified insert/delete/update/unchanged — the changelog that "
+    "feeds scd2_apply_increment (q108) or merge_rollups (q129) when "
+    "the upstream system can only hand over full snapshots. Scale "
+    "shape: one key-partitioned shuffle per side into a sort-merge "
+    "full outer join; for wide tables compare an md5 row digest "
+    "(computed map-side) instead of each column — same plan, "
+    "one-column compare. Output is the count+key-checksum per change "
+    "class, so the verification frame is 4 rows at any scale.",
+)
+def q132_table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old_v = o.filter(k % 3 != 0).select(
+        k.alias("k_old"), F.col("o_totalprice").alias("price_old")
+    )
+    new_v = o.filter(k % 5 != 0).select(
+        k.alias("k_new"),
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_new"),
+    )
+    d = old_v.join(new_v, old_v.k_old == new_v.k_new, "full_outer").select(
+        F.coalesce("k_old", "k_new").alias("k"),
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .when(F.col("price_old") != F.col("price_new"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_checksum"),
+    )

@@ -365,3 +365,76 @@ def q131_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@register(
+    "q133_last_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, ts, max(event_type) AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ), j AS (
+      SELECT p.event_id, p.value, p.ts, t.ts AS touch_ts, t.touch_type
+      FROM purchases p ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 3 DAY
+                THEN touch_type ELSE 'unattributed' END AS attributed_to,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM j GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase credited to "
+    "the user's most recent click/view within a 3-day lookback, else "
+    "unattributed — the as-of operator (operators/asof.py, q28) "
+    "applied to the report marketers actually run. Touches pre-reduce "
+    "to one row per (user, ts) with a deterministic type tiebreak so "
+    "equal-timestamp ties cannot flap between engines. The as-of "
+    "itself is the union + last-value-carry-forward plan: ONE "
+    "user-keyed shuffle, no per-purchase range probe, "
+    "density-independent at any event volume.",
+)
+def q133_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "touch_type"],
+    )
+    in_window = F.col("ts_right").isNotNull() & (
+        F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")
+    )
+    return (
+        j.select(
+            F.when(in_window, F.col("touch_type_right"))
+            .otherwise("unattributed")
+            .alias("attributed_to"),
+            "value",
+        )
+        .groupBy("attributed_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from beast_spark.operators.rollup import daily_rollup, merge_rollups
 from beast_spark.streaming.swap import SwapCommittedTable
 
-__all__ = ["RollupMaintainer"]
+__all__ = ["RollupMaintainer", "SketchMaintainer"]
 
 
 class RollupMaintainer(SwapCommittedTable):
@@ -70,6 +70,62 @@ class RollupMaintainer(SwapCommittedTable):
     def stream_from(self, events: DataFrame, checkpoint: str):
         """Start the maintenance stream (availableNow-compatible). Any
         batch order converges — the merge is order-insensitive."""
+        return (
+            events.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class SketchMaintainer(SwapCommittedTable):
+    """Maintains a per-day HLL sketch table from an event stream.
+
+    Each micro-batch sketches ONLY its own rows
+    (:func:`beast_spark.operators.sketches.sketch_by_slice`), then
+    merges into the stored table by day (``hll_union_agg`` of the
+    binaries) — so the distinct-count profile (q128) and the rolling
+    MAU series (q130) stay current under streaming ingest without ever
+    rescanning history. DataSketches HLL union at a fixed lgK is
+    determined by the item SET, not the merge schedule, so any batch
+    order — including replays split across days — converges to the
+    same estimates as a from-scratch sketch of all rows
+    (asserted exactly in tests/test_streaming_rollup.py).
+    """
+
+    def __init__(self, sketch_path: str, ts_col: str, value_col: str) -> None:
+        super().__init__(sketch_path)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def read_sketches(self, spark: SparkSession) -> DataFrame | None:
+        return self.read_table(spark)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from beast_spark.operators.sketches import sketch_by_slice
+
+        if batch_id in self.applied_batches():
+            return
+        spark = batch_df.sparkSession
+        day = F.date_format(self.ts_col, "yyyy-MM-dd").alias("day")
+        inc = sketch_by_slice(batch_df, [day], self.value_col)
+        existing = self.read_table(spark)
+        if existing is None:
+            updated = inc
+        else:
+            updated = (
+                existing.unionByName(inc)
+                .groupBy("day")
+                .agg(
+                    F.hll_union_agg("sketch").alias("sketch"),
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            )
+        self.commit(updated, batch_id)
+
+    def stream_from(self, events: DataFrame, checkpoint: str):
         return (
             events.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint)

@@ -94,3 +94,43 @@ def test_crashed_swap_recovers(spark, tmp_path):
     os.rename(m.path, m.path + ".replaced")
     assert m.read_rollup(spark) is not None  # _recover healed it
     assert _rollset(m.read_rollup(spark)) == want
+
+
+def test_sketch_maintainer_matches_batch_sketch(spark, tmp_path):
+    """Streamed per-day sketches must estimate EXACTLY what a
+    from-scratch sketch of all rows estimates (HLL union is determined
+    by the item set, not the merge schedule), and replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.sketches import merged_distinct, sketch_by_slice
+    from beast_spark.streaming.rollup import SketchMaintainer
+
+    users = "ts timestamp, user_id long"
+    b0 = [(_at(0), 1), (_at(0), 2), (_at(1), 1)]
+    b1 = [(_at(0), 3), (_at(1), 2), (_at(1), 2)]  # day overlap with b0
+    b2 = [(_at(2), 9)]
+
+    m = SketchMaintainer(str(tmp_path / "sk"), ts_col="ts", value_col="user_id")
+    for i, b in enumerate([b0, b1, b2]):
+        m.apply_batch(spark.createDataFrame(b, users), i)
+    m.apply_batch(spark.createDataFrame(b1, users), 1)  # replay: no-op
+
+    allrows = spark.createDataFrame(b0 + b1 + b2, users)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    want = {
+        (r.day, r.est, r.n_rows)
+        for r in sketch_by_slice(allrows, [day], "user_id")
+        .select("day", F.hll_sketch_estimate("sketch").alias("est"), "n_rows")
+        .collect()
+    }
+    got = {
+        (r.day, r.est, r.n_rows)
+        for r in m.read_sketches(spark)
+        .select("day", F.hll_sketch_estimate("sketch").alias("est"), "n_rows")
+        .collect()
+    }
+    assert got == want
+    # global roll-up off the maintained table == off the batch table
+    g_got = merged_distinct(m.read_sketches(spark)).collect()[0]
+    g_want = merged_distinct(sketch_by_slice(allrows, [day], "user_id")).collect()[0]
+    assert (g_got.distinct_est, g_got.n_rows) == (g_want.distinct_est, g_want.n_rows)
