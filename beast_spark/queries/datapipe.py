@@ -2910,3 +2910,185 @@ def q129_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+@register(
+    "q134_global_row_ids",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT)
+             AS row_id,
+           doc_id, lang
+    FROM documents
+    """,
+    doc="Distributed global row numbering (operators/rowids.py::"
+    "with_row_ids): a contiguous 1-based sequence over (lang, doc_id) "
+    "order WITHOUT the single-partition window a bare row_number() "
+    "plans — range-repartition, N parallel in-partition windows, then "
+    "a broadcast of partition-count-sized cumulative offsets. The "
+    "oracle is the textbook global window, so the distributed path "
+    "must reproduce it row-for-row; the order key includes the unique "
+    "doc_id tiebreak, making the assignment engine- and "
+    "partitioning-independent. This is the 'stable example ids before "
+    "packing/sharding' primitive corpus exports need.",
+)
+def q134_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.rowids import with_row_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_row_ids(
+        d.select("doc_id", "lang"), ["lang", "doc_id"]
+    ).select("row_id", "doc_id", "lang")
+
+
+@register(
+    "q135_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(max(cnt) AS BIGINT) AS max_cnt,
+             sum(cnt) AS tot,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    ), r AS (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT r.rank, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
+           floor((r.cnt / CAST(g.tot AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS share,
+           floor((g.max_cnt / (g.tot / CAST(g.n_keys AS DOUBLE))) * 10000
+                 + 0.5) / 10000 AS skew_factor
+    FROM r CROSS JOIN g
+    WHERE r.rank <= 10
+    """,
+    doc="Join-key skew diagnostics: the top-10 heavy-hitter keys with "
+    "their row share, plus the table's skew factor (max key count over "
+    "mean key count) — the report that tells an operator WHEN to reach "
+    "for salting (operators/skew.py) or AQE skew-join before the "
+    "shuffle falls over. Same scale shape as q122: one groupBy on the "
+    "key, distributed TakeOrdered top-k (no global sort), rank window "
+    "on a constant 10-row frame, scalar stats broadcast back.",
+)
+def q135_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # two consumers: global stats + top-k
+    )
+    g = c.agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("tot"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+        .alias("rank"),
+        "user_id",
+        "cnt",
+    )
+    return ranked.crossJoin(F.broadcast(g)).select(
+        "rank",
+        "user_id",
+        "cnt",
+        rnd(F.col("cnt") / F.col("tot").cast("double"), 6).alias("share"),
+        rnd(
+            F.col("max_cnt") / (F.col("tot") / F.col("n_keys").cast("double")),
+            4,
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "q136_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), c2 AS (
+      SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2
+    ), n AS (
+      SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12
+    ), scored AS (
+      SELECT c12.w1, c12.w2, c12.c12,
+             ln(n.n * c12.c12 / (CAST(c1.c1 AS DOUBLE) * c2.c2)) AS pmi
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+               JOIN c2 ON c12.w2 = c2.w2
+               CROSS JOIN n
+      WHERE c12.c12 >= 5
+    ), r AS (
+      SELECT w1, w2, c12, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored
+    )
+    SELECT rank, w1, w2, CAST(c12 AS BIGINT) AS c12,
+           floor(pmi * 10000 + 0.5) / 10000 AS pmi
+    FROM r WHERE rank <= 20
+    """,
+    doc="Collocation mining: the 20 most-associated adjacent word pairs "
+    "by pointwise mutual information (min support 5) — the phrase/"
+    "multi-word-expression detector tokenizer designers run beside "
+    "q122's frequency view (PMI surfaces pairs that co-occur MORE than "
+    "their unigram frequencies predict; raw counts surface stopword "
+    "pairs). All marginals (c1, c2, N) derive from the bigram count "
+    "table — the raw bigram stream shuffles once; ordering is safe "
+    "cross-engine because equal PMI values arise only from identical "
+    "IEEE ratios, and (w1, w2) breaks those ties. TakeOrdered top-k, "
+    "rank window on a 20-row frame, same scale shape as q122/q135.",
+)
+def q136_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_t = F.size(toks)
+    idx = F.when(n_t >= 2, F.sequence(F.lit(1), n_t - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = (
+        fan_out(d)
+        .select(toks.alias("t"), F.explode(idx).alias("i"))
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n"))
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                F.col("n") * F.col("c12") / (F.col("c1").cast("double") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
+        .alias("rank"),
+        "w1",
+        "w2",
+        "c12",
+        rnd(F.col("pmi"), 4).alias("pmi"),
+    )
+    return ranked

@@ -854,3 +854,54 @@ def test_sketch_merge_within_error_bound(spark, sf_dir):
     new = sketch_by_slice(e.filter(F.col("ts") >= cut), [day], "user_id")
     est2 = merged_distinct(old.unionByName(new)).collect()[0][0]
     assert abs(est2 - exact) <= 3 * hll_rse() * max(exact, 1)
+
+
+# ---------------------------------------------------------------------------
+# Distributed global row numbering (operators/rowids.py)
+# ---------------------------------------------------------------------------
+
+
+def test_with_row_ids_matches_global_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from beast_spark.operators.rowids import with_row_ids
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    got = {
+        (r.row_id, r.doc_id)
+        for r in with_row_ids(d, ["lang", "doc_id"]).collect()
+    }
+    want = {
+        (r.row_id, r.doc_id)
+        for r in d.select(
+            F.row_number().over(Window.orderBy("lang", "doc_id")).cast("long").alias("row_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_with_row_ids_partitioning_invariant(spark, sf_dir):
+    """Same sequence regardless of input partitioning or partition count."""
+    from beast_spark.operators.rowids import with_row_ids
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = sorted(
+        (r.row_id, r.doc_id) for r in with_row_ids(d, ["doc_id"]).collect()
+    )
+    shuffled = d.repartition(13)
+    for n in (1, 4, 32):
+        got = sorted(
+            (r.row_id, r.doc_id)
+            for r in with_row_ids(shuffled, ["doc_id"], num_partitions=n).collect()
+        )
+        assert got == base
+
+
+def test_with_row_ids_requires_order_cols(spark):
+    from beast_spark.operators.rowids import with_row_ids
+
+    with pytest.raises(ValueError, match="order_cols"):
+        with_row_ids(spark.range(3), [])
