@@ -3092,3 +3092,48 @@ def q136_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("pmi"), 4).alias("pmi"),
     )
     return ranked
+
+
+@register(
+    "q137_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(max(user_id) AS BIGINT) AS mx FROM events
+    ), nodes AS (
+      SELECT CAST(u.i AS BIGINT) AS id
+      FROM m, unnest(range(0, m.mx + 1)) AS u(i)
+    ), r(id, root_id, depth) AS (
+      SELECT id, id, CAST(0 AS BIGINT) FROM nodes WHERE id < 10
+      UNION ALL
+      SELECT n.id, r.root_id, r.depth + 1
+      FROM nodes n JOIN r ON r.id = n.id // 2
+      WHERE n.id >= 10
+    )
+    SELECT id, root_id, depth FROM r
+    """,
+    doc="Hierarchy flattening — the recursive-CTE workload Spark lacks "
+    "natively (operators/hierarchy.py::flatten_hierarchy): a binary "
+    "forest over the user-id space (roots 0-9, parent = id/2) resolved "
+    "to (node, root, depth) by POINTER DOUBLING — O(log depth) "
+    "self-joins, each an ordinary hash join, vs the naive "
+    "one-join-per-level loop that dies on deep chains. Oracle: DuckDB "
+    "WITH RECURSIVE over the same forest; the doubling must reproduce "
+    "the level-by-level expansion exactly.",
+    bench=False,
+    bench_reason="iterative pointer-doubling loop; per-round joins are ordinary hash joins",
+)
+def q137_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    e = load_table(spark, sf_dir, "events")
+    nodes = (
+        e.agg(F.max("user_id").alias("mx"))
+        .select(F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("id"))
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.when(F.col("id") >= 10, F.floor(F.col("id") / 2))
+            .cast("long")
+            .alias("parent"),
+        )
+    )
+    return flatten_hierarchy(nodes, "id", "parent")

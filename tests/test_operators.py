@@ -905,3 +905,31 @@ def test_with_row_ids_requires_order_cols(spark):
 
     with pytest.raises(ValueError, match="order_cols"):
         with_row_ids(spark.range(3), [])
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening by pointer doubling (operators/hierarchy.py)
+# ---------------------------------------------------------------------------
+
+
+def test_flatten_hierarchy_chain_and_forest(spark):
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    # a 21-deep chain (worst case for per-level loops) plus a second root
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 21)] + [(100, None), (101, 100)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    got = {(r.id, r.root_id, r.depth) for r in flatten_hierarchy(nodes, "id", "parent").collect()}
+    want = {(i, 0, i) for i in range(21)} | {(100, 100, 0), (101, 100, 1)}
+    assert got == want
+
+
+def test_flatten_hierarchy_rounds_are_logarithmic(spark):
+    """Pointer doubling must converge in O(log depth) rounds — a
+    64-deep chain resolves within 8 rounds, where a per-level loop
+    would need 64."""
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 65)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    out = flatten_hierarchy(nodes, "id", "parent", max_rounds=8)
+    assert {(r.id, r.depth) for r in out.collect()} == {(i, i) for i in range(65)}
