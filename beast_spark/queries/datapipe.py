@@ -3137,3 +3137,68 @@ def q137_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flatten_hierarchy(nodes, "id", "parent")
+
+
+@register(
+    "q138_embedding_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(t.i AS INT) AS dim,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ), lc AS (
+      SELECT label, dim, avg(val) AS lv FROM ex GROUP BY label, dim
+    ), gc AS (
+      SELECT dim, avg(val) AS gv FROM ex GROUP BY dim
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    ), s AS (
+      SELECT lc.label,
+             sum(lc.lv * gc.gv) AS dot,
+             sum(lc.lv * lc.lv) AS l2,
+             sum(gc.gv * gc.gv) AS g2
+      FROM lc JOIN gc ON lc.dim = gc.dim
+      GROUP BY lc.label
+    )
+    SELECT s.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           floor((s.dot / (sqrt(s.l2) * sqrt(s.g2))) * 1000000 + 0.5)
+             / 1000000 AS cos_to_global
+    FROM s JOIN n ON s.label = n.label
+    """,
+    doc="Embedding-space drift monitor: cosine of each label slice's "
+    "centroid against the global centroid — the vector-column face of "
+    "the drift suite (q104 PSI / q113 chi-square / q114 KS cover "
+    "scalars; a retrained or corrupted embedding pipeline shows up "
+    "here first as a slice centroid swinging away from the corpus "
+    "mean). One posexplode shuffle to (label, dim) partial averages; "
+    "everything downstream operates on labels x 64-dim frames — "
+    "constant-size at any vector count, and the per-slice centroids "
+    "are mergeable state, so this runs incrementally the q128/q129 "
+    "way (keep per-slice (sum, n) vectors, never rescan).",
+)
+def q138_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = fan_out(e).select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select("label", "dim", F.col("val").cast("double").alias("val"))
+    lc = ex.groupBy("label", "dim").agg(F.avg("val").alias("lv"))
+    gc = ex.groupBy("dim").agg(F.avg("val").alias("gv"))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    s = (
+        lc.join(gc, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("lv") * F.col("gv")).alias("dot"),
+            F.sum(F.col("lv") * F.col("lv")).alias("l2"),
+            F.sum(F.col("gv") * F.col("gv")).alias("g2"),
+        )
+    )
+    return s.join(n, "label").select(
+        "label",
+        "n_vecs",
+        rnd(
+            F.col("dot") / (F.sqrt(F.col("l2")) * F.sqrt(F.col("g2"))), 6
+        ).alias("cos_to_global"),
+    )

@@ -171,6 +171,30 @@ def q27_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("n_types").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def _first_purchase_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (signup_ts, first purchase at-or-after it) — the shared
+    input of the funnel (q127) and its latency distribution (q139)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    return (
+        s.join(
+            pur,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("pts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+
+
 @register(
     "q127_conversion_funnel",
     oracle="""
@@ -207,25 +231,7 @@ def q27_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range as residual — no theta explosion at any scale.",
 )
 def q127_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
-    pur = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
-    )
-    p = (
-        s.join(
-            pur,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("pts") >= F.col("signup_ts")),
-            "left",
-        )
-        .groupBy("user_id", "signup_ts")
-        .agg(F.min("pts").alias("first_purchase_ts"))
-    )
+    p = _first_purchase_frame(spark, sf_dir)
     converted = (
         F.col("first_purchase_ts").isNotNull()
         & (
@@ -437,4 +443,58 @@ def q133_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue_cents"
             ),
         )
+    )
+
+
+@register(
+    "q139_conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ), conv AS (
+      SELECT epoch_ms(first_purchase_ts) - epoch_ms(signup_ts) AS delay_ms
+      FROM p WHERE first_purchase_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           floor(quantile_cont(CAST(delay_ms AS DOUBLE), 0.5) * 100 + 0.5)
+             / 100 AS p50_ms,
+           floor(quantile_cont(CAST(delay_ms AS DOUBLE), 0.9) * 100 + 0.5)
+             / 100 AS p90_ms,
+           floor(avg(delay_ms) * 100 + 0.5) / 100 AS mean_ms
+    FROM conv
+    """,
+    doc="Conversion-latency distribution: exact p50/p90/mean of the "
+    "signup-to-first-purchase delay over converted users — the "
+    "how-fast companion to q127's how-many (a funnel whose rate holds "
+    "but whose p90 latency doubles is still broken). Delays are exact "
+    "integer milliseconds, so the interpolated percentiles are "
+    "bit-stable across engines; the frame entering the percentile is "
+    "one row per converted user, already reduced by the same "
+    "user-keyed hash join as q127.",
+)
+def q139_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _first_purchase_frame(spark, sf_dir)
+    conv = p.filter(F.col("first_purchase_ts").isNotNull()).select(
+        (
+            F.expr("unix_millis(first_purchase_ts)")
+            - F.expr("unix_millis(signup_ts)")
+        ).alias("delay_ms")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        rnd(F.expr("percentile(CAST(delay_ms AS DOUBLE), 0.5)"), 2).alias(
+            "p50_ms"
+        ),
+        rnd(F.expr("percentile(CAST(delay_ms AS DOUBLE), 0.9)"), 2).alias(
+            "p90_ms"
+        ),
+        rnd(F.avg("delay_ms"), 2).alias("mean_ms"),
     )
