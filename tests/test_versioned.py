@@ -1,0 +1,64 @@
+"""Versioned tables: snapshot isolation, time travel, retention vacuum,
+and crash-orphan invisibility (sources/versioned.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from beast_spark.sources.versioned import VersionedTable
+
+
+def _df(spark, n):
+    return spark.range(n).selectExpr("id", f"{n} AS gen")
+
+
+def test_commit_read_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    assert t.current_version() is None
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    assert t.commit(_df(spark, 1)) == 1
+    assert t.commit(_df(spark, 2)) == 2
+    assert t.commit(_df(spark, 3)) == 3
+    assert t.current_version() == 3
+    assert t.read(spark).count() == 3  # current snapshot
+    for v in (1, 2, 3):  # time travel
+        assert t.read(spark, version=v).count() == v
+        assert t.read(spark, version=v).first().gen == v
+
+
+def test_vacuum_retention_and_orphans(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), keep_versions=2)
+    for n in (1, 2, 3, 4):
+        t.commit(_df(spark, n))
+    # simulate a crashed commit: version dir written, manifest never flipped
+    orphan = tmp_path / "t" / "v99"
+    _df(spark, 9).write.parquet(str(orphan))
+    assert t.versions() == [1, 2, 3, 4]
+
+    dropped = t.vacuum()
+    assert dropped == [1, 2]
+    assert t.versions() == [3, 4]
+    assert t.current_version() == 4
+    assert t.read(spark).count() == 4
+    assert t.read(spark, version=3).count() == 3
+    assert not orphan.exists()  # orphan cleaned
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(spark, version=1)
+
+
+def test_orphan_is_invisible_and_recommit_overwrites(spark, tmp_path):
+    """A crash AFTER writing v2 but BEFORE the manifest flip must leave
+    readers on v1, and the retried commit must produce a correct v2."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    # crashed commit: the artifact exists but was never published
+    _df(spark, 7).write.parquet(str(tmp_path / "t" / "v2"))
+    assert t.current_version() == 1
+    assert t.read(spark).count() == 1
+    # retry writes a fresh v2 over the orphan and publishes it
+    assert t.commit(_df(spark, 2)) == 2
+    assert t.read(spark).count() == 2
+    assert t.read(spark).first().gen == 2
