@@ -63,14 +63,23 @@ class VersionedTable:
         """Committed, still-readable versions (oldest first)."""
         return list(self._read_manifest()["versions"])
 
+    def applied_batches(self) -> set[int]:
+        """Batch ids recorded by ``commit(..., batch_id=)`` — the
+        exactly-once ledger for streaming maintainers. Stored IN the
+        manifest, so the ledger and the version pointer flip in ONE
+        atomic replace (strictly stronger than the swap protocol's
+        ledger-inside-directory + rename pair)."""
+        return set(self._read_manifest().get("applied_batches", []))
+
     # -- commit -----------------------------------------------------------
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Write ``df`` as the next version; returns its number.
 
         The version directory is complete before the manifest flips, so
         a crash at ANY point leaves the table readable at the previous
-        version (the incomplete/orphan directory is invisible).
+        version (the incomplete/orphan directory is invisible). Passing
+        ``batch_id`` records it in the same atomic manifest flip.
         """
         m = self._read_manifest()
         version = (m["current"] or 0) + 1
@@ -78,7 +87,15 @@ class VersionedTable:
         if os.path.exists(vdir):  # orphan from a crashed commit: discard
             shutil.rmtree(vdir)
         df.write.parquet(vdir)
-        m = {"current": version, "versions": m["versions"] + [version]}
+        batches = sorted(
+            set(m.get("applied_batches", []))
+            | ({batch_id} if batch_id is not None else set())
+        )
+        m = {
+            "current": version,
+            "versions": m["versions"] + [version],
+            "applied_batches": batches,
+        }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(m, fh)
@@ -86,6 +103,14 @@ class VersionedTable:
         return version
 
     # -- read -------------------------------------------------------------
+
+    def read_table(self, spark: SparkSession) -> DataFrame | None:
+        """Current snapshot, or None before the first commit — the
+        maintainer-protocol twin of :meth:`read` (shared with
+        ``streaming/swap.py::SwapCommittedTable``)."""
+        if self.current_version() is None:
+            return None
+        return self.read(spark)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current snapshot, or time-travel to a retained ``version``."""
@@ -111,7 +136,11 @@ class VersionedTable:
         # pointer flips BEFORE deletion: a reader holding the old
         # manifest can race a vacuum, same contract as real formats'
         # retention windows.
-        new_m = {"current": m["current"], "versions": keep}
+        new_m = {
+            "current": m["current"],
+            "versions": keep,
+            "applied_batches": m.get("applied_batches", []),
+        }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(new_m, fh)

@@ -31,25 +31,24 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from beast_spark.operators.rollup import daily_rollup, merge_rollups
+from beast_spark.sources.versioned import VersionedTable
 from beast_spark.streaming.swap import SwapCommittedTable
 
-__all__ = ["RollupMaintainer", "SketchMaintainer"]
+__all__ = ["RollupMaintainer", "SketchMaintainer", "VersionedRollupMaintainer"]
 
 
-class RollupMaintainer(SwapCommittedTable):
-    """Owns one materialized rollup directory fed by an event stream."""
+class _RollupLogic:
+    """The maintenance algebra, independent of the commit backend.
 
-    def __init__(
-        self,
-        rollup_path: str,
-        key_cols: Sequence[str],
-        ts_col: str,
-        value_col: str,
-    ) -> None:
-        super().__init__(rollup_path)
-        self.key_cols = list(key_cols)
-        self.ts_col = ts_col
-        self.value_col = value_col
+    Host classes provide the storage protocol — ``applied_batches()``,
+    ``read_table(spark)`` (None before first commit), and
+    ``commit(df, batch_id)`` — which both ``SwapCommittedTable`` and
+    ``sources/versioned.py::VersionedTable`` implement.
+    """
+
+    key_cols: list
+    ts_col: str
+    value_col: str
 
     def read_rollup(self, spark: SparkSession) -> DataFrame | None:
         return self.read_table(spark)
@@ -58,7 +57,7 @@ class RollupMaintainer(SwapCommittedTable):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
-            return  # replay after a post-swap crash: already committed
+            return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
         inc = daily_rollup(batch_df, self.key_cols, self.ts_col, self.value_col)
         existing = self.read_table(spark)
@@ -76,6 +75,43 @@ class RollupMaintainer(SwapCommittedTable):
             .trigger(availableNow=True)
             .start()
         )
+
+
+class RollupMaintainer(_RollupLogic, SwapCommittedTable):
+    """Owns one materialized rollup directory fed by an event stream."""
+
+    def __init__(
+        self,
+        rollup_path: str,
+        key_cols: Sequence[str],
+        ts_col: str,
+        value_col: str,
+    ) -> None:
+        SwapCommittedTable.__init__(self, rollup_path)
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+
+class VersionedRollupMaintainer(_RollupLogic, VersionedTable):
+    """Rollup maintenance committing into a versioned table: every
+    micro-batch becomes a retained, queryable SNAPSHOT (time travel to
+    the rollup as-of any batch), the batch ledger rides in the same
+    atomic manifest flip as the version pointer, and old snapshots age
+    out via ``vacuum()``."""
+
+    def __init__(
+        self,
+        rollup_path: str,
+        key_cols: Sequence[str],
+        ts_col: str,
+        value_col: str,
+        keep_versions: int = 3,
+    ) -> None:
+        VersionedTable.__init__(self, rollup_path, keep_versions=keep_versions)
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
 
 
 class SketchMaintainer(SwapCommittedTable):

@@ -134,3 +134,30 @@ def test_sketch_maintainer_matches_batch_sketch(spark, tmp_path):
     g_got = merged_distinct(m.read_sketches(spark)).collect()[0]
     g_want = merged_distinct(sketch_by_slice(allrows, [day], "user_id")).collect()[0]
     assert (g_got.distinct_est, g_got.n_rows) == (g_want.distinct_est, g_want.n_rows)
+
+
+def test_versioned_rollup_maintainer_time_travels(spark, tmp_path):
+    """Each applied batch commits a queryable snapshot; the current one
+    equals the full rebuild; intermediate versions equal the rebuild
+    over their prefix; replay is a no-op (no extra version)."""
+    from beast_spark.streaming.rollup import VersionedRollupMaintainer
+
+    m = VersionedRollupMaintainer(str(tmp_path / "vroll"), **ARGS)
+    m.apply_batch(_rows(spark, B0), 0)
+    m.apply_batch(_rows(spark, B1), 1)
+    m.apply_batch(_rows(spark, B2), 2)
+    m.apply_batch(_rows(spark, B1), 1)  # replay: already in the ledger
+    assert m.versions() == [1, 2, 3]
+    assert m.applied_batches() == {0, 1, 2}
+
+    assert _rollset(m.read_rollup(spark)) == _rollset(
+        daily_rollup(_rows(spark, B0 + B1 + B2), **ARGS)
+    )
+    # time travel: the rollup as-of batch 1
+    assert _rollset(m.read(spark, version=2)) == _rollset(
+        daily_rollup(_rows(spark, B0 + B1), **ARGS)
+    )
+    # retention: vacuum to the newest keep_versions, current stays live
+    m.vacuum()
+    assert m.versions() == [1, 2, 3]  # keep_versions=3 default: nothing dropped
+    assert m.applied_batches() == {0, 1, 2}  # ledger survives vacuum
