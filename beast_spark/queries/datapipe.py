@@ -3202,3 +3202,67 @@ def q138_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("l2")) * F.sqrt(F.col("g2"))), 6
         ).alias("cos_to_global"),
     )
+
+
+def _suboracle(name: str) -> str:
+    """Reuse a registered query's oracle verbatim as a subquery — the
+    composition must drift WITH its parts, never fork from them."""
+    from beast_spark.queries import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "q140_data_health",
+    oracle="""
+    SELECT 'psi' AS check_name, event_type AS series,
+           CAST(psi AS DOUBLE) AS value, psi > 0.2 AS flagged
+    FROM (""" + _suboracle("q104_psi_drift") + """) p
+    UNION ALL
+    SELECT 'ks', event_type, CAST(ks_stat AS DOUBLE), ks_stat > 0.1
+    FROM (""" + _suboracle("q114_ks_two_sample") + """) k
+    UNION ALL
+    SELECT 'volume_mad', 'events', CAST(n AS DOUBLE), n > 0
+    FROM (
+      SELECT sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS n
+      FROM (""" + _suboracle("q120_anomaly_days") + """) m
+    )
+    """,
+    doc="Data-health snapshot: the drift suite composed into ONE "
+    "normalized report — PSI per event_type (binned slice drift, "
+    "q104), KS per event_type (bin-free continuous drift, q114), and "
+    "the MAD volume-anomaly count (q120) as (check, series, value, "
+    "flagged) rows. This is the scheduled monitoring query a "
+    "production pipeline actually runs; each signal reuses its "
+    "standalone query verbatim (Spark side calls the same functions, "
+    "oracle side embeds the same SQL), so the composition can never "
+    "fork from its parts. Three scans of events today; the q128/q129 "
+    "incremental machinery applies per-signal when slices are "
+    "profiled on landing.",
+)
+def q140_data_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    psi = q104_psi_drift(spark, sf_dir).select(
+        F.lit("psi").alias("check_name"),
+        F.col("event_type").alias("series"),
+        F.col("psi").cast("double").alias("value"),
+        (F.col("psi") > 0.2).alias("flagged"),
+    )
+    ks = q114_ks_two_sample(spark, sf_dir).select(
+        F.lit("ks").alias("check_name"),
+        F.col("event_type").alias("series"),
+        F.col("ks_stat").cast("double").alias("value"),
+        (F.col("ks_stat") > 0.1).alias("flagged"),
+    )
+    mad = (
+        q120_anomaly_days(spark, sf_dir)
+        .agg(
+            F.sum(F.col("is_anomaly").cast("int")).alias("n")
+        )
+        .select(
+            F.lit("volume_mad").alias("check_name"),
+            F.lit("events").alias("series"),
+            F.col("n").cast("double").alias("value"),
+            (F.col("n") > 0).alias("flagged"),
+        )
+    )
+    return psi.unionByName(ks).unionByName(mad)
