@@ -1330,3 +1330,90 @@ def q132_table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("k").alias("key_checksum"),
     )
+
+
+@register(
+    "q141_resize_pipeline",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+                 i -> CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 100) AS BIGINT) % 256) AS u8
+      FROM embeddings
+    ), r AS (
+      SELECT vec_id,
+             list_transform(range(0, 16),
+                 i -> u8[((i // 4) * 2) * 8 + (i % 4) * 2 + 1]) AS r4
+      FROM px
+    )
+    SELECT vec_id AS media_id,
+           1.0 AS channels, 4.0 AS width, 4.0 AS height,
+           list_sum(r4) / 16.0 AS px_mean,
+           CAST(list_min(r4) AS DOUBLE) AS px_min,
+           CAST(list_max(r4) AS DOUBLE) AS px_max,
+           CAST(r4[1] AS DOUBLE) AS px_first
+    FROM r
+    """,
+    doc="REAL resize pipeline end-to-end (the thumbnail/downsample stage "
+    "of a multimodal corpus prep): 8x8 P5 images (q83's encode) pass "
+    "through operators/multimodal.py::resize_image_nearest — decode "
+    "header+raster, integer nearest-neighbor grid (src = i*src//dst), "
+    "re-encode — then the REAL decoder emits the 4x4 pixel stats. The "
+    "oracle replays the exact index mapping on the quantized pixels in "
+    "SQL, so a raster-order, stride, or rounding bug anywhere in "
+    "decode->resize->encode->decode breaks the hash. Arrow-batched "
+    "mapInPandas, no shuffle; the per-image work is the swap point for "
+    "a real image library at production scale.",
+    bench=False,
+    bench_reason="python-codec media path (mapInPandas); not an engine-time headline",
+)
+def q141_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from beast_spark.operators.multimodal import encode_ppm, resize_image_nearest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    u8 = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.transform(
+            "embedding",
+            lambda v: F.floor(F.abs(v.cast("double")) * 100).cast("int") % 256,
+        ).alias("u8"),
+    )
+
+    def encode_resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        resize_image_nearest(
+                            encode_ppm(8, 8, bytes(list(px))), 4, 4
+                        )
+                        for px in pdf["u8"]
+                    ],
+                }
+            )
+
+    imgs = u8.mapInPandas(
+        encode_resize,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+    feats = decode_features(imgs, dims=8, strict=True)  # real codec MUST run
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).alias("channels"),
+        F.element_at("features", 2).alias("width"),
+        F.element_at("features", 3).alias("height"),
+        F.element_at("features", 4).alias("px_mean"),
+        F.element_at("features", 5).alias("px_min"),
+        F.element_at("features", 6).alias("px_max"),
+        F.element_at("features", 7).alias("px_first"),
+    )
