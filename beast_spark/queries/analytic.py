@@ -474,3 +474,41 @@ def q79_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow"),
         F.weekofyear("o_orderdate").alias("woy"),
     )
+
+
+@register(
+    "q142_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Grouped top-k (top-3 orders by price per priority class) — the "
+    "per-key leaderboard every dashboard runs. The rank-filter shape "
+    "lets Spark plan a WindowGroupLimit BELOW the shuffle "
+    "(plan-asserted): each map task keeps only its local top-3 per "
+    "group before exchanging, so the shuffle carries O(groups x k) "
+    "rows, not the table — the grouped analogue of q03's global "
+    "TakeOrdered. Unique-key tiebreak makes the selection "
+    "deterministic across engines.",
+)
+def q142_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )

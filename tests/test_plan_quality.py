@@ -308,3 +308,11 @@ def test_rollup_merge_shuffles_only_aggregates(spark, sf_dir, queries):
     plan = _plan(queries["q129_incremental_rollup"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # partial+final per rollup + merge
     assert "partial_sum" in plan
+
+
+def test_grouped_topk_plans_window_group_limit(spark, sf_dir, queries):
+    """q142's rank<=k filter must push a WindowGroupLimit below the
+    exchange so map tasks pre-prune to their local top-k per group —
+    the shuffle then carries O(groups x k) rows, not the table."""
+    plan = _plan(queries["q142_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
