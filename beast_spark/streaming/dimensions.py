@@ -29,25 +29,19 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from beast_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
+from beast_spark.sources.versioned import VersionedTable
 from beast_spark.streaming.swap import SwapCommittedTable
 
-__all__ = ["Scd2Maintainer"]
+__all__ = ["Scd2Maintainer", "VersionedScd2Maintainer"]
 
 
-class Scd2Maintainer(SwapCommittedTable):
-    """Owns one SCD2 history directory fed by a changelog stream."""
+class _Scd2Logic:
+    """The maintenance algebra, independent of the commit backend
+    (same factoring as ``streaming/rollup.py::_RollupLogic``)."""
 
-    def __init__(
-        self,
-        history_path: str,
-        key_cols: Sequence[str],
-        attr_col: str,
-        order_cols: Sequence[str],
-    ) -> None:
-        super().__init__(history_path)
-        self.key_cols = list(key_cols)
-        self.attr_col = attr_col
-        self.order_cols = list(order_cols)
+    key_cols: list
+    attr_col: str
+    order_cols: list
 
     @property
     def history_path(self) -> str:
@@ -60,7 +54,7 @@ class Scd2Maintainer(SwapCommittedTable):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
-            return  # replay after a post-swap crash: already committed
+            return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
         history = self.read_history(spark)
         if history is None:
@@ -86,3 +80,41 @@ class Scd2Maintainer(SwapCommittedTable):
             .trigger(availableNow=True)
             .start()
         )
+
+
+class Scd2Maintainer(_Scd2Logic, SwapCommittedTable):
+    """Owns one SCD2 history directory fed by a changelog stream."""
+
+    def __init__(
+        self,
+        history_path: str,
+        key_cols: Sequence[str],
+        attr_col: str,
+        order_cols: Sequence[str],
+    ) -> None:
+        SwapCommittedTable.__init__(self, history_path)
+        self.key_cols = list(key_cols)
+        self.attr_col = attr_col
+        self.order_cols = list(order_cols)
+
+
+class VersionedScd2Maintainer(_Scd2Logic, VersionedTable):
+    """SCD2 maintenance committing into a versioned table: every
+    micro-batch becomes a retained snapshot of the dimension history —
+    time travel answers "what did this dimension look like as-of batch
+    N" (distinct from the SCD2 intervals themselves, which answer
+    as-of EVENT time), with the exactly-once ledger in the same atomic
+    manifest flip as the version pointer."""
+
+    def __init__(
+        self,
+        history_path: str,
+        key_cols: Sequence[str],
+        attr_col: str,
+        order_cols: Sequence[str],
+        keep_versions: int = 3,
+    ) -> None:
+        VersionedTable.__init__(self, history_path, keep_versions=keep_versions)
+        self.key_cols = list(key_cols)
+        self.attr_col = attr_col
+        self.order_cols = list(order_cols)

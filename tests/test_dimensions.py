@@ -88,3 +88,31 @@ def test_crashed_swap_recovers(spark, tmp_path):
     os.rename(m.history_path, m.history_path + ".replaced")
     assert m.read_history(spark) is not None  # _recover healed it
     assert _histset(m.read_history(spark)) == want
+
+
+def test_versioned_scd2_maintainer_time_travels(spark, tmp_path):
+    """Each batch commits a snapshot of the history; current == full
+    rebuild, intermediate versions == rebuild over their prefix."""
+    import datetime as dt
+
+    from beast_spark.streaming.dimensions import VersionedScd2Maintainer
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(d):
+        return t0 + dt.timedelta(days=d)
+
+    b0 = [(1, 1, at(0), "A"), (2, 1, at(0), "X")]
+    b1 = [(1, 2, at(1), "B")]
+    m = VersionedScd2Maintainer(str(tmp_path / "vhist"), **ARGS)
+    m.apply_batch(_rows(spark, b0), 0)
+    m.apply_batch(_rows(spark, b1), 1)
+    m.apply_batch(_rows(spark, b1), 1)  # replay: no-op
+    assert m.versions() == [1, 2]
+    assert m.applied_batches() == {0, 1}
+    assert _histset(m.read_history(spark)) == _histset(
+        scd2_from_changelog(_rows(spark, b0 + b1), **ARGS)
+    )
+    assert _histset(m.read(spark, version=1)) == _histset(
+        scd2_from_changelog(_rows(spark, b0), **ARGS)
+    )
