@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["with_row_ids"]
+__all__ = ["export_sharded", "with_row_ids"]
 
 
 def with_row_ids(
@@ -68,3 +68,31 @@ def with_row_ids(
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def export_sharded(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rows_per_shard: int,
+    path: str,
+) -> int:
+    """Write ``df`` as contiguous, reproducible shards.
+
+    The corpus-export final step: shard ``k`` holds exactly rows
+    ``[k * rows_per_shard, (k+1) * rows_per_shard)`` of the total order
+    — so shard membership is a pure function of the data, not of the
+    cluster's partitioning, and two runs (or two clusters) produce
+    byte-identical shard assignments (property-tested). Downstream
+    training jobs can then address ranges of examples by shard id.
+
+    Returns the number of shards written.
+    """
+    if rows_per_shard < 1:
+        raise ValueError("rows_per_shard must be >= 1")
+    ids = with_row_ids(df, order_cols)
+    sharded = ids.withColumn(
+        "shard", ((F.col("row_id") - 1) / rows_per_shard).cast("int")
+    )
+    sharded.write.partitionBy("shard").parquet(path)
+    n = df.count()
+    return (n + rows_per_shard - 1) // rows_per_shard if n else 0

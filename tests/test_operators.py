@@ -933,3 +933,31 @@ def test_flatten_hierarchy_rounds_are_logarithmic(spark):
     nodes = spark.createDataFrame(rows, "id long, parent long")
     out = flatten_hierarchy(nodes, "id", "parent", max_rounds=8)
     assert {(r.id, r.depth) for r in out.collect()} == {(i, i) for i in range(65)}
+
+
+def test_export_sharded_is_partitioning_invariant(spark, sf_dir, tmp_path):
+    """Shard membership must be a function of the DATA (total order +
+    shard size), not of the input partitioning."""
+    from beast_spark.operators.rowids import export_sharded
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def shards(path, src):
+        n = export_sharded(src, ["doc_id"], 64, path)
+        out = spark.read.parquet(path)
+        got = {
+            r.shard: r.ids
+            for r in out.groupBy("shard")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        }
+        return n, got
+
+    n1, a = shards(str(tmp_path / "a"), d)
+    n2, b = shards(str(tmp_path / "b"), d.repartition(17))
+    assert n1 == n2 and a == b
+    total = sum(len(v) for v in a.values())
+    assert total == d.count()
+    full = [len(a[k]) for k in sorted(a)[:-1]]
+    assert all(sz == 64 for sz in full)  # every shard but the last is full
