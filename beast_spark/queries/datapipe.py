@@ -3266,3 +3266,53 @@ def q140_data_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return psi.unionByName(ks).unionByName(mad)
+
+
+@register(
+    "q143_incremental_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS dim,
+           floor((avg(CAST(embedding[t.i + 1] AS DOUBLE))) * 1000000 + 0.5)
+             / 1000000 AS centroid_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, t.i
+    """,
+    doc="Incremental centroid maintenance — q129's mergeable-rollup "
+    "discipline applied to VECTORS: per-label (sum-vector, count) "
+    "state is built for the base slice (vec_id %% 5 != 0) and the "
+    "appended slice separately, merged by summation, and only then "
+    "divided into centroids. The oracle is the from-scratch average "
+    "over ALL rows, so the incremental path must reproduce the full "
+    "rebuild — which makes q138's drift monitor incrementally "
+    "maintainable: on append, sum ONLY the new vectors. One "
+    "posexplode shuffle per slice to (label, dim) partial sums; "
+    "the merge touches labels x 64 rows.",
+)
+def q143_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def state(df):
+        return (
+            fan_out(df)
+            .select("label", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    base = state(e.filter(F.col("vec_id") % 5 != 0))
+    inc = state(e.filter(F.col("vec_id") % 5 == 0))
+    merged = (
+        base.unionByName(inc)
+        .groupBy("label", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        "label",
+        "dim",
+        rnd(F.col("s") / F.col("n"), 6).alias("centroid_val"),
+    )

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the incremental/distributed
+operators: rollup merge, global row ids, hierarchy flattening.
+
+Each property is the operator's core contract under ARBITRARY inputs —
+not the fixed SF fixtures the example tests use. Spark jobs per example
+are slow, so example counts stay small; the properties themselves are
+exhaustive over the generated structure (every row / every node is
+checked, not a sample).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=6, deadline=None)
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=5),  # day offset
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=-(10**6), max_value=10**6),  # value in cents
+)
+EVENTS = st.lists(EVENT, min_size=0, max_size=40)
+
+
+def _events_df(spark, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (t0 + dt.timedelta(days=d), et, cents / 100.0) for d, et, cents in rows
+    ]
+    return spark.createDataFrame(
+        data, "ts timestamp, event_type string, value double"
+    )
+
+
+@given(rows=EVENTS, split=st.integers(min_value=0, max_value=40))
+@settings(**SETTINGS)
+def test_rollup_merge_equals_full_for_any_split(spark, rows, split):
+    """merge(rollup(A), rollup(B)) == rollup(A ∪ B) for EVERY split of
+    an arbitrary event set — the mergeable-state contract itself."""
+    from beast_spark.operators.rollup import daily_rollup, merge_rollups
+
+    args = dict(key_cols=["event_type"], ts_col="ts", value_col="value")
+    full = daily_rollup(_events_df(spark, rows), **args)
+    merged = merge_rollups(
+        daily_rollup(_events_df(spark, rows[:split]), **args),
+        daily_rollup(_events_df(spark, rows[split:]), **args),
+    )
+
+    def key(df):
+        return sorted(
+            (r.day, r.event_type, r.n_rows, r.sum_cents) for r in df.collect()
+        )
+
+    assert key(merged) == key(full)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_row_ids_are_the_sorted_rank(spark, ids, nparts):
+    """with_row_ids assigns exactly 1..N in sort order for ANY unique
+    key set and ANY partition count."""
+    from beast_spark.operators.rowids import with_row_ids
+
+    df = spark.createDataFrame([(i,) for i in ids], "k long").repartition(5)
+    got = {
+        r.k: r.row_id
+        for r in with_row_ids(df, ["k"], num_partitions=nparts).collect()
+    }
+    want = {k: rank + 1 for rank, k in enumerate(sorted(ids))}
+    assert got == want
+
+
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=50),
+)
+@settings(**SETTINGS)
+def test_hierarchy_depths_match_python_walk(spark, parents):
+    """flatten_hierarchy agrees with a driver-side path walk on ANY
+    random forest (node i's parent drawn from nodes < i → acyclic)."""
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    # node 0 is a root; node i>0 gets parent (parents[i] % i), or None
+    # (a new root) when the draw lands on itself modulo a coin.
+    rows = [(0, None)]
+    for i in range(1, len(parents) + 1):
+        p = parents[i - 1] % (i + 1)
+        rows.append((i, None if p == i else p))
+
+    def walk(n):
+        depth, cur = 0, n
+        by_id = dict(rows)
+        while by_id[cur] is not None:
+            cur = by_id[cur]
+            depth += 1
+        return cur, depth
+
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    got = {
+        r.id: (r.root_id, r.depth)
+        for r in flatten_hierarchy(nodes, "id", "parent").collect()
+    }
+    assert got == {n: walk(n) for n, _ in rows}
