@@ -122,6 +122,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs: C = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses inclusion: a short document quoted verbatim inside a
+    much longer one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on
+    containment — the quote/boilerplate-inclusion case corpus dedup
+    cares about (Broder's containment measure). Returns
+    (inner_doc, outer_doc, containment) where ``inner_doc`` is the
+    smaller-shingle-set side (tie → smaller id; pairs are emitted once).
+    Same shingle self-join shape and ``max_df`` skew guard as
+    :func:`jaccard_pairs`; the q36 LSH pipeline remains the candidate
+    generator at scale.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    joined = inter.join(s1, "doc1").join(s2, "doc2")
+    containment = F.col("n_common") / F.least("n1", "n2").cast("double")
+    return (
+        joined.filter(containment >= threshold)
+        .select(
+            F.when(F.col("n1") <= F.col("n2"), F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("inner_doc"),
+            F.when(F.col("n1") <= F.col("n2"), F.col("doc2"))
+            .otherwise(F.col("doc1"))
+            .alias("outer_doc"),
+            (F.floor(containment * 10000 + F.lit(0.5)) / 10000).alias("containment"),
+        )
+    )
+
+
 #: Mersenne prime 2³¹−1: the universal-hash modulus for the md5 MinHash
 #: family. With h, aᵢ < p the affine product stays < 2⁶², inside int64 in
 #: every engine — the property that makes the family cross-engine exact.

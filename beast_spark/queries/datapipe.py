@@ -3316,3 +3316,51 @@ def q143_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         rnd(F.col("s") / F.col("n"), 6).alias("centroid_val"),
     )
+
+
+@register(
+    "q144_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(string_split(text,' ')) - 1),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])
+             )) AS shingle
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CASE WHEN s1.n_sh <= s2.n_sh THEN i.doc1 ELSE i.doc2 END
+             AS inner_doc,
+           CASE WHEN s1.n_sh <= s2.n_sh THEN i.doc2 ELSE i.doc1 END
+             AS outer_doc,
+           floor((n_common / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS containment
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE n_common / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE) >= 0.8
+    """,
+    doc="Containment near-dup pairs (C = |A∩B| / min|A|,|B| >= 0.8): "
+    "catches INCLUSION — a short document quoted verbatim inside a "
+    "long one scores ~0 on Jaccard (q35) but 1.0 here, the "
+    "boilerplate/quote case corpus dedup misses with symmetric "
+    "metrics. Same exact shingle self-join as q35 (deliberately "
+    "quadratic exact baseline; the q36 LSH pipeline generates "
+    "candidates at scale), emitted once per pair with the "
+    "smaller-set side as inner_doc.",
+    bench=False,
+    bench_reason="deliberately-quadratic exact baseline; q36 is the benched scale path",
+)
+def q144_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)

@@ -961,3 +961,17 @@ def test_export_sharded_is_partitioning_invariant(spark, sf_dir, tmp_path):
     assert total == d.count()
     full = [len(a[k]) for k in sorted(a)[:-1]]
     assert all(sz == 64 for sz in full)  # every shard but the last is full
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0,
+    Jaccard far below any dedup threshold."""
+    from beast_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    longdoc = "x" + "".join(f" w{i}" for i in range(60)) + " " + quote
+    d = spark.createDataFrame([(1, quote), (2, longdoc)], "doc_id long, text string")
+    cont = containment_pairs(d, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert len(cont) == 1
+    assert (cont[0].inner_doc, cont[0].outer_doc, cont[0].containment) == (1, 2, 1.0)
+    assert jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4).count() == 0
