@@ -3364,3 +3364,79 @@ def q144_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "q145_containment_verified",
+    oracle="WITH pairs AS (" + _MINHASH_ORACLE + """),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(string_split(text,' ')) - 1),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])
+             )) AS shingle
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc1, p.doc2, count(*) AS n_common
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc1
+      JOIN sh b ON b.doc_id = p.doc2 AND b.shingle = a.shingle
+      GROUP BY p.doc1, p.doc2
+    )
+    SELECT CASE WHEN s1.n_sh <= s2.n_sh THEN i.doc1 ELSE i.doc2 END
+             AS inner_doc,
+           CASE WHEN s1.n_sh <= s2.n_sh THEN i.doc2 ELSE i.doc1 END
+             AS outer_doc,
+           floor((n_common / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS containment
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE n_common / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE) >= 0.8
+    """,
+    doc="Containment at scale — candidate-verify (the q115 discipline "
+    "applied to q144's metric): MinHash LSH proposes candidate pairs "
+    "(q36's banded pipeline, no quadratic stage), then EXACT "
+    "containment is computed only for those pairs — the shingle join "
+    "is scoped per candidate pair (sum of |A| over candidates, linear "
+    "in candidates, never all-pairs). Verification cost O(candidates); "
+    "the oracle replays the full LSH pipeline AND the per-pair "
+    "intersection, so both stages must be bit-exact.",
+)
+def q145_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import _doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    sh = _doc_shingles(d, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("b_doc2"), F.col("shingle").alias("s2"))
+    inter = (
+        cand.join(a, "doc1")
+        .join(
+            b,
+            (F.col("doc2") == F.col("b_doc2")) & (F.col("s1") == F.col("s2")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    joined = inter.join(s1, "doc1").join(s2, "doc2")
+    containment = F.col("n_common") / F.least("n1", "n2").cast("double")
+    return joined.filter(containment >= 0.8).select(
+        F.when(F.col("n1") <= F.col("n2"), F.col("doc1"))
+        .otherwise(F.col("doc2"))
+        .alias("inner_doc"),
+        F.when(F.col("n1") <= F.col("n2"), F.col("doc2"))
+        .otherwise(F.col("doc1"))
+        .alias("outer_doc"),
+        (F.floor(containment * 10000 + F.lit(0.5)) / 10000).alias("containment"),
+    )
