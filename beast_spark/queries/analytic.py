@@ -512,3 +512,35 @@ def q142_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "q146_generator_outer",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 6)
+               AS arr
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(u.i - 1 AS INT) AS pos,
+           d.arr[u.i] AS long_word
+    FROM d LEFT JOIN LATERAL (
+      SELECT unnest(range(1, len(d.arr) + 1)) AS i
+    ) u ON TRUE
+    """,
+    doc="OUTER generator semantics (posexplode_outer / LEFT JOIN "
+    "LATERAL): documents explode into their long words (> 10 chars), "
+    "and a document with NO such word is KEPT as one row with NULL "
+    "position/word — the row-preserving lateral the plain explode "
+    "silently drops (losing rows on empty arrays is the classic "
+    "flatten bug in corpus accounting). Pure map-side: higher-order "
+    "list_filter then the generator, no shuffle anywhere.",
+)
+def q146_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return d.select("doc_id", arr.alias("arr")).select(
+        "doc_id", F.posexplode_outer("arr").alias("pos", "long_word")
+    )
