@@ -3440,3 +3440,75 @@ def q145_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("outer_doc"),
         (F.floor(containment * 10000 + F.lit(0.5)) / 10000).alias("containment"),
     )
+
+
+@register(
+    "q147_boilerplate_removed",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' '))
+               AS chash,
+             CAST(len(list_slice(t, i * 8 + 1, i * 8 + 8)) AS BIGINT)
+               AS n_tok
+      FROM t, unnest(range(0, (len(t) + 7) // 8)) AS u(i)
+    ), fl AS (
+      SELECT chash FROM ch GROUP BY chash
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           CAST(sum(ch.n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN fl.chash IS NULL THEN ch.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           floor(sum(CASE WHEN fl.chash IS NULL THEN ch.n_tok ELSE 0 END)
+                 / CAST(sum(ch.n_tok) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS kept_frac
+    FROM ch LEFT JOIN fl ON ch.chash = fl.chash
+    GROUP BY ch.doc_id
+    """,
+    doc="Boilerplate REMOVAL accounting — the write-side step after "
+    "q124's detection: per document, total tokens vs tokens surviving "
+    "the drop of chunks repeated across >= 2 docs, i.e. exactly what "
+    "lands in the cleaned corpus (C4's deduplicated-line output). Same "
+    "plan spine as q124 (map-side chunking, chunk-hash shuffle at "
+    "1/8th token volume, AQE-broadcast flag join); the token "
+    "arithmetic rides the same aggregate for free.",
+)
+def q147_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    with_arr = fan_out(d).select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = ((F.size("t") + F.lit(7)) / F.lit(8)).cast("int")
+    chunk = F.slice(F.col("t"), F.col("i") * 8 + 1, F.lit(8))
+    ch = (
+        with_arr.select(
+            "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.array_join(chunk, " "), "UTF-8")).alias("chash"),
+            F.size(chunk).cast("long").alias("n_tok"),
+        )
+        .persist()  # two consumers: the flag aggregate and the accounting
+    )
+    fl = (
+        ch.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chash", F.lit(True).alias("is_boiler"))
+    )
+    kept = F.when(F.col("is_boiler").isNull(), F.col("n_tok")).otherwise(F.lit(0))
+    return (
+        ch.join(fl, "chash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(kept).alias("tokens_kept"),
+            rnd(F.sum(kept) / F.sum("n_tok").cast("double"), 4).alias(
+                "kept_frac"
+            ),
+        )
+    )
