@@ -3512,3 +3512,69 @@ def q147_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q148_mixture_realized",
+    oracle="""
+    WITH s AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), t AS (
+      SELECT sum(sqrt(CAST(n AS DOUBLE))) AS tot_w FROM s
+    ), tgt AS (
+      SELECT s.lang,
+             CAST(floor(
+               (floor((sqrt(CAST(s.n AS DOUBLE)) / t.tot_w) * 1000000 + 0.5)
+                / 1000000) * 200 + 0.5) AS BIGINT) AS target_n
+      FROM s CROSS JOIN t
+    ), r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || ':mix'),1,15))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.lang, tgt.target_n,
+           CAST(count(CASE WHEN rk <= tgt.target_n THEN 1 END) AS BIGINT)
+             AS n_picked,
+           CAST(sum(CASE WHEN rk <= tgt.target_n THEN doc_id END) AS BIGINT)
+             AS picked_id_sum
+    FROM r JOIN tgt ON r.lang = tgt.lang
+    GROUP BY r.lang, tgt.target_n
+    """,
+    doc="Mixture REALIZATION — the step after q121 computes the target: "
+    "per-language document budgets from the temperature-scaled "
+    "(alpha = 0.5) weights over a 200-doc epoch, filled by the q93 "
+    "salted-hash rank (deterministic across engines/runs/appends; "
+    "picked_id_sum pins the exact selected set). A stratum smaller "
+    "than its upsampled target reports the shortfall (n_picked < "
+    "target_n) rather than silently borrowing — the repeat-factor "
+    "decision belongs to the caller. One shuffle on the stratum key; "
+    "the budget frame is strata-sized and broadcast.",
+)
+def q148_mixture_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = s.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("tot_w"))
+    weight = rnd(F.sqrt(F.col("n").cast("double")) / F.col("tot_w"), 6)
+    tgt = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.floor(weight * 200 + F.lit(0.5)).cast("long").alias("target_n"),
+    )
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    r = d.select("lang", "doc_id").withColumn("rk", F.row_number().over(w))
+    picked = F.when(F.col("rk") <= F.col("target_n"), 1)
+    picked_id = F.when(F.col("rk") <= F.col("target_n"), F.col("doc_id"))
+    return (
+        r.join(F.broadcast(tgt), "lang")
+        .groupBy("lang", "target_n")
+        .agg(
+            F.count(picked).alias("n_picked"),
+            F.sum(picked_id).alias("picked_id_sum"),
+        )
+    )
