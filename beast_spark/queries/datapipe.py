@@ -3578,3 +3578,44 @@ def q148_mixture_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(picked_id).alias("picked_id_sum"),
         )
     )
+
+
+@register(
+    "q149_cross_source_dups",
+    oracle="WITH pairs AS (" + _MINHASH_ORACLE + """)
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents d1 ON d1.doc_id = p.doc1
+    JOIN documents d2 ON d2.doc_id = p.doc2
+    GROUP BY least(d1.source, d2.source), greatest(d1.source, d2.source)
+    """,
+    doc="Cross-source duplication matrix: near-dup pairs (q36's LSH "
+    "candidates) attributed to their (source, source) cell — the "
+    "provenance view that tells a corpus owner WHICH feeds copy from "
+    "which (mirrors-of-mirrors, syndication, scraper overlap) and "
+    "therefore which source to drop first. Pair endpoints join to the "
+    "doc table on id (near-dup-sized side, AQE-broadcast); the cell "
+    "key is order-normalized so A~B and B~A land in one cell.",
+)
+def q149_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1")),
+            "doc1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2")),
+            "doc2",
+        )
+    )
+    return j.groupBy(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

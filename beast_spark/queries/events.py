@@ -498,3 +498,55 @@ def q139_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(F.avg("delay_ms"), 2).alias("mean_ms"),
     )
+
+
+@register(
+    "q150_interevent_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           floor(avg(gap_ms) * 100 + 0.5) / 100 AS mean_gap_ms,
+           floor(stddev_samp(gap_ms) * 100 + 0.5) / 100 AS sd_gap_ms,
+           floor((stddev_samp(gap_ms) - avg(gap_ms))
+                 / (stddev_samp(gap_ms) + avg(gap_ms)) * 10000 + 0.5)
+             / 10000 AS burstiness
+    FROM g
+    WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    HAVING count(gap_ms) >= 2
+    """,
+    doc="Inter-event timing features per user: mean/stddev of "
+    "consecutive-event gaps and the burstiness coefficient "
+    "(sd - mean)/(sd + mean) in [-1, 1] — ~-1 periodic (bots, "
+    "schedulers), ~0 Poisson, ->1 bursty humans; the behavioral "
+    "feature fraud/segmentation models consume. One user-partitioned "
+    "window (parallel per user) into a per-user aggregate; gaps are "
+    "exact integer milliseconds so only the variance needs rounding.",
+)
+def q150_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_millis(ts)")
+    g = e.select("user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")).filter(
+        F.col("gap_ms").isNotNull()
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.avg("gap_ms").alias("_mean"),
+        F.stddev_samp("gap_ms").alias("_sd"),
+    )
+    return agg.filter(F.col("n_gaps") >= 2).select(
+        "user_id",
+        "n_gaps",
+        rnd(F.col("_mean"), 2).alias("mean_gap_ms"),
+        rnd(F.col("_sd"), 2).alias("sd_gap_ms"),
+        rnd(
+            (F.col("_sd") - F.col("_mean")) / (F.col("_sd") + F.col("_mean")), 4
+        ).alias("burstiness"),
+    )
