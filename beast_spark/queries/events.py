@@ -550,3 +550,53 @@ def q150_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_sd") - F.col("_mean")) / (F.col("_sd") + F.col("_mean")), 4
         ).alias("burstiness"),
     )
+
+
+@register(
+    "q151_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    ), idx AS (
+      SELECT CAST(date_diff('day',
+                            (SELECT min(CAST(d AS DATE)) FROM daily),
+                            CAST(d AS DATE)) AS BIGINT) AS i,
+             n
+      FROM daily
+    ), slopes AS (
+      SELECT (b.n - a.n) / CAST(b.i - a.i AS DOUBLE) AS s
+      FROM idx a JOIN idx b ON b.i > a.i
+    )
+    SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_days,
+           floor(median(s) * 10000 + 0.5) / 10000 AS slope_per_day
+    FROM slopes
+    """,
+    doc="Robust volume-trend estimation (Theil-Sen): the median of all "
+    "pairwise day-to-day slopes of the daily event count — immune to "
+    "the outlier days that wreck a least-squares fit, the trend "
+    "companion to q120's MAD anomaly flags. The raw scan reduces to "
+    "ONE row per day first; the day-pair join and the median run on "
+    "a days-squared frame (~450 pairs for a month) that is constant "
+    "no matter how many events each day holds — the non-equi join is "
+    "a broadcast nested-loop over that tiny frame by design.",
+)
+def q151_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.agg(F.min(F.to_date("d")).alias("d0"))
+    idx = daily.crossJoin(F.broadcast(m)).select(
+        F.datediff(F.to_date("d"), F.col("d0")).cast("long").alias("i"),
+        "n",
+    )
+    a = idx.select(F.col("i").alias("ai"), F.col("n").alias("an"))
+    b = idx.select(F.col("i").alias("bi"), F.col("n").alias("bn"))
+    slopes = a.join(F.broadcast(b), F.col("bi") > F.col("ai")).select(
+        ((F.col("bn") - F.col("an")) / (F.col("bi") - F.col("ai")).cast("double")).alias("s")
+    )
+    n_days = idx.agg(F.count(F.lit(1)).alias("n_days"))
+    return slopes.agg(
+        rnd(F.expr("percentile(s, 0.5)"), 4).alias("slope_per_day")
+    ).crossJoin(F.broadcast(n_days)).select("n_days", "slope_per_day")
