@@ -66,3 +66,47 @@ def merged_distinct(sketches: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_slices"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def misra_gries_topk(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Mergeable Misra–Gries heavy-hitters summary of ``col``.
+
+    Per-partition MG summaries (``k`` counters each, built in one
+    Arrow-batched pass) are summed per item and cut back to the top
+    ``k`` — the classic mergeable frequency sketch. Guarantees, with
+    ``n`` the total row count: every returned ``est_count`` is a LOWER
+    bound on the item's true count, the under-count is at most
+    ``n/(k+1)``, and every item with true count > ``n/(k+1)`` appears.
+    Unlike exact groupBy-count (q122's path), the shuffle moves at most
+    ``partitions × k`` rows regardless of cardinality — the summary for
+    a column whose distinct count is itself at data scale.
+
+    Returns (item, est_count), deterministic under a fixed
+    partitioning; final selection ties break on the item value.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partials(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+                if len(counters) > k:
+                    # bulk MG decrement: subtract the smallest counter
+                    # from all, dropping those that reach zero
+                    dec = min(counters.values())
+                    counters = {
+                        i: c - dec for i, c in counters.items() if c > dec
+                    }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    partial = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        partials, "item string, cnt long"
+    )
+    merged = partial.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    return merged.orderBy(F.desc("est_count"), F.asc("item")).limit(k)

@@ -975,3 +975,22 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
     assert len(cont) == 1
     assert (cont[0].inner_doc, cont[0].outer_doc, cont[0].containment) == (1, 2, 1.0)
     assert jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4).count() == 0
+
+
+def test_misra_gries_bound_on_skewed_data(spark):
+    """Heavy hitters survive, estimates are lower bounds, and the
+    under-count stays within n/(k+1) — on data whose cardinality (5005)
+    far exceeds the k=32 counters."""
+    from beast_spark.operators.sketches import misra_gries_topk
+
+    heavies = [(f"hh{i}",) for i in range(5) for _ in range(1000)]
+    tail = [(f"w{j}",) for j in range(5000)]
+    df = spark.createDataFrame(heavies + tail, "w string").repartition(8)
+    n = df.count()
+    k = 32
+    est = {r.item: r.est_count for r in misra_gries_topk(df, "w", k).collect()}
+    true = {f"hh{i}": 1000 for i in range(5)}
+    for item, t in true.items():
+        assert item in est, f"heavy hitter {item} evicted"
+        assert est[item] <= t
+        assert t - est[item] <= n / (k + 1)
