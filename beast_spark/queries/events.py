@@ -600,3 +600,156 @@ def q151_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slopes.agg(
         rnd(F.expr("percentile(s, 0.5)"), 4).alias("slope_per_day")
     ).crossJoin(F.broadcast(n_days)).select("n_days", "slope_per_day")
+
+
+@register(
+    "q153_association_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_et FROM b
+      GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS et_a, c.event_type AS et_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM b a JOIN b c
+        ON a.user_id = c.user_id AND a.event_type < c.event_type
+      GROUP BY a.event_type, c.event_type
+    )
+    SELECT p.et_a, p.et_b, p.n_both,
+           floor(p.n_both / CAST(sa.n_et AS DOUBLE) * 10000 + 0.5) / 10000
+             AS confidence_a_to_b,
+           floor((p.n_both * CAST(n.n_users AS DOUBLE))
+                 / (sa.n_et * CAST(sb.n_et AS DOUBLE)) * 10000 + 0.5) / 10000
+             AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.et_a
+    JOIN s sb ON sb.event_type = p.et_b
+    CROSS JOIN n
+    """,
+    doc="Association rules over user baskets (support / confidence / "
+    "lift): which event types co-occur in the same user's history "
+    "beyond what their individual frequencies predict — the "
+    "market-basket primitive (lift > 1 = positive association), "
+    "complementing q113's chi-square (grid independence) with "
+    "per-pair effect SIZES. Baskets reduce to one row per (user, "
+    "type) FIRST, so the self-join is over the reduced frame keyed "
+    "on user — co-partitioned, never event x event; all rule tables "
+    "are type-cardinality-sized.",
+)
+def q153_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").alias("n_users"))
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_et"))
+    a = b.select("user_id", F.col("event_type").alias("et_a"))
+    c = b.select("user_id", F.col("event_type").alias("et_b"))
+    p = (
+        a.join(c, ["user_id"])
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = s.select(F.col("event_type").alias("et_a"), F.col("n_et").alias("na"))
+    sb = s.select(F.col("event_type").alias("et_b"), F.col("n_et").alias("nb"))
+    return (
+        p.join(F.broadcast(sa), "et_a")
+        .join(F.broadcast(sb), "et_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "et_a",
+            "et_b",
+            "n_both",
+            rnd(F.col("n_both") / F.col("na").cast("double"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            rnd(
+                (F.col("n_both") * F.col("n_users").cast("double"))
+                / (F.col("na") * F.col("nb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q154_sequence_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT v.user_id, v.t1, min(e.ts) AS t2
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts >= v.t1
+      GROUP BY v.user_id, v.t1
+    ), p AS (
+      SELECT c.user_id, c.t2, min(e.ts) AS t3
+      FROM c LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts >= c.t2
+      GROUP BY c.user_id, c.t2
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(t2) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(t3) FROM p) AS BIGINT) AS n_view_click_purchase,
+           floor((SELECT count(t2) FROM c)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS step2_rate,
+           floor((SELECT count(t3) FROM p)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS step3_rate
+    """,
+    doc="ORDERED multi-step funnel (view -> click -> purchase): each "
+    "step's first occurrence must be at-or-after the previous step's — "
+    "a click before any view does not advance the user, which the "
+    "set-membership funnels (q27) and the two-step window funnel "
+    "(q127) cannot express. Each stage is one per-user reduction "
+    "chained by a user-keyed hash join with the time constraint as "
+    "residual; the user frames shrink monotonically down the funnel.",
+)
+def q154_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+        )
+        return (
+            prev.join(
+                step,
+                (F.col("user_id") == F.col("s_user"))
+                & (F.col("s_ts") >= F.col(prev_ts)),
+                "left",
+            )
+            .groupBy(*prev.columns)
+            .agg(F.min("s_ts").alias(out_ts))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "t1", "click", "t2")
+    p = first_after(c.select("user_id", "t2"), "t2", "purchase", "t3")
+    counts = v.agg(F.count(F.lit(1)).alias("n_view")).crossJoin(
+        F.broadcast(c.agg(F.count("t2").alias("n_view_click")))
+    ).crossJoin(
+        F.broadcast(p.agg(F.count("t3").alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        rnd(F.col("n_view_click") / F.col("n_view").cast("double"), 4).alias(
+            "step2_rate"
+        ),
+        rnd(
+            F.col("n_view_click_purchase") / F.col("n_view").cast("double"), 4
+        ).alias("step3_rate"),
+    )
