@@ -3663,3 +3663,58 @@ def q152_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
     )
     return ranked.filter(F.col("rank") <= 10)
+
+
+@register(
+    "q156_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM events
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM events
+    ), assigned AS (
+      SELECT CAST(len(list_filter(b.qs, q -> e.value > q)) AS INT)
+               AS bucket
+      FROM events e CROSS JOIN b
+    )
+    SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           floor(count(*) / CAST(t.n AS DOUBLE) * 10000 + 0.5) / 10000
+             AS share
+    FROM assigned a CROSS JOIN t
+    GROUP BY a.bucket, t.n
+    """,
+    doc="Equi-DEPTH histogram (decile buckets) — the quantile-bucket "
+    "twin of q96's equi-width bins: bucket boundaries are the exact "
+    "interpolated deciles, so each bucket holds ~10% of rows no "
+    "matter how skewed the value distribution (equi-width collapses "
+    "under skew; equi-depth is what optimizers and drift monitors "
+    "actually want). The 9-boundary array broadcasts; bucket "
+    "assignment is a map-side array filter; the aggregate is 10 "
+    "rows. At 100 TB swap the exact deciles for percentile_approx "
+    "(mergeable sketch) — this exact form is that swap's oracle.",
+)
+def q156_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    t = e.agg(F.count(F.lit(1)).alias("n"))
+    assigned = e.crossJoin(F.broadcast(b)).select(
+        F.size(F.filter("qs", lambda q: F.col("value") > q))
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_rows",
+            rnd(F.col("n_rows") / F.col("n").cast("double"), 4).alias("share"),
+        )
+    )

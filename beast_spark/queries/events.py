@@ -753,3 +753,50 @@ def q154_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_view_click_purchase") / F.col("n_view").cast("double"), 4
         ).alias("step3_rate"),
     )
+
+
+@register(
+    "q155_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS cur, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), m AS (
+      SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM t GROUP BY cur
+    )
+    SELECT t.cur, t.nxt, t.n,
+           floor(t.n / CAST(m.n_cur AS DOUBLE) * 10000 + 0.5) / 10000
+             AS p_next
+    FROM t JOIN m ON t.cur = m.cur
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), the behavioral model "
+    "behind next-action prediction and anomalous-flow detection (a "
+    "transition probability collapsing week-over-week is a product "
+    "bug before it is a metric dip). One user-partitioned window "
+    "(parallel per user) feeds a types^2-sized count table; the row "
+    "normalizer joins on the same tiny frame.",
+)
+def q155_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = t.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return t.join(F.broadcast(m), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        rnd(F.col("n") / F.col("n_cur").cast("double"), 4).alias("p_next"),
+    )
