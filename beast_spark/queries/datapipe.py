@@ -3718,3 +3718,84 @@ def q156_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n_rows") / F.col("n").cast("double"), 4).alias("share"),
         )
     )
+
+
+@register(
+    "q157_dedup_action_table",
+    oracle="WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS rep_id
+      FROM m
+    )
+    SELECT d.doc_id,
+           CASE WHEN r.doc_id IS NULL OR r.doc_id = r.rep_id
+                THEN 'keep' ELSE 'drop' END AS action,
+           CASE WHEN r.doc_id IS NULL OR r.doc_id = r.rep_id
+                THEN NULL ELSE r.rep_id END AS replaced_by
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    """,
+    doc="The dedup ACTION table — the artifact a dedup pipeline "
+    "actually publishes downstream: every document mapped to "
+    "keep / drop-with-replacement, where drops point at their "
+    "cluster's quality-chosen representative (q125's longest-text "
+    "rule over q86's LSH components). Consumers anti-join the drops "
+    "(q110's cleaned corpus) or rewrite references via replaced_by; "
+    "singletons pass through as 'keep' with NULL replacement. The "
+    "corpus-side join is id-keyed against the near-dup-sized action "
+    "frame — AQE-broadcast, unhinted.",
+    bench=False,
+    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
+)
+def q157_dedup_action_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+    ).select("doc1", "doc2")
+    clusters = dedup_clusters(pairs)
+    m = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = m.select(
+        F.col("doc_id").alias("r_doc_id"),
+        F.first("doc_id").over(w).alias("rep_id"),
+    )
+    keep = F.col("r_doc_id").isNull() | (F.col("r_doc_id") == F.col("rep_id"))
+    return (
+        d.select("doc_id")
+        .join(ranked, d.doc_id == F.col("r_doc_id"), "left")
+        .select(
+            "doc_id",
+            F.when(keep, "keep").otherwise("drop").alias("action"),
+            F.when(keep, F.lit(None).cast("long"))
+            .otherwise(F.col("rep_id"))
+            .alias("replaced_by"),
+        )
+    )
