@@ -800,3 +800,50 @@ def q155_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rnd(F.col("n") / F.col("n_cur").cast("double"), 4).alias("p_next"),
     )
+
+
+@register(
+    "q158_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    ), dow AS (
+      SELECT isodow(CAST(d AS DATE)) AS dow_num,
+             CAST(count(*) AS BIGINT) AS n_days,
+             avg(CAST(n AS DOUBLE)) AS dow_avg
+      FROM daily GROUP BY isodow(CAST(d AS DATE))
+    ), o AS (
+      SELECT avg(CAST(n AS DOUBLE)) AS overall FROM daily
+    )
+    SELECT CAST(dow.dow_num AS INT) AS dow_num, dow.n_days,
+           floor(dow.dow_avg * 100 + 0.5) / 100 AS dow_avg,
+           floor(dow.dow_avg / o.overall * 10000 + 0.5) / 10000
+             AS seasonality_index
+    FROM dow CROSS JOIN o
+    """,
+    doc="Day-of-week seasonality profile: mean daily volume per ISO "
+    "weekday as an index against the overall daily mean — the "
+    "seasonal-expectation layer alerting (q120's MAD flags) should "
+    "normalize by before calling a quiet Sunday an anomaly. The raw "
+    "scan reduces to one row per day; everything after is a 7-row "
+    "frame with the overall mean broadcast back.",
+)
+def q158_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = daily.groupBy(
+        (F.expr("weekday(CAST(d AS DATE))") + 1).cast("int").alias("dow_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg(F.col("n").cast("double")).alias("dow_avg"),
+    )
+    o = daily.agg(F.avg(F.col("n").cast("double")).alias("overall"))
+    return dow.crossJoin(F.broadcast(o)).select(
+        "dow_num",
+        "n_days",
+        rnd(F.col("dow_avg"), 2).alias("dow_avg"),
+        rnd(F.col("dow_avg") / F.col("overall"), 4).alias("seasonality_index"),
+    )
