@@ -847,3 +847,82 @@ def q158_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("dow_avg"), 2).alias("dow_avg"),
         rnd(F.col("dow_avg") / F.col("overall"), 4).alias("seasonality_index"),
     )
+
+
+@register(
+    "q159_adjusted_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    ), dow AS (
+      SELECT isodow(CAST(day AS DATE)) AS dw, avg(CAST(n_events AS DOUBLE)) AS dow_avg
+      FROM daily GROUP BY isodow(CAST(day AS DATE))
+    ), o AS (
+      SELECT avg(CAST(n_events AS DOUBLE)) AS overall FROM daily
+    ), adj AS (
+      SELECT d.day, d.n_events,
+             d.n_events / (w.dow_avg / o.overall) AS adj_n
+      FROM daily d
+      JOIN dow w ON isodow(CAST(d.day AS DATE)) = w.dw
+      CROSS JOIN o
+    ), med AS (
+      SELECT median(adj_n) AS med FROM adj
+    ), dev AS (
+      SELECT adj.day, adj.n_events,
+             floor(adj.adj_n * 100 + 0.5) / 100 AS adj_n,
+             abs(adj.adj_n - m.med) AS dev
+      FROM adj CROSS JOIN med m
+    ), mad AS (
+      SELECT median(dev) AS mad FROM dev
+    )
+    SELECT dev.day, dev.n_events, dev.adj_n,
+           dev.dev > 3 * mad.mad AS is_anomaly
+    FROM dev CROSS JOIN mad
+    """,
+    doc="Seasonally-adjusted anomaly detection — q120's MAD flags "
+    "computed on volumes DIVIDED by the q158 day-of-week index first, "
+    "so a quiet Sunday stops tripping the detector and a quiet "
+    "Tuesday starts to. The composition is exactly the two parent "
+    "queries chained (day reduction -> 7-row index -> tiny median "
+    "frames); dividing by a ratio of averages stays deterministic "
+    "cross-engine because every input to the division is identical "
+    "in both (exact counts, one rounding at the reported column).",
+)
+def q159_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    dw = (F.expr("weekday(CAST(day AS DATE))") + 1).cast("int")
+    dow = daily.groupBy(dw.alias("dw")).agg(
+        F.avg(F.col("n_events").cast("double")).alias("dow_avg")
+    )
+    o = daily.agg(F.avg(F.col("n_events").cast("double")).alias("overall"))
+    adj = (
+        daily.withColumn("dw", dw)
+        .join(F.broadcast(dow), "dw")
+        .crossJoin(F.broadcast(o))
+        .select(
+            "day",
+            "n_events",
+            (
+                F.col("n_events") / (F.col("dow_avg") / F.col("overall"))
+            ).alias("adj_n"),
+        )
+    )
+    med = adj.agg(F.expr("percentile(adj_n, 0.5)").alias("med"))
+    dev = adj.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        rnd(F.col("adj_n"), 2).alias("adj_n"),
+        F.abs(F.col("adj_n") - F.col("med")).alias("dev"),
+    )
+    mad = dev.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        "adj_n",
+        (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
