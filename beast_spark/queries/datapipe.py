@@ -3799,3 +3799,73 @@ def q157_dedup_action_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("replaced_by"),
         )
     )
+
+
+@register(
+    "q160_ann_recall",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           floor((SELECT count(*) FROM (""" + _LSH_ANN_ORACLE + """) l
+                  JOIN (""" + """SELECT vec_id FROM (
+                    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                               FROM embeddings),
+                         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                         scored AS (
+                           SELECT vec_id,
+                                  floor((list_dot_product(v, qv)
+                                         / (sqrt(list_dot_product(v, v))
+                                            * sqrt(list_dot_product(qv, qv))))
+                                        * 1000000 + 0.5) / 1000000 AS cos_sim
+                           FROM e, q WHERE vec_id <> 0
+                         )
+                    SELECT vec_id,
+                           row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                             AS rank
+                    FROM scored QUALIFY rank <= 10)""" + """
+                  ) x ON l.vec_id = x.vec_id)
+                 / 10.0 * 10000 + 0.5) / 10000 AS recall_lsh,
+           floor((SELECT count(*) FROM (""" + _LSH_MULTIPROBE_ORACLE + """) m
+                  JOIN (""" + """SELECT vec_id FROM (
+                    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                               FROM embeddings),
+                         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                         scored AS (
+                           SELECT vec_id,
+                                  floor((list_dot_product(v, qv)
+                                         / (sqrt(list_dot_product(v, v))
+                                            * sqrt(list_dot_product(qv, qv))))
+                                        * 1000000 + 0.5) / 1000000 AS cos_sim
+                           FROM e, q WHERE vec_id <> 0
+                         )
+                    SELECT vec_id,
+                           row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                             AS rank
+                    FROM scored QUALIFY rank <= 10)""" + """
+                  ) x2 ON m.vec_id = x2.vec_id)
+                 / 10.0 * 10000 + 0.5) / 10000 AS recall_multiprobe
+    """,
+    doc="ANN quality evaluation: recall@10 of the single-bucket LSH "
+    "(q40) and the Hamming-1 multi-probe variant (q84) against the "
+    "exact brute-force top-10 (q38) — the measurement that justifies "
+    "an index's speed/quality trade before a corpus switches to it, "
+    "and the regression gate a recall drop should trip. All three "
+    "rankings replay in the oracle, so the recall itself is "
+    "hash-checked, not asserted; multi-probe recall >= single-bucket "
+    "by construction (it probes a superset).",
+    bench=False,
+    bench_reason="evaluation composition over q38/q40/q84, each benched or excluded on its own",
+)
+def q160_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q38_embedding_knn(spark, sf_dir).select("vec_id")
+    lsh = q40_lsh_ann(spark, sf_dir).select("vec_id")
+    multi = q84_lsh_ann_multiprobe(spark, sf_dir).select("vec_id")
+    r1 = lsh.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("h1"))
+    r2 = multi.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("h2"))
+    return (
+        r1.crossJoin(F.broadcast(r2))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            rnd(F.col("h1") / 10.0, 4).alias("recall_lsh"),
+            rnd(F.col("h2") / 10.0, 4).alias("recall_multiprobe"),
+        )
+    )
