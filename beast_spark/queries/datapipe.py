@@ -3869,3 +3869,101 @@ def q160_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("h2") / 10.0, 4).alias("recall_multiprobe"),
         )
     )
+
+
+@register(
+    "q161_corpus_prep_v2",
+    oracle="""
+    WITH sig_entropy AS ("""
+    + _suboracle("q123_token_entropy")
+    + """), sig_rep AS ("""
+    + _suboracle("q117_repetition_stats")
+    + """), sig_boiler AS ("""
+    + _suboracle("q124_boilerplate_chunks")
+    + """),
+    g AS (
+      SELECT d.doc_id, d.text, se.n_tokens
+      FROM documents d
+      JOIN sig_entropy se ON se.doc_id = d.doc_id
+      JOIN sig_rep sr ON sr.doc_id = d.doc_id
+      JOIN sig_boiler sb ON sb.doc_id = d.doc_id
+      WHERE se.norm_entropy >= 0.8
+        AND sr.dup_trigram_frac <= 0.2
+        AND sb.boiler_frac <= 0.5
+    ), k AS (
+      SELECT doc_id, n_tokens,
+             min(doc_id) OVER (PARTITION BY text) AS canon
+      FROM g
+    ), surv AS (
+      SELECT doc_id, n_tokens FROM k WHERE doc_id = canon
+    )
+    SELECT CASE
+             WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 80
+               THEN 'train'
+             WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 90
+               THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM surv
+    GROUP BY 1
+    """,
+    doc="Corpus-prep pipeline v2 — the round-4 quality signals composed "
+    "into one cleaned-corpus build: gate on information density "
+    "(q123 norm_entropy >= 0.8), repetition (q117 dup-trigram <= 0.2), "
+    "and boilerplate contamination (q124 boiler_frac <= 0.5), then "
+    "exact-dedup survivors (min-id canonical) and the q88 "
+    "deterministic split, accounted per split with an id checksum "
+    "pinning the exact surviving set. Every signal is the registered "
+    "query VERBATIM on both sides (Spark calls the functions, the "
+    "oracle embeds their SQL via _suboracle), so the capstone tracks "
+    "its parts by construction — q89's successor built from this "
+    "round's gates.",
+    bench=False,
+    bench_reason="composition of q117/q123/q124, each benched on its own",
+)
+def q161_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    se = q123_token_entropy(spark, sf_dir).select(
+        "doc_id", "n_tokens", "norm_entropy"
+    )
+    sr = q117_repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_trigram_frac"
+    )
+    sb = q124_boilerplate_chunks(spark, sf_dir).select("doc_id", "boiler_frac")
+    g = (
+        d.select("doc_id", "text")
+        .join(se, "doc_id")
+        .join(sr, "doc_id")
+        .join(sb, "doc_id")
+        .filter(
+            (F.col("norm_entropy") >= 0.8)
+            & (F.col("dup_trigram_frac") <= 0.2)
+            & (F.col("boiler_frac") <= 0.5)
+        )
+    )
+    w = Window.partitionBy("text")
+    surv = (
+        g.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "n_tokens")
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    return (
+        surv.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise(
+                "test"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
