@@ -34,7 +34,12 @@ from beast_spark.operators.rollup import daily_rollup, merge_rollups
 from beast_spark.sources.versioned import VersionedTable
 from beast_spark.streaming.swap import SwapCommittedTable
 
-__all__ = ["RollupMaintainer", "SketchMaintainer", "VersionedRollupMaintainer"]
+__all__ = [
+    "CentroidMaintainer",
+    "RollupMaintainer",
+    "SketchMaintainer",
+    "VersionedRollupMaintainer",
+]
 
 
 class _RollupLogic:
@@ -164,6 +169,76 @@ class SketchMaintainer(SwapCommittedTable):
     def stream_from(self, events: DataFrame, checkpoint: str):
         return (
             events.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class CentroidMaintainer(SwapCommittedTable):
+    """Maintains per-label embedding-centroid STATE from a vector stream.
+
+    Mergeable state is (label, dim, sum, n) — the q143 discipline on
+    the streaming face: each micro-batch posexplodes ONLY its own
+    vectors into per-(label, dim) partial sums, merged into the stored
+    state by summation; centroids (and the q138 drift cosines) derive
+    at read time, so the maintained table equals a from-scratch build
+    exactly (integer counts, sum merge order invisible at read
+    rounding). Commit protocol: shared swap ledger.
+    """
+
+    def __init__(self, state_path: str, label_col: str, vec_col: str) -> None:
+        super().__init__(state_path)
+        self.label_col = label_col
+        self.vec_col = vec_col
+
+    def _state(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            df.select(
+                F.col(self.label_col).alias("label"),
+                F.posexplode(self.vec_col).alias("dim", "val"),
+            )
+            .groupBy("label", "dim")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def read_centroids(self, spark: SparkSession) -> DataFrame | None:
+        """(label, dim, centroid_val) derived from the maintained sums."""
+        from pyspark.sql import functions as F
+
+        state = self.read_table(spark)
+        if state is None:
+            return None
+        return state.select(
+            "label", "dim", (F.col("s") / F.col("n")).alias("centroid_val")
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id in self.applied_batches():
+            return
+        spark = batch_df.sparkSession
+        inc = self._state(batch_df)
+        existing = self.read_table(spark)
+        if existing is None:
+            updated = inc
+        else:
+            updated = (
+                existing.unionByName(inc)
+                .groupBy("label", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            )
+        self.commit(updated, batch_id)
+
+    def stream_from(self, vectors: DataFrame, checkpoint: str):
+        return (
+            vectors.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()

@@ -161,3 +161,28 @@ def test_versioned_rollup_maintainer_time_travels(spark, tmp_path):
     m.vacuum()
     assert m.versions() == [1, 2, 3]  # keep_versions=3 default: nothing dropped
     assert m.applied_batches() == {0, 1, 2}  # ledger survives vacuum
+
+
+def test_centroid_maintainer_matches_full_build(spark, tmp_path):
+    """Maintained (sum, n) centroid state across batches == a
+    from-scratch build over all vectors; replay is a no-op."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.streaming.rollup import CentroidMaintainer
+
+    ddl = "label int, embedding array<float>"
+    b0 = [(0, [1.0, 2.0]), (1, [4.0, 0.0])]
+    b1 = [(0, [3.0, 0.0]), (1, [0.0, 4.0]), (1, [2.0, 2.0])]
+    m = CentroidMaintainer(str(tmp_path / "cent"), "label", "embedding")
+    m.apply_batch(spark.createDataFrame(b0, ddl), 0)
+    m.apply_batch(spark.createDataFrame(b1, ddl), 1)
+    m.apply_batch(spark.createDataFrame(b1, ddl), 1)  # replay no-op
+    got = {
+        (r.label, r.dim): round(r.centroid_val, 9)
+        for r in m.read_centroids(spark).collect()
+    }
+    want = {
+        (0, 0): 2.0, (0, 1): 1.0,          # mean of [1,3], [2,0]
+        (1, 0): 2.0, (1, 1): 2.0,          # mean of [4,0,2], [0,4,2]
+    }
+    assert got == want
