@@ -71,7 +71,7 @@ def main() -> int:
     from beast_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    name_filters = sys.argv[2:] or [""]  # any-match substrings
     spark = get_spark(app_name="oracle_sweep")
     con = duckdb.connect()
     for t in TABLES.split():
@@ -79,7 +79,7 @@ def main() -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     checked, bad, unoracled = 0, [], []
     for name in sorted(qs):
-        if name_filter not in name:
+        if not any(f in name for f in name_filters):
             continue
         sql = oracles.get(name)
         if not sql:
