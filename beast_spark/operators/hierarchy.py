@@ -32,10 +32,28 @@ def flatten_hierarchy(
 ) -> DataFrame:
     """Resolve (id, parent — NULL for roots) to (id, root_id, depth).
 
-    Every ``parent`` value must exist as an ``id`` (a well-formed
-    forest); cycles do not terminate early and surface as hitting
-    ``max_rounds`` (2^25 depth is beyond any real hierarchy).
+    Malformed inputs raise instead of returning silently wrong rows:
+
+    * a dangling ``parent`` value (no matching ``id``) would drop its
+      subtree at the first inner join — detected by a row-count check
+      and raised as ``ValueError``;
+    * a cycle (or a chain deeper than 2^max_rounds, beyond any real
+      hierarchy) never reaches the self-loop fixed point — detected by
+      the still-advancing probe after round exhaustion and raised as
+      ``ValueError``.
     """
+    dangling = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(F.col(parent_col).alias("p"))
+        .join(nodes.select(F.col(id_col).alias("p")), "p", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"flatten_hierarchy: {parent_col} contains values with no matching "
+            f"{id_col} (dangling parents would silently drop their subtrees)"
+        )
     state = nodes.select(
         F.col(id_col).alias("node"),
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
@@ -65,6 +83,12 @@ def flatten_hierarchy(
         state = nxt
         if advanced == 0:
             break
+    else:
+        raise ValueError(
+            f"flatten_hierarchy: still advancing after {max_rounds} doubling "
+            f"rounds — the input contains a cycle (or a chain deeper than "
+            f"2^{max_rounds}, beyond any real hierarchy)"
+        )
     return state.select(
         F.col("node").alias(id_col),
         F.col("anc").alias("root_id"),

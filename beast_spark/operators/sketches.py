@@ -68,15 +68,21 @@ def merged_distinct(sketches: DataFrame) -> DataFrame:
     )
 
 
-def misra_gries_topk(df: DataFrame, col: str, k: int) -> DataFrame:
+def misra_gries_topk(df: DataFrame, col: str, k: int, cut: bool = True) -> DataFrame:
     """Mergeable Misra–Gries heavy-hitters summary of ``col``.
 
     Per-partition MG summaries (``k`` counters each, built in one
-    Arrow-batched pass) are summed per item and cut back to the top
-    ``k`` — the classic mergeable frequency sketch. Guarantees, with
-    ``n`` the total row count: every returned ``est_count`` is a LOWER
+    Arrow-batched pass) are summed per item and (with ``cut=True``) cut
+    back to the top ``k`` by estimate — the classic mergeable frequency
+    sketch. Guarantees, with ``n`` the total row count, hold for the
+    MERGED SUMMARY (``cut=False``): every ``est_count`` is a LOWER
     bound on the item's true count, the under-count is at most
-    ``n/(k+1)``, and every item with true count > ``n/(k+1)`` appears.
+    ``n/(k+1)``, and every item with true count > ``n/(k+1)`` survives
+    into the summary. The final top-k-by-estimate cut does NOT inherit
+    the completeness guarantee: a borderline heavy hitter whose summed
+    lower bound landed near zero can be displaced by non-heavy items
+    with larger estimates — callers needing the classical guarantee
+    should take ``cut=False`` and apply their own count threshold.
     Unlike exact groupBy-count (q122's path), the shuffle moves at most
     ``partitions × k`` rows regardless of cardinality — the summary for
     a column whose distinct count is itself at data scale.
@@ -109,4 +115,6 @@ def misra_gries_topk(df: DataFrame, col: str, k: int) -> DataFrame:
         partials, "item string, cnt long"
     )
     merged = partial.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    if not cut:
+        return merged
     return merged.orderBy(F.desc("est_count"), F.asc("item")).limit(k)

@@ -531,7 +531,7 @@ def q142_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) u ON TRUE
     """,
     doc="OUTER generator semantics (posexplode_outer / LEFT JOIN "
-    "LATERAL): documents explode into their long words (> 10 chars), "
+    "LATERAL): documents explode into their long words (> 6 chars), "
     "and a document with NO such word is KEPT as one row with NULL "
     "position/word — the row-preserving lateral the plain explode "
     "silently drops (losing rows on empty arrays is the classic "

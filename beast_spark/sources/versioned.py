@@ -45,6 +45,14 @@ class VersionedTable:
         self.root = root
         self.keep_versions = keep_versions
 
+    @property
+    def path(self) -> str:
+        """Alias for ``root`` — the commit backends (SwapCommittedTable
+        stores ``path``, this class ``root``) expose the same attribute
+        name so backend-generic code like ``_Scd2Logic.history_path``
+        works against either."""
+        return self.root
+
     # -- manifest ---------------------------------------------------------
 
     def _manifest_path(self) -> str:

@@ -116,3 +116,14 @@ def test_versioned_scd2_maintainer_time_travels(spark, tmp_path):
     assert _histset(m.read(spark, version=1)) == _histset(
         scd2_from_changelog(_rows(spark, b0), **ARGS)
     )
+
+
+def test_versioned_maintainer_exposes_history_path(tmp_path):
+    """The backend-generic history_path accessor must work on BOTH commit
+    backends (SwapCommittedTable stores .path, VersionedTable .root —
+    the versioned variant aliases it)."""
+    from beast_spark.streaming.dimensions import VersionedScd2Maintainer
+
+    root = str(tmp_path / "vhist2")
+    m = VersionedScd2Maintainer(root, **ARGS)
+    assert m.history_path == root

@@ -935,6 +935,28 @@ def test_flatten_hierarchy_rounds_are_logarithmic(spark):
     assert {(r.id, r.depth) for r in out.collect()} == {(i, i) for i in range(65)}
 
 
+def test_flatten_hierarchy_rejects_cycles_and_dangling_parents(spark):
+    """Malformed forests raise instead of returning silently wrong rows:
+    a cycle never reaches the self-loop fixed point (round-exhaustion
+    probe), a dangling parent would drop its subtree at the first join
+    (upfront anti-join probe)."""
+    import pytest
+
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    cycle = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2), (9, None)], "id long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(cycle, "id", "parent", max_rounds=6).collect()
+
+    dangling = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 77)], "id long, parent long"
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        flatten_hierarchy(dangling, "id", "parent")
+
+
 def test_export_sharded_is_partitioning_invariant(spark, sf_dir, tmp_path):
     """Shard membership must be a function of the DATA (total order +
     shard size), not of the input partitioning."""
