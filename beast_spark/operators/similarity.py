@@ -16,6 +16,7 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -29,6 +30,10 @@ __all__ = [
     "lsh_bucket_col",
     "lsh_neardup_pairs",
     "lsh_topk",
+    "multitable_planes",
+    "lsh_multitable_bucket_udf",
+    "lsh_multitable_candidates",
+    "lsh_topk_multitable",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -71,21 +76,24 @@ def hyperplanes(dims: int, n_planes: int = 8, seed: int = 7) -> list[list[float]
     return rng.standard_normal((n_planes, dims)).tolist()
 
 
-def hyperplanes_md5(dims: int, n_planes: int = 8) -> list[list[float]]:
+def hyperplanes_md5(dims: int, n_planes: int = 8, salt: str = "") -> list[list[float]]:
     """Rademacher (±1) hyperplanes derived from md5 — engine-replayable.
 
-    Component (p, d) = +1 iff the first hex digit of ``md5("p:d")`` is
-    odd. Sign-random-projection only needs the component distribution to
-    be symmetric, so ±1 entries are as valid an LSH family as gaussians
-    (public SimHash/SRP results) — and any engine with ``md5()`` can
-    reconstruct the planes exactly, which is how the q40 DuckDB oracle
-    replays the bucketing bit-for-bit.
+    Component (p, d) = +1 iff the first hex digit of ``md5(salt+"p:d")``
+    is odd. Sign-random-projection only needs the component distribution
+    to be symmetric, so ±1 entries are as valid an LSH family as
+    gaussians (public SimHash/SRP results) — and any engine with
+    ``md5()`` can reconstruct the planes exactly, which is how the q40
+    DuckDB oracle replays the bucketing bit-for-bit. ``salt`` yields
+    independent plane sets (one per table of a multi-table index).
     """
     import hashlib
 
     return [
         [
-            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            1.0
+            if int(hashlib.md5(f"{salt}{p}:{d}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
             for d in range(dims)
         ]
         for p in range(n_planes)
@@ -148,6 +156,133 @@ def lsh_topk(
         "query_id",
         F.col(id_col).alias("vec_id"),
         (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def multitable_planes(
+    dims: int, n_planes: int = 8, n_tables: int = 75
+) -> list[list[list[float]]]:
+    """``n_tables`` independent md5-Rademacher plane sets (salted per
+    table), the hash family of the multi-table (OR-amplified) LSH index."""
+    return [hyperplanes_md5(dims, n_planes, salt=f"{t}|") for t in range(n_tables)]
+
+
+def lsh_multitable_bucket_udf(tables: list[list[list[float]]]):
+    """Arrow-batched pandas UDF: vec → array<long> of L per-table buckets.
+
+    With L×P planes the per-vector work is an L·P-column matrix product —
+    the case where a vectorized pandas UDF beats Column expressions: the
+    plane tensor rides once in the UDF closure and each Arrow batch is
+    ONE BLAS matmul (B×dims @ dims×(L·P)) + a sign reduction, instead of
+    38k interpreted higher-order-function element ops per row (measured
+    ~50× faster at L=75, P=8, dims=64). Bit p of table t's bucket = 1
+    iff <vec, plane_tp> > 0 — the numbering the DuckDB oracles replay
+    as ``1<<p``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(tables, dtype=np.float64)  # L x Pn x dims
+    L, Pn, dims = P.shape
+    M = P.reshape(L * Pn, dims).T.copy()  # dims x (L*Pn)
+    weights = (1 << np.arange(Pn)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ M) > 0  # B x (L*Pn)
+        buckets = (bits.reshape(len(V), L, Pn) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
+def lsh_multitable_candidates(
+    data: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (query_id, vec_id) candidate pairs of the multi-table
+    index: a pair is a candidate iff the two vectors share a bucket in
+    ANY of the L tables (the classic OR-amplification).
+
+    Scale shape: the data side flattens to the slim postings frame
+    (t, bucket, vec_id) — id + two longs per posting, the wide vectors
+    stay out of it — and the tiny query postings broadcast onto it; the
+    distinct() that dedups multi-table collisions shuffles only id
+    pairs. At warehouse scale the postings frame IS the persisted index
+    (write it bucketed by (t, bucket); see the q98 band-index pattern).
+    """
+    budf = lsh_multitable_bucket_udf(tables)
+    d = data.select(F.col(id_col), F.posexplode(budf(vec_col)).alias("t", "bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"), budf(vec_col).alias("_bk")).select(
+        "query_id", F.posexplode("_bk").alias("t", "bucket")
+    )
+    return (
+        d.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+
+
+def lsh_topk_multitable(
+    data: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 75,
+    tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Multi-table LSH ANN — the production-recall configuration.
+
+    Single-bucket LSH (q40) and Hamming-ball multi-probe (q84) hit a
+    recall wall when near neighbors sit barely above the bulk (measured
+    here: top-10 cosine ≈ 0.35 vs bulk p99 ≈ 0.29 on the synthetic
+    embeddings — the adversarial regime for any angle-based index).
+    OR-amplification is the standard fix: L independent P-plane tables,
+    a pair is a candidate if it collides in ANY table, recall =
+    1−(1−p^P)^L while the candidate fraction stays ≈ 1−(1−2^−P)^L of
+    the corpus. The defaults (P=8, L=75) measure recall@10 = 0.84 mean
+    over 20 queries at sf0.1 for ~28% candidate volume — 3.6× less
+    scored work than brute force, vs the Hamming-3 ball needing ~65%
+    for the same recall (measured; see q162/q163). On corpora with real
+    neighbor structure the same configuration's candidate fraction
+    falls sharply while recall rises — this is the floor.
+
+    Returns (query_id, vec_id, cos_sim, rank) like
+    :func:`brute_force_topk`; cross-engine floor rounding on cos_sim.
+    """
+    if tables is None:
+        tables = multitable_planes(dims, n_planes, n_tables)
+    pairs = lsh_multitable_candidates(data, queries, tables, id_col, vec_col)
+    scored = (
+        pairs.join(data.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            (F.floor(cosine(F.col("query_vec"), F.col(vec_col)) * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
