@@ -193,3 +193,164 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     got = {(r.window.start, r.user_id): r.n for r in out.collect()}
     want = {(r.window.start, r.user_id): r.n for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join — the semantics users get
+    wrong most: unmatched left rows must emit null-extended only AFTER
+    the watermark passes their join window (they sit in state until the
+    engine can prove no match can still arrive), and the final output
+    must equal the batch left join over the expired region.
+
+    Driven as two availableNow runs over a shared checkpoint: run 1
+    (all real events; watermark stays below every join window) must
+    produce ONLY inner matches; run 2 adds far-future heartbeats on
+    both sides (the watermark is the min across sources), advancing the
+    watermark past the batch-0 windows so the unmatched lefts flush.
+    """
+    import glob
+
+    from beast_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    clicks_b0 = [
+        (1, m(0), 1, "click", 1.0),   # matched by buy 101
+        (2, m(5), 2, "click", 1.0),   # no buy for user 2 -> null-extended
+        (3, m(30), 1, "click", 1.0),  # user 1 again, but no buy in window
+    ]
+    buys_b0 = [
+        (101, m(2), 1, "buy", 9.0),
+        (102, m(8), 3, "buy", 9.0),   # unmatched RIGHT row: absent from left join
+    ]
+    hb_l = [(998, m(600), 998, "click", 0.0)]  # advances left watermark only
+    hb_r = [(999, m(600), 999, "buy", 0.0)]
+
+    src_l, src_r = tmp_path / "l", tmp_path / "r"
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(clicks_b0, EVENT_DDL).write.parquet(str(src_l / "b0"))
+    spark.createDataFrame(buys_b0, EVENT_DDL).write.parquet(str(src_r / "b0"))
+    schema = spark.createDataFrame([], EVENT_DDL).schema
+
+    def run_once():
+        ls = spark.readStream.schema(schema).parquet(str(src_l) + "/*").selectExpr(
+            "event_id AS click_id", "ts AS click_ts", "user_id"
+        )
+        rs = spark.readStream.schema(schema).parquet(str(src_r) + "/*").selectExpr(
+            "event_id AS buy_id", "ts AS buy_ts", "user_id"
+        )
+        joined = interval_join(
+            ls, rs, ["user_id"], "click_ts", "buy_ts", watermark="1 hour",
+            lower="0 seconds", upper="5 minutes", how="left",
+        ).select("click_id", "buy_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def collect():
+        if not glob.glob(out_dir + "/*.parquet"):
+            return set()
+        return {
+            (r.click_id, r.buy_id) for r in spark.read.parquet(out_dir).collect()
+        }
+
+    run_once()
+    got1 = collect()
+    # Watermark (max ts 30m − 1h) has not passed any join window yet:
+    # the unmatched lefts MUST NOT have emitted.
+    assert got1 == {(1, 101)}, got1
+
+    spark.createDataFrame(hb_l, EVENT_DDL).write.parquet(str(src_l / "b1"))
+    spark.createDataFrame(hb_r, EVENT_DDL).write.parquet(str(src_r / "b1"))
+    for _ in range(3):  # restart until the no-data batch flushes expired state
+        run_once()
+        if len(collect()) >= 3:
+            break
+    got2 = collect()
+
+    # Batch equivalence over the expired region: every batch-0 left row's
+    # window is now below the watermark (9h), so the stream output must
+    # equal the batch LEFT join restricted to rows the watermark released
+    # (the heartbeat left at 10h is still in state, hence absent).
+    bl = spark.createDataFrame(clicks_b0 + hb_l, EVENT_DDL).selectExpr(
+        "event_id AS click_id", "ts AS click_ts", "user_id"
+    )
+    br = spark.createDataFrame(buys_b0 + hb_r, EVENT_DDL).selectExpr(
+        "event_id AS buy_id", "ts AS buy_ts", "user_id"
+    )
+    batch = bl.join(
+        br,
+        (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 minutes"))
+        & (bl.user_id == br.user_id),
+        "left",
+    ).select("click_id", "buy_id")
+    want = {
+        (r.click_id, r.buy_id) for r in batch.collect() if r.click_id != 998
+    }
+    assert got2 == want == {(1, 101), (2, None), (3, None)}, got2
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER variant: unmatched rows on BOTH sides emit
+    null-extended after the watermark passes their join window."""
+    import glob
+
+    from beast_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    clicks_b0 = [(1, m(0), 1, "click", 1.0), (2, m(5), 2, "click", 1.0)]
+    buys_b0 = [(101, m(2), 1, "buy", 9.0), (102, m(8), 3, "buy", 9.0)]
+    hb_l = [(998, m(600), 998, "click", 0.0)]
+    hb_r = [(999, m(600), 999, "buy", 0.0)]
+
+    src_l, src_r = tmp_path / "l", tmp_path / "r"
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(clicks_b0, EVENT_DDL).write.parquet(str(src_l / "b0"))
+    spark.createDataFrame(buys_b0, EVENT_DDL).write.parquet(str(src_r / "b0"))
+    schema = spark.createDataFrame([], EVENT_DDL).schema
+
+    def run_once():
+        ls = spark.readStream.schema(schema).parquet(str(src_l) + "/*").selectExpr(
+            "event_id AS click_id", "ts AS click_ts", "user_id"
+        )
+        rs = spark.readStream.schema(schema).parquet(str(src_r) + "/*").selectExpr(
+            "event_id AS buy_id", "ts AS buy_ts", "user_id"
+        )
+        joined = interval_join(
+            ls, rs, ["user_id"], "click_ts", "buy_ts", watermark="1 hour",
+            lower="0 seconds", upper="5 minutes", how="full_outer",
+        ).select("click_id", "buy_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def collect():
+        if not glob.glob(out_dir + "/*.parquet"):
+            return set()
+        return {(r.click_id, r.buy_id) for r in spark.read.parquet(out_dir).collect()}
+
+    run_once()
+    assert collect() == {(1, 101)}
+    spark.createDataFrame(hb_l, EVENT_DDL).write.parquet(str(src_l / "b1"))
+    spark.createDataFrame(hb_r, EVENT_DDL).write.parquet(str(src_r / "b1"))
+    for _ in range(3):
+        run_once()
+        if len(collect()) >= 4:
+            break
+    # Both the unmatched left (2) and the unmatched right (102) flush;
+    # the 10h heartbeats are still within watermark and stay in state.
+    assert collect() == {(1, 101), (2, None), (None, 102)}
