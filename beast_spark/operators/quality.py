@@ -1,0 +1,143 @@
+"""Per-document quality signals shared by the batch quality-gate
+queries (q117 repetition, q123 entropy, q124 boilerplate) and the
+streaming corpus-v2 maintainer (``streaming/corpus_v2.py``).
+
+One definition per signal: the stream and the batch capstone (q161)
+must agree on the SAME rounded values, so the expressions live here and
+both sides call them. All builders are pure DataFrame compositions —
+explode map-side, shuffle on (doc, token-unit), per-doc merge — and
+shard by doc_id, so no stage ever holds more than one document's units
+together (the 100-TB shape the q117/q123/q124 docstrings describe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beast_spark.queries._util import rnd
+
+__all__ = [
+    "entropy_signals",
+    "repetition_signals",
+    "chunk_hashes",
+    "boilerplate_stats",
+]
+
+
+def entropy_signals(docs: DataFrame) -> DataFrame:
+    """q123's token-entropy signals: (doc_id, n_tokens, n_unique,
+    entropy, norm_entropy). H = ln(n) − Σ c·ln c / n over per-doc word
+    counts; norm_entropy = H / ln(n_unique) (0 for single-word docs)."""
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("h"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_unique").alias("n_unique"),
+        rnd(F.col("h"), 4).alias("entropy"),
+        F.when(
+            F.col("n_unique") > 1,
+            rnd(F.col("h") / F.log(F.col("n_unique").cast("double")), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """q117's repetition signals: (doc_id, n_grams, n_unique,
+    dup_trigram_frac, top_word_frac). Documents shorter than 3 tokens
+    have no trigrams and are ABSENT — callers gate on an inner join."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = docs.select("doc_id", toks.alias("t"), F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+            F.element_at("t", F.col("i") + 2),
+        ).alias("g"),
+    )
+    gstat = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_unique"),
+    )
+    wstat = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_words"))
+    )
+    return gstat.join(wstat, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        rnd(1.0 - F.col("n_unique").cast("double") / F.col("n_grams"), 4).alias(
+            "dup_trigram_frac"
+        ),
+        rnd(F.col("top_word_count").cast("double") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+    )
+
+
+def chunk_hashes(docs: DataFrame, chunk_tokens: int = 8) -> DataFrame:
+    """q124's chunk postings: (doc_id, chash) — md5 of each fixed
+    ``chunk_tokens``-token slice. Pure map-side array slicing; only the
+    fixed-size hashes shuffle downstream."""
+    with_arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = ((F.size("t") + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast(
+        "int"
+    )
+    return with_arr.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    ).select(
+        "doc_id",
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.slice(F.col("t"), F.col("i") * chunk_tokens + 1, F.lit(chunk_tokens)),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("chash"),
+    )
+
+
+def boilerplate_stats(ch: DataFrame) -> DataFrame:
+    """q124's per-doc report over chunk postings ``ch``: a chash in >= 2
+    distinct docs is boilerplate; each doc reports its contaminated
+    fraction. The flagged list is small by construction (repeated
+    content only) → AQE-broadcast join back, unhinted."""
+    fl = (
+        ch.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chash", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        ch.join(fl, "chash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("is_boiler").alias("n_boiler"),
+            rnd(F.count("is_boiler") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )

@@ -2233,44 +2233,9 @@ def q116_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q117_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import fan_out
+    from beast_spark.operators.quality import repetition_signals
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    tri = d.select("doc_id", toks.alias("t"), F.explode(idx).alias("i")).select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.element_at("t", F.col("i")),
-            F.element_at("t", F.col("i") + 1),
-            F.element_at("t", F.col("i") + 2),
-        ).alias("g"),
-    )
-    gstat = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.countDistinct("g").alias("n_unique"),
-    )
-    wstat = (
-        d.select("doc_id", F.explode(toks).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_words"))
-    )
-    return gstat.join(wstat, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_unique",
-        rnd(1.0 - F.col("n_unique").cast("double") / F.col("n_grams"), 4).alias(
-            "dup_trigram_frac"
-        ),
-        rnd(F.col("top_word_count").cast("double") / F.col("n_words"), 4).alias(
-            "top_word_frac"
-        ),
-    )
+    return repetition_signals(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -2579,33 +2544,9 @@ def q122_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q123_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import fan_out
+    from beast_spark.operators.quality import entropy_signals
 
-    d = load_table(spark, sf_dir, "documents")
-    c = (
-        fan_out(d)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
-    s = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("n_unique"),
-        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias(
-            "h"
-        ),
-    )
-    return s.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.col("n_unique").alias("n_unique"),
-        rnd(F.col("h"), 4).alias("entropy"),
-        F.when(
-            F.col("n_unique") > 1,
-            rnd(F.col("h") / F.log(F.col("n_unique").cast("double")), 4),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("norm_entropy"),
-    )
+    return entropy_signals(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -2643,44 +2584,12 @@ def q123_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q124_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import fan_out
+    from beast_spark.operators.quality import boilerplate_stats, chunk_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    with_arr = fan_out(d).select("doc_id", F.split("text", " ").alias("t"))
-    n_chunks = ((F.size("t") + F.lit(7)) / F.lit(8)).cast("int")
-    ch = (
-        with_arr.select(
-            "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.encode(
-                    F.array_join(
-                        F.slice(F.col("t"), F.col("i") * 8 + 1, F.lit(8)), " "
-                    ),
-                    "UTF-8",
-                )
-            ).alias("chash"),
-        )
-        .persist()  # two consumers: the flag aggregate and the per-doc report
-    )
-    fl = (
-        ch.groupBy("chash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("chash", F.lit(True).alias("is_boiler"))
-    )
-    return (
-        ch.join(fl, "chash", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.count("is_boiler").alias("n_boiler"),
-            rnd(
-                F.count("is_boiler") / F.count(F.lit(1)).cast("double"), 4
-            ).alias("boiler_frac"),
-        )
-    )
+    # persist: two consumers (the flag aggregate and the per-doc report)
+    ch = chunk_hashes(fan_out(d)).persist()
+    return boilerplate_stats(ch)
 
 
 @register(

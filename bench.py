@@ -26,23 +26,54 @@ def _ncpus(spark) -> int:
     return spark.sparkContext.defaultParallelism
 
 
-def _decode_only_rate(spark, sf_dir: str, n_events: int) -> int:
-    """rows/s through ProtoIngest.apply on pre-encoded kafka-shaped bytes."""
+def _decode_only_rate(spark, sf_dir: str, n_events: int) -> tuple[int, int]:
+    """(rows/s at sf rows, rows/s at 10× rows) through ProtoIngest.apply.
+
+    The sf0.1 events table is 100k rows ≈ 0.7s of work — HALF of that is
+    fixed overhead (task launch, Arrow transfer, worker roundtrip), so
+    the small-input rate swings with host state (measured r3 vs r4:
+    252k vs 190k rows/s on unchanged code; converged single-thread codec
+    profiling showed no per-row change). The 10×-replicated twin runs in
+    the plateau regime where decode dominates (~460k rows/s, stable) —
+    THAT is the number to compare across rounds. Both legs: input
+    repartitioned to the core count and persisted OUTSIDE the clock
+    (the 1MB-split parquet yields only 16 partitions on 32 cores),
+    best-of-5 with the same 20%-convergence early-stop as queries.
+    """
+    from pyspark.sql import functions as F
+
     from beast_spark.queries.advanced import Q53_PROTO, kafka_shaped_events
     from beast_spark.streaming.ingest import ProtoIngest
 
-    shaped = kafka_shaped_events(spark, sf_dir).persist()
-    shaped.count()  # materialize: encode cost paid HERE, outside the clock
-    try:
-        valid, _ = ProtoIngest(Q53_PROTO).apply(shaped)
+    def _best(valid) -> float:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             valid.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(n_events / best)
+            again = time.perf_counter() - t0
+            converged = best < float("inf") and again > best * 0.8
+            best = min(best, again)
+            if converged:
+                break
+        return best
+
+    ncpu = _ncpus(spark)
+    shaped = kafka_shaped_events(spark, sf_dir).repartition(ncpu).persist()
+    shaped.count()  # materialize: encode cost paid HERE, outside the clock
+    big = (
+        shaped.crossJoin(F.broadcast(spark.range(10).withColumnRenamed("id", "_r")))
+        .drop("_r")
+        .repartition(2 * ncpu)
+        .persist()
+    )
+    n_big = big.count()
+    try:
+        small_rate = round(n_events / _best(ProtoIngest(Q53_PROTO).apply(shaped)[0]))
+        big_rate = round(n_big / _best(ProtoIngest(Q53_PROTO).apply(big)[0]))
+        return small_rate, big_rate
     finally:
         shaped.unpersist()
+        big.unpersist()
 
 
 def main() -> None:
@@ -148,8 +179,11 @@ def main() -> None:
         # harness's Python ENCODE against throughput; the reference's hot
         # loop only ever decodes (ConsumerRecordConverter.java:65-78).
         # Pre-encode once, persist kafka-shaped bytes, then time
-        # decode → map → metadata alone.
-        payload["ingest_decode_rows_per_sec"] = _decode_only_rate(spark, sf_dir, n_events)
+        # decode → map → metadata alone. The _10x variant is the
+        # overhead-amortized plateau rate — the round-over-round signal.
+        small_rate, big_rate = _decode_only_rate(spark, sf_dir, n_events)
+        payload["ingest_decode_rows_per_sec"] = small_rate
+        payload["ingest_decode_rows_per_sec_10x"] = big_rate
     if failures:
         payload["failures"] = failures
     print(json.dumps(payload, separators=(",", ":")))

@@ -148,3 +148,103 @@ def test_bounded_retention_dedup_evicts_state_past_watermark(spark, tmp_path):
     )
     run_once()
     assert {r.doc_id for r in spark.read.parquet(wh).collect()} == {1, 3, 4}
+
+
+def _v2_run_once(spark, maintainer, src_dir, ckpt):
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src_dir) + "/*")
+    q = maintainer.stream_from(stream, str(ckpt))
+    q.awaitTermination(180)
+
+
+def test_corpus_v2_stream_matches_batch_q161_per_prefix(spark, sf_dir, tmp_path):
+    """After EVERY batch, the maintainer's survivors must equal the batch
+    q161 pipeline run over exactly the documents ingested so far — the
+    real-data equivalence the retroactive boilerplate gate makes hard
+    (documents CAN leave the surviving set as later batches arrive)."""
+    from beast_spark.queries.datapipe import q161_corpus_prep_v2
+    from beast_spark.streaming.corpus_v2 import CorpusV2Maintainer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == k) for k in range(3)
+    ]
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = CorpusV2Maintainer(str(tmp_path / "state"))
+
+    seen = None
+    for k, sl in enumerate(slices):
+        sl.write.parquet(str(src_dir / f"b{k}"))
+        _v2_run_once(spark, m, src_dir, tmp_path / "ckpt")
+        seen = sl if seen is None else seen.unionByName(sl)
+        # independent oracle: the (DuckDB-checked) q161 over the prefix,
+        # staged as its own sf-style directory
+        prefix_dir = tmp_path / f"prefix{k}"
+        seen.coalesce(1).write.parquet(str(prefix_dir / "documents.parquet"))
+        want = {
+            (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+            for r in q161_corpus_prep_v2(spark, str(prefix_dir)).collect()
+        }
+        got = {
+            (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+            for r in m.survivors_by_split(spark).collect()
+        }
+        assert got == want, f"prefix {k}: {got} != {want}"
+    assert seen.count() == docs.count()
+
+
+def test_corpus_v2_retroactive_boilerplate_disqualifies(spark, tmp_path):
+    """The semantics no append-mode stream can express: a doc accepted in
+    batch 0 must LEAVE the surviving set when a later batch pushes one of
+    its chunks over the boilerplate threshold."""
+    from beast_spark.streaming.corpus_v2 import CorpusV2Maintainer
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-token chunk
+    fresh = "x1 x2 x3 x4 x5 x6 x7 x8"
+    doc_a = (1, shared, "en", "web", len(shared))
+    doc_b = (2, "a1 a2 a3 a4 a5 a6 a7 a8", "en", "web", 23)
+    doc_c = (3, f"{shared} {fresh}", "en", "web", 47)  # shares chunk 1 with A
+
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = CorpusV2Maintainer(str(tmp_path / "state"))
+
+    spark.createDataFrame([doc_a, doc_b], ddl).write.parquet(str(src_dir / "b0"))
+    _v2_run_once(spark, m, src_dir, tmp_path / "ckpt")
+    assert {r.doc_id for r in m.survivors(spark).collect()} == {1, 2}
+
+    spark.createDataFrame([doc_c], ddl).write.parquet(str(src_dir / "b1"))
+    _v2_run_once(spark, m, src_dir, tmp_path / "ckpt")
+    # A's only chunk is now in 2 docs -> boiler_frac 1.0: retroactively
+    # dropped. C carries the boiler chunk + a fresh one -> 0.5, stays.
+    assert {r.doc_id for r in m.survivors(spark).collect()} == {2, 3}
+
+
+def test_corpus_v2_restart_replay_is_noop(spark, tmp_path):
+    from beast_spark.streaming.corpus_v2 import CorpusV2Maintainer
+
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = CorpusV2Maintainer(str(tmp_path / "state"))
+    spark.createDataFrame(
+        [(1, "p q r s t u v w", "en", "web", 15), (2, "h i j k l m n o", "en", "web", 15)],
+        ddl,
+    ).write.parquet(str(src_dir / "b0"))
+    _v2_run_once(spark, m, src_dir, tmp_path / "ckpt")
+    before = {tuple(r) for r in m.survivors(spark).collect()}
+    applied = m.applied_batches()
+
+    # restart with no new data: nothing reprocessed
+    _v2_run_once(spark, m, src_dir, tmp_path / "ckpt")
+    assert m.applied_batches() == applied
+    assert {tuple(r) for r in m.survivors(spark).collect()} == before
+
+    # post-commit crash replay: the ledger makes a re-sent batch a no-op
+    batch = spark.createDataFrame(
+        [(1, "p q r s t u v w", "en", "web", 15)], ddl
+    )
+    m.apply_batch(batch, max(applied))
+    assert {tuple(r) for r in m.survivors(spark).collect()} == before
