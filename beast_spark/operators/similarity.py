@@ -34,6 +34,8 @@ __all__ = [
     "lsh_multitable_bucket_udf",
     "lsh_multitable_candidates",
     "lsh_topk_multitable",
+    "embedding_lsh_index",
+    "incremental_lsh_neardup_pairs_indexed",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -329,6 +331,104 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_lsh_index(
+    data: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable embedding-LSH index rows: (bucket, id, vector,
+    nrm). Write with ``sources/bucketing.py::write_bucketed`` on
+    ``bucket`` so increments probe it Exchange-free — the embedding twin
+    of the q98 MinHash band index. The vector and its norm ride IN the
+    index (storage for scan-count: candidate scoring reads one table,
+    the corpus is never re-hashed or re-normed)."""
+    return (
+        data.select(id_col, vec_col)
+        .withColumn("bucket", lsh_bucket_col(vec_col, planes))
+        .withColumn("nrm", norm(F.col(vec_col)))
+    )
+
+
+def incremental_lsh_neardup_pairs_indexed(
+    existing_index: DataFrame,
+    new_df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.42,
+    n_planes: int = 6,
+    planes: list[list[float]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Embedding near-dup for an INCREMENT against the persisted LSH
+    index: returns ``(new_index_rows, pairs)`` where pairs involve at
+    least one new vector (new×new and new×existing; existing×existing
+    pairs were found when the corpus was built).
+
+    The q98 discipline applied to :func:`lsh_neardup_pairs` (q85),
+    which re-buckets the full corpus per run: here the corpus side is
+    the bucketed index scan probed by a broadcast of the increment's
+    touched buckets — never re-hashed, never re-normed, never shuffled
+    (ZERO Exchange, plan-asserted in tests). Scoring joins the
+    increment frame (broadcast, increment-sized) onto the filtered
+    scan, so a nightly embedding append costs O(increment + touched
+    buckets), not O(corpus). Append ``new_index_rows`` to the index
+    table afterwards and the next increment pays the same.
+
+    Exactness (property-tested): pairs(full corpus) == pairs(existing)
+    ∪ pairs(increment), with the same canonical (vec1 < vec2, floor-
+    rounded cos_sim ≥ threshold) rows q85 emits.
+    """
+    if planes is None:
+        planes = hyperplanes_md5(dims, n_planes)
+    new_idx = embedding_lsh_index(new_df, planes, id_col, vec_col).persist()
+    a = new_idx.select(
+        "bucket",
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    b = a.select(
+        "bucket",
+        F.col("nid").alias("vec2"),
+        F.col("nv").alias("v2"),
+        F.col("nn").alias("n2"),
+    )
+    nn_pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("nid") < F.col("vec2"))
+        .select(
+            F.col("nid").alias("vec1"),
+            "vec2",
+            F.col("nv").alias("v1"),
+            "v2",
+            F.col("nn").alias("n1"),
+            "n2",
+        )
+    )
+    touched = a.select("bucket").distinct()
+    ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
+    ne_pairs = ex.join(F.broadcast(a), "bucket").select(
+        F.least(F.col(id_col), F.col("nid")).alias("vec1"),
+        F.greatest(F.col(id_col), F.col("nid")).alias("vec2"),
+        F.col(vec_col).alias("v1"),
+        F.col("nv").alias("v2"),
+        F.col("nrm").alias("n1"),
+        F.col("nn").alias("n2"),
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    pairs = (
+        nn_pairs.unionByName(ne_pairs)
+        .select(
+            "vec1",
+            "vec2",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return new_idx, pairs
 
 
 def ivf_assign(

@@ -811,9 +811,7 @@ def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q85_embedding_lsh_neardup_pairs",
-    oracle="""
+_EMB_LSH_PAIRS_ORACLE = """
     WITH planes AS (
       SELECT b.p,
              list_transform(range(0, 64),
@@ -842,7 +840,12 @@ def q80_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e bv ON bv.vec_id = bb.vec_id
     )
     SELECT vec1, vec2, cos_sim FROM scored WHERE cos_sim >= 0.42
-    """,
+"""
+
+
+@register(
+    "q85_embedding_lsh_neardup_pairs",
+    oracle=_EMB_LSH_PAIRS_ORACLE,
     doc="Embedding-cosine near-dup pairs over shared LSH buckets — the "
     "SCALE path for q80's exact all-pairs form: the self-join keys on the "
     "bucket (co-partitioned equi-join, candidate volume /2^6), norms "
@@ -4062,3 +4065,50 @@ def q163_ann_production_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("ncand") / (20.0 * (F.col("n") - 1)), 4).alias("candidate_frac"),
         )
     )
+
+
+@register(
+    "q164_incremental_embedding_dedup_indexed",
+    oracle="SELECT vec1, vec2, cos_sim FROM ("
+    + _EMB_LSH_PAIRS_ORACLE
+    + ") WHERE vec1 % 5 = 0 OR vec2 % 5 = 0",
+    doc="Incremental embedding near-dup against a PERSISTED LSH bucket "
+    "index (operators/similarity.py::incremental_lsh_neardup_pairs_"
+    "indexed) — the q98 discipline applied to the embedding side: q85 "
+    "re-buckets and re-norms the full corpus per run; here the corpus's "
+    "(bucket, id, vector, norm) index is materialized once, bucketed by "
+    "bucket, and the 20% increment probes it via a broadcast semi-join "
+    "— the corpus side runs with ZERO shuffle Exchange (plan-asserted "
+    "in tests), so a nightly embedding append costs O(increment + "
+    "touched buckets). Oracle: the full q85 pair set restricted to "
+    "pairs involving a new vector — exactly what the increment must "
+    "produce (pairs(full) == pairs(existing) ∪ pairs(increment), "
+    "property-tested).",
+)
+def q164_incremental_embedding_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from beast_spark.operators.similarity import (
+        embedding_lsh_index,
+        incremental_lsh_neardup_pairs_indexed,
+    )
+    from beast_spark.sources.bucketing import write_bucketed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    planes = hyperplanes_md5(64, 6)
+    base = tempfile.mkdtemp(prefix="beast_q164_")
+    write_bucketed(
+        embedding_lsh_index(old, planes),
+        "beast_q164_emb_index",
+        ["bucket"],
+        n_buckets=8,
+        path=f"{base}/index",
+    )
+    _, pairs = incremental_lsh_neardup_pairs_indexed(
+        spark.table("beast_q164_emb_index"), new, dims=64, threshold=0.42, planes=planes
+    )
+    return pairs

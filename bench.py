@@ -145,17 +145,18 @@ def main() -> None:
         timings[name] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
-    # Short keys (q01, q36, …) + compact separators keep the line well
-    # under 2000 chars: the driver records only a bounded tail of stdout,
-    # and round-1's full-name line (~2.4 kB) overflowed it and was never
-    # parsed. The q-prefix is unique by construction (queries/__init__
-    # enforces unique names).
+    # The driver records only the LAST 2000 chars of stdout: round-1's
+    # full-name line and round-4's 141-query line both overflowed it and
+    # were never parsed (BENCH_r01/r04 show parsed:null with the line's
+    # head cut off). So the printed line is a COMPACT digest — short q
+    # keys, 2-decimal timings, counts instead of the excluded dict — and
+    # the FULL payload (3-decimal timings, every exclusion with its
+    # reason) is written to BENCH_LOCAL.json beside this script, which
+    # is committed each round for the per-query record.
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
     assert len(short) == len(timings), "duplicate q-number prefix would drop a timing"
-    # No silent caps: name what was NOT timed and why (reasons truncated to
-    # keep the single line inside the driver's bounded stdout tail).
     excluded = {
-        s.name.split("_", 1)[0]: s.bench_reason[:48]
+        s.name.split("_", 1)[0]: s.bench_reason
         for s in sorted(all_queries().values(), key=lambda s: s.name)
         if not s.bench
     }
@@ -163,30 +164,41 @@ def main() -> None:
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": short,
+        "queries": {k: round(v, 2) for k, v in short.items()},
         "sf": sf,
-        "excluded": excluded,
+        "excluded_n": len(excluded),
+        "detail": "BENCH_LOCAL.json",
     }
     # Single-node ingest throughput: the proto roundtrip query pushes every
     # events row through encode → decode → map → metadata (the reference's
     # hot path, SURVEY §3.1); rows/s = events rows / q53 seconds.
     if timings.get("q53_proto_ingest_roundtrip"):
         n_events = load_table(spark, sf_dir, "events").count()
-        payload["ingest_rows_per_sec"] = round(
-            n_events / timings["q53_proto_ingest_roundtrip"]
-        )
-        # Decode-only twin: the roundtrip metric above charges the test
-        # harness's Python ENCODE against throughput; the reference's hot
-        # loop only ever decodes (ConsumerRecordConverter.java:65-78).
-        # Pre-encode once, persist kafka-shaped bytes, then time
-        # decode → map → metadata alone. The _10x variant is the
-        # overhead-amortized plateau rate — the round-over-round signal.
+        # roundtrip = encode+decode via q53; decode = the reference's hot
+        # loop alone (ConsumerRecordConverter.java:65-78) on pre-encoded
+        # bytes; decode_10x = the overhead-amortized plateau rate — the
+        # round-over-round signal (the small-input rates are half fixed
+        # overhead and track host state).
         small_rate, big_rate = _decode_only_rate(spark, sf_dir, n_events)
-        payload["ingest_decode_rows_per_sec"] = small_rate
-        payload["ingest_decode_rows_per_sec_10x"] = big_rate
+        payload["ingest_rps"] = round(n_events / timings["q53_proto_ingest_roundtrip"])
+        payload["decode_rps"] = small_rate
+        payload["decode_rps_10x"] = big_rate
     if failures:
-        payload["failures"] = failures
-    print(json.dumps(payload, separators=(",", ":")))
+        payload["failures_n"] = len(failures)
+
+    full = dict(payload)
+    full["queries"] = short
+    full["excluded"] = excluded
+    if failures:
+        full["failures"] = failures
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
+        payload["queries"] = "BENCH_LOCAL.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

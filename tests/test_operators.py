@@ -1016,3 +1016,76 @@ def test_misra_gries_bound_on_skewed_data(spark):
         assert item in est, f"heavy hitter {item} evicted"
         assert est[item] <= t
         assert t - est[item] <= n / (k + 1)
+
+
+def test_indexed_embedding_increment_equals_full_and_never_shuffles_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The q98 discipline on the embedding side (VERDICT r4 #6): the
+    persisted (bucket, id, vector, norm) index gives the increment the
+    exact new-pair set of a full q85 recompute — pairs(full) ==
+    pairs(existing) ∪ pairs(increment), disjointly — while the corpus
+    side (bucketed scan → broadcast semi-join → broadcast pair join)
+    runs with ZERO shuffle Exchange."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        embedding_lsh_index,
+        hyperplanes_md5,
+        incremental_lsh_neardup_pairs_indexed,
+        lsh_neardup_pairs,
+    )
+    from beast_spark.sources.bucketing import write_bucketed
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    planes = hyperplanes_md5(64, 6)
+    thr = 0.3  # lower than q164's so the local SF yields a real pair set
+
+    spark.sql("DROP TABLE IF EXISTS beast_test_emb_index")
+    write_bucketed(
+        embedding_lsh_index(old, planes),
+        "beast_test_emb_index",
+        ["bucket"],
+        n_buckets=8,
+        path=str(tmp_path / "emb_index"),
+    )
+    index = spark.table("beast_test_emb_index")
+
+    def pairset(df):
+        return {(r.vec1, r.vec2, r.cos_sim) for r in df.collect()}
+
+    new_idx, inc = incremental_lsh_neardup_pairs_indexed(
+        index, new, dims=64, threshold=thr, planes=planes
+    )
+    inc_set = pairset(inc)
+    full = pairset(lsh_neardup_pairs(e, dims=64, threshold=thr, planes=planes))
+    existing = pairset(lsh_neardup_pairs(old, dims=64, threshold=thr, planes=planes))
+    assert existing | inc_set == full
+    assert existing.isdisjoint(inc_set)
+    assert inc_set  # non-degenerate: the increment really found pairs
+
+    # appending the returned index rows reproduces the full rebuild's index
+    appended = index.select("vec_id", "bucket").unionByName(
+        new_idx.select("vec_id", "bucket")
+    )
+    rebuilt = embedding_lsh_index(e, planes).select("vec_id", "bucket")
+    assert {tuple(r) for r in appended.collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
+
+    # corpus side: ZERO shuffle Exchange. Rebuild exactly the new-vs-
+    # existing subplan (the only part that touches the corpus) with the
+    # increment localized — bucketed index scan → broadcast semi-join on
+    # touched buckets → broadcast pair join. No Exchange anywhere in it.
+    local_idx = spark.createDataFrame(new_idx.collect(), new_idx.schema)
+    t = new_idx.select("bucket").distinct()
+    touched = spark.createDataFrame(t.collect(), t.schema)
+    ex = index.join(F.broadcast(touched), "bucket", "left_semi")
+    probe = ex.join(F.broadcast(local_idx.select("bucket", "vec_id", "nrm")), "bucket")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "beast_test_emb_index" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS beast_test_emb_index")
