@@ -622,13 +622,13 @@ def q84_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     doc="Near-dup CLUSTERS: connected components over the exact-Jaccard "
-    "pair graph via distributed min-label propagation "
+    "pair graph via two-phase star contraction "
     "(operators/dedup.py::dedup_clusters) — pairs alone can't drive a "
     "keep-one policy. Oracle: DuckDB recursive CTE computing min "
-    "reachable id. Iterative (O(diameter) joins), excluded from the "
+    "reachable id. Iterative (O(log n) contraction rounds), excluded from the "
     "headline bench with the other quadratic-ish dedup variants.",
     bench=False,
-    bench_reason="iterative label propagation over the q35 quadratic pair graph",
+    bench_reason="iterative star contraction over the q35 quadratic pair graph",
 )
 def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -657,10 +657,10 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The full SCALE-PATH dedup composition: MinHash+LSH candidate "
     "pairs (md5 family, q36) → connected components → cluster ids — the "
     "pipeline a 100 TB corpus dedup actually runs (no quadratic stage "
-    "anywhere: bucketed candidates, O(diameter) label propagation). "
+    "anywhere: bucketed candidates, O(log n) star contraction). "
     "Oracle: recursive CTE over the SAME replayed LSH pair graph.",
     bench=False,
-    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
+    bench_reason="iterative star contraction; candidate gen (q36/q85) is benched",
 )
 def q86_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -1219,10 +1219,10 @@ _EMBED_PAIRS_SQL = """
     "scale path; documents and embeddings share ids) → one edge set → "
     "connected components → (doc, cluster, cluster size). No quadratic "
     "stage: both generators are bucketed equi-joins, the components are "
-    "O(diameter) label-propagation rounds. Oracle: both pair sets "
+    "O(log n) star-contraction rounds. Oracle: both pair sets "
     "replayed exactly, then a recursive CTE over the same graph.",
     bench=False,
-    bench_reason="iterative label propagation; both pair generators are benched (q85/q30)",
+    bench_reason="iterative star contraction; both pair generators are benched (q85/q30)",
 )
 def q94_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.functions.text import fingerprint
@@ -1812,7 +1812,7 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus degrades to a shuffled anti-join, not an OOM). The query "
     "whose OUTPUT feeds training; q36/q86 are its stages.",
     bench=False,
-    bench_reason="iterative label propagation; candidate gen (q36) is benched",
+    bench_reason="iterative star contraction; candidate gen (q36) is benched",
 )
 def q110_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -2281,7 +2281,7 @@ def q117_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup-sized -> AQE broadcasts the left join (unhinted, so a "
     "pathological corpus degrades to shuffle, not OOM).",
     bench=False,
-    bench_reason="iterative label propagation; candidate gen (q36) is benched",
+    bench_reason="iterative star contraction; candidate gen (q36) is benched",
 )
 def q118_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.functions.hashing import md5_long
@@ -2638,7 +2638,7 @@ def q124_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global sort; clusters are near-dup-sized so the documents join "
     "stays AQE-broadcast, unhinted.",
     bench=False,
-    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
+    bench_reason="iterative star contraction; candidate gen (q36/q85) is benched",
 )
 def q125_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters
@@ -3679,7 +3679,7 @@ def q156_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-side join is id-keyed against the near-dup-sized action "
     "frame — AQE-broadcast, unhinted.",
     bench=False,
-    bench_reason="iterative label propagation; candidate gen (q36/q85) is benched",
+    bench_reason="iterative star contraction; candidate gen (q36/q85) is benched",
 )
 def q157_dedup_action_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import dedup_clusters

@@ -137,7 +137,25 @@ class VersionedTable:
     def vacuum(self) -> list[int]:
         """Drop versions beyond the retention count (never the current)
         and any orphan directories from crashed commits. Returns the
-        removed version numbers."""
+        removed version numbers.
+
+        Concurrency/crash contract (tested in ``tests/test_versioned.py``):
+
+        * an in-flight time-travel read of a version INSIDE the
+          retention window never breaks — vacuum deletes only aged-out
+          versions, and the manifest pointer flips atomically BEFORE any
+          deletion, so a concurrent reader sees either the old manifest
+          (files still present) or the new one (version rejected at plan
+          time with a clean ``ValueError``);
+        * an in-flight read of a version that AGES OUT between plan and
+          execution fails cleanly at execution (missing files), never
+          returns partial/wrong data — the standard retention-window
+          contract of the real table formats;
+        * a crash between the manifest flip and the directory deletions
+          leaves only orphan directories (invisible to every read path,
+          which resolves versions through the manifest) and the next
+          vacuum removes them.
+        """
         m = self._read_manifest()
         keep = m["versions"][-self.keep_versions :]
         dropped = [v for v in m["versions"] if v not in keep]
