@@ -1417,3 +1417,54 @@ def q141_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 6).alias("px_max"),
         F.element_at("features", 7).alias("px_first"),
     )
+
+
+@register(
+    "q165_unkeyed_range_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_quantity = 50
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="Pure range join with NO equi key — per order, max-quantity "
+    "lineitems of ANY order shipped within 3 days of the order date. "
+    "Spark's only native plans for this predicate are "
+    "BroadcastNestedLoopJoin / CartesianProduct (O(N*M), banned "
+    "registry-wide); operators/rangejoin.py::range_bucket_join "
+    "manufactures an equi key from the range dimension (points bucket "
+    "once, intervals replicate into <= 2 buckets at width >= interval "
+    "length) so the big-big case runs as an ordinary co-partitioned "
+    "shuffle join + residual filter — the portable form of the "
+    "range-join bin optimization. Unmatched orders compose back via a "
+    "left join of the aggregate (count 0).",
+)
+def q165_unkeyed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.rangejoin import range_bucket_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") == 50)
+        .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_day"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("lo"),
+        (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 3).alias("hi"),
+    )
+    matched = range_bucket_join(l, o, "ship_day", "lo", "hi", bucket_width=4)
+    counts = matched.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_shipped", F.lit(0)).cast("long").alias("n_shipped"),
+        )
+    )

@@ -1089,3 +1089,41 @@ def test_indexed_embedding_increment_equals_full_and_never_shuffles_corpus(
     assert "beast_test_emb_index" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS beast_test_emb_index")
+
+
+def test_range_bucket_join_matches_theta_and_avoids_nested_loop(spark):
+    """range_bucket_join == the naive theta join on arbitrary data
+    (including intervals LONGER than the bucket width — replication
+    covers every overlapped bucket, pairs still meet exactly once), and
+    the plan is an equi join on the manufactured bucket key, never a
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.rangejoin import range_bucket_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(80)], "pid long, v long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, (j * 13) % 90, (j * 13) % 90 + (j % 4) * 6) for j in range(40)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_bucket_join(pts, ivs, "v", "lo", "hi", bucket_width=5).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == want and got
+
+    plan = (
+        range_bucket_join(pts, ivs, "v", "lo", "hi", bucket_width=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
