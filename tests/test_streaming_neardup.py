@@ -1,0 +1,71 @@
+"""Streaming embedding near-dup maintenance: streamed index + pair set
+must equal the full q85 rebuild over everything ingested, batch by
+batch, with exactly-once replay."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _run_once(spark, m, src_dir, ckpt):
+    schema = "vec_id long, embedding array<double>, label long"
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src_dir) + "/*")
+    q = m.stream_from(stream, str(ckpt))
+    q.awaitTermination(180)
+
+
+def test_streamed_neardup_equals_full_rebuild_per_prefix(spark, sf_dir, tmp_path):
+    from beast_spark.operators.similarity import hyperplanes_md5, lsh_neardup_pairs
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    thr = 0.3
+    slices = [e.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = EmbeddingNearDupMaintainer(str(tmp_path / "state"), dims=64, threshold=thr)
+    planes = hyperplanes_md5(64, 6)
+
+    seen = None
+    for k, sl in enumerate(slices):
+        sl.write.parquet(str(src_dir / f"b{k}"))
+        _run_once(spark, m, src_dir, tmp_path / "ckpt")
+        seen = sl if seen is None else seen.unionByName(sl)
+        got = {(r.vec1, r.vec2, r.cos_sim) for r in m.read_pairs(spark).collect()}
+        want = {
+            (r.vec1, r.vec2, r.cos_sim)
+            for r in lsh_neardup_pairs(seen, dims=64, threshold=thr, planes=planes).collect()
+        }
+        assert got == want, f"prefix {k}"
+        assert m.read_index(spark).count() == seen.count()
+    assert got  # the run actually found pairs
+
+
+def test_streamed_neardup_restart_and_replay_noop(spark, tmp_path):
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>, label long"
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)], 0) for i in range(30)]
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = EmbeddingNearDupMaintainer(str(tmp_path / "state"), dims=8, threshold=0.9)
+    spark.createDataFrame(rows[:15], ddl).write.parquet(str(src_dir / "b0"))
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    spark.createDataFrame(rows[15:], ddl).write.parquet(str(src_dir / "b1"))
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    before = {tuple(r) for r in m.read_pairs(spark).collect()}
+    applied = m.applied_batches()
+
+    # restart with no new data
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    assert m.applied_batches() == applied
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == before
+
+    # post-commit crash replay of an applied batch: no double-counted pairs
+    m.apply_batch(spark.createDataFrame(rows[15:], ddl), max(applied))
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == before
