@@ -762,7 +762,7 @@ def dedup_clusters_minlabel(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def dedup_clusters(
     pairs: DataFrame,
-    max_iter: int = 30,
+    max_iter: int = 100,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id).
@@ -840,6 +840,16 @@ def dedup_clusters(
         if prev_fp is not None and (fp["n"], fp["h"]) == (prev_fp["n"], prev_fp["h"]):
             break
         prev_fp = fp
+    else:
+        # Same discipline as flatten_hierarchy: never return silently
+        # wrong labels. Star contraction needs O(log n) alternations, so
+        # the default budget covers any graph with < 2^(max_iter/2 - 1)
+        # nodes; exhaustion means something is deeply off.
+        raise ValueError(
+            f"dedup_clusters: not converged after {max_iter} star-contraction "
+            f"rounds (O(log n) expected — raise max_iter for astronomically "
+            f"large graphs)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # Star edges: (node -> component min). Roots label themselves.

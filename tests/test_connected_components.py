@@ -110,3 +110,13 @@ def test_reversed_chain_and_disjoint_components(spark):
 def test_empty_and_self_loop_inputs(spark):
     assert _labels(dedup_clusters(_pairs_df(spark, []))) == set()
     assert _labels(dedup_clusters(_pairs_df(spark, [(5, 5)]))) == set()
+
+
+def test_exhausted_round_budget_raises(spark):
+    """Never return silently unconverged labels (the flatten_hierarchy
+    discipline): an insufficient round budget raises."""
+    import pytest
+
+    chain = _pairs_df(spark, [(i, i + 1) for i in range(16)])
+    with pytest.raises(ValueError, match="not converged"):
+        dedup_clusters(chain, max_iter=1)
