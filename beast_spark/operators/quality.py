@@ -22,6 +22,7 @@ __all__ = [
     "repetition_signals",
     "chunk_hashes",
     "boilerplate_stats",
+    "repeated_span_stats",
 ]
 
 
@@ -140,4 +141,92 @@ def boilerplate_stats(ch: DataFrame) -> DataFrame:
                 "boiler_frac"
             ),
         )
+    )
+
+
+def repeated_span_stats(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Exact repeated-substring removal (the Lee et al. "Deduplicating
+    Training Data" operation, token-level): every ``window``-token
+    sliding window whose text occurs MORE THAN ONCE anywhere in the
+    corpus (across documents or repeated within one) is flagged;
+    per document, overlapping flagged windows merge into maximal spans
+    and the cleaned text drops the spanned tokens.
+
+    q124's fixed-chunk rule is the cheap approximation (1/8th the hash
+    volume, misses duplicates that straddle a chunk boundary); this is
+    the exact form: EVERY offset hashes, so a duplicated run of >=
+    ``window`` tokens is caught wherever it starts. Scale shape: the
+    sliding windows explode map-side (n−w+1 hashes per doc), ONE
+    shuffle groups the window hashes (the q36 shingle-join shape — the
+    same ``max_df``-style guards apply if a stop-phrase floods a hash),
+    and the span merge is a per-doc sort (gaps-and-islands over a
+    window function) — no stage ever holds more than one document's
+    windows plus the flagged-hash set.
+
+    Returns (doc_id, n_tokens, n_spans, n_removed, cleaned_hash) for
+    every document with >= ``window`` tokens; ``cleaned_hash`` is
+    md5 of the surviving tokens joined by single spaces (shorter docs
+    have no windows and are absent — same contract as q117).
+    """
+    from pyspark.sql.window import Window as W
+
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= window
+    )
+    wins = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (window - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.encode(F.array_join(F.slice("t", F.col("i"), window), " "), "UTF-8")
+        ).alias("wh"),
+    )
+    flagged = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("wh")
+    )
+    fw = wins.join(flagged, "wh", "left_semi").select("doc_id", "i")
+    prev_max_end = F.max(F.col("i") + (window - 1)).over(
+        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = fw.withColumn(
+        "new_isl",
+        F.when(
+            prev_max_end.isNull() | (F.col("i") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "g",
+        F.sum("new_isl").over(
+            W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("i").alias("s"), (F.max("i") + (window - 1)).alias("e")
+    )
+    span_arr = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+        F.collect_list(F.struct("s", "e")).alias("sp"),
+    )
+    joined = t.join(span_arr, "doc_id", "left")
+    keep = F.filter(
+        F.transform("t", lambda x, i: F.struct((i + 1).alias("p"), x.alias("tok"))),
+        lambda st: ~F.exists(
+            F.coalesce("sp", F.array().cast("array<struct<s:long,e:long>>")),
+            lambda span: (st["p"] >= span["s"]) & (st["p"] <= span["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(
+            F.encode(F.array_join(F.transform(keep, lambda st: st["tok"]), " "), "UTF-8")
+        ).alias("cleaned_hash"),
     )

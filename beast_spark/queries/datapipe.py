@@ -4112,3 +4112,79 @@ def q164_incremental_embedding_dedup_indexed(
         spark.table("beast_q164_emb_index"), new, dims=64, threshold=0.42, planes=planes
     )
     return pairs
+
+
+@register(
+    "q166_repeated_span_removal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             md5(array_to_string(toks[u.i:u.i+7], ' ')) AS wh
+      FROM t, unnest(range(1, len(toks) - 6)) u(i)
+    ),
+    fl AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    fw AS (SELECT w.doc_id, w.i FROM w JOIN fl USING (wh)),
+    m AS (
+      SELECT doc_id, i,
+             max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+      FROM fw
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, g, min(i) AS s, max(i) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT t.doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) u(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN spans
+        ON spans.doc_id = pos.doc_id AND pos.p BETWEEN spans.s AND spans.e
+      WHERE spans.doc_id IS NULL
+    ),
+    cl AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(cl.cleaned_hash, md5('')) AS cleaned_hash
+    FROM t
+    LEFT JOIN agg a ON a.doc_id = t.doc_id
+    LEFT JOIN cl ON cl.doc_id = t.doc_id
+    """,
+    doc="Exact repeated-substring removal (the Lee et al. dedup-training-"
+    "data operation): every 8-token SLIDING window occurring more than "
+    "once in the corpus is flagged, overlapping flagged windows merge "
+    "into maximal spans per document (gaps-and-islands over a window "
+    "function), and the cleaned text drops the spanned tokens — q124's "
+    "fixed chunks are the cheap approximation that misses duplicates "
+    "straddling a chunk boundary. One shuffle on the window hashes, "
+    "per-doc span merge; the full span algebra AND the cleaned-text "
+    "hash replay in DuckDB.",
+)
+def q166_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
+    from beast_spark.operators.quality import repeated_span_stats
+
+    return repeated_span_stats(fan_out(load_table(spark, sf_dir, "documents")))

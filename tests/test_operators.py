@@ -1127,3 +1127,38 @@ def test_range_bucket_join_matches_theta_and_avoids_nested_loop(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_repeated_span_removal_semantics(spark):
+    """Hand-built corpus pins the span algebra: cross-doc duplicate run
+    flagged at any offset, self-repeating doc fully cleaned, unique doc
+    untouched, overlapping flagged windows merged into ONE span."""
+    from beast_spark.operators.quality import repeated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z"),       # 'a..h' also in doc 2
+            (2, "q a b c d e f g h w"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique
+            (4, "r r r r r r r r r r r r"),     # self-repeat: all covered
+            (5, "a b c d e f g h i j k l m n o p"),  # 'a..h' + shifted dups of
+            #    doc6's 'i..p' -> two windows merging via overlap with 'b..i'?
+            (6, "z1 i j k l m n o p z2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_spans, r.n_removed, r.n_tokens) for r in
+           repeated_span_stats(docs).collect()}
+    assert got[3] == (0, 0, 9)
+    assert got[4] == (1, 12, 12)          # everything removed
+    assert got[1] == (1, 8, 11)
+    assert got[2] == (1, 8, 10)
+    # doc5: windows [1..8] ('a..h') and [9..16] ('i..p') both flagged,
+    # adjacent but NOT overlapping -> spans merge check: i=9 > prev_end=8
+    # keeps them as TWO spans covering everything
+    assert got[5] == (2, 16, 16)
+    # empty cleaned text hashes like md5("")
+    full = {r.doc_id: r.cleaned_hash for r in repeated_span_stats(docs).collect()}
+    import hashlib
+    assert full[4] == hashlib.md5(b"").hexdigest()
+    assert full[5] == hashlib.md5(b"").hexdigest()
