@@ -38,6 +38,8 @@ __all__ = [
     "incremental_lsh_neardup_pairs_indexed",
     "ivf_assign",
     "ivf_topk",
+    "quantization_params",
+    "scalar_quantize_dequantized",
 ]
 
 
@@ -577,3 +579,51 @@ def ivf_inertia(
         (1 - cosine(F.col(vec_col), F.col("cvec"))).alias("err")
     )
     return scored.agg(F.avg("err")).collect()[0][0]
+
+
+def quantization_params(
+    data: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (dim, mn, mx) over the corpus — the scalar-quantizer
+    codebook. One posexplode + a 64-row aggregate; broadcast downstream."""
+    cells = data.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    return cells.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+
+
+def scalar_quantize_dequantized(
+    data: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8-style scalar quantization, returned in DEQUANTIZED form:
+    (id, dqvec array<double>) where each cell snapped to its nearest of
+    256 uniform levels on that dimension's [mn, mx].
+
+    The storage path for ANN at scale: 8-bit codes cut the index 4-8×
+    (store ``floor((v-mn)/scale + 0.5)`` as TINYINT; this helper returns
+    the dequantized values because every quality check — reconstruction
+    error, ranking agreement — is defined on them). Work is one
+    posexplode + a broadcast join against the 64-row codebook + a
+    per-row re-assembly; constant dimensions (mx == mn) dequantize to
+    the constant. Deterministic and engine-replayable: the level
+    formula is pure double arithmetic in a fixed operation order.
+    """
+    cells = data.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    dq = F.when(
+        F.col("mx") > F.col("mn"),
+        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / scale + 0.5) * scale,
+    ).otherwise(F.col("mn"))
+    qcells = cells.join(F.broadcast(params), "dim").select(
+        id_col, "dim", "val", dq.alias("dq")
+    )
+    return qcells.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "dq"))), lambda s: s["dq"]
+        ).alias("dqvec")
+    )

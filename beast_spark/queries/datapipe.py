@@ -4188,3 +4188,120 @@ def q166_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.quality import repeated_span_stats
 
     return repeated_span_stats(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "q167_embedding_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, CAST(u.d AS INT) AS dim, v[u.d + 1] AS val
+      FROM e, unnest(range(0, 64)) u(d)
+    ),
+    p AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM cells GROUP BY dim),
+    q AS (
+      SELECT c.vec_id, c.dim, c.val,
+             CASE WHEN p.mx > p.mn
+                  THEN p.mn + floor((c.val - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5)
+                       * ((p.mx - p.mn) / 255.0)
+                  ELSE p.mn END AS dq
+      FROM cells c JOIN p USING (dim)
+    ),
+    err AS (SELECT avg((val - dq) * (val - dq)) AS mse FROM q),
+    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS dv FROM q GROUP BY vec_id),
+    qv AS (SELECT dv AS qdv FROM dqv WHERE vec_id = 0),
+    scored AS (
+      SELECT d.vec_id,
+             floor((list_dot_product(qv.qdv, d.dv)
+                    / (sqrt(list_dot_product(qv.qdv, qv.qdv))
+                       * sqrt(list_dot_product(d.dv, d.dv))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM dqv d, qv WHERE d.vec_id <> 0
+    ),
+    qtop AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+        FROM scored
+      ) WHERE r <= 10
+    ),
+    exact_scored AS (
+      SELECT e2.vec_id,
+             floor((list_dot_product(q0.v, e2.v)
+                    / (sqrt(list_dot_product(q0.v, q0.v))
+                       * sqrt(list_dot_product(e2.v, e2.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM e e2, (SELECT v FROM e WHERE vec_id = 0) q0
+      WHERE e2.vec_id <> 0
+    ),
+    etop AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+        FROM exact_scored
+      ) WHERE r <= 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(256 AS BIGINT) AS n_levels,
+           floor((SELECT mse FROM err) * 100000000 + 0.5) / 100000000 AS mse,
+           floor((SELECT count(*) FROM qtop JOIN etop USING (vec_id)) / 10.0
+                 * 10000 + 0.5) / 10000 AS overlap_at_10
+    """,
+    doc="int8 scalar quantization for the ANN storage path: per-dim "
+    "[min,max] codebook (64 rows, broadcast), every cell snapped to its "
+    "nearest of 256 uniform levels. Reports the mean squared "
+    "reconstruction error AND the quality check that decides a storage "
+    "switch — top-10 cosine ranking overlap of quantized vs full-"
+    "precision vectors for the q38 query (1.0 = the 4-8x smaller index "
+    "ranks identically at k=10). Codebook, quantization, both rankings, "
+    "and the overlap replay in DuckDB.",
+)
+def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import (
+        quantization_params,
+        scalar_quantize_dequantized,
+    )
+    from beast_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    params = quantization_params(e)
+    dqv = scalar_quantize_dequantized(e, params).persist()
+
+    cells = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    dq = F.when(
+        F.col("mx") > F.col("mn"),
+        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / scale + 0.5) * scale,
+    ).otherwise(F.col("mn"))
+    mse = (
+        cells.join(F.broadcast(params), "dim")
+        .select(((F.col("val") - dq) * (F.col("val") - dq)).alias("e2"))
+        .agg(F.avg("e2").alias("mse"))
+    )
+
+    qv = dqv.filter(F.col("vec_id") == 0).select(F.col("dqvec").alias("qdv"))
+    qcos = cosine(F.col("qdv"), F.col("dqvec"))
+    qtop = (
+        dqv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", (F.floor(qcos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("r") <= 10)
+        .select("vec_id")
+    )
+    etop = q38_embedding_knn(spark, sf_dir).select("vec_id")
+    overlap = qtop.join(etop, "vec_id").agg(F.count(F.lit(1)).alias("h"))
+    return (
+        mse.crossJoin(F.broadcast(overlap))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.lit(256).cast("long").alias("n_levels"),
+            rnd(F.col("mse"), 8).alias("mse"),
+            rnd(F.col("h") / 10.0, 4).alias("overlap_at_10"),
+        )
+    )
