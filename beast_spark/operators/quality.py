@@ -144,7 +144,9 @@ def boilerplate_stats(ch: DataFrame) -> DataFrame:
     )
 
 
-def repeated_span_stats(docs: DataFrame, window: int = 8) -> DataFrame:
+def repeated_span_stats(
+    docs: DataFrame, window: int = 8, include_text: bool = False
+) -> DataFrame:
     """Exact repeated-substring removal (the Lee et al. "Deduplicating
     Training Data" operation, token-level): every ``window``-token
     sliding window whose text occurs MORE THAN ONCE anywhere in the
@@ -167,6 +169,9 @@ def repeated_span_stats(docs: DataFrame, window: int = 8) -> DataFrame:
     every document with >= ``window`` tokens; ``cleaned_hash`` is
     md5 of the surviving tokens joined by single spaces (shorter docs
     have no windows and are absent — same contract as q117).
+    ``include_text=True`` adds the cleaned text itself (``cleaned_text``)
+    for downstream pipeline stages (the v3 capstone re-runs the quality
+    gates on it).
     """
     from pyspark.sql.window import Window as W
 
@@ -221,12 +226,14 @@ def repeated_span_stats(docs: DataFrame, window: int = 8) -> DataFrame:
             lambda span: (st["p"] >= span["s"]) & (st["p"] <= span["e"]),
         ),
     )
-    return joined.select(
-        "doc_id",
+    cleaned = F.array_join(F.transform(keep, lambda st: st["tok"]), " ")
+    cols = [
+        F.col("doc_id"),
         F.size("t").cast("long").alias("n_tokens"),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        F.md5(
-            F.encode(F.array_join(F.transform(keep, lambda st: st["tok"]), " "), "UTF-8")
-        ).alias("cleaned_hash"),
-    )
+        F.md5(F.encode(cleaned, "UTF-8")).alias("cleaned_hash"),
+    ]
+    if include_text:
+        cols.append(cleaned.alias("cleaned_text"))
+    return joined.select(*cols)

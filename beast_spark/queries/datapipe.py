@@ -4305,3 +4305,224 @@ def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("h") / 10.0, 4).alias("overlap_at_10"),
         )
     )
+
+
+@register(
+    "q168_source_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN rn <= 15 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT)
+             AS kept_id_checksum
+    FROM r GROUP BY source
+    """,
+    doc="Per-source document cap (domain balancing): keep the top 15 "
+    "docs per source by quality (n_chars desc, id tiebreak) — the "
+    "over-represented-domain fix every web corpus applies before "
+    "mixing. The rank-then-filter compiles to WindowGroupLimit with a "
+    "map-side partial below the exchange (the q142 pushdown), so the "
+    "shuffle carries O(sources x cap) rows no matter how hot a domain "
+    "is; the id checksum pins the exact kept set.",
+)
+def q168_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rn") <= 15, 1)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 15, F.col("doc_id"))).alias("kept_id_checksum"),
+    )
+
+
+@register(
+    "q169_corpus_prep_v3",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             md5(array_to_string(toks[u.i:u.i+7], ' ')) AS wh
+      FROM t, unnest(range(1, len(toks) - 6)) u(i)
+    ),
+    fl AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    fw AS (SELECT w.doc_id, w.i FROM w JOIN fl USING (wh)),
+    m AS (
+      SELECT doc_id, i,
+             max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+      FROM fw
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, g, min(i) AS s, max(i) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT t.doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) u(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN spans
+        ON spans.doc_id = pos.doc_id AND pos.p BETWEEN spans.s AND spans.e
+      WHERE spans.doc_id IS NULL
+    ),
+    cl AS (SELECT doc_id, list(tok ORDER BY p) AS carr FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT t.doc_id, cl.carr
+      FROM t
+      JOIN cl ON cl.doc_id = t.doc_id
+      LEFT JOIN agg a ON a.doc_id = t.doc_id
+      WHERE len(t.toks) - coalesce(a.n_removed, 0) >= 5
+    ),
+    ew AS (SELECT doc_id, unnest(carr) AS word FROM base),
+    ec AS (
+      SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+      FROM ew GROUP BY doc_id, word
+    ),
+    es AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_unique,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+      FROM ec GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             CASE WHEN n_unique > 1
+                  THEN floor(h / ln(CAST(n_unique AS DOUBLE)) * 10000 + 0.5)
+                       / 10000
+                  ELSE 0.0 END AS norm_entropy
+      FROM es
+    ),
+    tri AS (
+      SELECT doc_id, carr[u.i] || ' ' || carr[u.i + 1] || ' ' || carr[u.i + 2] AS g3
+      FROM base, unnest(range(1, greatest(len(carr) - 1, 1))) u(i)
+      WHERE len(carr) >= 3
+    ),
+    gs AS (
+      SELECT doc_id, count(*) AS ng, count(DISTINCT g3) AS nu
+      FROM tri GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT doc_id,
+             floor((1.0 - CAST(nu AS DOUBLE) / ng) * 10000 + 0.5) / 10000 AS dupf
+      FROM gs
+    ),
+    gated AS (
+      SELECT b.doc_id, array_to_string(b.carr, ' ') AS ctext, e.n_tokens
+      FROM base b
+      JOIN ent e ON e.doc_id = b.doc_id
+      JOIN rep r ON r.doc_id = b.doc_id
+      WHERE e.norm_entropy >= 0.8 AND r.dupf <= 0.2
+    ),
+    ded AS (
+      SELECT doc_id, n_tokens,
+             min(doc_id) OVER (PARTITION BY ctext) AS canon
+      FROM gated
+    ),
+    sv AS (
+      SELECT d2.doc_id, d2.n_tokens, doc.source
+      FROM ded d2 JOIN documents doc ON doc.doc_id = d2.doc_id
+      WHERE d2.doc_id = d2.canon
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sv
+    ),
+    capped AS (SELECT doc_id, n_tokens FROM ranked WHERE rn <= 10)
+    SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM capped GROUP BY 1
+    """,
+    doc="Corpus-prep capstone v3 — the round-5 additions composed into "
+    "one publishable pipeline: exact repeated-SPAN removal (q166) "
+    "rewrites every document, the quality gates re-run on the CLEANED "
+    "text (entropy >= 0.8, dup-trigram <= 0.2 — via the same shared "
+    "builders as q117/q123), exact dedup picks the min-id canon per "
+    "cleaned text, the per-source cap (q168's rule, top 10 by cleaned "
+    "length) balances domains, and the deterministic md5 split buckets "
+    "the survivors. Every stage replays verbatim in the oracle; the id "
+    "checksum pins the exact surviving set, so a drift anywhere in the "
+    "five-stage composition hash-fails.",
+    bench=False,
+    bench_reason="composition of q166/q117/q123/q168/q88, each benched or excluded on its own",
+)
+def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.hashing import md5_long
+    from beast_spark.operators.dedup import fan_out
+    from beast_spark.operators.quality import (
+        entropy_signals,
+        repetition_signals,
+        repeated_span_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sp = repeated_span_stats(fan_out(d), include_text=True)
+    kept = sp.filter((F.col("n_tokens") - F.col("n_removed")) >= 5).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    ent = entropy_signals(kept).select("doc_id", "n_tokens", "norm_entropy")
+    rep = repetition_signals(kept).select("doc_id", "dup_trigram_frac")
+    g = (
+        kept.join(ent, "doc_id")
+        .join(rep, "doc_id")
+        .filter((F.col("norm_entropy") >= 0.8) & (F.col("dup_trigram_frac") <= 0.2))
+    )
+    w = Window.partitionBy("text")
+    surv = (
+        g.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "n_tokens")
+    )
+    capped = (
+        surv.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("n_tokens"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    return (
+        capped.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
