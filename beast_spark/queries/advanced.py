@@ -1468,3 +1468,33 @@ def q165_unkeyed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shipped", F.lit(0)).cast("long").alias("n_shipped"),
         )
     )
+
+
+@register(
+    "q170_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json() shreds the "
+    "JSON props column into the binary VARIANT encoding once, "
+    "variant_get() extracts a typed path WITHOUT re-parsing per "
+    "expression — the engine-native alternative to q45's "
+    "from_json(map<...>) which forces one schema on every row. "
+    "Aggregates run on the extracted long; DuckDB replays via "
+    "json_extract_string.",
+)
+def q170_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
