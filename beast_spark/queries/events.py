@@ -926,3 +926,61 @@ def q159_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adj_n",
         (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "q171_ordered_sequence_match",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(row(ts, event_id)) AS m
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p1 AS (
+      SELECT e.user_id, min(row(e.ts, e.event_id)) AS m
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND row(e.ts, e.event_id) > s1.m
+      GROUP BY e.user_id
+    ),
+    e1 AS (
+      SELECT e.user_id, min(row(e.ts, e.event_id)) AS m
+      FROM events e JOIN p1 ON p1.user_id = e.user_id
+      WHERE e.event_type = 'error' AND row(e.ts, e.event_id) > p1.m
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           e1.user_id IS NOT NULL AS matched
+    FROM events u
+    LEFT JOIN e1 ON e1.user_id = u.user_id
+    GROUP BY u.user_id, e1.user_id
+    """,
+    doc="Ordered sequence match (the MATCH_RECOGNIZE-class pattern Spark "
+    "lacks natively): per user, does signup -> purchase -> error occur "
+    "as an ORDERED subsequence of their event stream? Encoded as a "
+    "3-step min-chain — the first signup, the first purchase strictly "
+    "after it, the first error strictly after that — each step one "
+    "filtered user-keyed aggregate + one co-partitioned join, with "
+    "(ts, event_id) struct ordering breaking timestamp ties "
+    "identically in both engines. O(steps) shuffles on the user key, "
+    "never a per-user sort of the whole stream; generalizes to any "
+    "fixed pattern length.",
+)
+def q171_ordered_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(key > F.col("m")).drop("m")
+        return step.groupBy("user_id").agg(F.min(key).alias("m"))
+
+    s1 = first_after("signup", None)
+    p1 = first_after("purchase", s1)
+    e1 = first_after("error", p1).select("user_id", F.lit(True).alias("matched"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(e1, "user_id", "left")
+        .select("user_id", "n_events", F.coalesce("matched", F.lit(False)).alias("matched"))
+    )
