@@ -29,6 +29,7 @@ __all__ = [
     "hyperplanes_md5",
     "lsh_bucket_col",
     "lsh_neardup_pairs",
+    "lsh_multitable_neardup_pairs",
     "lsh_topk",
     "multitable_planes",
     "lsh_multitable_bucket_udf",
@@ -626,4 +627,57 @@ def scalar_quantize_dequantized(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "dq"))), lambda s: s["dq"]
         ).alias("dqvec")
+    )
+
+
+def lsh_multitable_neardup_pairs(
+    data: DataFrame,
+    dims: int,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 75,
+    tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup PAIRS over the multi-table index — the
+    OR-amplified recall upgrade of :func:`lsh_neardup_pairs`: a pair is
+    a candidate if it shares a bucket in ANY of the L tables, so recall
+    rises 1−(1−p^P)^L while the single-table form stops at p^P (measured
+    on this corpus: q172). Same slim-postings discipline as
+    :func:`lsh_multitable_candidates`: the self-join runs on
+    (t, bucket, id) rows, the pair dedup shuffles only id pairs, and
+    the wide vectors join back once per SIDE (norms precomputed per
+    vector, never per pair). Returns (vec1, vec2, cos_sim) with
+    vec1 < vec2, floor-rounded, filtered to ``threshold``.
+    """
+    if tables is None:
+        tables = multitable_planes(dims, n_planes, n_tables)
+    budf = lsh_multitable_bucket_udf(tables)
+    post = data.select(F.col(id_col), F.posexplode(budf(vec_col)).alias("t", "bucket"))
+    a = post.select("t", "bucket", F.col(id_col).alias("vec1"))
+    b = post.select("t", "bucket", F.col(id_col).alias("vec2"))
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2")
+        .distinct()
+    )
+    v = data.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    j = (
+        cand.join(v.select(F.col("_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1")), "vec1")
+        .join(v.select(F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2")), "vec2")
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        j.select(
+            "vec1",
+            "vec2",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )

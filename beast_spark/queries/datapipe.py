@@ -4526,3 +4526,107 @@ def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "q172_neardup_pair_recall",
+    oracle="WITH " + _MT_BUCKETS_SQL + """,
+    planes6 AS (
+      SELECT b.p,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS p) b
+    ),
+    dots6 AS (
+      SELECT e.vec_id, planes6.p, list_dot_product(e.v, planes6.comp) AS dp
+      FROM e, planes6
+    ),
+    buckets6 AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      FROM dots6 GROUP BY vec_id
+    ),
+    ex AS (
+      SELECT a.vec_id AS v1, bb.vec_id AS v2
+      FROM e a JOIN e bb ON a.vec_id < bb.vec_id
+      WHERE floor((list_dot_product(a.v, bb.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(bb.v, bb.v))))
+                  * 1000000 + 0.5) / 1000000 >= 0.42
+    ),
+    c1 AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM buckets6 a JOIN buckets6 b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    s1 AS (SELECT ex.v1, ex.v2 FROM ex JOIN c1 ON c1.v1 = ex.v1 AND c1.v2 = ex.v2),
+    cm AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sm AS (SELECT ex.v1, ex.v2 FROM ex JOIN cm ON cm.v1 = ex.v1 AND cm.v2 = ex.v2)
+    SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           floor((SELECT count(*) FROM s1)
+                 / greatest((SELECT count(*) FROM ex), 1)::DOUBLE
+                 * 10000 + 0.5) / 10000 AS recall_single,
+           floor((SELECT count(*) FROM sm)
+                 / greatest((SELECT count(*) FROM ex), 1)::DOUBLE
+                 * 10000 + 0.5) / 10000 AS recall_multi
+    """,
+    doc="Near-dup PAIR-MINING recall — q163's evaluation applied to the "
+    "dedup use-case: of the exact all-pairs cosine >= 0.42 set (q80's "
+    "baseline, floor-rounded), what fraction does the single-table "
+    "6-plane bucketing (q85) find vs the 75x8 multi-table index "
+    "(operators/similarity.py::lsh_multitable_neardup_pairs)? All "
+    "three pair sets replay in the oracle, so both recall numbers are "
+    "hash-checked. Single-table recall is the honest weakness of the "
+    "q85 scale path on near-uniform embeddings; the multi-table form "
+    "is the production lever, at L x postings cost.",
+    bench=False,
+    bench_reason="evaluation composition over q80/q85-class pair sets; q85 and q162 are benched",
+)
+def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot, norm
+    from beast_spark.operators.similarity import (
+        lsh_multitable_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").alias("_v"), norm(F.col("embedding")).alias("_n")
+    )
+    a = v.select(F.col("vec_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
+    b = v.select(F.col("vec_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    exact = (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.42)
+        .select("vec1", "vec2")
+        .persist()
+    )
+    single = lsh_neardup_pairs(
+        e, dims=64, threshold=0.42, planes=hyperplanes_md5(64, 6)
+    ).select("vec1", "vec2")
+    multi = lsh_multitable_neardup_pairs(e, dims=64, threshold=0.42).select(
+        "vec1", "vec2"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    h1 = single.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("h1"))
+    hm = multi.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("hm"))
+    return (
+        n_exact.crossJoin(F.broadcast(h1))
+        .crossJoin(F.broadcast(hm))
+        .select(
+            F.col("n_exact"),
+            rnd(F.col("h1") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+                "recall_single"
+            ),
+            rnd(F.col("hm") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+                "recall_multi"
+            ),
+        )
+    )
