@@ -23,6 +23,8 @@ __all__ = [
     "chunk_hashes",
     "boilerplate_stats",
     "repeated_span_stats",
+    "window_hashes",
+    "span_cleaned",
 ]
 
 
@@ -173,12 +175,25 @@ def repeated_span_stats(
     for downstream pipeline stages (the v3 capstone re-runs the quality
     gates on it).
     """
-    from pyspark.sql.window import Window as W
+    wins = window_hashes(docs, window)
+    flagged = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("wh")
+    )
+    return span_cleaned(docs, flagged, window, include_text)
 
+
+def window_hashes(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Phase 1 of :func:`repeated_span_stats`: the sliding-window
+    postings (doc_id, i, wh) for every document with >= ``window``
+    tokens — md5 of tokens [i, i+window). This is the persistable
+    window-hash index the streaming v3 maintainer appends to."""
     t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= window
     )
-    wins = t.select(
+    return t.select(
         "doc_id",
         "t",
         F.explode(F.sequence(F.lit(1), F.size("t") - (window - 1))).alias("i"),
@@ -189,12 +204,26 @@ def repeated_span_stats(
             F.encode(F.array_join(F.slice("t", F.col("i"), window), " "), "UTF-8")
         ).alias("wh"),
     )
-    flagged = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("wh")
+
+
+def span_cleaned(
+    docs: DataFrame,
+    flagged: DataFrame,
+    window: int = 8,
+    include_text: bool = False,
+) -> DataFrame:
+    """Phase 2 of :func:`repeated_span_stats`: given the flagged window
+    hashes (a (wh) frame — from a full-corpus count or a maintained
+    global count table), merge each document's flagged windows into
+    maximal spans and emit the cleaned form. Separated so an
+    incremental maintainer can recompute ONLY affected documents
+    against GLOBAL counts."""
+    from pyspark.sql.window import Window as W
+
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= window
     )
+    wins = window_hashes(docs, window)
     fw = wins.join(flagged, "wh", "left_semi").select("doc_id", "i")
     prev_max_end = F.max(F.col("i") + (window - 1)).over(
         W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)

@@ -1,0 +1,247 @@
+"""Streaming corpus-prep v3: q169's span-removal pipeline maintained
+incrementally over a document stream.
+
+v2 (``streaming/corpus_v2.py``) already handles one retroactive gate —
+the boilerplate chunk table. v3's retroactivity is deeper: a window
+hash crossing the duplicate threshold REWRITES affected documents (the
+repeated span is cut out of their cleaned text), which moves their
+entropy/repetition gate values, their dedup canon (cleaned texts that
+were different can become equal), their per-source cap rank, and their
+token totals. So the maintainer keeps enough state to RE-DERIVE any
+document's cleaned form against the global counts:
+
+* ``docs``     — (doc_id, text, source) for every >= window-token doc
+  ingested (the re-derivation input; at warehouse scale this is the
+  corpus itself — store a pointer, not a copy).
+* ``whcounts`` — (wh, n) global sliding-window-hash occurrence counts.
+* ``postings`` — distinct (doc_id, wh): the inverted window index used
+  to find documents affected by a threshold crossing.
+* ``signals``  — per-doc cleaned-form gate values: n_raw, n_removed,
+  n_clean, norm_entropy, dup_trigram_frac, ctext_hash.
+
+Per-batch work is O(batch + postings-of-crossed-hashes + affected
+docs): only documents holding a window hash that crossed >= 2 THIS
+batch are re-derived (their spans can only grow — counts never
+decrease — so cleaned text only shrinks, monotonically). All four
+sub-tables commit in one atomic rename on the shared swap-ledger
+protocol (``streaming/swap.py``), so crash replays are no-ops.
+
+Equivalence contract (tested): after any prefix of batches,
+``survivors_by_split`` == the batch q169 capstone run over exactly the
+documents ingested so far — span removal, gates on cleaned text, exact
+dedup of cleaned texts, per-source cap, md5 split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.functions.hashing import md5_long
+from beast_spark.operators.quality import (
+    entropy_signals,
+    repetition_signals,
+    span_cleaned,
+    window_hashes,
+)
+from beast_spark.streaming.swap import SwapCommittedTable
+
+__all__ = ["CorpusV3Maintainer"]
+
+
+class CorpusV3Maintainer(SwapCommittedTable):
+    """Owns one swap-committed state directory
+    (docs/whcounts/postings/signals)."""
+
+    def __init__(
+        self,
+        path: str,
+        window: int = 8,
+        min_clean_tokens: int = 5,
+        min_norm_entropy: float = 0.8,
+        max_dup_trigram_frac: float = 0.2,
+        source_cap: int = 10,
+    ) -> None:
+        SwapCommittedTable.__init__(self, path)
+        self.window = window
+        self.min_clean_tokens = min_clean_tokens
+        self.min_norm_entropy = min_norm_entropy
+        self.max_dup_trigram_frac = max_dup_trigram_frac
+        self.source_cap = source_cap
+
+    # -- state access -----------------------------------------------------
+
+    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
+        self._recover()
+        sub = os.path.join(self.path, name)
+        if not os.path.exists(sub):
+            return None
+        return spark.read.parquet(sub)
+
+    # -- the foreachBatch body -------------------------------------------
+
+    def _derive_signals(self, docs: DataFrame, flagged: DataFrame) -> DataFrame:
+        """Cleaned-form gate signals for ``docs`` against the GLOBAL
+        flagged window-hash set."""
+        cleaned = span_cleaned(docs, flagged, self.window, include_text=True)
+        cdocs = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+        ent = entropy_signals(cdocs).select(
+            "doc_id",
+            F.col("n_tokens").alias("n_tokens_clean"),
+            "norm_entropy",
+        )
+        rep = repetition_signals(cdocs).select("doc_id", "dup_trigram_frac")
+        return (
+            cleaned.select(
+                "doc_id",
+                F.col("n_tokens").alias("n_raw"),
+                "n_removed",
+                (F.col("n_tokens") - F.col("n_removed")).alias("n_clean"),
+                F.md5(F.encode("cleaned_text", "UTF-8")).alias("ctext_hash"),
+            )
+            .join(ent, "doc_id", "left")
+            .join(rep, "doc_id", "left")
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        spark = batch_df.sparkSession
+        w = self.window
+        bdocs = batch_df.select("doc_id", "text", "source").filter(
+            F.size(F.split("text", " ")) >= w
+        )
+        wins = window_hashes(bdocs, w)
+        cnt_new = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("nd_new"))
+        post_new = wins.select("doc_id", "wh").distinct()
+
+        old_docs = self._read_sub(spark, "docs")
+        old_counts = self._read_sub(spark, "whcounts")
+        old_postings = self._read_sub(spark, "postings")
+        old_signals = self._read_sub(spark, "signals")
+
+        if old_counts is None:
+            merged = cnt_new.select("wh", F.col("nd_new").cast("long").alias("n"))
+            crossed = merged.filter(F.col("n") >= 2).select("wh")
+        else:
+            both = old_counts.join(cnt_new, "wh", "full_outer").select(
+                "wh",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_old"),
+                F.coalesce(F.col("nd_new"), F.lit(0)).alias("n_inc"),
+            )
+            merged = both.select("wh", (F.col("n_old") + F.col("n_inc")).alias("n"))
+            crossed = both.filter(
+                (F.col("n_old") < 2) & (F.col("n_old") + F.col("n_inc") >= 2)
+            ).select("wh")
+        flagged = merged.filter(F.col("n") >= 2).select("wh")
+
+        if old_docs is None:
+            redo = bdocs
+            signals = self._derive_signals(redo, flagged)
+            docs = bdocs
+            postings = post_new
+        else:
+            affected = (
+                old_postings.join(crossed, "wh", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            redo_old = old_docs.join(affected, "doc_id", "left_semi")
+            redo = redo_old.unionByName(bdocs)
+            sig_redo = self._derive_signals(redo, flagged)
+            signals = old_signals.join(
+                redo.select("doc_id"), "doc_id", "left_anti"
+            ).unionByName(sig_redo)
+            docs = old_docs.unionByName(bdocs)
+            postings = old_postings.unionByName(post_new)
+
+        self._commit_state(
+            {
+                "docs": docs,
+                "whcounts": merged,
+                "postings": postings,
+                "signals": signals,
+            },
+            batch_id,
+        )
+
+    def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
+        tmp = self.path + ".applying"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for name, df in frames.items():
+            df.write.parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
+            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
+        self._swap_in(tmp)
+
+    # -- derived views ----------------------------------------------------
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, n_tokens, split): q169's surviving set over every
+        document ingested so far."""
+        sig = self._read_sub(spark, "signals")
+        docs = self._read_sub(spark, "docs")
+        if sig is None:
+            return spark.createDataFrame([], "doc_id long, n_tokens long, split string")
+        g = sig.filter(
+            (F.col("n_clean") >= self.min_clean_tokens)
+            & (F.col("norm_entropy") >= self.min_norm_entropy)
+            & F.col("dup_trigram_frac").isNotNull()
+            & (F.col("dup_trigram_frac") <= self.max_dup_trigram_frac)
+        )
+        wdd = Window.partitionBy("ctext_hash")
+        surv = (
+            g.withColumn("canon", F.min("doc_id").over(wdd))
+            .filter(F.col("doc_id") == F.col("canon"))
+            .select("doc_id", F.col("n_tokens_clean").alias("n_tokens"))
+        )
+        capped = (
+            surv.join(docs.select("doc_id", "source"), "doc_id")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("source").orderBy(
+                        F.desc("n_tokens"), F.asc("doc_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= self.source_cap)
+        )
+        bucket = md5_long(F.col("doc_id").cast("string")) % 100
+        return capped.select(
+            "doc_id",
+            "n_tokens",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
+    def survivors_by_split(self, spark: SparkSession) -> DataFrame:
+        """q169's exact output shape."""
+        return (
+            self.survivors(spark)
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("doc_id").alias("id_checksum"),
+            )
+        )
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, docs: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
