@@ -40,7 +40,12 @@ def flatten_hierarchy(
     * a cycle (or a chain deeper than 2^max_rounds, beyond any real
       hierarchy) never reaches the self-loop fixed point — detected by
       the still-advancing probe after round exhaustion and raised as
-      ``ValueError``.
+      ``ValueError``.  The probe compares BOTH ``anc`` and ``depth``:
+      inside a cycle of length c, ``anc`` stabilizes whenever
+      2^k % c == 0 (e.g. a self-parent row stabilizes immediately), but
+      ``depth`` keeps doubling every round because no node on a cycle
+      ever reaches a depth-0 self-loop root — so the depth term keeps
+      the probe advancing and exhaustion raises as documented.
     """
     dangling = (
         nodes.filter(F.col(parent_col).isNotNull())
@@ -76,7 +81,10 @@ def flatten_hierarchy(
         advanced = (
             nxt.alias("n")
             .join(state.alias("o"), "node")
-            .filter(F.col("n.anc") != F.col("o.anc"))
+            .filter(
+                (F.col("n.anc") != F.col("o.anc"))
+                | (F.col("n.depth") != F.col("o.depth"))
+            )
             .limit(1)
             .count()
         )

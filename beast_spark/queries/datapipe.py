@@ -4326,19 +4326,32 @@ def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-source document cap (domain balancing): keep the top 15 "
     "docs per source by quality (n_chars desc, id tiebreak) — the "
     "over-represented-domain fix every web corpus applies before "
-    "mixing. The rank-then-filter compiles to WindowGroupLimit with a "
-    "map-side partial below the exchange (the q142 pushdown), so the "
-    "shuffle carries O(sources x cap) rows no matter how hot a domain "
-    "is; the id checksum pins the exact kept set.",
+    "mixing. Two branches that each avoid a full-table window: the "
+    "per-source totals are a plain partial-agg count (no window at "
+    "all), and the kept set ranks-then-FILTERS rn <= 15, which "
+    "compiles to WindowGroupLimit with a map-side partial below the "
+    "exchange (the q142 pushdown) — that branch's shuffle carries "
+    "O(sources x cap) rows no matter how hot a domain is. The two "
+    "source-keyed aggregates join broadcast-side; the id checksum "
+    "pins the exact kept set. (Round-5 ADVICE: the previous single-"
+    "window form aggregated over ALL ranked rows, so no group-limit "
+    "pushdown could apply — restructured so the claim holds.)",
 )
 def q168_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    r = d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
-    return r.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(F.col("rn") <= 15, 1)).alias("n_kept"),
-        F.sum(F.when(F.col("rn") <= 15, F.col("doc_id"))).alias("kept_id_checksum"),
+    kept = (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 15)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_checksum"),
+        )
+    )
+    return counts.join(kept, "source").select(
+        "source", "n_docs", "n_kept", "kept_id_checksum"
     )
 
 
@@ -4573,7 +4586,10 @@ def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 10000 + 0.5) / 10000 AS recall_single,
            floor((SELECT count(*) FROM sm)
                  / greatest((SELECT count(*) FROM ex), 1)::DOUBLE
-                 * 10000 + 0.5) / 10000 AS recall_multi
+                 * 10000 + 0.5) / 10000 AS recall_multi,
+           floor((SELECT count(*) FROM sm)
+                 / greatest((SELECT count(*) FROM ex), 1)::DOUBLE
+                 * 10000 + 0.5) / 10000 AS recall_streamed
     """,
     doc="Near-dup PAIR-MINING recall — q163's evaluation applied to the "
     "dedup use-case: of the exact all-pairs cosine >= 0.42 set (q80's "
@@ -4583,16 +4599,25 @@ def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three pair sets replay in the oracle, so both recall numbers are "
     "hash-checked. Single-table recall is the honest weakness of the "
     "q85 scale path on near-uniform embeddings; the multi-table form "
-    "is the production lever, at L x postings cost.",
+    "is the production lever, at L x postings cost. recall_streamed "
+    "runs streaming/neardup.py::EmbeddingNearDupMaintainer (since "
+    "round 6 defaulting to the SAME 75x8 multi-table index) over the "
+    "corpus in two micro-batches and measures ITS accumulated pair "
+    "set — hash-equal to recall_multi, proving the streamed index "
+    "operates at the production recall point, not the discredited "
+    "single-table 7% one.",
     bench=False,
     bench_reason="evaluation composition over q80/q85-class pair sets; q85 and q162 are benched",
 )
 def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     from beast_spark.functions.vectors import dot, norm
     from beast_spark.operators.similarity import (
         lsh_multitable_neardup_pairs,
         lsh_neardup_pairs,
     )
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
@@ -4614,12 +4639,23 @@ def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi = lsh_multitable_neardup_pairs(e, dims=64, threshold=0.42).select(
         "vec1", "vec2"
     )
+    m = EmbeddingNearDupMaintainer(
+        tempfile.mkdtemp(prefix="beast_q172_") + "/state", dims=64, threshold=0.42
+    )
+    ecast = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    for b in range(2):
+        m.apply_batch(ecast.filter(F.col("vec_id") % 2 == b), b)
+    streamed = m.read_pairs(spark).select("vec1", "vec2")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     h1 = single.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("h1"))
     hm = multi.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("hm"))
+    hs = streamed.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("hs"))
     return (
         n_exact.crossJoin(F.broadcast(h1))
         .crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(hs))
         .select(
             F.col("n_exact"),
             rnd(F.col("h1") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
@@ -4628,5 +4664,84 @@ def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("hm") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
                 "recall_multi"
             ),
+            rnd(F.col("hs") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+                "recall_streamed"
+            ),
         )
     )
+
+
+@register(
+    "q173_incremental_multitable_neardup",
+    oracle="WITH " + _MT_BUCKETS_SQL + """,
+    cm AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT cm.v1 AS vec1, cm.v2 AS vec2,
+             floor((list_dot_product(x.v, y.v)
+                    / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM cm JOIN e x ON x.vec_id = cm.v1 JOIN e y ON y.vec_id = cm.v2
+    )
+    SELECT vec1, vec2, cos_sim FROM p
+    WHERE cos_sim >= 0.42 AND (vec1 % 5 = 0 OR vec2 % 5 = 0)
+    """,
+    doc="Incremental embedding near-dup against the persisted "
+    "MULTI-TABLE index (operators/similarity.py::incremental_multitable_"
+    "neardup_pairs) — the production-recall upgrade of q164: the q172 "
+    "evaluation measures the single-table 6-plane config at ~7% pair "
+    "recall vs ~90% for this 75x8 OR-amplified index. The index splits "
+    "into slim (t, bucket, id) postings (bucketed by (t, bucket)) and "
+    "ONE (id, vector, nrm) table (bucketed by id) — vectors stored "
+    "once, not L times; the 20% increment buckets via one Arrow-batched "
+    "BLAS matmul, probes the postings with a broadcast semi-join on its "
+    "touched keys, dedups candidate id pairs BEFORE any vector is "
+    "touched, and scores each pair once. Oracle: the full multi-table "
+    "pair set restricted to pairs involving a new vector (pairs(full) "
+    "== pairs(existing) ∪ pairs(increment), property-tested).",
+)
+def q173_incremental_multitable_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from beast_spark.functions.vectors import norm
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        incremental_multitable_neardup_pairs,
+        multitable_planes,
+    )
+    from beast_spark.sources.bucketing import write_bucketed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    tables = multitable_planes(64, 8, 75)
+    base = tempfile.mkdtemp(prefix="beast_q173_")
+    write_bucketed(
+        embedding_multitable_postings(old, tables),
+        "beast_q173_mt_postings",
+        ["t", "bucket"],
+        n_buckets=8,
+        path=f"{base}/postings",
+    )
+    write_bucketed(
+        old.select("vec_id", "embedding").withColumn("nrm", norm(F.col("embedding"))),
+        "beast_q173_mt_vectors",
+        ["vec_id"],
+        n_buckets=8,
+        path=f"{base}/vectors",
+    )
+    new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
+        spark.table("beast_q173_mt_postings"),
+        spark.table("beast_q173_mt_vectors"),
+        new,
+        dims=64,
+        threshold=0.42,
+        tables=tables,
+    )
+    return pairs

@@ -57,6 +57,7 @@ from beast_spark.operators.quality import (
     entropy_signals,
     repetition_signals,
 )
+from beast_spark.queries._util import rnd
 from beast_spark.streaming.swap import SwapCommittedTable
 
 __all__ = ["CorpusV2Maintainer"]
@@ -230,12 +231,16 @@ class CorpusV2Maintainer(SwapCommittedTable):
         sig = self.read_signals(spark)
         if sig is None:
             return spark.createDataFrame([], "doc_id long, n_tokens long, split string")
+        # The batch pipeline gates on q124's published boiler_frac, which
+        # is rnd(n_boiler/n_chunks, 4) — apply the same rounding here so a
+        # true fraction in (0.5, 0.50005] (possible at >10k chunks) gets
+        # the same verdict from stream and batch (per-prefix equivalence).
         g = sig.filter(
             (F.col("norm_entropy") >= self.min_norm_entropy)
             & F.col("dup_trigram_frac").isNotNull()
             & (F.col("dup_trigram_frac") <= self.max_dup_trigram_frac)
             & (
-                F.col("n_boiler") / F.col("n_chunks").cast("double")
+                rnd(F.col("n_boiler") / F.col("n_chunks").cast("double"), 4)
                 <= self.max_boiler_frac
             )
         )

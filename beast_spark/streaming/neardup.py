@@ -1,21 +1,32 @@
 """Streaming embedding near-dup maintenance: an embedding stream keeps
-the persisted LSH bucket index AND the discovered near-dup pair set
-current via ``foreachBatch`` +
-:func:`beast_spark.operators.similarity.incremental_lsh_neardup_pairs_indexed`.
+the persisted MULTI-TABLE LSH index AND the discovered near-dup pair
+set current via ``foreachBatch`` +
+:func:`beast_spark.operators.similarity.incremental_multitable_neardup_pairs`.
 
-The batch story (q164) proves one append is O(increment + touched
+The batch story (q164/q173) proves one append is O(increment + touched
 buckets); this maintainer is the continuous form: each micro-batch
-buckets only ITS OWN vectors, probes the persisted index for candidate
-partners, appends its index rows, and accumulates the new pairs —
+buckets only ITS OWN vectors into all L tables (one Arrow-batched BLAS
+matmul), probes the persisted postings for candidate partners, appends
+its postings + vectors, and accumulates the new pairs —
 pairs(after batch k) == pairs(full rebuild over everything ingested
 through batch k), property of the disjoint-union exactness the operator
 tests pin. Exactly-once commit is the shared swap-ledger protocol
-(``streaming/swap.py``): the index append, the pair append, and the
-ledger flip in ONE atomic rename, so a replayed batch after any crash
-is a no-op and a crash between write and swap never double-counts a
-pair. At warehouse scale write the ``index`` sub-table bucketed by
-bucket (``sources/bucketing.py``) so each batch's probe stays
-Exchange-free on the corpus side; locally it is plain parquet.
+(``streaming/swap.py``): the postings append, the vectors append, the
+pair append, and the ledger flip in ONE atomic rename, so a replayed
+batch after any crash is a no-op and a crash between write and swap
+never double-counts a pair.
+
+Operating point: the default is the PRODUCTION multi-table
+configuration (L=75 tables × P=8 planes) — the q172 evaluation
+measures it at ~90% pair recall on the adversarially near-uniform
+synthetic embeddings, where the previous single-table 6-plane default
+(still available: ``n_tables=1, n_planes=6``) finds only ~7% of the
+true pairs. The index splits into slim postings (t, bucket, id) and
+ONE vectors table (id, vector, nrm), so L-fold fan-out applies to two
+longs + an id per posting, never to the vectors. At warehouse scale
+write ``postings`` bucketed by (t, bucket) and ``vectors`` bucketed by
+id (``sources/bucketing.py``) so each batch's probe stays
+Exchange-free on the corpus side; locally they are plain parquet.
 """
 
 from __future__ import annotations
@@ -28,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beast_spark.operators.similarity import (
-    hyperplanes_md5,
-    incremental_lsh_neardup_pairs_indexed,
+    incremental_multitable_neardup_pairs,
+    multitable_planes,
 )
 from beast_spark.streaming.swap import SwapCommittedTable
 
@@ -37,21 +48,22 @@ __all__ = ["EmbeddingNearDupMaintainer"]
 
 
 class EmbeddingNearDupMaintainer(SwapCommittedTable):
-    """Owns one swap-committed state directory (index + pairs)."""
+    """Owns one swap-committed state directory (postings+vectors+pairs)."""
 
     def __init__(
         self,
         path: str,
         dims: int,
         threshold: float = 0.42,
-        n_planes: int = 6,
+        n_planes: int = 8,
+        n_tables: int = 75,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
         SwapCommittedTable.__init__(self, path)
         self.dims = dims
         self.threshold = threshold
-        self.planes = hyperplanes_md5(dims, n_planes)
+        self.tables = multitable_planes(dims, n_planes, n_tables)
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -62,8 +74,11 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
             return None
         return spark.read.parquet(sub)
 
-    def read_index(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "index")
+    def read_postings(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "postings")
+
+    def read_vectors(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "vectors")
 
     def read_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "pairs")
@@ -74,32 +89,49 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
-        existing = self.read_index(spark)
-        if existing is None:
-            existing = spark.createDataFrame(
-                [],
-                f"{self.id_col} long, {self.vec_col} array<double>, "
-                "bucket long, nrm double",
+        postings = self.read_postings(spark)
+        vectors = self.read_vectors(spark)
+        if postings is None:
+            postings = spark.createDataFrame(
+                [], f"t int, bucket long, {self.id_col} long"
+            )
+            vectors = spark.createDataFrame(
+                [], f"{self.id_col} long, {self.vec_col} array<double>, nrm double"
             )
         inc = batch_df.select(
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
-        new_idx, new_pairs = incremental_lsh_neardup_pairs_indexed(
-            existing,
+        new_post, new_vec, new_pairs = incremental_multitable_neardup_pairs(
+            postings,
+            vectors,
             inc,
             dims=self.dims,
             id_col=self.id_col,
             vec_col=self.vec_col,
             threshold=self.threshold,
-            planes=self.planes,
+            tables=self.tables,
         )
-        index = existing.select(self.id_col, self.vec_col, "bucket", "nrm").unionByName(
-            new_idx.select(self.id_col, self.vec_col, "bucket", "nrm")
-        )
-        old_pairs = self.read_pairs(spark)
-        pairs = new_pairs if old_pairs is None else old_pairs.unionByName(new_pairs)
-        self._commit_state({"index": index, "pairs": pairs}, batch_id)
+        try:
+            all_post = postings.unionByName(
+                new_post.select("t", "bucket", self.id_col)
+            )
+            all_vec = vectors.unionByName(
+                new_vec.select(self.id_col, self.vec_col, "nrm")
+            )
+            old_pairs = self.read_pairs(spark)
+            pairs = (
+                new_pairs if old_pairs is None else old_pairs.unionByName(new_pairs)
+            )
+            self._commit_state(
+                {"postings": all_post, "vectors": all_vec, "pairs": pairs}, batch_id
+            )
+        finally:
+            # the operator persists its two increment frames; release them
+            # once the commit lands or cached blocks accumulate for the
+            # stream's lifetime (one leak per micro-batch)
+            new_post.unpersist()
+            new_vec.unpersist()
 
     def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
         tmp = self.path + ".applying"

@@ -957,6 +957,35 @@ def test_flatten_hierarchy_rejects_cycles_and_dangling_parents(spark):
         flatten_hierarchy(dangling, "id", "parent")
 
 
+def test_flatten_hierarchy_rejects_power_of_two_cycles(spark):
+    """Cycles whose length divides 2^k stabilize `anc` under pointer
+    doubling (anc returns to itself once 2^k % cycle_len == 0), so an
+    anc-only probe would see convergence and return wrong rows. The
+    probe also compares depth — which keeps doubling inside any cycle —
+    so these must raise like any other cycle."""
+    import pytest
+
+    from beast_spark.operators.hierarchy import flatten_hierarchy
+
+    # self-parent: cycle of length 1 — anc fixed from round 0
+    selfloop = spark.createDataFrame([(5, 5)], "id long, parent long")
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(selfloop, "id", "parent", max_rounds=6).collect()
+
+    # 2-cycle: anc returns to self every round after the first
+    two = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(two, "id", "parent", max_rounds=6).collect()
+
+    # 4-cycle attached beneath a healthy forest
+    mixed = spark.createDataFrame(
+        [(0, None), (1, 0), (10, 13), (11, 10), (12, 11), (13, 12)],
+        "id long, parent long",
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(mixed, "id", "parent", max_rounds=8).collect()
+
+
 def test_export_sharded_is_partitioning_invariant(spark, sf_dir, tmp_path):
     """Shard membership must be a function of the DATA (total order +
     shard size), not of the input partitioning."""
@@ -1089,6 +1118,85 @@ def test_indexed_embedding_increment_equals_full_and_never_shuffles_corpus(
     assert "beast_test_emb_index" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS beast_test_emb_index")
+
+
+def test_indexed_increment_never_self_pairs_on_overlapping_reappend(spark):
+    """An id present in BOTH the index and the increment (an
+    overlapping re-append) must not emit a (x, x) pair with
+    cos_sim 1.0 (round-5 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        embedding_lsh_index,
+        hyperplanes_md5,
+        incremental_lsh_neardup_pairs_indexed,
+    )
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)]
+    ddl = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, ddl)
+    planes = hyperplanes_md5(8, 4)
+    index = embedding_lsh_index(full, planes)
+    # re-send rows 0..9, all already indexed
+    _, pairs = incremental_lsh_neardup_pairs_indexed(
+        index,
+        spark.createDataFrame(rows[:10], ddl),
+        dims=8,
+        threshold=0.0,
+        planes=planes,
+    )
+    assert pairs.filter(F.col("vec1") == F.col("vec2")).count() == 0
+
+
+def test_multitable_increment_equals_full_rebuild(spark, sf_dir):
+    """The multi-table (OR-amplified) incremental form: pairs(full, L
+    tables) == pairs(existing) ∪ pairs(increment), disjointly — the
+    production-recall config of the incremental/streaming near-dup path
+    (the single-table config q172 measures at ~7% pair recall)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        incremental_multitable_neardup_pairs,
+        lsh_multitable_neardup_pairs,
+        multitable_planes,
+    )
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    tables = multitable_planes(64, 8, 75)
+    thr = 0.3
+
+    def pairset(df):
+        return {(r.vec1, r.vec2, r.cos_sim) for r in df.collect()}
+
+    ex_post = embedding_multitable_postings(old, tables)
+    from beast_spark.functions.vectors import norm
+
+    ex_vec = old.select("vec_id", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    new_post, new_vec, inc = incremental_multitable_neardup_pairs(
+        ex_post, ex_vec, new, dims=64, threshold=thr, tables=tables
+    )
+    inc_set = pairset(inc)
+    full = pairset(lsh_multitable_neardup_pairs(e, dims=64, threshold=thr, tables=tables))
+    existing = pairset(
+        lsh_multitable_neardup_pairs(old, dims=64, threshold=thr, tables=tables)
+    )
+    assert existing | inc_set == full
+    assert existing.isdisjoint(inc_set)
+    assert inc_set  # non-degenerate
+
+    # appending the returned postings reproduces the full rebuild's index
+    appended = ex_post.unionByName(new_post)
+    rebuilt = embedding_multitable_postings(e, tables)
+    assert appended.count() == rebuilt.count()
+    assert appended.exceptAll(rebuilt).count() == 0
+    new_post.unpersist()
+    new_vec.unpersist()
 
 
 def test_range_bucket_join_matches_theta_and_avoids_nested_loop(spark):

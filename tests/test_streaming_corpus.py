@@ -248,3 +248,28 @@ def test_corpus_v2_restart_replay_is_noop(spark, tmp_path):
     )
     m.apply_batch(batch, max(applied))
     assert {tuple(r) for r in m.survivors(spark).collect()} == before
+
+
+def test_corpus_v2_boiler_gate_rounds_like_batch_q124(spark, tmp_path):
+    """The batch pipeline (q161) gates on q124's PUBLISHED boiler_frac —
+    rnd(n_boiler/n_chunks, 4) — so a true fraction in (0.5, 0.50005)
+    rounds down to 0.5000 and passes. The stream's survivors() must
+    apply the same rounding, or the per-prefix equivalence contract
+    breaks on >10k-chunk documents sitting on the boundary."""
+    from beast_spark.streaming.corpus_v2 import CorpusV2Maintainer
+
+    m = CorpusV2Maintainer(str(tmp_path / "state"))
+    # Hand-write a signals sub-table with boundary counters (a real doc
+    # this size would need >800k tokens — the gate math is what's under
+    # test, and survivors() derives everything from `signals`).
+    spark.createDataFrame(
+        [
+            # 50001/100000 = 0.50001 -> rnd4 = 0.5000 -> batch PASSES
+            (1, "h1", 10, 0.95, 0.0, 100000, 50001),
+            # 50005/100000 = 0.50005 -> rnd4 = 0.5001 -> batch fails
+            (2, "h2", 10, 0.95, 0.0, 100000, 50005),
+        ],
+        "doc_id long, text_hash string, n_tokens long, norm_entropy double,"
+        " dup_trigram_frac double, n_chunks long, n_boiler long",
+    ).write.parquet(str(tmp_path / "state" / "signals"))
+    assert {r.doc_id for r in m.survivors(spark).collect()} == {1}

@@ -1,6 +1,8 @@
 """Streaming embedding near-dup maintenance: streamed index + pair set
-must equal the full q85 rebuild over everything ingested, batch by
-batch, with exactly-once replay."""
+must equal the full multi-table rebuild over everything ingested, batch
+by batch, with exactly-once replay — at the PRODUCTION multi-table
+configuration (the single-table config q172 measures at ~7% pair
+recall is no longer the maintainer's default)."""
 
 from __future__ import annotations
 
@@ -17,7 +19,10 @@ def _run_once(spark, m, src_dir, ckpt):
 
 
 def test_streamed_neardup_equals_full_rebuild_per_prefix(spark, sf_dir, tmp_path):
-    from beast_spark.operators.similarity import hyperplanes_md5, lsh_neardup_pairs
+    """At the production config (75 tables × 8 planes): after every
+    micro-batch, the accumulated pair set equals a full
+    lsh_multitable_neardup_pairs rebuild over everything ingested."""
+    from beast_spark.operators.similarity import lsh_multitable_neardup_pairs
     from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -29,7 +34,6 @@ def test_streamed_neardup_equals_full_rebuild_per_prefix(spark, sf_dir, tmp_path
     src_dir = tmp_path / "incoming"
     os.makedirs(src_dir)
     m = EmbeddingNearDupMaintainer(str(tmp_path / "state"), dims=64, threshold=thr)
-    planes = hyperplanes_md5(64, 6)
 
     seen = None
     for k, sl in enumerate(slices):
@@ -39,10 +43,13 @@ def test_streamed_neardup_equals_full_rebuild_per_prefix(spark, sf_dir, tmp_path
         got = {(r.vec1, r.vec2, r.cos_sim) for r in m.read_pairs(spark).collect()}
         want = {
             (r.vec1, r.vec2, r.cos_sim)
-            for r in lsh_neardup_pairs(seen, dims=64, threshold=thr, planes=planes).collect()
+            for r in lsh_multitable_neardup_pairs(
+                seen, dims=64, threshold=thr, tables=m.tables
+            ).collect()
         }
         assert got == want, f"prefix {k}"
-        assert m.read_index(spark).count() == seen.count()
+        assert m.read_vectors(spark).count() == seen.count()
+        assert m.read_postings(spark).count() == seen.count() * len(m.tables)
     assert got  # the run actually found pairs
 
 
@@ -53,7 +60,9 @@ def test_streamed_neardup_restart_and_replay_noop(spark, tmp_path):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(8)], 0) for i in range(30)]
     src_dir = tmp_path / "incoming"
     os.makedirs(src_dir)
-    m = EmbeddingNearDupMaintainer(str(tmp_path / "state"), dims=8, threshold=0.9)
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=0.9, n_planes=4, n_tables=8
+    )
     spark.createDataFrame(rows[:15], ddl).write.parquet(str(src_dir / "b0"))
     _run_once(spark, m, src_dir, tmp_path / "ckpt")
     spark.createDataFrame(rows[15:], ddl).write.parquet(str(src_dir / "b1"))
@@ -69,3 +78,21 @@ def test_streamed_neardup_restart_and_replay_noop(spark, tmp_path):
     # post-commit crash replay of an applied batch: no double-counted pairs
     m.apply_batch(spark.createDataFrame(rows[15:], ddl), max(applied))
     assert {tuple(r) for r in m.read_pairs(spark).collect()} == before
+
+
+def test_streamed_neardup_releases_operator_caches(spark, tmp_path):
+    """The operator persists its per-batch increment frames; the
+    maintainer must unpersist them after commit or a long-lived stream
+    accumulates cached blocks every micro-batch (round-5 ADVICE)."""
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>, label long"
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(8)], 0) for i in range(40)]
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=0.9, n_planes=4, n_tables=8
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for b in range(4):
+        m.apply_batch(spark.createDataFrame(rows[b * 10 : (b + 1) * 10], ddl), b)
+    assert jsc.getPersistentRDDs().size() == before
