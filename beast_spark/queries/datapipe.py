@@ -2004,10 +2004,14 @@ def q113_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_grid = grid.join(o, ["et", "bk"], "left").select(
         "et", "bk", F.coalesce(F.col("obs"), F.lit(0.0)).alias("obs")
     )
+    # grand total via an aggregate + broadcast (a partition-less window
+    # would funnel the grid through one partition; the grid is tiny here
+    # but the plan shape is banned registry-wide — test_plan_quality)
+    n_tot = full_grid.agg(F.sum("obs").alias("n"))
     t = (
         full_grid.withColumn("rt", F.sum("obs").over(Window.partitionBy("et")))
         .withColumn("ct", F.sum("obs").over(Window.partitionBy("bk")))
-        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+        .crossJoin(F.broadcast(n_tot))
     )
     exp = F.col("rt") * F.col("ct") / F.col("n")
     dev = F.col("obs") - exp
@@ -4281,17 +4285,16 @@ def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qv = dqv.filter(F.col("vec_id") == 0).select(F.col("dqvec").alias("qdv"))
     qcos = cosine(F.col("qdv"), F.col("dqvec"))
+    # top-10 via orderBy+limit (TakeOrderedAndProject: each task keeps
+    # its local 10, the driver merges) — never a row_number() over an
+    # unpartitioned window, which would sort the whole corpus through
+    # one partition at scale (round-5 VERDICT #3)
     qtop = (
         dqv.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", (F.floor(qcos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"))
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-            ),
-        )
-        .filter(F.col("r") <= 10)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
         .select("vec_id")
     )
     etop = q38_embedding_knn(spark, sf_dir).select("vec_id")

@@ -316,3 +316,66 @@ def test_grouped_topk_plans_window_group_limit(spark, sf_dir, queries):
     the shuffle then carries O(groups x k) rows, not the table."""
     plan = _plan(queries["q142_topk_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_no_unpartitioned_windows_over_unbounded_inputs(spark, sf_dir, queries):
+    """A partition-less WindowExec sorts its ENTIRE input through one
+    partition — the scale-killer no registered query may plan over an
+    unbounded frame (round-5 VERDICT #3). It is allowed only when the
+    frame is tiny BY CONSTRUCTION: the first substantive node below the
+    window (looking through project/filter/sort/exchange/codegen
+    wrappers) must be a limit (TakeOrderedAndProject — the q122/q136
+    top-k-then-rerank shape), an aggregate (q134's per-partition
+    counts, q135/q152's group frames), or a literal local table."""
+    PASS_THROUGH = {
+        "ProjectExec", "FilterExec", "SortExec", "InputAdapter",
+        "WholeStageCodegenExec", "ColumnarToRowExec", "CoalesceExec",
+        "SerializeFromObjectExec", "DeserializeToObjectExec",
+        "ShuffleExchangeExec", "AQEShuffleReadExec", "ShuffleQueryStageExec",
+    }
+    TINY = {
+        "TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec",
+        "CollectLimitExec", "HashAggregateExec", "SortAggregateExec",
+        "ObjectHashAggregateExec", "LocalTableScanExec",
+    }
+
+    def children(node):
+        out = []
+        it = node.children().iterator()
+        while it.hasNext():
+            out.append(it.next())
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            out.append(node.initialPlan())
+        if name == "ShuffleQueryStageExec":
+            out.append(node.plan())
+        return out
+
+    def first_substantive(node):
+        name = node.getClass().getSimpleName()
+        if name in PASS_THROUGH:
+            for c in children(node):
+                r = first_substantive(c)
+                if r is not None:
+                    return r
+            return None
+        return name
+
+    def walk(node, bad):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            kids = children(node)
+            below = first_substantive(kids[0]) if kids else "?"
+            if below not in TINY:
+                bad.append(below)
+        for c in children(node):
+            walk(c, bad)
+
+    offenders = {}
+    for name, spec in sorted(queries.items()):
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        bad = []
+        walk(plan, bad)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unpartitioned windows over unbounded inputs: {offenders}"
