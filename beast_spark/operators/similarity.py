@@ -40,7 +40,9 @@ __all__ = [
     "incremental_lsh_neardup_pairs_indexed",
     "incremental_multitable_neardup_pairs",
     "ivf_assign",
+    "ivf_candidates",
     "ivf_topk",
+    "clustered_fixture",
     "quantization_params",
     "scalar_quantize_dequantized",
 ]
@@ -839,3 +841,104 @@ def incremental_multitable_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
     )
     return new_post, new_vec, pairs
+
+
+def clustered_fixture(
+    data: DataFrame,
+    dims: int,
+    n_clusters: int = 64,
+    noise_scale: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "c",
+) -> DataFrame:
+    """Deterministic mixture-of-clusters embeddings DERIVED from the
+    corpus: vector i = center(i % n_clusters) + noise_scale · original_i.
+
+    The synthetic embeddings tables are adversarially near-uniform (top-10
+    cosine ≈ bulk p99) — the worst case for any angle-based index and
+    unrepresentative of real embedding corpora, which cluster. This
+    fixture manufactures that structure reproducibly in ANY engine:
+    centers are md5-Rademacher ±1 vectors (norm √dims), the original
+    near-uniform vector serves as the noise term (norm ≈ 1 here, so
+    noise_scale=2 puts within-cluster cosine ≈ dims/(dims+scale²) ≈ 0.94
+    against cross-cluster ≈ ±1/√dims) — no RNG, no generation artifact
+    to ship: a DuckDB oracle rebuilds it from the same table with the
+    same md5 formula and identically-ordered double arithmetic.
+    """
+    import hashlib
+
+    centers = [
+        (
+            g,
+            [
+                1.0
+                if int(hashlib.md5(f"{salt}{g}:{d}".encode()).hexdigest()[0], 16) % 2
+                else -1.0
+                for d in range(dims)
+            ],
+        )
+        for g in range(n_clusters)
+    ]
+    spark = data.sparkSession
+    cdf = spark.createDataFrame(centers, "g long, cv array<double>")
+    return (
+        data.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .withColumn("g", F.col(id_col) % n_clusters)
+        .join(F.broadcast(cdf), "g")
+        .select(
+            id_col,
+            F.zip_with(
+                "cv",
+                vec_col,
+                lambda c, x: c + F.lit(float(noise_scale)) * x,
+            ).alias(vec_col),
+        )
+    )
+
+
+def ivf_candidates(
+    data: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, vec_id) candidate pairs of the IVF index: a vector is a
+    candidate iff it is assigned to one of the query's ``nprobe`` nearest
+    coarse cells. The q163-style evaluation primitive — top-k and
+    candidate-count both derive from it, so the measured candidate
+    fraction is exactly what the search scores.
+
+    Scale shape: assignment is one broadcast-centroid map stage over the
+    corpus (``ivf_assign`` — at warehouse scale it is precomputed and
+    stored WITH the corpus, this recomputes it for self-containment);
+    the per-query probe list is tiny (Q × nprobe) and broadcasts onto
+    the assigned corpus, so candidate generation is a map-side semi-join
+    — no shuffle of the corpus, candidate volume ≈ nprobe/n_centroids
+    of it. Centroids are the first ``n_centroids`` vectors by id (the
+    deterministic stand-in ``ivf_topk`` documents; swap in ``kmeans_lite``
+    offline for trained cells — the search plan is identical).
+    """
+    centroids = data.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    assigned = ivf_assign(data, centroids, id_col, vec_col, round_digits)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    q_scored = q.join(F.broadcast(c)).select(
+        "query_id",
+        "cid",
+        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    probes = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cid")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
