@@ -10,9 +10,14 @@ were different can become equal), their per-source cap rank, and their
 token totals. So the maintainer keeps enough state to RE-DERIVE any
 document's cleaned form against the global counts:
 
-* ``docs``     — (doc_id, text, source) for every >= window-token doc
-  ingested (the re-derivation input; at warehouse scale this is the
-  corpus itself — store a pointer, not a copy).
+* ``docs``     — the re-derivation input, one row per >= window-token
+  doc ingested. Two storage forms: :class:`CorpusV3Maintainer` keeps
+  (doc_id, text, source) — a full-text copy, fine locally;
+  :class:`CorpusV3PointerMaintainer` keeps (doc_id, source, src_path)
+  — a POINTER into the immutable source parquet files, re-reading
+  affected documents' text on demand, so the maintained state never
+  stores text and its size is independent of document length (the
+  warehouse form).
 * ``whcounts`` — (wh, n) global sliding-window-hash occurrence counts.
 * ``postings`` — distinct (doc_id, wh): the inverted window index used
   to find documents affected by a threshold crossing.
@@ -51,7 +56,7 @@ from beast_spark.operators.quality import (
 )
 from beast_spark.streaming.swap import SwapCommittedTable
 
-__all__ = ["CorpusV3Maintainer"]
+__all__ = ["CorpusV3Maintainer", "CorpusV3PointerMaintainer"]
 
 
 class CorpusV3Maintainer(SwapCommittedTable):
@@ -83,6 +88,17 @@ class CorpusV3Maintainer(SwapCommittedTable):
             return None
         return spark.read.parquet(sub)
 
+    # -- docs storage hooks (overridden by the pointer form) --------------
+
+    def _docs_frame(self, bdocs: DataFrame) -> DataFrame:
+        """What the ``docs`` sub-table persists for this batch's rows."""
+        return bdocs.select("doc_id", "text", "source")
+
+    def _with_text(self, spark: SparkSession, docs_rows: DataFrame) -> DataFrame:
+        """Materialize (doc_id, text, source) for previously-ingested
+        docs rows (identity here — text is stored inline)."""
+        return docs_rows.select("doc_id", "text", "source")
+
     # -- the foreachBatch body -------------------------------------------
 
     def _derive_signals(self, docs: DataFrame, flagged: DataFrame) -> DataFrame:
@@ -113,9 +129,7 @@ class CorpusV3Maintainer(SwapCommittedTable):
             return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
         w = self.window
-        bdocs = batch_df.select("doc_id", "text", "source").filter(
-            F.size(F.split("text", " ")) >= w
-        )
+        bdocs = batch_df.filter(F.size(F.split("text", " ")) >= w)
         wins = window_hashes(bdocs, w)
         cnt_new = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("nd_new"))
         post_new = wins.select("doc_id", "wh").distinct()
@@ -140,10 +154,31 @@ class CorpusV3Maintainer(SwapCommittedTable):
             ).select("wh")
         flagged = merged.filter(F.col("n") >= 2).select("wh")
 
+        if old_docs is not None:
+            # Append-only contract guard: the retroactive machinery
+            # assumes window-hash counts NEVER decrease ("spans only
+            # grow"). A reprocessed/corrected source re-sending a doc id
+            # (possibly with shrunk text) would double-count its windows
+            # and silently violate that monotonicity — raise instead.
+            dup = (
+                bdocs.select("doc_id")
+                .join(old_docs.select("doc_id"), "doc_id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "corpus-v3 maintainer: batch re-sends already-ingested "
+                    "doc_id(s); the stream is append-only — a corrected/"
+                    "shrunk document would double-count its window hashes "
+                    "and break the counts-never-decrease invariant. "
+                    "Rebuild the state from the corrected source instead."
+                )
+        btext = bdocs.select("doc_id", "text", "source")
         if old_docs is None:
-            redo = bdocs
+            redo = btext
             signals = self._derive_signals(redo, flagged)
-            docs = bdocs
+            docs = self._docs_frame(bdocs)
             postings = post_new
         else:
             affected = (
@@ -151,13 +186,15 @@ class CorpusV3Maintainer(SwapCommittedTable):
                 .select("doc_id")
                 .distinct()
             )
-            redo_old = old_docs.join(affected, "doc_id", "left_semi")
-            redo = redo_old.unionByName(bdocs)
+            redo_old = self._with_text(
+                spark, old_docs.join(affected, "doc_id", "left_semi")
+            )
+            redo = redo_old.unionByName(btext)
             sig_redo = self._derive_signals(redo, flagged)
             signals = old_signals.join(
                 redo.select("doc_id"), "doc_id", "left_anti"
             ).unionByName(sig_redo)
-            docs = old_docs.unionByName(bdocs)
+            docs = old_docs.unionByName(self._docs_frame(bdocs))
             postings = old_postings.unionByName(post_new)
 
         self._commit_state(
@@ -241,6 +278,54 @@ class CorpusV3Maintainer(SwapCommittedTable):
         """Start the maintenance stream (availableNow-compatible)."""
         return (
             docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class CorpusV3PointerMaintainer(CorpusV3Maintainer):
+    """The warehouse form of v3's ``docs`` state: POINTERS, not text.
+
+    The base maintainer's ``docs`` sub-table is a full-text copy of the
+    corpus — acknowledged as local-only. Here it stores
+    (doc_id, source, src_path) where ``src_path`` is the immutable
+    source parquet file the document arrived in (captured from the file
+    source's ``_metadata.file_path`` constant column — zero extra I/O),
+    and span re-derivation re-reads ONLY the affected documents' text
+    from those files: the file list prunes to the files holding
+    affected docs, the scan projects (doc_id, text), and the semi-join
+    restricts to the affected ids. The maintained state never stores
+    document text, so its size is independent of document length;
+    per-batch cost stays O(batch + postings-of-crossed + affected-doc
+    FILES read). Requires a file-based source whose files are immutable
+    (the normal ingestion-directory contract — a rewritten source file
+    would silently change re-derivation inputs).
+
+    The distinct affected file paths are collected to the driver to
+    form the read — O(affected files) strings, the same class of
+    driver-side scalar as the iterative convergence probes, never rows.
+    """
+
+    def _docs_frame(self, bdocs: DataFrame) -> DataFrame:
+        return bdocs.select("doc_id", "source", "src_path")
+
+    def _with_text(self, spark: SparkSession, docs_rows: DataFrame) -> DataFrame:
+        ptrs = docs_rows.select("doc_id", "source", "src_path")
+        paths = [r.src_path for r in ptrs.select("src_path").distinct().collect()]
+        if not paths:
+            return spark.createDataFrame([], "doc_id long, text string, source string")
+        raw = spark.read.parquet(*paths).select("doc_id", "text")
+        return ptrs.select("doc_id", "source").join(raw, "doc_id").select(
+            "doc_id", "text", "source"
+        )
+
+    def stream_from(self, docs: DataFrame, checkpoint: str):
+        """Start the maintenance stream; captures each row's source file
+        from the hidden ``_metadata`` column of the file source."""
+        withptr = docs.withColumn("src_path", F.col("_metadata.file_path"))
+        return (
+            withptr.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
