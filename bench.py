@@ -183,6 +183,43 @@ def main() -> None:
         payload["ingest_rps"] = round(n_events / timings["q53_proto_ingest_roundtrip"])
         payload["decode_rps"] = small_rate
         payload["decode_rps_10x"] = big_rate
+    # One-off converged measurement of the ITERATIVE clustering path:
+    # every star-contraction query is bench-excluded per-query (candidate
+    # generation is benched on its own), so without this no number exists
+    # for the clustering rounds themselves and a regression in the
+    # two-phase large-star/small-star path would be invisible. Candidate
+    # generation is paid OUTSIDE the clock (persisted pair graph).
+    try:
+        from beast_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+        d = load_table(spark, sf_dir, "documents")
+        pair_graph = (
+            minhash_lsh_pairs(
+                d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
+            )
+            .select("doc1", "doc2")
+            .persist()
+        )
+        pair_graph.count()
+        cbest, crounds = float("inf"), None
+        for _ in range(3):
+            cstats: dict = {}
+            t0 = time.perf_counter()
+            dedup_clusters(pair_graph, stats=cstats).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            took = time.perf_counter() - t0
+            converged = cbest < float("inf") and took > cbest * 0.8
+            if took < cbest:
+                cbest, crounds = took, cstats["rounds"]
+            if converged:
+                break
+        pair_graph.unpersist()
+        payload["cluster_seconds"] = round(cbest, 3)
+        payload["cluster_rounds"] = crounds
+    except Exception as exc:
+        failures["dedup_clusters_bench"] = f"{type(exc).__name__}: {exc}"[:200]
+
     if failures:
         payload["failures_n"] = len(failures)
 
