@@ -1270,3 +1270,107 @@ def test_repeated_span_removal_semantics(spark):
     import hashlib
     assert full[4] == hashlib.md5(b"").hexdigest()
     assert full[5] == hashlib.md5(b"").hexdigest()
+
+
+def test_quantized_codes_roundtrip_matches_dequantized_form(spark, sf_dir):
+    """dequantize(quantize_codes(x)) must equal scalar_quantize_dequantized(x)
+    bit-for-bit: one canonical dequantized form for storage, scoring,
+    and oracles."""
+    from beast_spark.operators.similarity import (
+        dequantize_codes,
+        quantization_params,
+        quantize_codes,
+        scalar_quantize_dequantized,
+    )
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    params = quantization_params(e)
+    want = {
+        r.vec_id: tuple(r.dqvec)
+        for r in scalar_quantize_dequantized(e, params).collect()
+    }
+    codes = quantize_codes(e, params)
+    got = {
+        r.vec_id: tuple(r.dqvec)
+        for r in dequantize_codes(codes, params).collect()
+    }
+    assert got == want
+    # codes really are int8-ranged
+    import pyspark.sql.functions as SF
+
+    mx = codes.select(SF.explode("codes").alias("c")).agg(
+        SF.min("c").alias("lo"), SF.max("c").alias("hi")
+    ).collect()[0]
+    assert -128 <= mx.lo <= mx.hi <= 127
+
+
+def test_quantized_index_increment_equals_full_and_shrinks_storage(
+    spark, sf_dir, tmp_path
+):
+    """The q164 exactness contract on the QUANTIZED index — pairs_q(full)
+    == pairs_q(existing) ∪ pairs_q(increment) under a FROZEN codebook —
+    plus the storage claim: the TINYINT-coded index parquet must be
+    well under half the raw-vector index's size."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        dequantize_codes,
+        embedding_lsh_index,
+        embedding_lsh_index_quantized,
+        hyperplanes_md5,
+        incremental_lsh_neardup_pairs_quantized,
+        lsh_neardup_pairs,
+        quantization_params,
+        quantize_codes,
+    )
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    planes = hyperplanes_md5(64, 6)
+    thr = 0.3
+    params = quantization_params(e)  # frozen over the FULL corpus
+
+    qindex = embedding_lsh_index_quantized(old, planes, params)
+    qindex.write.parquet(str(tmp_path / "qidx"))
+    qindex = spark.read.parquet(str(tmp_path / "qidx"))
+
+    def pairset(df):
+        return {(r.vec1, r.vec2, r.cos_sim) for r in df.collect()}
+
+    new_idx, inc = incremental_lsh_neardup_pairs_quantized(
+        qindex, params, new, dims=64, threshold=thr, planes=planes
+    )
+    inc_set = pairset(inc)
+
+    # the full/existing reference sets: q85's operator over the
+    # canonical dequantized vectors (same planes, same threshold)
+    def dq_pairs(src):
+        dq = dequantize_codes(quantize_codes(src, params), params).select(
+            "vec_id", F.col("dqvec").alias("embedding")
+        )
+        return pairset(lsh_neardup_pairs(dq, dims=64, threshold=thr, planes=planes))
+
+    full = dq_pairs(e)
+    existing = dq_pairs(old)
+    assert existing | inc_set == full
+    assert existing.isdisjoint(inc_set)
+    assert inc_set
+    new_idx.unpersist()
+
+    # storage: quantized index well under half the raw index
+    embedding_lsh_index(old, planes).write.parquet(str(tmp_path / "rawidx"))
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(str(p))
+            for f in fs
+        )
+
+    ratio = dir_bytes(tmp_path / "qidx") / dir_bytes(tmp_path / "rawidx")
+    assert ratio < 0.5, ratio
