@@ -41,12 +41,15 @@ __all__ = [
     "incremental_multitable_neardup_pairs",
     "ivf_assign",
     "ivf_candidates",
+    "ivf_probes",
     "ivf_topk",
     "clustered_fixture",
     "quantization_params",
     "scalar_quantize_dequantized",
     "quantize_codes",
     "dequantize_codes",
+    "codebook_arrays",
+    "dequant_expr",
     "embedding_lsh_index_quantized",
     "incremental_lsh_neardup_pairs_quantized",
 ]
@@ -485,6 +488,39 @@ def ivf_assign(
     return best.select(id_col, vec_col, (-F.col("best.ncid")).alias("cid"))
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, query_vec, cid): each query's ``nprobe`` nearest
+    coarse cells — the shared probe-selection block of :func:`ivf_topk`
+    and :func:`ivf_candidates` (one broadcast of the tiny centroid
+    frame, rounded-score ranking with cid tie-break), factored out so
+    the two paths cannot drift."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    q_scored = q.join(F.broadcast(c)).select(
+        "query_id",
+        "query_vec",
+        "cid",
+        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias(
+            "cscore"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    return (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "query_vec", "cid")
+    )
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -507,22 +543,9 @@ def ivf_topk(
     """
     centroids = data.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     assigned = ivf_assign(data, centroids, id_col, vec_col, round_digits)
-
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    q_scored = q.join(F.broadcast(c)).select(
-        "query_id",
-        "query_vec",
-        "cid",
-        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias("cscore"),
+    probes = ivf_probes(
+        queries, centroids, nprobe, id_col, vec_col, round_digits
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
-    probes = (
-        q_scored.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "query_vec", "cid")
-    )
-
     cand = assigned.join(
         F.broadcast(probes), "cid"
     ).filter(F.col("query_id") != F.col(id_col))
@@ -870,20 +893,10 @@ def clustered_fixture(
     to ship: a DuckDB oracle rebuilds it from the same table with the
     same md5 formula and identically-ordered double arithmetic.
     """
-    import hashlib
-
-    centers = [
-        (
-            g,
-            [
-                1.0
-                if int(hashlib.md5(f"{salt}{g}:{d}".encode()).hexdigest()[0], 16) % 2
-                else -1.0
-                for d in range(dims)
-            ],
-        )
-        for g in range(n_clusters)
-    ]
+    # Center g is exactly md5-Rademacher "plane" g of the shared
+    # generator (same md5(salt+"g:d") parity formula the DuckDB oracles
+    # replay) — one hash family, defined once.
+    centers = list(enumerate(hyperplanes_md5(dims, n_clusters, salt=salt)))
     spark = data.sparkSession
     cdf = spark.createDataFrame(centers, "g long, cv array<double>")
     return (
@@ -928,19 +941,9 @@ def ivf_candidates(
     """
     centroids = data.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     assigned = ivf_assign(data, centroids, id_col, vec_col, round_digits)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    q_scored = q.join(F.broadcast(c)).select(
-        "query_id",
-        "cid",
-        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias("cscore"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
-    probes = (
-        q_scored.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "cid")
-    )
+    probes = ivf_probes(
+        queries, centroids, nprobe, id_col, vec_col, round_digits
+    ).select("query_id", "cid")
     return (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col(id_col))
@@ -991,6 +994,30 @@ def quantize_codes(
     )
 
 
+def codebook_arrays(params: DataFrame) -> tuple[F.Column, F.Column]:
+    """Collect the 64-row codebook ONCE into two literal array columns
+    (mn, scale) — callers that dequantize several frames share one
+    driver-side read instead of re-collecting (and re-executing the
+    codebook plan) per call."""
+    p = sorted(params.collect(), key=lambda r: r.dim)
+    mn_arr = F.array(*[F.lit(float(r.mn)) for r in p])
+    sc_arr = F.array(*[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in p])
+    return mn_arr, sc_arr
+
+
+def dequant_expr(
+    codes_col: str, mn_arr: F.Column, sc_arr: F.Column
+) -> F.Column:
+    """dq[d] = mn[d] + (code[d]+128) · scale[d] as a pure column
+    expression over literal codebook arrays — no join, map stage only."""
+    stepped = F.zip_with(
+        F.col(codes_col).cast("array<int>"),
+        sc_arr,
+        lambda c, s: (c + F.lit(128)).cast("double") * s,
+    )
+    return F.zip_with(stepped, mn_arr, lambda t, m: m + t)
+
+
 def dequantize_codes(
     codes_df: DataFrame,
     params: DataFrame,
@@ -1004,18 +1031,13 @@ def dequantize_codes(
     same operation order), so every downstream consumer (bucketing,
     scoring, oracles) sees one canonical dequantized form. The 64-row
     codebook collapses to two literal arrays carried in the plan — no
-    join, pure map stage.
+    join, pure map stage. Dequantizing several frames against one
+    codebook? Use :func:`codebook_arrays` + :func:`dequant_expr` to pay
+    the codebook read once.
     """
-    p = sorted(params.collect(), key=lambda r: r.dim)
-    mn_arr = F.array(*[F.lit(float(r.mn)) for r in p])
-    sc_arr = F.array(*[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in p])
-    stepped = F.zip_with(
-        F.col(codes_col).cast("array<int>"),
-        sc_arr,
-        lambda c, s: (c + F.lit(128)).cast("double") * s,
-    )
+    mn_arr, sc_arr = codebook_arrays(params)
     return codes_df.select(
-        id_col, F.zip_with(stepped, mn_arr, lambda t, m: m + t).alias(out_col)
+        id_col, dequant_expr(codes_col, mn_arr, sc_arr).alias(out_col)
     )
 
 
@@ -1036,10 +1058,10 @@ def embedding_lsh_index_quantized(
     (property-tested). The recall cost of quantized scoring vs the
     full-precision index is measured hash-checked in q175.
     """
-    codes = quantize_codes(data, params, id_col, vec_col)
-    dq = dequantize_codes(codes, params, id_col)
+    mn_arr, sc_arr = codebook_arrays(params)
     return (
-        codes.join(dq, id_col)
+        quantize_codes(data, params, id_col, vec_col)
+        .withColumn("dqvec", dequant_expr("codes", mn_arr, sc_arr))
         .withColumn("bucket", lsh_bucket_col("dqvec", planes))
         .withColumn("nrm", norm(F.col("dqvec")))
         .select(id_col, "codes", "bucket", "nrm")
@@ -1069,19 +1091,18 @@ def incremental_lsh_neardup_pairs_quantized(
     """
     if planes is None:
         planes = hyperplanes_md5(dims, n_planes)
+    # ONE codebook collect for all three dequantizations below — and
+    # the increment's dqvec derives from its cached codes by a pure
+    # column expression, never a join or recompute from raw vectors.
+    mn_arr, sc_arr = codebook_arrays(params)
     new_idx = embedding_lsh_index_quantized(
         new_df, planes, params, id_col, vec_col
     ).persist()
-    new_dq = dequantize_codes(new_idx.select(id_col, "codes"), params, id_col)
-    a = (
-        new_idx.select(id_col, "bucket", "nrm")
-        .join(new_dq, id_col)
-        .select(
-            "bucket",
-            F.col(id_col).alias("nid"),
-            F.col("dqvec").alias("nv"),
-            F.col("nrm").alias("nn"),
-        )
+    a = new_idx.select(
+        "bucket",
+        F.col(id_col).alias("nid"),
+        dequant_expr("codes", mn_arr, sc_arr).alias("nv"),
+        F.col("nrm").alias("nn"),
     )
     b = a.select(
         "bucket",
@@ -1103,9 +1124,12 @@ def incremental_lsh_neardup_pairs_quantized(
     )
     touched = a.select("bucket").distinct()
     ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
-    ex_dq = dequantize_codes(
-        ex.select(id_col, "codes"), params, id_col
-    ).join(ex.select(id_col, "bucket", "nrm"), id_col)
+    ex_dq = ex.select(
+        id_col,
+        "bucket",
+        "nrm",
+        dequant_expr("codes", mn_arr, sc_arr).alias("dqvec"),
+    )
     ne_pairs = (
         ex_dq.join(F.broadcast(a), "bucket")
         .filter(F.col(id_col) != F.col("nid"))

@@ -154,26 +154,36 @@ class CorpusV3Maintainer(SwapCommittedTable):
             ).select("wh")
         flagged = merged.filter(F.col("n") >= 2).select("wh")
 
+        # Append-only contract guard: the retroactive machinery assumes
+        # window-hash counts NEVER decrease ("spans only grow"). A
+        # duplicated doc id — re-sent across batches OR repeated within
+        # one batch (a correction landing in the same trigger) — would
+        # double-count its windows and silently violate that
+        # monotonicity — raise instead.
+        intra = (
+            bdocs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        cross = 0
         if old_docs is not None:
-            # Append-only contract guard: the retroactive machinery
-            # assumes window-hash counts NEVER decrease ("spans only
-            # grow"). A reprocessed/corrected source re-sending a doc id
-            # (possibly with shrunk text) would double-count its windows
-            # and silently violate that monotonicity — raise instead.
-            dup = (
+            cross = (
                 bdocs.select("doc_id")
                 .join(old_docs.select("doc_id"), "doc_id", "left_semi")
                 .limit(1)
                 .count()
             )
-            if dup:
-                raise ValueError(
-                    "corpus-v3 maintainer: batch re-sends already-ingested "
-                    "doc_id(s); the stream is append-only — a corrected/"
-                    "shrunk document would double-count its window hashes "
-                    "and break the counts-never-decrease invariant. "
-                    "Rebuild the state from the corrected source instead."
-                )
+        if intra or cross:
+            raise ValueError(
+                "corpus-v3 maintainer: duplicate doc_id(s) "
+                f"({'within this batch' if intra else 'already ingested'}); "
+                "the stream is append-only — a corrected/shrunk document "
+                "would double-count its window hashes and break the "
+                "counts-never-decrease invariant. Rebuild the state from "
+                "the corrected source instead."
+            )
         btext = bdocs.select("doc_id", "text", "source")
         if old_docs is None:
             redo = btext
@@ -315,8 +325,15 @@ class CorpusV3PointerMaintainer(CorpusV3Maintainer):
         paths = [r.src_path for r in ptrs.select("src_path").distinct().collect()]
         if not paths:
             return spark.createDataFrame([], "doc_id long, text string, source string")
-        raw = spark.read.parquet(*paths).select("doc_id", "text")
-        return ptrs.select("doc_id", "source").join(raw, "doc_id").select(
+        # Join on (doc_id, src_path), not doc_id alone: another pointed
+        # file may carry a sub-window-threshold row with the same id
+        # (which the append-only guard never saw, since it was filtered
+        # before ingestion) — pinning the file keeps exactly the row
+        # that was indexed.
+        raw = spark.read.parquet(*paths).select(
+            "doc_id", "text", F.col("_metadata.file_path").alias("src_path")
+        )
+        return ptrs.join(raw, ["doc_id", "src_path"]).select(
             "doc_id", "text", "source"
         )
 

@@ -88,6 +88,18 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
+        self._recover()
+        if os.path.exists(os.path.join(self.path, "index")):
+            # Pre-round-6 state: single-table layout under 'index'.
+            # Silently treating it as an empty multi-table index would
+            # honor the old ledger + pairs while losing every already-
+            # ingested vector from future probes.
+            raise ValueError(
+                "EmbeddingNearDupMaintainer: state dir holds the old "
+                "single-table 'index' layout; the maintainer now persists "
+                "a multi-table postings+vectors index. Rebuild the state "
+                "from the source stream (fresh state dir + checkpoint)."
+            )
         spark = batch_df.sparkSession
         postings = self.read_postings(spark)
         vectors = self.read_vectors(spark)

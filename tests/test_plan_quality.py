@@ -20,6 +20,18 @@ def queries():
     return all_queries()
 
 
+@pytest.fixture(scope="module")
+def query_dfs(spark, sf_dir, queries):
+    """One DataFrame per registered query, built ONCE for the module.
+
+    The registry-wide plan scans only need each query's plan, but
+    building a query's DataFrame can carry real side effects (q172 runs
+    two maintainer batches, q173 writes bucketed index tables) — three
+    tests each calling spec.fn would pay that three times. Plan
+    inspection is read-only, so the cached frames are safe to share."""
+    return {name: spec.fn(spark, sf_dir) for name, spec in sorted(queries.items())}
+
+
 def test_fixed_dims_broadcast(spark, sf_dir, queries):
     """region/nation are fixed-cardinality — their joins must broadcast,
     never shuffle, at any scale factor."""
@@ -36,25 +48,25 @@ def test_aggregation_is_partial_then_final(spark, sf_dir, queries):
     assert "partial_sum" in plan
 
 
-def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
+def test_no_cartesian_products_anywhere(query_dfs):
     """No registered query may plan a CartesianProduct except the one that
     IS a cross join (q57). BroadcastNestedLoopJoin is allowed only where
     the join is genuinely non-equi against a broadcast-size side."""
     offenders = []
-    for name, spec in sorted(queries.items()):
-        plan = _plan(spec.fn(spark, sf_dir))
+    for name, df in query_dfs.items():
+        plan = _plan(df)
         if "CartesianProduct" in plan and name != "q57_cross_join":
             offenders.append(name)
     assert not offenders, f"unexpected cartesian products: {offenders}"
 
 
-def test_no_row_python_udfs_in_plans(spark, sf_dir, queries):
+def test_no_row_python_udfs_in_plans(query_dfs):
     """Python may appear only Arrow-batched (ArrowEvalPython / mapInPandas
     / FlatMapGroupsInPandas) — BatchEvalPython (row-at-a-time pickling)
     is banned from every registered plan."""
     offenders = []
-    for name, spec in sorted(queries.items()):
-        plan = _plan(spec.fn(spark, sf_dir))
+    for name, df in query_dfs.items():
+        plan = _plan(df)
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs found in: {offenders}"
@@ -318,7 +330,7 @@ def test_grouped_topk_plans_window_group_limit(spark, sf_dir, queries):
     assert "WindowGroupLimit" in plan
 
 
-def test_no_unpartitioned_windows_over_unbounded_inputs(spark, sf_dir, queries):
+def test_no_unpartitioned_windows_over_unbounded_inputs(query_dfs):
     """A partition-less WindowExec sorts its ENTIRE input through one
     partition — the scale-killer no registered query may plan over an
     unbounded frame (round-5 VERDICT #3). It is allowed only when the
@@ -372,8 +384,8 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark, sf_dir, queries):
             walk(c, bad)
 
     offenders = {}
-    for name, spec in sorted(queries.items()):
-        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+    for name, df in query_dfs.items():
+        plan = df._jdf.queryExecution().executedPlan()
         bad = []
         walk(plan, bad)
         if bad:

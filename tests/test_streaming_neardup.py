@@ -96,3 +96,30 @@ def test_streamed_neardup_releases_operator_caches(spark, tmp_path):
     for b in range(4):
         m.apply_batch(spark.createDataFrame(rows[b * 10 : (b + 1) * 10], ddl), b)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_streamed_neardup_rejects_old_single_table_state(spark, tmp_path):
+    """A state dir written by the pre-multi-table maintainer (an 'index'
+    sub-table) must raise, not be silently treated as an empty
+    postings+vectors index while its pairs and ledger are honored."""
+    import json
+    import os
+
+    import pytest
+
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    state = tmp_path / "state"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 100, 1.0)],
+        "vec_id long, embedding array<double>, bucket long, nrm double",
+    ).write.parquet(str(state / "index"))
+    with open(state / "_applied_batches.json", "w") as fh:
+        json.dump([0], fh)
+
+    m = EmbeddingNearDupMaintainer(str(state), dims=2, n_planes=2, n_tables=2)
+    batch = spark.createDataFrame(
+        [(2, [0.0, 1.0], 0)], "vec_id long, embedding array<double>, label long"
+    )
+    with pytest.raises(ValueError, match="single-table"):
+        m.apply_batch(batch, 1)
