@@ -111,3 +111,107 @@ def test_hierarchy_depths_match_python_walk(spark, parents):
         for r in flatten_hierarchy(nodes, "id", "parent").collect()
     }
     assert got == {n: walk(n) for n, _ in rows}
+
+
+VEC = st.lists(
+    st.integers(min_value=-100, max_value=100).map(lambda v: v / 20.0),
+    min_size=6,
+    max_size=6,
+)
+VECSET = st.lists(VEC, min_size=0, max_size=14)
+
+
+@given(vecs=VECSET, split=st.integers(min_value=0, max_value=14))
+@settings(**SETTINGS)
+def test_multitable_increment_property_on_arbitrary_vectors(spark, vecs, split):
+    """pairs(full, L tables) == pairs(existing) ∪ pairs(increment),
+    disjointly, for ANY vector set and ANY split point — including the
+    empty-index (first batch) and empty-increment edges the SF-fixture
+    test never exercises."""
+    from beast_spark.functions.vectors import norm
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        incremental_multitable_neardup_pairs,
+        lsh_multitable_neardup_pairs,
+        multitable_planes,
+    )
+
+    # drop the all-zero vector (cosine undefined) and dedupe positions
+    rows = [(i, v) for i, v in enumerate(vecs) if any(x != 0.0 for x in v)]
+    ddl = "vec_id long, embedding array<double>"
+    full_df = spark.createDataFrame(rows, ddl)
+    old_df = spark.createDataFrame(rows[:split], ddl)
+    new_df = spark.createDataFrame(rows[split:], ddl)
+    tables = multitable_planes(6, 3, 4)
+    thr = 0.2
+
+    def pairset(df):
+        return {(r.vec1, r.vec2, r.cos_sim) for r in df.collect()}
+
+    ex_post = embedding_multitable_postings(old_df, tables)
+    ex_vec = old_df.select("vec_id", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    new_post, new_vec, inc = incremental_multitable_neardup_pairs(
+        ex_post, ex_vec, new_df, dims=6, threshold=thr, tables=tables
+    )
+    inc_set = pairset(inc)
+    full = pairset(
+        lsh_multitable_neardup_pairs(full_df, dims=6, threshold=thr, tables=tables)
+    )
+    existing = pairset(
+        lsh_multitable_neardup_pairs(old_df, dims=6, threshold=thr, tables=tables)
+    )
+    new_post.unpersist()
+    new_vec.unpersist()
+    assert existing | inc_set == full
+    assert existing.isdisjoint(inc_set)
+
+
+@given(vecs=VECSET, split=st.integers(min_value=0, max_value=14))
+@settings(**SETTINGS)
+def test_quantized_increment_property_on_arbitrary_vectors(spark, vecs, split):
+    """pairs_q(full) == pairs_q(existing) ∪ pairs_q(increment) under a
+    frozen codebook for ANY vector set and split — constant dimensions
+    (mx == mn), empty sides, and single-vector corpora included."""
+    from beast_spark.operators.similarity import (
+        dequantize_codes,
+        embedding_lsh_index_quantized,
+        hyperplanes_md5,
+        incremental_lsh_neardup_pairs_quantized,
+        lsh_neardup_pairs,
+        quantization_params,
+        quantize_codes,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs) if any(x != 0.0 for x in v)]
+    ddl = "vec_id long, embedding array<double>"
+    full_df = spark.createDataFrame(rows, ddl)
+    if not rows:
+        return  # quantization_params needs >= 1 vector
+    old_df = spark.createDataFrame(rows[:split], ddl)
+    new_df = spark.createDataFrame(rows[split:], ddl)
+    planes = hyperplanes_md5(6, 3)
+    thr = 0.2
+    params = quantization_params(full_df)  # frozen over the union
+
+    def pairset(df):
+        return {(r.vec1, r.vec2, r.cos_sim) for r in df.collect()}
+
+    qindex = embedding_lsh_index_quantized(old_df, planes, params)
+    new_idx, inc = incremental_lsh_neardup_pairs_quantized(
+        qindex, params, new_df, dims=6, threshold=thr, planes=planes
+    )
+    inc_set = pairset(inc)
+    new_idx.unpersist()
+
+    def dq_pairs(src):
+        dq = dequantize_codes(quantize_codes(src, params), params).select(
+            "vec_id", F.col("dqvec").alias("embedding")
+        )
+        return pairset(lsh_neardup_pairs(dq, dims=6, threshold=thr, planes=planes))
+
+    full = dq_pairs(full_df)
+    existing = dq_pairs(old_df)
+    assert existing | inc_set == full
+    assert existing.isdisjoint(inc_set)
