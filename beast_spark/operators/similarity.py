@@ -605,14 +605,17 @@ def kmeans_lite(
     return centroids
 
 
-def ivf_inertia(
+def ivf_inertia_df(
     data: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> float:
-    """Mean (1 − cosine-to-assigned-centroid): the quantization error a
-    Lloyd round must not increase."""
+    out_col: str = "inertia",
+) -> DataFrame:
+    """One-row frame of mean (1 − cosine-to-assigned-centroid) — the
+    quantization error a Lloyd round must not increase. Frame-valued so
+    query paths can compose it (crossJoin with other scalars) without a
+    driver-side collect."""
     assigned = ivf_assign(
         data,
         centroids.select(F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)),
@@ -623,7 +626,18 @@ def ivf_inertia(
     scored = assigned.join(F.broadcast(c), "cid").select(
         (1 - cosine(F.col(vec_col), F.col("cvec"))).alias("err")
     )
-    return scored.agg(F.avg("err")).collect()[0][0]
+    return scored.agg(F.avg("err").alias(out_col))
+
+
+def ivf_inertia(
+    data: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Scalar convenience form of :func:`ivf_inertia_df` (driver-side
+    read — test/diagnostic use, not for query paths)."""
+    return ivf_inertia_df(data, centroids, id_col, vec_col).collect()[0][0]
 
 
 def quantization_params(

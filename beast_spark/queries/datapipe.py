@@ -5261,3 +5261,62 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q177_kmeans_training_invariants",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_centroids,
+           CAST(64 AS BIGINT) AS dims,
+           CAST(3 AS BIGINT) AS iters,
+           TRUE AS inertia_monotone,
+           TRUE AS centroids_complete
+    """,
+    doc="Deterministic Lloyd training for IVF centroids "
+    "(operators/similarity.py::kmeans_lite) gated as a q49-style "
+    "INVARIANT oracle: per-cluster dimension means are float sums "
+    "whose accumulation order differs between engines, so the centroid "
+    "VALUES cannot be hash-replayed (unlike every md5-derived "
+    "structure in this registry) — what IS engine-checkable is the "
+    "contract: training must not increase the quantization error "
+    "(mean 1-cosine-to-assigned-centroid after 3 rounds <= the seeded "
+    "init's, within 1e-9), and it must emit exactly k complete "
+    "dims-length centroids. Both booleans are computed in Spark and "
+    "pinned TRUE in the oracle. Composed frame-valued (ivf_inertia_df "
+    "x2, crossJoin) — no driver-side collect in the query path; "
+    "kmeans_lite itself is the q68/q174 search path's trained-centroid "
+    "supplier (assignment/search legs are benched there).",
+    bench=False,
+    bench_reason="iterative Lloyd training (localCheckpoint per round); the assignment/search legs are benched via q68/q162/q174/q176",
+)
+def q177_kmeans_training_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import ivf_inertia_df, kmeans_lite
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k, iters, dims = 8, 3, 64
+    init = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    trained = kmeans_lite(e, k=k, iters=iters)
+    i0 = ivf_inertia_df(e, init, out_col="i0")
+    i3 = ivf_inertia_df(e, trained, out_col="i3")
+    shape = trained.agg(
+        F.count(F.lit(1)).alias("n_centroids"),
+        F.min(F.size("cvec")).alias("dmin"),
+        F.max(F.size("cvec")).alias("dmax"),
+    )
+    return (
+        shape.crossJoin(F.broadcast(i0))
+        .crossJoin(F.broadcast(i3))
+        .select(
+            F.col("n_centroids").cast("long"),
+            F.col("dmax").cast("long").alias("dims"),
+            F.lit(iters).cast("long").alias("iters"),
+            (F.col("i3") <= F.col("i0") + 1e-9).alias("inertia_monotone"),
+            ((F.col("dmin") == dims) & (F.col("dmax") == dims)).alias(
+                "centroids_complete"
+            ),
+        )
+    )
