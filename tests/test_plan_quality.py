@@ -351,7 +351,7 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(query_dfs):
         "ObjectHashAggregateExec", "LocalTableScanExec",
     }
 
-    def children(node):
+    def children(node, subq=True):
         out = []
         it = node.children().iterator()
         while it.hasNext():
@@ -361,12 +361,19 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(query_dfs):
             out.append(node.initialPlan())
         if name == "ShuffleQueryStageExec":
             out.append(node.plan())
+        if subq:  # windows can hide inside scalar/broadcast subqueries
+            try:
+                it2 = node.subqueries().iterator()
+                while it2.hasNext():
+                    out.append(it2.next())
+            except Exception:
+                pass
         return out
 
     def first_substantive(node):
         name = node.getClass().getSimpleName()
         if name in PASS_THROUGH:
-            for c in children(node):
+            for c in children(node, subq=False):
                 r = first_substantive(c)
                 if r is not None:
                     return r
@@ -376,7 +383,7 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(query_dfs):
     def walk(node, bad):
         name = node.getClass().getSimpleName()
         if name in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
-            kids = children(node)
+            kids = children(node, subq=False)
             below = first_substantive(kids[0]) if kids else "?"
             if below not in TINY:
                 bad.append(below)
