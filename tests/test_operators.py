@@ -1374,3 +1374,52 @@ def test_quantized_index_increment_equals_full_and_shrinks_storage(
 
     ratio = dir_bytes(tmp_path / "qidx") / dir_bytes(tmp_path / "rawidx")
     assert ratio < 0.5, ratio
+
+
+def test_multitable_increment_corpus_probe_never_shuffles(spark, tmp_path):
+    """The multi-table index's corpus-side probe — bucketed postings
+    scan → broadcast semi-join on touched (t, bucket) keys → broadcast
+    join of the increment postings — must run with ZERO shuffle
+    Exchange, like the single-table form (the bucketed layout is what
+    makes a nightly append O(increment + touched buckets) at scale)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        multitable_planes,
+    )
+    from beast_spark.sources.bucketing import write_bucketed
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inc = spark.createDataFrame(rows[30:], "vec_id long, embedding array<double>")
+    tables = multitable_planes(8, 4, 6)
+
+    spark.sql("DROP TABLE IF EXISTS beast_test_mt_postings")
+    write_bucketed(
+        embedding_multitable_postings(corpus, tables),
+        "beast_test_mt_postings",
+        ["t", "bucket"],
+        n_buckets=8,
+        path=str(tmp_path / "mt_postings"),
+    )
+    postings = spark.table("beast_test_mt_postings")
+
+    # the exact corpus-touching subplan of incremental_multitable_
+    # neardup_pairs, with the increment localized (as the broadcast
+    # sides are at runtime)
+    new_post_local = spark.createDataFrame(
+        embedding_multitable_postings(inc, tables).collect(), "vec_id long, t int, bucket long"
+    )
+    touched = spark.createDataFrame(
+        new_post_local.select("t", "bucket").distinct().collect(), "t int, bucket long"
+    )
+    ex = postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
+    probe = ex.join(
+        F.broadcast(new_post_local.select("t", "bucket", F.col("vec_id").alias("_nid"))),
+        ["t", "bucket"],
+    ).filter(F.col("vec_id") != F.col("_nid"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "beast_test_mt_postings" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS beast_test_mt_postings")
