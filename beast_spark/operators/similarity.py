@@ -1061,6 +1061,7 @@ def embedding_lsh_index_quantized(
     params: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: tuple[F.Column, F.Column] | None = None,
 ) -> DataFrame:
     """The int8-coded persistable embedding-LSH index: (bucket, id,
     codes, nrm) — :func:`embedding_lsh_index` with the raw vector
@@ -1072,7 +1073,7 @@ def embedding_lsh_index_quantized(
     (property-tested). The recall cost of quantized scoring vs the
     full-precision index is measured hash-checked in q175.
     """
-    mn_arr, sc_arr = codebook_arrays(params)
+    mn_arr, sc_arr = codebook if codebook is not None else codebook_arrays(params)
     return (
         quantize_codes(data, params, id_col, vec_col)
         .withColumn("dqvec", dequant_expr("codes", mn_arr, sc_arr))
@@ -1105,12 +1106,14 @@ def incremental_lsh_neardup_pairs_quantized(
     """
     if planes is None:
         planes = hyperplanes_md5(dims, n_planes)
-    # ONE codebook collect for all three dequantizations below — and
-    # the increment's dqvec derives from its cached codes by a pure
-    # column expression, never a join or recompute from raw vectors.
-    mn_arr, sc_arr = codebook_arrays(params)
+    # ONE codebook collect shared by the index build and both
+    # dequantizations below — and the increment's dqvec derives from
+    # its cached codes by a pure column expression, never a join or
+    # recompute from raw vectors.
+    cb = codebook_arrays(params)
+    mn_arr, sc_arr = cb
     new_idx = embedding_lsh_index_quantized(
-        new_df, planes, params, id_col, vec_col
+        new_df, planes, params, id_col, vec_col, codebook=cb
     ).persist()
     a = new_idx.select(
         "bucket",

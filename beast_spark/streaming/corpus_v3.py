@@ -159,28 +159,28 @@ class CorpusV3Maintainer(SwapCommittedTable):
         # duplicated doc id — re-sent across batches OR repeated within
         # one batch (a correction landing in the same trigger) — would
         # double-count its windows and silently violate that
-        # monotonicity — raise instead.
-        intra = (
-            bdocs.groupBy("doc_id")
+        # monotonicity. Checked on the PRE-filter batch so even a
+        # sub-window-threshold duplicate (which never enters bdocs)
+        # raises: it would otherwise lurk in the source files and
+        # ambush a pointer-form re-read later. Both probes fold into
+        # ONE Spark action per batch.
+        ids_new = batch_df.select("doc_id")
+        dup_ids = (
+            ids_new.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
+            .select("doc_id")
         )
-        cross = 0
         if old_docs is not None:
-            cross = (
-                bdocs.select("doc_id")
-                .join(old_docs.select("doc_id"), "doc_id", "left_semi")
-                .limit(1)
-                .count()
+            dup_ids = dup_ids.unionByName(
+                ids_new.join(old_docs.select("doc_id"), "doc_id", "left_semi")
             )
-        if intra or cross:
+        if dup_ids.limit(1).count():
             raise ValueError(
-                "corpus-v3 maintainer: duplicate doc_id(s) "
-                f"({'within this batch' if intra else 'already ingested'}); "
-                "the stream is append-only — a corrected/shrunk document "
-                "would double-count its window hashes and break the "
+                "corpus-v3 maintainer: duplicate doc_id(s) — repeated "
+                "within this batch or already ingested; the stream is "
+                "append-only — a corrected/shrunk document would "
+                "double-count its window hashes and break the "
                 "counts-never-decrease invariant. Rebuild the state from "
                 "the corrected source instead."
             )
@@ -325,11 +325,12 @@ class CorpusV3PointerMaintainer(CorpusV3Maintainer):
         paths = [r.src_path for r in ptrs.select("src_path").distinct().collect()]
         if not paths:
             return spark.createDataFrame([], "doc_id long, text string, source string")
-        # Join on (doc_id, src_path), not doc_id alone: another pointed
-        # file may carry a sub-window-threshold row with the same id
-        # (which the append-only guard never saw, since it was filtered
-        # before ingestion) — pinning the file keeps exactly the row
-        # that was indexed.
+        # Join on (doc_id, src_path), not doc_id alone. The append-only
+        # guard (checked PRE-filter, so sub-threshold decoys also raise)
+        # makes duplicate ids impossible by contract; the composite key
+        # is defense-in-depth — if a duplicate ever slipped in (state
+        # restored against edited source files), pinning the file keeps
+        # the row that was indexed instead of attaching a second text.
         raw = spark.read.parquet(*paths).select(
             "doc_id", "text", F.col("_metadata.file_path").alias("src_path")
         )

@@ -177,15 +177,18 @@ def test_corpus_v3_rejects_intra_batch_duplicate_ids(spark, tmp_path, v3_cls):
 
 
 def test_corpus_v3_pointer_reread_pins_source_file(spark, tmp_path):
-    """A sub-window-threshold row with the SAME doc_id in another pointed
-    file (never ingested, so the append-only guard cannot see it) must
-    not attach a second text during re-derivation: the re-read joins on
-    (doc_id, src_path), pinning exactly the indexed row."""
+    """A sub-window-threshold row reusing an ingested doc_id is exactly
+    the row that could ambush a pointer-form re-read (it never enters
+    bdocs, so it lives only in the source files) — the PRE-filter
+    append-only guard must reject it at ingestion; the re-read's
+    (doc_id, src_path) composite join key remains as defense-in-depth
+    behind that contract."""
     from beast_spark.streaming.corpus_v3 import CorpusV3PointerMaintainer
 
     run = "w1 w2 w3 w4 w5 w6 w7 w8"
     d1 = (1, f"{run} t1 t2 t3 t4 t5", "en", "s1", 0)
-    # decoy: same id, SHORT text (< 8 tokens -> filtered before ingest)
+    # decoy: same id, SHORT text (< 8 tokens -> would be filtered
+    # before ingestion, invisible to a post-filter guard)
     decoy = (1, "short decoy", "en", "s1", 0)
     d3 = (3, f"z0 {run} z1 z2 z3 z4 z5", "en", "s2", 0)
 
@@ -194,13 +197,8 @@ def test_corpus_v3_pointer_reread_pins_source_file(spark, tmp_path):
     m = CorpusV3PointerMaintainer(str(tmp_path / "state"))
     spark.createDataFrame([d1], DOC_DDL).write.parquet(str(src_dir / "b0"))
     _run_once(spark, m, src_dir, tmp_path / "ckpt")
-    # batch 1 carries the decoy (filtered) AND doc 3 (duplicates doc 1's
-    # run -> doc 1 is re-derived, reading from files that now include
-    # the decoy's file)
     spark.createDataFrame([decoy, d3], DOC_DDL).write.parquet(str(src_dir / "b1"))
-    _run_once(spark, m, src_dir, tmp_path / "ckpt")
-
-    sig = spark.read.parquet(str(tmp_path / "state" / "signals"))
-    assert sig.filter(F.col("doc_id") == 1).count() == 1  # no duplicate signals
-    r1 = sig.filter(F.col("doc_id") == 1).collect()[0]
-    assert r1.n_removed == 8 and r1.n_clean == 5  # re-derived from the REAL text
+    with pytest.raises(Exception, match="append-only"):
+        _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    # state is untouched by the rejected batch (swap never ran)
+    assert {r.doc_id for r in m.survivors(spark).collect()} == {1}
