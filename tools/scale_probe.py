@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""One-off scale probe: the ANN/near-dup hot paths at 50x the sf0.1
+corpus (100k vectors), verifying the plans that are Exchange-audited at
+test scale also hold their wall-clock shape when the data outgrows every
+broadcast/local assumption. Results are recorded in COVERAGE.md.
+
+The corpus is the sf0.1 embeddings replicated 50x with one of 50
+md5-Rademacher offset vectors added per replica (broadcast join — no
+per-row hashing), so replicas are NOT exact duplicates and pair mining
+keeps a realistic candidate distribution.
+
+Run: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from beast_spark.operators.similarity import (  # noqa: E402
+    dequant_expr,
+    codebook_arrays,
+    embedding_multitable_postings,
+    hyperplanes_md5,
+    ivf_candidates,
+    multitable_planes,
+    quantization_params,
+    quantize_codes,
+)
+from beast_spark.queries._util import rnd  # noqa: E402
+from beast_spark.functions.vectors import cosine  # noqa: E402
+from beast_spark.session import get_spark  # noqa: E402
+from beast_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(os.environ.get("SCALE_PROBE_REPS", "50"))
+    spark = get_spark(app_name="scale_probe")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n0 = e.count()
+    offs = spark.createDataFrame(
+        list(enumerate(hyperplanes_md5(64, reps, salt="sp|"))),
+        "r long, off array<double>",
+    )
+    big = (
+        e.crossJoin(F.broadcast(spark.range(reps).withColumnRenamed("id", "r")))
+        .join(F.broadcast(offs), "r")
+        .select(
+            (F.col("vec_id") + F.col("r") * n0).alias("vec_id"),
+            F.zip_with(
+                "embedding", "off", lambda x, o: x + F.lit(0.1) * o
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n = big.count()
+    print(f"corpus: {n} vectors ({reps}x sf0.1)")
+
+    qs = big.filter(F.col("vec_id") < 20)
+
+    # 1) IVF + int8 search (the q176 path) at 100k
+    t0 = time.perf_counter()
+    params = quantization_params(big)
+    cb = codebook_arrays(params)
+    dq = quantize_codes(big, params).select(
+        "vec_id", dequant_expr("codes", *cb).alias("dqvec")
+    )
+    cand = ivf_candidates(big, qs, n_centroids=64, nprobe=2)
+    qside = F.broadcast(
+        qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    scored = (
+        cand.join(dq, "vec_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("query_vec"), F.col("dqvec")), 6).alias("s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    topk = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    nres = topk.count()
+    ncand = cand.count()
+    t_search = time.perf_counter() - t0
+    print(
+        f"ivf_int8_search: {t_search:.1f}s for 20 queries, "
+        f"{nres} results, candidate_frac={ncand / (20.0 * (n - 1)):.4f}"
+    )
+
+    # 2) multi-table postings build (75x8) at 100k
+    tables = multitable_planes(64, 8, 75)
+    t0 = time.perf_counter()
+    npost = embedding_multitable_postings(big, tables).count()
+    t_post = time.perf_counter() - t0
+    print(f"multitable_postings: {t_post:.1f}s for {npost} postings")
+
+    # 3) incremental multi-table probe: 2k increment vs the 100k corpus
+    from beast_spark.functions.vectors import norm as vnorm
+    from beast_spark.operators.similarity import incremental_multitable_neardup_pairs
+
+    old = big.filter(F.col("vec_id") >= n0)
+    inc = big.filter(F.col("vec_id") < n0)
+    ex_post = embedding_multitable_postings(old, tables).persist()
+    ex_post.count()  # index build paid outside the probe clock
+    ex_vec = old.select("vec_id", "embedding").withColumn(
+        "nrm", vnorm(F.col("embedding"))
+    ).persist()
+    ex_vec.count()
+    t0 = time.perf_counter()
+    new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
+        ex_post, ex_vec, inc, dims=64, threshold=0.8, tables=tables
+    )
+    npairs = pairs.count()
+    t_inc = time.perf_counter() - t0
+    print(f"incremental_multitable: {t_inc:.1f}s for a {n0}-vector increment, {npairs} pairs >= 0.8")
+    new_post.unpersist(); new_vec.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
