@@ -117,3 +117,36 @@ def test_streamed_decontam_postings_built_once_and_immutable(spark, tmp_path):
     assert {
         f: os.path.getmtime(os.path.join(ppath, f)) for f in os.listdir(ppath)
     } == mtimes  # corpus-sized postings never rewritten per batch
+
+
+def test_decontam_probe_broadcasts_eval_and_never_shuffles_postings(spark, tmp_path):
+    """The per-batch probe must broadcast the (benchmark-sized) eval
+    grams onto the postings scan — the corpus-sized postings side joins
+    with ZERO shuffle Exchange, so each trigger reads postings once and
+    moves only matched rows into the per-doc aggregate."""
+    from beast_spark.operators.decontam import doc_gram_postings
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(30)]
+    spark.createDataFrame(rows, DOC_DDL).write.parquet(str(tmp_path / "train"))
+    doc_gram_postings(spark.read.parquet(str(tmp_path / "train"))).select(
+        "g", F.col("doc_id").alias("train_doc_id")
+    ).write.parquet(str(tmp_path / "postings"))
+    postings = spark.read.parquet(str(tmp_path / "postings"))
+    bgrams = spark.createDataFrame(
+        [("x", 1)], "g string, eval_doc_id long"
+    )
+    probe = (
+        postings.join(F.broadcast(bgrams), "g")
+        .groupBy("train_doc_id")
+        .agg(F.countDistinct("eval_doc_id").alias("d_eval"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # hash exchanges allowed only ABOVE the join (countDistinct's
+    # dedup + final agg — both carry matched rows only); the postings
+    # scan below the broadcast join never shuffles
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    below_join = plan.split("BroadcastHashJoin")[-1]
+    assert "Exchange hashpartitioning" not in below_join, below_join
