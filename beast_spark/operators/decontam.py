@@ -21,13 +21,16 @@ def doc_gram_postings(docs: DataFrame, n: int = 8) -> DataFrame:
     pure map-side gram hashing (split/sequence/slice/md5 built-ins) plus
     one distinct. At warehouse scale write bucketed by ``g`` so eval
     probes prune to the touched buckets (the q98 discipline)."""
+    from beast_spark.operators.dedup import fan_out
+
     toks = F.split(F.col("text"), " ")
     sz = F.size(toks)
     idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     return (
-        docs.select("doc_id", toks.alias("t"), F.explode(idx).alias("i"))
+        fan_out(docs)  # single-file local inputs would explode on 1 partition
+        .select("doc_id", toks.alias("t"), F.explode(idx).alias("i"))
         .select(
             "doc_id",
             F.md5(

@@ -43,9 +43,7 @@ split is q88's deterministic md5 bucket.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -204,23 +202,11 @@ class CorpusV2Maintainer(SwapCommittedTable):
             signals = repaired.unionByName(sig_new)
             postings = old_postings.unionByName(post_new)
 
-        self._commit_state(
+        self.commit_frames(
             {"signals": signals, "chunks": merged_counts, "postings": postings},
             batch_id,
         )
 
-    def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
-        """Write every sub-table under one tmp dir, then the shared
-        two-rename swap — the ledger and all three tables commit in the
-        single rename."""
-        tmp = self.path + ".applying"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        for name, df in frames.items():
-            df.write.parquet(os.path.join(tmp, name))
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
-        self._swap_in(tmp)
 
     # -- derived views ----------------------------------------------------
 

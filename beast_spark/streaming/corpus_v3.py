@@ -39,9 +39,7 @@ dedup of cleaned texts, per-source cap, md5 split.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,7 +205,7 @@ class CorpusV3Maintainer(SwapCommittedTable):
             docs = old_docs.unionByName(self._docs_frame(bdocs))
             postings = old_postings.unionByName(post_new)
 
-        self._commit_state(
+        self.commit_frames(
             {
                 "docs": docs,
                 "whcounts": merged,
@@ -217,15 +215,6 @@ class CorpusV3Maintainer(SwapCommittedTable):
             batch_id,
         )
 
-    def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
-        tmp = self.path + ".applying"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        for name, df in frames.items():
-            df.write.parquet(os.path.join(tmp, name))
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
-        self._swap_in(tmp)
 
     # -- derived views ----------------------------------------------------
 

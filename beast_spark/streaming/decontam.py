@@ -22,8 +22,14 @@ sub-tables + ledger flip in a single atomic rename):
 * ``contam``       — (train_doc_id, n_eval_docs, n_shared_grams), the
   running q109 output.
 
-Both metrics accumulate ADDITIVELY under an append-only eval stream,
-which is what makes O(batch)-per-trigger maintenance possible:
+Both metrics accumulate ADDITIVELY under an append-only eval stream, so
+the PROBE each trigger runs is O(batch + matched postings) — one
+broadcast of the batch's grams onto one postings scan. The COMMIT, like
+every swap-committed maintainer here, rewrites the cumulative state
+tables (eval-gram-, eval-id-, and contaminated-doc-sized — aggregate
+tables, orders of magnitude smaller than the corpus but growing with
+the eval set); at warehouse scale partition ``contam`` and merge only
+touched partitions. The additivity argument:
 
 * a NEW eval doc contributes at most 1 to a train doc's
   ``n_eval_docs`` and never re-contributes (ids are unique — enforced),
@@ -93,6 +99,8 @@ class DecontamMaintainer(SwapCommittedTable):
         spark = batch_df.sparkSession
 
         ppath = self.path + ".train_postings"
+        meta_file = ppath + ".meta.json"
+        meta = {"n": self.n, "train_path": self.train_path}
         if not os.path.exists(ppath):
             train = spark.read.parquet(self.train_path).select("doc_id", "text")
             tmp = ppath + ".building"
@@ -101,7 +109,22 @@ class DecontamMaintainer(SwapCommittedTable):
             doc_gram_postings(train, self.n).select(
                 "g", F.col("doc_id").alias("train_doc_id")
             ).write.parquet(tmp)
+            with open(meta_file, "w") as fh:
+                json.dump(meta, fh)
             os.rename(tmp, ppath)
+        else:
+            # a maintainer constructed with a different gram width or
+            # corpus would silently probe stale postings (every hash
+            # misses → contamination reads empty) — validate the marker
+            # written at build time instead
+            stored = json.load(open(meta_file)) if os.path.exists(meta_file) else None
+            if stored != meta:
+                raise ValueError(
+                    f"decontam maintainer: existing train postings at "
+                    f"{ppath} were built with {stored}, this maintainer "
+                    f"wants {meta} — delete the postings dir (and the "
+                    f"state) to rebuild against the new configuration."
+                )
         postings = spark.read.parquet(ppath)
         eval_grams = self._read_sub(spark, "eval_grams")
         eval_docs = self._read_sub(spark, "eval_docs")
@@ -127,31 +150,35 @@ class DecontamMaintainer(SwapCommittedTable):
                 "corrected eval set instead."
             )
 
+        # Batch grams hashed ONCE and cached (the guard, both deltas,
+        # and the state appends all read them), each flagged with
+        # whether the eval stream has seen the gram before — so ONE
+        # postings scan yields both increments:
+        #  * d_eval counts ALL matching new eval docs (an eval doc whose
+        #    grams were all seen before still bumps n_eval_docs);
+        #  * d_shared counts only first-seen grams.
         bgrams = doc_gram_postings(
             batch_df.select("doc_id", "text"), self.n
         ).select(F.col("doc_id").alias("eval_doc_id"), "g")
-
-        # n_eval_docs increment: ALL of the new eval docs' grams count
-        # (an eval doc whose grams were all seen before still bumps it)
-        d_eval = (
-            postings.join(F.broadcast(bgrams), "g")
-            .groupBy("train_doc_id")
-            .agg(F.countDistinct("eval_doc_id").alias("d_eval"))
-        )
-        # n_shared_grams increment: only grams the eval side sees FIRST
-        newg = bgrams.select("g").distinct()
         if eval_grams is not None:
-            newg = newg.join(eval_grams, "g", "left_anti")
-        d_shared = (
-            postings.join(F.broadcast(newg), "g", "left_semi")
+            flagged = bgrams.join(
+                eval_grams.withColumn("_seen", F.lit(1)), "g", "left"
+            )
+        else:
+            flagged = bgrams.withColumn("_seen", F.lit(None).cast("int"))
+        flagged = flagged.persist()
+
+        delta = (
+            postings.join(F.broadcast(flagged), "g")
             .groupBy("train_doc_id")
-            .agg(F.count(F.lit(1)).alias("d_shared"))  # postings are distinct
+            .agg(
+                F.countDistinct("eval_doc_id").alias("d_eval"),
+                F.countDistinct(
+                    F.when(F.col("_seen").isNull(), F.col("g"))
+                ).alias("d_shared"),
+            )
         )
-        delta = d_eval.join(d_shared, "train_doc_id", "full_outer").select(
-            "train_doc_id",
-            F.coalesce("d_eval", F.lit(0)).alias("d_eval"),
-            F.coalesce("d_shared", F.lit(0)).alias("d_shared"),
-        )
+        newg = flagged.filter(F.col("_seen").isNull()).select("g").distinct()
         if contam is None:
             merged = delta.select(
                 "train_doc_id",
@@ -180,24 +207,18 @@ class DecontamMaintainer(SwapCommittedTable):
             if eval_docs is None
             else eval_docs.unionByName(ids_new.distinct())
         )
-        self._commit_state(
-            {
-                "eval_grams": new_eval_grams,
-                "eval_docs": new_eval_docs,
-                "contam": merged,
-            },
-            batch_id,
-        )
+        try:
+            self.commit_frames(
+                {
+                    "eval_grams": new_eval_grams,
+                    "eval_docs": new_eval_docs,
+                    "contam": merged,
+                },
+                batch_id,
+            )
+        finally:
+            flagged.unpersist()
 
-    def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
-        tmp = self.path + ".applying"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        for name, df in frames.items():
-            df.write.parquet(os.path.join(tmp, name))
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
-        self._swap_in(tmp)
 
     # -- wiring ----------------------------------------------------------
 

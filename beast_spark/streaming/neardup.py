@@ -31,9 +31,7 @@ Exchange-free on the corpus side; locally they are plain parquet.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,7 +133,7 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
             pairs = (
                 new_pairs if old_pairs is None else old_pairs.unionByName(new_pairs)
             )
-            self._commit_state(
+            self.commit_frames(
                 {"postings": all_post, "vectors": all_vec, "pairs": pairs}, batch_id
             )
         finally:
@@ -145,15 +143,6 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
             new_post.unpersist()
             new_vec.unpersist()
 
-    def _commit_state(self, frames: dict[str, DataFrame], batch_id: int) -> None:
-        tmp = self.path + ".applying"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        for name, df in frames.items():
-            df.write.parquet(os.path.join(tmp, name))
-        with open(os.path.join(tmp, "_applied_batches.json"), "w") as fh:
-            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
-        self._swap_in(tmp)
 
     # -- wiring ----------------------------------------------------------
 

@@ -81,3 +81,18 @@ class SwapCommittedTable:
         with open(os.path.join(tmp, _LEDGER), "w") as fh:
             json.dump(sorted(self.applied_batches() | {batch_id}), fh)
         self._swap_in(tmp)
+
+    def commit_frames(self, frames: dict[str, DataFrame], batch_id: int) -> None:
+        """Multi-sub-table form of :meth:`commit`: write every frame as a
+        sub-directory under one tmp dir, record ``batch_id`` in the
+        ledger, then the single swap rename commits all of them together
+        — the protocol every multi-table maintainer (near-dup, corpus
+        v2/v3, decontam) shares."""
+        tmp = self.path + ".applying"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for name, df in frames.items():
+            df.write.parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, _LEDGER), "w") as fh:
+            json.dump(sorted(self.applied_batches() | {batch_id}), fh)
+        self._swap_in(tmp)

@@ -150,3 +150,26 @@ def test_decontam_probe_broadcasts_eval_and_never_shuffles_postings(spark, tmp_p
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
     below_join = plan.split("BroadcastHashJoin")[-1]
     assert "Exchange hashpartitioning" not in below_join, below_join
+
+
+def test_decontam_stats_matches_q109_on_the_documents_split(spark, sf_dir):
+    """decontam_stats (the comparator the streamed maintainer is tested
+    against) and q109 (the oracle-gated batch query) implement the gram
+    rule independently — pin them equal on q109's own train/eval split
+    so a tokenizer/encode/slice drift in EITHER copy breaks a test."""
+    from beast_spark.operators.decontam import decontam_stats
+    from beast_spark.queries.datapipe import q109_decontamination
+    from beast_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.train_doc_id, r.n_eval_docs, r.n_shared_grams)
+        for r in decontam_stats(
+            d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
+        ).collect()
+    }
+    want = {
+        (r.train_doc_id, r.n_eval_docs, r.n_shared_grams)
+        for r in q109_decontamination(spark, sf_dir).collect()
+    }
+    assert got == want and want
