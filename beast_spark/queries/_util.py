@@ -43,3 +43,45 @@ def exact_avg(col: Column, digits: int = 2, out_digits: int = 2) -> Column:
     return rnd(
         F.sum(cents(col, digits)) / F.count(col) / float(10 ** digits), out_digits
     )
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp dir whose lifetime is the PROCESS, not the query build.
+
+    Queries that materialize persisted-index state (q98/q164/q172/q173)
+    cannot delete it inside the query function — the returned DataFrame
+    still reads the files when the driver finally collects it. Deleting
+    nothing leaks a dir per build (registry sweeps build every query).
+    This registers an atexit cleanup instead: the files survive as long
+    as any returned frame can be consumed, and the interpreter removes
+    them on exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def scratch_table(spark, base: str) -> str:
+    """A session-unique catalog table name with atexit DROP.
+
+    Fixed ``saveAsTable`` names collide across concurrent sessions
+    sharing a warehouse dir (and across repeated builds in one session);
+    a uuid suffix makes each build independent, and the atexit hook
+    drops the catalog entry (the external data files live under a
+    :func:`scratch_dir` and are cleaned by its own hook)."""
+    import atexit
+    import uuid
+
+    name = f"{base}_{uuid.uuid4().hex[:12]}"
+
+    def _drop() -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # session already stopped at interpreter exit
+
+    atexit.register(_drop)
+    return name

@@ -28,7 +28,7 @@ from beast_spark.operators.dedup import (
 )
 from beast_spark.operators.similarity import brute_force_topk, hyperplanes_md5, lsh_topk
 from beast_spark.queries import register
-from beast_spark.queries._util import rnd
+from beast_spark.queries._util import rnd, scratch_dir, scratch_table
 from beast_spark.sources.tables import load_table
 
 
@@ -1388,8 +1388,6 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs(increment) == pairs(full corpus) restricted to new-doc pairs.",
 )
 def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from beast_spark.operators.dedup import (
         band_signatures,
         incremental_minhash_pairs_indexed,
@@ -1405,19 +1403,20 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # of increment-sized candidates) and the band index, bucketed by
     # (band, bucket) so the increment's bucket probe and per-bucket
     # aggregation run Exchange-free on the corpus side.
-    base = tempfile.mkdtemp(prefix="beast_q98_")
+    base = scratch_dir("beast_q98_")
+    index_table = scratch_table(spark, "beast_q98_lsh_index")
     old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
     old_sigs.write.mode("overwrite").parquet(f"{base}/sigs")
     ex_sigs = spark.read.parquet(f"{base}/sigs")
     write_bucketed(
         band_signatures(ex_sigs, k=16, bands=8, hash_family="md5"),
-        "beast_q98_lsh_index",
+        index_table,
         ["band", "bucket"],
         n_buckets=16,
         path=f"{base}/index",
     )
-    _, _, pairs = incremental_minhash_pairs_indexed(
-        spark.table("beast_q98_lsh_index"),
+    new_sigs, _bands, pairs = incremental_minhash_pairs_indexed(
+        spark.table(index_table),
         ex_sigs,
         new,
         "doc_id",
@@ -1427,6 +1426,13 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=0.35,
         hash_family="md5",
     )
+    # One-shot query path: the returned signature/band frames exist for
+    # the maintainer's append-commit; here nothing appends, so release
+    # the operator's persist marker before any action caches blocks
+    # (the contract is "caller must unpersist" — this caller does it
+    # immediately, trading one cheap increment re-hash for zero cached
+    # state accumulating across registry sweeps).
+    new_sigs.unpersist()
     return pairs
 
 
@@ -4092,8 +4098,6 @@ def q163_ann_production_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q164_incremental_embedding_dedup_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from beast_spark.operators.similarity import (
         embedding_lsh_index,
         incremental_lsh_neardup_pairs_indexed,
@@ -4104,17 +4108,21 @@ def q164_incremental_embedding_dedup_indexed(
     old = e.filter(F.col("vec_id") % 5 != 0)
     new = e.filter(F.col("vec_id") % 5 == 0)
     planes = hyperplanes_md5(64, 6)
-    base = tempfile.mkdtemp(prefix="beast_q164_")
+    base = scratch_dir("beast_q164_")
+    index_table = scratch_table(spark, "beast_q164_emb_index")
     write_bucketed(
         embedding_lsh_index(old, planes),
-        "beast_q164_emb_index",
+        index_table,
         ["bucket"],
         n_buckets=8,
         path=f"{base}/index",
     )
-    _, pairs = incremental_lsh_neardup_pairs_indexed(
-        spark.table("beast_q164_emb_index"), new, dims=64, threshold=0.42, planes=planes
+    new_index, pairs = incremental_lsh_neardup_pairs_indexed(
+        spark.table(index_table), new, dims=64, threshold=0.42, planes=planes
     )
+    # one-shot path, nothing appends: release the operator's persist
+    # marker before any action caches blocks (see q98)
+    new_index.unpersist()
     return pairs
 
 
@@ -4613,8 +4621,6 @@ def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_reason="evaluation composition over q80/q85-class pair sets; q85 and q162 are benched",
 )
 def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from beast_spark.functions.vectors import dot, norm
     from beast_spark.operators.similarity import (
         lsh_multitable_neardup_pairs,
@@ -4634,7 +4640,6 @@ def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec1", "vec2", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.42)
         .select("vec1", "vec2")
-        .persist()
     )
     single = lsh_neardup_pairs(
         e, dims=64, threshold=0.42, planes=hyperplanes_md5(64, 6)
@@ -4643,34 +4648,41 @@ def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec1", "vec2"
     )
     m = EmbeddingNearDupMaintainer(
-        tempfile.mkdtemp(prefix="beast_q172_") + "/state", dims=64, threshold=0.42
+        scratch_dir("beast_q172_") + "/state", dims=64, threshold=0.42
     )
     ecast = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    for b in range(2):
-        m.apply_batch(ecast.filter(F.col("vec_id") % 2 == b), b)
+    for batch in range(2):
+        m.apply_batch(ecast.filter(F.col("vec_id") % 2 == batch), batch)
     streamed = m.read_pairs(spark).select("vec1", "vec2")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    h1 = single.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("h1"))
-    hm = multi.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("hm"))
-    hs = streamed.join(exact, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("hs"))
-    return (
-        n_exact.crossJoin(F.broadcast(h1))
-        .crossJoin(F.broadcast(hm))
-        .crossJoin(F.broadcast(hs))
-        .select(
-            F.col("n_exact"),
-            rnd(F.col("h1") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
-                "recall_single"
-            ),
-            rnd(F.col("hm") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
-                "recall_multi"
-            ),
-            rnd(F.col("hs") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
-                "recall_streamed"
-            ),
-        )
+    # ONE pass over the quadratic exact pair set: label each method's
+    # pair set and left-join the union once, instead of persisting
+    # `exact` for four separate consumers (pair sets are distinct per
+    # method, so per-label row counts == per-method hit counts, and
+    # countDistinct recovers n_exact from the join's fan-out).
+    methods = (
+        single.withColumn("m", F.lit("s"))
+        .unionByName(multi.withColumn("m", F.lit("m")))
+        .unionByName(streamed.withColumn("m", F.lit("h")))
+    )
+    agg = exact.join(methods, ["vec1", "vec2"], "left").agg(
+        F.countDistinct("vec1", "vec2").alias("n_exact"),
+        F.count(F.when(F.col("m") == "s", 1)).alias("h1"),
+        F.count(F.when(F.col("m") == "m", 1)).alias("hm"),
+        F.count(F.when(F.col("m") == "h", 1)).alias("hs"),
+    )
+    return agg.select(
+        F.col("n_exact"),
+        rnd(F.col("h1") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+            "recall_single"
+        ),
+        rnd(F.col("hm") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+            "recall_multi"
+        ),
+        rnd(F.col("hs") / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"), 4).alias(
+            "recall_streamed"
+        ),
     )
 
 
@@ -4710,8 +4722,6 @@ def q172_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q173_incremental_multitable_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from beast_spark.functions.vectors import norm
     from beast_spark.operators.similarity import (
         embedding_multitable_postings,
@@ -4724,29 +4734,35 @@ def q173_incremental_multitable_neardup(
     old = e.filter(F.col("vec_id") % 5 != 0)
     new = e.filter(F.col("vec_id") % 5 == 0)
     tables = multitable_planes(64, 8, 75)
-    base = tempfile.mkdtemp(prefix="beast_q173_")
+    base = scratch_dir("beast_q173_")
+    postings_table = scratch_table(spark, "beast_q173_mt_postings")
+    vectors_table = scratch_table(spark, "beast_q173_mt_vectors")
     write_bucketed(
         embedding_multitable_postings(old, tables),
-        "beast_q173_mt_postings",
+        postings_table,
         ["t", "bucket"],
         n_buckets=8,
         path=f"{base}/postings",
     )
     write_bucketed(
         old.select("vec_id", "embedding").withColumn("nrm", norm(F.col("embedding"))),
-        "beast_q173_mt_vectors",
+        vectors_table,
         ["vec_id"],
         n_buckets=8,
         path=f"{base}/vectors",
     )
     new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
-        spark.table("beast_q173_mt_postings"),
-        spark.table("beast_q173_mt_vectors"),
+        spark.table(postings_table),
+        spark.table(vectors_table),
         new,
         dims=64,
         threshold=0.42,
         tables=tables,
     )
+    # one-shot path, nothing appends: honour the operator's documented
+    # "caller must unpersist" contract before any action caches blocks
+    new_post.unpersist()
+    new_vec.unpersist()
     return pairs
 
 
@@ -4886,7 +4902,11 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for label, corpus in (("uniform", e), ("clustered", clustered_fixture(e, dims=64))):
         qs = corpus.filter(F.col("vec_id") < 20)
-        cand = ivf_candidates(corpus, qs, n_centroids=64, nprobe=2).persist()
+        # `cand` has ONE consumer (the ranked-scoring pass): the
+        # candidate count rides the same window partition as the
+        # rank (`qcand`, carried through the top-10 rows), so nothing
+        # needs a persist that would outlive the query build.
+        cand = ivf_candidates(corpus, qs, n_centroids=64, nprobe=2)
         qside = F.broadcast(
             qs.select(
                 F.col("vec_id").alias("query_id"),
@@ -4909,23 +4929,33 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ann = (
             scored.withColumn("r", F.row_number().over(w))
+            .withColumn(
+                "qcand", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+            )
             .filter(F.col("r") <= 10)
-            .select("query_id", "vec_id")
+            .select("query_id", "vec_id", "qcand")
         )
-        exact = brute_force_topk(corpus, qs, k=10).select("query_id", "vec_id")
-        hits = ann.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("h")
+        exact = brute_force_topk(corpus, qs, k=10).select(
+            "query_id", "vec_id", F.lit(1).alias("hit")
+        )
+        hits = (
+            ann.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("h"), F.max("qcand").alias("qcand"))
         )
         perq = (
             qs.select(F.col("vec_id").alias("query_id"))
             .join(hits, "query_id", "left")
-            .select((F.coalesce(F.col("h"), F.lit(0)) / 10.0).alias("rec"))
+            .select(
+                (F.coalesce(F.col("h"), F.lit(0)) / 10.0).alias("rec"),
+                F.coalesce(F.col("qcand"), F.lit(0)).alias("qcand"),
+            )
         )
-        ncand = cand.agg(F.count(F.lit(1)).alias("ncand"))
         ntotal = corpus.agg(F.count(F.lit(1)).alias("n"))
         rows.append(
-            perq.agg(F.avg("rec").alias("mean_rec"))
-            .crossJoin(F.broadcast(ncand))
+            perq.agg(
+                F.avg("rec").alias("mean_rec"), F.sum("qcand").alias("ncand")
+            )
             .crossJoin(F.broadcast(ntotal))
             .select(
                 F.lit(label).alias("corpus"),
@@ -5042,18 +5072,24 @@ def q175_quantized_index_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = dequantize_codes(quantize_codes(e, params), params).select(
         "vec_id", F.col("dqvec").alias("embedding")
     )
+    # ONE pass over each pair set: a marker-carrying FULL OUTER join
+    # yields both counts and the intersection in a single aggregation,
+    # instead of persisting both sides for three separate consumers.
     full = lsh_neardup_pairs(e, dims=64, threshold=thr, planes=planes).select(
-        "vec1", "vec2"
-    ).persist()
+        "vec1", "vec2", F.lit(1).alias("in_f")
+    )
     quant = lsh_neardup_pairs(dq, dims=64, threshold=thr, planes=planes).select(
-        "vec1", "vec2"
-    ).persist()
-    nf = full.agg(F.count(F.lit(1)).alias("nf"))
-    nq = quant.agg(F.count(F.lit(1)).alias("nq"))
-    nc = full.join(quant, ["vec1", "vec2"]).agg(F.count(F.lit(1)).alias("nc"))
+        "vec1", "vec2", F.lit(1).alias("in_q")
+    )
+    counts = full.join(quant, ["vec1", "vec2"], "full").agg(
+        F.count("in_f").alias("nf"),
+        F.count("in_q").alias("nq"),
+        F.count(F.when(F.col("in_f").isNotNull() & F.col("in_q").isNotNull(), 1)).alias(
+            "nc"
+        ),
+    )
     return (
-        nf.crossJoin(F.broadcast(nq))
-        .crossJoin(F.broadcast(nc))
+        counts
         .select(
             rnd(F.lit(thr), 2).alias("threshold"),
             F.col("nf").alias("n_fullprec"),
@@ -5199,7 +5235,10 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = quantization_params(e)
     dq = dequantize_codes(quantize_codes(e, params), params)
     qs = e.filter(F.col("vec_id") < 20)
-    cand = ivf_candidates(e, qs, n_centroids=64, nprobe=2).persist()
+    # `cand` has ONE consumer: the per-query candidate count rides the
+    # shortlist window (`qcand`, q174's pattern) through the re-rank,
+    # so no persist outlives the query build.
+    cand = ivf_candidates(e, qs, n_centroids=64, nprobe=2)
     qside = F.broadcast(
         qs.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -5217,8 +5256,9 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("vec_id"))
     short = (
         dqs.withColumn("r", F.row_number().over(wq))
+        .withColumn("qcand", F.count(F.lit(1)).over(Window.partitionBy("query_id")))
         .filter(F.col("r") <= 30)
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", "qcand")
     )
     rer = (
         short.join(e, "vec_id")
@@ -5226,6 +5266,7 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
+            "qcand",
             F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias("cs"),
         )
     )
@@ -5233,22 +5274,27 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = (
         rer.withColumn("r", F.row_number().over(wr))
         .filter(F.col("r") <= 10)
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", "qcand")
     )
-    exact = brute_force_topk(e, qs, k=10).select("query_id", "vec_id")
-    hits = ann.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("h")
+    exact = brute_force_topk(e, qs, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    hits = (
+        ann.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("h"), F.max("qcand").alias("qcand"))
     )
     perq = (
         qs.select(F.col("vec_id").alias("query_id"))
         .join(hits, "query_id", "left")
-        .select((F.coalesce(F.col("h"), F.lit(0)) / 10.0).alias("rec"))
+        .select(
+            (F.coalesce(F.col("h"), F.lit(0)) / 10.0).alias("rec"),
+            F.coalesce(F.col("qcand"), F.lit(0)).alias("qcand"),
+        )
     )
-    ncand = cand.agg(F.count(F.lit(1)).alias("ncand"))
     ntotal = e.agg(F.count(F.lit(1)).alias("n"))
     return (
-        perq.agg(F.avg("rec").alias("mean_rec"))
-        .crossJoin(F.broadcast(ncand))
+        perq.agg(F.avg("rec").alias("mean_rec"), F.sum("qcand").alias("ncand"))
         .crossJoin(F.broadcast(ntotal))
         .select(
             F.lit(10).cast("long").alias("k"),

@@ -60,6 +60,31 @@ from beast_spark.streaming.swap import SwapCommittedTable
 __all__ = ["DecontamMaintainer"]
 
 
+def _corpus_fingerprint(path: str) -> str:
+    """Deterministic fingerprint of the frozen train corpus: md5 over
+    the sorted (relative path, size, mtime_ns) of every data file under
+    ``path``. Cheap (pure directory metadata, no data scan) and strict
+    in the fail-safe direction — an in-place rewrite changes size or
+    mtime and is rejected with an explicit error instead of silently
+    probing postings built from the old bytes. A touched-but-unchanged
+    file also rejects; that costs an explicit rebuild, never a silent
+    wrong answer."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue  # _SUCCESS markers / CRCs churn without content
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            entries.append(
+                (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+            )
+    digest = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+    return digest
+
+
 class DecontamMaintainer(SwapCommittedTable):
     """Owns one swap-committed state directory
     (train_postings/eval_grams/eval_docs/contam)."""
@@ -100,7 +125,15 @@ class DecontamMaintainer(SwapCommittedTable):
 
         ppath = self.path + ".train_postings"
         meta_file = ppath + ".meta.json"
-        meta = {"n": self.n, "train_path": self.train_path}
+        meta = {
+            "n": self.n,
+            "train_path": self.train_path,
+            # Content fingerprint of the frozen corpus: a train corpus
+            # REWRITTEN IN PLACE at the same path (same n/train_path)
+            # must not silently probe postings derived from the old
+            # bytes — exactly the failure this marker exists to catch.
+            "train_fingerprint": _corpus_fingerprint(self.train_path),
+        }
         if not os.path.exists(ppath):
             train = spark.read.parquet(self.train_path).select("doc_id", "text")
             tmp = ppath + ".building"
@@ -113,11 +146,15 @@ class DecontamMaintainer(SwapCommittedTable):
                 json.dump(meta, fh)
             os.rename(tmp, ppath)
         else:
-            # a maintainer constructed with a different gram width or
-            # corpus would silently probe stale postings (every hash
-            # misses → contamination reads empty) — validate the marker
-            # written at build time instead
-            stored = json.load(open(meta_file)) if os.path.exists(meta_file) else None
+            # a maintainer constructed with a different gram width,
+            # corpus path, or corpus CONTENT would silently probe stale
+            # postings (every hash misses → contamination reads empty)
+            # — validate the marker written at build time instead
+            if os.path.exists(meta_file):
+                with open(meta_file) as fh:
+                    stored = json.load(fh)
+            else:
+                stored = None
             if stored != meta:
                 raise ValueError(
                     f"decontam maintainer: existing train postings at "

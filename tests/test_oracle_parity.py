@@ -54,6 +54,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_oracle_parity(spark, sf_dir, name):
     spec = SPECS[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
+    # some builds persist intermediates their returned frame reads;
+    # release them so the 176-query sweep doesn't accumulate cache
+    spark.catalog.clearCache()
     con = _duck(sf_dir)
     odf = con.execute(spec.oracle).fetchdf()
     con.close()

@@ -119,6 +119,22 @@ def test_streamed_decontam_postings_built_once_and_immutable(spark, tmp_path):
     } == mtimes  # corpus-sized postings never rewritten per batch
 
 
+def test_decontam_rejects_train_corpus_rewritten_in_place(spark, tmp_path):
+    """A train corpus rewritten at the SAME path (same n, same
+    train_path) must not silently probe postings built from the old
+    bytes — the meta marker carries a content fingerprint of the corpus
+    files, so the stale-postings probe raises instead."""
+    import shutil
+
+    m, train, evals, *_ = _mk(spark, tmp_path)
+    m.apply_batch(spark.createDataFrame([evals[0]], DOC_DDL), 0)
+    # rewrite the frozen corpus in place: drop a doc, keep path and config
+    shutil.rmtree(str(tmp_path / "train"))
+    spark.createDataFrame(train[:2], DOC_DDL).write.parquet(str(tmp_path / "train"))
+    with pytest.raises(ValueError, match="train postings"):
+        m.apply_batch(spark.createDataFrame([evals[1]], DOC_DDL), 1)
+
+
 def test_decontam_probe_broadcasts_eval_and_never_shuffles_postings(spark, tmp_path):
     """The per-batch probe must broadcast the (benchmark-sized) eval
     grams onto the postings scan — the corpus-sized postings side joins

@@ -97,6 +97,10 @@ def main() -> int:
             print(f"FAIL {name}: {err}")
         else:
             print(f"ok   {name} ({len(sdf)} rows)")
+        # Some query builds persist intermediates their returned frame
+        # reads (documented per query); release them between queries so
+        # a 176-query sweep doesn't accumulate cached blocks.
+        spark.catalog.clearCache()
     if unoracled:
         print(f"no_oracle ({len(unoracled)}): {' '.join(unoracled)}")
     print(f"\n{checked} checked, {len(bad)} failed @ {sf}")
