@@ -5372,3 +5372,167 @@ def q177_kmeans_training_invariants(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+_STREAM_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_STREAM_IVF_BASE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_STREAM_IVF_COS.format(a='s.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM e s, cents c) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='c.cv')} DESC, c.cid) AS rn
+        FROM qv q, cents c) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN asg a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    )"""
+
+_STREAM_IVF_ORACLE = (
+    _STREAM_IVF_BASE
+    + f"""
+    SELECT query_id, vec_id, cos_sim, CAST(r AS BIGINT) AS rank FROM (
+      SELECT c.query_id, c.vec_id,
+             {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} DESC, c.vec_id) AS r
+      FROM cand c
+      JOIN e s ON s.vec_id = c.vec_id
+      JOIN qv q ON q.query_id = c.query_id
+    ) WHERE r <= 10
+    ORDER BY query_id, rank
+    """
+)
+
+
+@register(
+    "q178_streaming_ivf_search",
+    oracle=_STREAM_IVF_ORACLE,
+    doc="ANN search over the STREAMED IVF index "
+    "(streaming/ivf.py::IvfIndexMaintainer): the embeddings arrive in "
+    "two micro-batches, each assigning only its own vectors to the "
+    "FROZEN offline-trained coarse centroids (here the deterministic "
+    "first-64-by-id stand-in, written once as the frozen artifact) and "
+    "appending slim (id, cid) postings + vectors through the shared "
+    "swap-ledger exactly-once commit. Because centroids are frozen, "
+    "assignment is additive — maintained state == full rebuild, "
+    "bit-for-bit (property-tested per prefix) — so the search over the "
+    "maintained index replays exactly in DuckDB: this oracle computes "
+    "the q174-config IVF search (64 cells, nprobe=2, exact candidate "
+    "scoring, k=10) from the full corpus. Scale shape: per batch one "
+    "broadcast-centroid map stage over the BATCH only; per search the "
+    "Q x nprobe probe list broadcasts onto the postings scan, which "
+    "never shuffles (plan-asserted).",
+)
+def q178_streaming_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q178_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(f"{base}/state", f"{base}/centroids")
+    for batch in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.search(spark, qs, nprobe=2, k=10)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_STREAM_IVF_INT8_ORACLE = (
+    _STREAM_IVF_BASE
+    + f""",
+    cells AS (
+      SELECT vec_id, CAST(u.d AS INT) AS dim, v[u.d + 1] AS val
+      FROM e, unnest(range(0, 64)) u(d)
+    ),
+    p AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM cells GROUP BY dim),
+    qcq AS (
+      SELECT c.vec_id, c.dim,
+             CASE WHEN p.mx > p.mn
+                  THEN p.mn + floor((c.val - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5)
+                       * ((p.mx - p.mn) / 255.0)
+                  ELSE p.mn END AS dq
+      FROM cells c JOIN p USING (dim)
+    ),
+    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS v FROM qcq GROUP BY vec_id),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='d.v')} DESC, c.vec_id) AS r
+        FROM cand c
+        JOIN dqv d ON d.vec_id = c.vec_id
+        JOIN qv q ON q.query_id = c.query_id
+      ) WHERE r <= 30
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(r AS BIGINT) AS rank FROM (
+      SELECT sh.query_id, sh.vec_id,
+             {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
+             row_number() OVER (PARTITION BY sh.query_id
+               ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} DESC, sh.vec_id) AS r
+      FROM short sh
+      JOIN e s ON s.vec_id = sh.vec_id
+      JOIN qv q ON q.query_id = sh.query_id
+    ) WHERE r <= 10
+    ORDER BY query_id, rank
+    """
+)
+
+
+@register(
+    "q179_streaming_ivf_int8_search",
+    oracle=_STREAM_IVF_INT8_ORACLE,
+    doc="The COMPLETE production search stack over STREAMED state: the "
+    "IvfIndexMaintainer also maintains int8 codes against a FROZEN "
+    "per-dim codebook (q175's frozen-codebook contract — quantization "
+    "is per-row, hence additive across batches), and search composes "
+    "q176's plan from the maintained sub-tables: IVF probe of the "
+    "postings, candidates scored against the CODES table via "
+    "dequantized doubles (8x less memory traffic), top-30 shortlist, "
+    "exact re-rank of only those rows from the raw vectors table. "
+    "Every stage (codebook, dequantization, assignment, probes, both "
+    "rankings) replays in DuckDB from the full corpus because "
+    "maintained state == rebuild under frozen artifacts "
+    "(property-tested). The streamed twin of q176.",
+)
+def q179_streaming_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import quantization_params
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q179_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    quantization_params(e).write.parquet(f"{base}/codebook")
+    m = IvfIndexMaintainer(
+        f"{base}/state", f"{base}/centroids", codebook_path=f"{base}/codebook"
+    )
+    for batch in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.search(spark, qs, nprobe=2, k=10, shortlist=30)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

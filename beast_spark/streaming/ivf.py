@@ -1,0 +1,260 @@
+"""Streaming IVF ANN index maintenance: an embedding stream keeps the
+coarse-quantized (IVF) search index current via ``foreachBatch``.
+
+The batch story (q174/q176) proves the production search point — IVF
+probing reaches recall@10 ≈ 0.94 while scoring ~3% of the corpus, with
+int8 codes cutting per-candidate memory traffic 8×. This maintainer is
+the continuous form: embeddings arrive as a stream, and each
+micro-batch assigns ONLY ITS OWN vectors to the frozen coarse
+centroids (one broadcast-centroid map stage + a map-side-combinable
+argmax — ``operators/similarity.py::ivf_assign``), appends the slim
+(id, cid) postings, the raw vectors, and (optionally) their int8
+codes, and commits all sub-tables atomically through the shared
+swap-ledger protocol (``streaming/swap.py``).
+
+Frozen artifacts make the maintenance EXACT, not approximate:
+
+* ``centroids_path`` — the coarse centroids, trained offline (e.g.
+  ``kmeans_lite`` — q177 gates the trainer) and frozen. Assignment of
+  a vector depends only on the vector and the centroids, so
+  state(after batch k) == full rebuild over everything ingested
+  through batch k, bit-for-bit — the per-prefix equivalence the tests
+  pin. (Re-training centroids is a REBUILD, not maintenance: assign-
+  ments are not additive across centroid changes. That is the standard
+  IVF production trade — retrain offline on drift, swap the whole
+  index.)
+* ``codebook_path`` (optional) — the per-dim int8 scalar-quantization
+  codebook (q175's frozen-codebook contract). Quantization is per-row
+  against frozen [mn, mx], hence additive for the same reason; values
+  outside the frozen range in later increments clamp (documented
+  saturation).
+
+State sub-tables (one atomic swap): ``assigned`` (id, cid — slim
+postings), ``vectors`` (id, raw vector — the exact re-rank read),
+``codes`` (id, int8 codes; only when a codebook is given). Like every
+swap-committed maintainer here the commit rewrites cumulative state —
+at warehouse scale partition ``assigned``/``vectors``/``codes`` by
+``cid`` and merge only the cells the batch touched; the per-batch
+PROBE work is already O(batch) (broadcast centroids onto the batch).
+
+``search`` runs the q174/q176 plan over the maintained state: probe
+lists broadcast onto the postings (the corpus side never shuffles
+below the join — plan-asserted), exact scoring of candidates, or,
+with codes, the int8 shortlist → exact re-rank composition whose
+measured recall q176 hash-checks.
+
+An ingested id is append-only (a re-sent vector would duplicate
+postings and silently double-count candidates); duplicates raise, the
+``streaming/decontam.py`` guard pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.functions.vectors import cosine
+from beast_spark.operators.similarity import (
+    dequantize_codes,
+    ivf_assign,
+    ivf_probes,
+    quantize_codes,
+)
+from beast_spark.streaming.swap import SwapCommittedTable
+
+__all__ = ["IvfIndexMaintainer"]
+
+
+class IvfIndexMaintainer(SwapCommittedTable):
+    """Owns one swap-committed state directory (assigned+vectors[+codes])."""
+
+    def __init__(
+        self,
+        path: str,
+        centroids_path: str,
+        codebook_path: str | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        SwapCommittedTable.__init__(self, path)
+        self.centroids_path = centroids_path
+        self.codebook_path = codebook_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- reads ------------------------------------------------------------
+
+    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
+        self._recover()
+        sub = os.path.join(self.path, name)
+        if not os.path.exists(sub):
+            return None
+        return spark.read.parquet(sub)
+
+    def read_assigned(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "assigned")
+
+    def read_vectors(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "vectors")
+
+    def read_codes(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "codes")
+
+    def _centroids(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.centroids_path)
+
+    # -- the foreachBatch body -------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        spark = batch_df.sparkSession
+        inc = batch_df.select(
+            self.id_col,
+            F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+        )
+        assigned = self.read_assigned(spark)
+        vectors = self.read_vectors(spark)
+
+        # append-only guard: intra-batch duplicate or already-ingested id
+        dup = (
+            inc.groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select(self.id_col)
+        )
+        if vectors is not None:
+            dup = dup.unionByName(
+                inc.select(self.id_col).join(vectors, self.id_col, "left_semi")
+            )
+        if dup.limit(1).count():
+            raise ValueError(
+                "IvfIndexMaintainer: duplicate vector id(s) — the embedding "
+                "stream is append-only (a re-sent id would duplicate index "
+                "postings). Rebuild the state from the corrected stream."
+            )
+
+        new_asg = ivf_assign(
+            inc, self._centroids(spark), self.id_col, self.vec_col
+        ).select(self.id_col, "cid")
+        frames = {
+            "assigned": new_asg
+            if assigned is None
+            else assigned.unionByName(new_asg),
+            "vectors": inc if vectors is None else vectors.unionByName(inc),
+        }
+        if self.codebook_path is not None:
+            codebook = spark.read.parquet(self.codebook_path)
+            new_codes = quantize_codes(inc, codebook, self.id_col, self.vec_col)
+            codes = self.read_codes(spark)
+            frames["codes"] = (
+                new_codes if codes is None else codes.unionByName(new_codes)
+            )
+        self.commit_frames(frames, batch_id)
+
+    # -- search over the maintained index --------------------------------
+
+    def candidates(
+        self, spark: SparkSession, queries: DataFrame, nprobe: int = 2
+    ) -> DataFrame:
+        """(query_id, query_vec, vec_id): the probed cells' members per
+        query, self-matches excluded — the maintained-state twin of
+        ``operators/similarity.py::ivf_candidates`` (same probe
+        selection, but the corpus-side assignment is READ, not
+        recomputed: that is the point of maintaining it)."""
+        assigned = self.read_assigned(spark)
+        if assigned is None:
+            raise ValueError("IvfIndexMaintainer: no state ingested yet")
+        probes = ivf_probes(
+            queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
+        )
+        return (
+            assigned.join(F.broadcast(probes), "cid")
+            .filter(F.col("query_id") != F.col(self.id_col))
+            .select("query_id", "query_vec", self.id_col)
+        )
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        nprobe: int = 2,
+        k: int = 10,
+        shortlist: int | None = None,
+    ) -> DataFrame:
+        """Top-k ANN over the maintained index: (query_id, vec_id,
+        cos_sim, rank).
+
+        Exact path (no codebook): candidates scored against the raw
+        ``vectors`` table — q174's measured operating point. int8 path
+        (codebook maintained): candidates scored against the CODES
+        table via dequantized doubles, top-``shortlist`` (default 3k)
+        kept, exact re-rank of only those rows — q176's composition,
+        8× less memory traffic per candidate. Both paths: the probe
+        list broadcasts onto the postings, the corpus side never
+        shuffles below the join."""
+        cand = self.candidates(spark, queries, nprobe)
+        vectors = self.read_vectors(spark)
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col(self.id_col)
+        )
+        if self.codebook_path is None:
+            scored = cand.join(vectors, self.id_col).select(
+                "query_id",
+                self.id_col,
+                F.round(
+                    cosine(F.col("query_vec"), F.col(self.vec_col)), 6
+                ).alias("cos_sim"),
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(wq))
+                .filter(F.col("rank") <= k)
+                .select("query_id", self.id_col, "cos_sim", "rank")
+            )
+        n_short = shortlist if shortlist is not None else 3 * k
+        codebook = spark.read.parquet(self.codebook_path)
+        dq = dequantize_codes(
+            self.read_codes(spark), codebook, id_col=self.id_col
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("s").desc(), F.col(self.id_col)
+        )
+        short = (
+            cand.join(dq, self.id_col)
+            .select(
+                "query_id",
+                "query_vec",
+                self.id_col,
+                F.round(cosine(F.col("query_vec"), F.col("dqvec")), 6).alias("s"),
+            )
+            .withColumn("r", F.row_number().over(ws))
+            .filter(F.col("r") <= n_short)
+            .select("query_id", "query_vec", self.id_col)
+        )
+        rer = short.join(vectors, self.id_col).select(
+            "query_id",
+            self.id_col,
+            F.round(cosine(F.col("query_vec"), F.col(self.vec_col)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", self.id_col, "cos_sim", "rank")
+        )
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, vectors: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            vectors.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

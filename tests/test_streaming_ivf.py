@@ -1,0 +1,167 @@
+"""Streaming IVF ANN index maintenance: with frozen centroids (and,
+optionally, a frozen int8 codebook) the maintained state and its search
+results must equal the full-corpus batch forms after every prefix of
+micro-batches, with exactly-once replay and an append-only id guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DDL = "vec_id long, embedding array<double>"
+
+
+def _run_once(spark, m, src_dir, ckpt):
+    stream = spark.readStream.schema(DDL).format("parquet").load(str(src_dir) + "/*")
+    q = m.stream_from(stream, str(ckpt))
+    q.awaitTermination(180)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _freeze(spark, sf_dir, tmp_path, codebook=False):
+    """Write the frozen offline artifacts: centroids (deterministic
+    stand-in: first 16 vectors by id) and optionally the int8 codebook
+    derived from the full corpus."""
+    from beast_spark.operators.similarity import quantization_params
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    cpath = str(tmp_path / "centroids")
+    e.filter(F.col("vec_id") < 16).write.parquet(cpath)
+    qpath = None
+    if codebook:
+        qpath = str(tmp_path / "codebook")
+        quantization_params(e).write.parquet(qpath)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), cpath, codebook_path=qpath)
+    return e, m
+
+
+def test_streamed_ivf_state_equals_batch_per_prefix(spark, sf_dir, tmp_path):
+    from beast_spark.operators.similarity import ivf_assign
+
+    e, m = _freeze(spark, sf_dir, tmp_path)
+    cent = spark.read.parquet(m.centroids_path)
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    seen = None
+    for k in range(3):
+        sl = e.filter(F.col("vec_id") % 3 == k)
+        sl.write.parquet(str(src_dir / f"b{k}"))
+        _run_once(spark, m, src_dir, tmp_path / "ckpt")
+        seen = sl if seen is None else seen.unionByName(sl)
+        got = {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()}
+        want = {
+            (r.vec_id, r.cid)
+            for r in ivf_assign(seen, cent).select("vec_id", "cid").collect()
+        }
+        assert got == want and got, f"prefix {k}"
+        assert m.read_vectors(spark).count() == seen.count()
+
+
+def test_streamed_ivf_search_equals_one_shot_rebuild(spark, sf_dir, tmp_path):
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e, m = _freeze(spark, sf_dir, tmp_path)
+    for b in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == b), b)
+    rebuilt = IvfIndexMaintainer(str(tmp_path / "state1"), m.centroids_path)
+    rebuilt.apply_batch(e, 0)
+    qs = e.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r) for r in m.search(spark, qs, nprobe=2, k=10).collect()
+    }
+    want = {
+        tuple(r) for r in rebuilt.search(spark, qs, nprobe=2, k=10).collect()
+    }
+    assert got == want and got
+
+
+def test_streamed_ivf_int8_search_equals_batch_composition(spark, sf_dir, tmp_path):
+    """int8 path: maintained codes equal a one-shot quantization of the
+    corpus against the same frozen codebook, and the composed search
+    (dq shortlist → exact re-rank) equals the same composition computed
+    over a single-batch rebuild."""
+    from beast_spark.operators.similarity import quantize_codes
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e, m = _freeze(spark, sf_dir, tmp_path, codebook=True)
+    for b in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == b), b)
+    codebook = spark.read.parquet(m.codebook_path)
+    got_codes = {
+        (r.vec_id, tuple(r.codes)) for r in m.read_codes(spark).collect()
+    }
+    want_codes = {
+        (r.vec_id, tuple(r.codes)) for r in quantize_codes(e, codebook).collect()
+    }
+    assert got_codes == want_codes
+
+    rebuilt = IvfIndexMaintainer(
+        str(tmp_path / "state1"), m.centroids_path, codebook_path=m.codebook_path
+    )
+    rebuilt.apply_batch(e, 0)
+    qs = e.filter(F.col("vec_id") < 5)
+    got = {tuple(r) for r in m.search(spark, qs, nprobe=2, k=5).collect()}
+    want = {tuple(r) for r in rebuilt.search(spark, qs, nprobe=2, k=5).collect()}
+    assert got == want and got
+
+
+def test_streamed_ivf_restart_replay_and_append_only_guard(spark, tmp_path):
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(30)]
+    spark.createDataFrame(rows[:4], DDL).write.parquet(str(tmp_path / "centroids"))
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "centroids"))
+    spark.createDataFrame(rows[:15], DDL).write.parquet(str(src_dir / "b0"))
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    spark.createDataFrame(rows[15:], DDL).write.parquet(str(src_dir / "b1"))
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    before = {tuple(r) for r in m.read_assigned(spark).collect()}
+    applied = m.applied_batches()
+
+    # restart with no new data: nothing reprocessed
+    _run_once(spark, m, src_dir, tmp_path / "ckpt")
+    assert m.applied_batches() == applied
+    assert {tuple(r) for r in m.read_assigned(spark).collect()} == before
+
+    # post-commit crash replay: ledger no-op
+    m.apply_batch(spark.createDataFrame(rows[15:], DDL), max(applied))
+    assert {tuple(r) for r in m.read_assigned(spark).collect()} == before
+
+    # a NEW batch re-sending an ingested id raises (append-only)
+    with pytest.raises(ValueError, match="append-only"):
+        m.apply_batch(spark.createDataFrame(rows[:1], DDL), max(applied) + 1)
+    # an intra-batch duplicate raises too
+    m2 = IvfIndexMaintainer(str(tmp_path / "state2"), str(tmp_path / "centroids"))
+    with pytest.raises(ValueError, match="append-only"):
+        m2.apply_batch(spark.createDataFrame([rows[0], rows[0]], DDL), 0)
+
+
+def test_streamed_ivf_probe_broadcasts_and_never_shuffles_postings(
+    spark, sf_dir, tmp_path
+):
+    """The search's candidate join must broadcast the (Q × nprobe)-sized
+    probe list onto the postings scan — the corpus-sized assigned side
+    joins with no shuffle Exchange below the broadcast join."""
+    e, m = _freeze(spark, sf_dir, tmp_path)
+    m.apply_batch(e, 0)
+    qs = e.filter(F.col("vec_id") < 5)
+    cand = m.candidates(spark, qs, nprobe=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the STREAMED side is printed between the join node and its
+    # BroadcastExchange build side; the probe side inside the broadcast
+    # may rank with a (Q × nprobe)-sized Exchange, the postings must not
+    streamed_side = plan.split("BroadcastHashJoin")[-1].split("BroadcastExchange")[0]
+    assert "Exchange" not in streamed_side, streamed_side
+    # it IS the postings scan (the path string may be elided in toString)
+    assert "struct<vec_id:bigint,cid:bigint>" in streamed_side, streamed_side
