@@ -25,7 +25,16 @@ __all__ = [
     "repeated_span_stats",
     "window_hashes",
     "span_cleaned",
+    "gopher_signals",
+    "GATE_STOPWORDS",
 ]
+
+# The small closed stopword set the rule-gate counts PRESENCE of
+# (Gopher-style "contains at least two stopwords" rule). Closed and
+# enumerated — each membership test is one array_contains, exactly
+# replayable in any engine — unlike functions/text.py::STOPWORDS whose
+# ratio feature serves scoring, not gating.
+GATE_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
 
 
 def entropy_signals(docs: DataFrame) -> DataFrame:
@@ -266,3 +275,79 @@ def span_cleaned(
     if include_text:
         cols.append(cleaned.alias("cleaned_text"))
     return joined.select(*cols)
+
+
+def gopher_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_token_frac: float = 0.2,
+    min_unique_ratio: float = 0.3,
+    min_stopwords: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rule-based document gate in the MassiveText/Gopher style
+    (Rae et al. 2021, "Scaling Language Models", appendix A): hard
+    per-document thresholds, each exposed as its own boolean so the
+    gate ACCOUNTS for what it rejects instead of silently dropping.
+
+    Rules (defaults follow the published heuristics; tighten per
+    corpus): word count within [min_words, max_words]; mean word
+    length within [min_mean_word_len, max_mean_word_len]; the most
+    frequent token may claim at most ``max_top_token_frac`` of the
+    document (RefinedWeb-style repetition guard — complements q117's
+    duplicate-trigram fraction, which catches phrase loops this
+    single-token rule misses); distinct-token ratio at least
+    ``min_unique_ratio``; and at least ``min_stopwords`` distinct
+    members of the closed :data:`GATE_STOPWORDS` set present (pure
+    symbol soup has none).
+
+    Everything is a pure JVM column expression over the token array —
+    no explode, no shuffle, no Python: one map stage at any scale, and
+    every rule replays exactly in ANSI SQL (integer counts and IEEE
+    divisions only). The per-token frequency scan is
+    O(tokens × distinct) per document — document-sized work, the same
+    envelope as the other per-doc builders here.
+
+    Returns one row per document: (doc_id, any ``keep_cols``
+    passed through, n_tokens, plus one ``ok_*`` boolean per rule and
+    ``pass_all``). ``keep_cols`` exist so consumers that need more of
+    the document row (source, lang, ...) stay a SINGLE scan instead of
+    re-joining the corpus against its own signals.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    mean_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GATE_STOPWORDS
+    )
+    return docs.select(
+        "doc_id",
+        *keep_cols,
+        n.alias("n_tokens"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_word_count"),
+        (
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        (top_cnt / n <= max_top_token_frac).alias("ok_top_token"),
+        (F.size(F.array_distinct(toks)) / n >= min_unique_ratio).alias(
+            "ok_unique_ratio"
+        ),
+        (n_stop >= min_stopwords).alias("ok_stopwords"),
+    ).withColumn(
+        "pass_all",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_top_token")
+        & F.col("ok_unique_ratio")
+        & F.col("ok_stopwords"),
+    )

@@ -5536,3 +5536,109 @@ def q179_streaming_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFram
         .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+_GOPHER_SIGNALS_SQL = """
+    t AS (SELECT doc_id, source, lang, text,
+                 string_split(text, ' ') AS toks
+          FROM documents),
+    s AS (
+      SELECT doc_id, source, lang,
+             len(toks) AS n_tokens,
+             (len(toks) >= 20 AND len(toks) <= 1000) AS ok_word_count,
+             (len(replace(text, ' ', '')) / len(toks) >= 3.0
+              AND len(replace(text, ' ', '')) / len(toks) <= 10.0)
+               AS ok_mean_word_len,
+             (list_max(list_transform(list_distinct(toks),
+                  u -> len(list_filter(toks, x -> x = u)))) / len(toks) <= 0.2)
+               AS ok_top_token,
+             (len(list_distinct(toks)) / len(toks) >= 0.3) AS ok_unique_ratio,
+             ((list_contains(toks, 'the')::INT + list_contains(toks, 'a')::INT
+               + list_contains(toks, 'an')::INT + list_contains(toks, 'and')::INT
+               + list_contains(toks, 'of')::INT + list_contains(toks, 'to')::INT
+               + list_contains(toks, 'in')::INT + list_contains(toks, 'is')::INT)
+              >= 2) AS ok_stopwords
+      FROM t
+    ),
+    g AS (
+      SELECT *, (ok_word_count AND ok_mean_word_len AND ok_top_token
+                 AND ok_unique_ratio AND ok_stopwords) AS pass_all
+      FROM s
+    )"""
+
+
+@register(
+    "q180_gopher_quality_gate",
+    oracle="WITH " + _GOPHER_SIGNALS_SQL + """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((NOT ok_word_count)::INT) AS BIGINT) AS fail_word_count,
+           CAST(sum((NOT ok_mean_word_len)::INT) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum((NOT ok_top_token)::INT) AS BIGINT) AS fail_top_token,
+           CAST(sum((NOT ok_unique_ratio)::INT) AS BIGINT) AS fail_unique_ratio,
+           CAST(sum((NOT ok_stopwords)::INT) AS BIGINT) AS fail_stopwords,
+           CAST(sum(pass_all::INT) AS BIGINT) AS n_retained,
+           floor(sum(pass_all::INT) / count(*)::DOUBLE * 10000 + 0.5) / 10000
+             AS retained_frac
+    FROM g
+    """,
+    doc="Rule-based document gate accounting in the MassiveText/Gopher "
+    "style (operators/quality.py::gopher_signals — word-count band, "
+    "mean-word-length band, top-token repetition cap, unique-token "
+    "ratio floor, distinct-stopword presence): per-rule rejection "
+    "counts plus overall retention, because a production filter that "
+    "cannot say WHAT it rejected cannot be tuned. Every rule is a pure "
+    "JVM column expression over the token array — one map stage, one "
+    "map-side-combinable aggregate, no explode, no Python — so the "
+    "gate costs a single corpus scan at any scale. Rules replay "
+    "exactly in DuckDB (integer counts + IEEE divisions).",
+)
+def q180_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.quality import gopher_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = gopher_signals(d)
+    return sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~F.col("ok_word_count"), 1)).alias("fail_word_count"),
+        F.count(F.when(~F.col("ok_mean_word_len"), 1)).alias("fail_mean_word_len"),
+        F.count(F.when(~F.col("ok_top_token"), 1)).alias("fail_top_token"),
+        F.count(F.when(~F.col("ok_unique_ratio"), 1)).alias("fail_unique_ratio"),
+        F.count(F.when(~F.col("ok_stopwords"), 1)).alias("fail_stopwords"),
+        F.count(F.when(F.col("pass_all"), 1)).alias("n_retained"),
+    ).select(
+        "n_docs",
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_top_token",
+        "fail_unique_ratio",
+        "fail_stopwords",
+        "n_retained",
+        rnd(F.col("n_retained") / F.col("n_docs").cast("double"), 4).alias(
+            "retained_frac"
+        ),
+    )
+
+
+@register(
+    "q181_gopher_retained_corpus",
+    oracle="WITH " + _GOPHER_SIGNALS_SQL + """
+    SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM g WHERE pass_all
+    """,
+    doc="The corpus the q180 gate RETAINS — the operator form a "
+    "pipeline actually consumes (gate → downstream dedup/mixing "
+    "stages): documents passing every gopher_signals rule, with their "
+    "token counts. Same single-scan plan as q180; the filter stays a "
+    "pure JVM predicate on the scan, so at warehouse scale the gate "
+    "fuses into whatever reads the corpus next (no materialization "
+    "barrier).",
+)
+def q181_gopher_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.quality import gopher_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        gopher_signals(d, keep_cols=("source", "lang"))
+        .filter(F.col("pass_all"))
+        .select("doc_id", "source", "lang", F.col("n_tokens").cast("long"))
+    )

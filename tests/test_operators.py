@@ -1423,3 +1423,51 @@ def test_multitable_increment_corpus_probe_never_shuffles(spark, tmp_path):
     assert "beast_test_mt_postings" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS beast_test_mt_postings")
+
+
+def test_gopher_gate_rules_fire_individually(spark):
+    """Each gopher_signals rule rejects exactly its own pathology, and
+    pass_all is their conjunction."""
+    from beast_spark.operators.quality import gopher_signals
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew strong coffee under bright moonlight near quiet rivers and "
+        "tall mountains during early autumn mornings with gentle winds"
+    )  # 31 distinct tokens, 3 stopwords, mean length ~5
+    docs = [
+        (1, good.strip()),
+        (2, "the of short"),  # word count < 20
+        (3, ("a " + "internationalization " * 30 + "the of").strip()),  # mean len > 10
+        (4, ("the of " + "x " * 40).strip()),  # top token 'x' > 20%
+        (5, ("the of " + "b b b c c d " * 6).strip()),  # unique ratio < 0.3
+        (6, " ".join(f"word{i}" for i in range(25))),  # no stopwords
+    ]
+    sig = gopher_signals(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()
+    by = {r.doc_id: r for r in sig}
+    assert by[1].pass_all
+    assert not by[2].ok_word_count and by[2].ok_stopwords
+    assert not by[3].ok_mean_word_len and by[3].ok_word_count
+    assert not by[4].ok_top_token and by[4].ok_word_count
+    assert not by[5].ok_unique_ratio and by[5].ok_top_token is not None
+    assert not by[6].ok_stopwords and by[6].ok_unique_ratio
+    for d in range(2, 7):
+        assert not by[d].pass_all
+
+
+def test_gopher_gate_is_single_map_stage(spark, sf_dir):
+    """The gate must stay a pure scan-side predicate: no Exchange, no
+    BatchEvalPython, no explode-induced generator in the plan."""
+    from beast_spark.operators.quality import gopher_signals
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        gopher_signals(d, keep_cols=("source",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for banned in ("Exchange", "BatchEvalPython", "Generate"):
+        assert banned not in plan, plan
