@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from beast_spark.queries._util import rnd
+
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_meta",
@@ -40,6 +42,9 @@ __all__ = [
     "encode_wav",
     "resize_image_nearest",
     "sample_frames",
+    "wav_samples",
+    "dft8_coefs",
+    "stft8_power",
 ]
 
 # Canonical media-row shape: content + typed metadata.
@@ -517,3 +522,128 @@ def resize_media(
             )
 
     return df.mapInPandas(resize, out_schema)
+
+
+def wav_samples(
+    df: DataFrame, content_col: str = "content", strict: bool = False
+) -> DataFrame:
+    """content → (channels, sample_rate, samples array<int>): the raw
+    interleaved int16 samples via the REAL RIFF/WAVE parser
+    (:func:`decode_wav`) — the decode stage feature extractors
+    (:func:`stft8_power`) consume. Arrow-batched mapInPandas like
+    :func:`audio_stats`; non-WAV content yields NULLs (or raises under
+    ``strict``). The samples stay an engine-typed array column, so
+    everything downstream runs JVM-side."""
+    extra = [
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("samples", T.ArrayType(T.IntegerType()), True),
+    ]
+    out_schema = T.StructType(df.schema.fields + extra)
+    cols = df.columns
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ch_l, sr_l, s_l = [], [], []
+            for raw in pdf[content_col]:
+                if raw is None:
+                    ch_l.append(None), sr_l.append(None), s_l.append(None)
+                    continue
+                try:
+                    ch, rate, _n, s = decode_wav(bytes(raw))
+                except ValueError:
+                    if strict:
+                        raise NotImplementedError(
+                            "no real codec for this content (WAV PCM is built "
+                            "in; install torchaudio/pyav for other formats)"
+                        )
+                    ch_l.append(None), sr_l.append(None), s_l.append(None)
+                    continue
+                ch_l.append(ch), sr_l.append(rate), s_l.append(list(s))
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in cols},
+                    "channels": ch_l,
+                    "sample_rate": sr_l,
+                    "samples": s_l,
+                }
+            )
+
+    return df.mapInPandas(parse, out_schema)
+
+
+# sqrt(1/2) as its shortest-repr double: the ONLY irrational the 8-point
+# DFT needs, so every twiddle factor is an exactly-representable literal
+# and the transform replays bit-for-bit in any IEEE-754 engine.
+SQRT_HALF = 0.7071067811865476
+
+
+def dft8_coefs() -> list[list[tuple[int, float, float]]]:
+    """The 8-point DFT coefficient table: for each output bin m (0–4 —
+    real input, so bins above Nyquist mirror), the (k, cos, sin) terms
+    of X_m = Σ_k s_k·e^{-2πi·mk/8}. All coefficients are drawn from
+    {0, ±1, ±sqrt(1/2)} — exact double literals — which is what makes
+    an honest cross-engine EXACT oracle possible for a Fourier
+    transform: generic cos()/sin() are not correctly-rounded and
+    differ between libm implementations, these constants are.
+    Shared by the Spark expression builder (:func:`stft8_power`) and
+    the SQL oracle generator so the two sides cannot drift."""
+    cos_t = [1.0, SQRT_HALF, 0.0, -SQRT_HALF, -1.0, -SQRT_HALF, 0.0, SQRT_HALF]
+    sin_t = [0.0, SQRT_HALF, 1.0, SQRT_HALF, 0.0, -SQRT_HALF, -1.0, -SQRT_HALF]
+    return [
+        [(k, cos_t[(m * k) % 8], sin_t[(m * k) % 8]) for k in range(8)]
+        for m in range(5)
+    ]
+
+
+def stft8_power(
+    df: DataFrame,
+    samples_col: str = "samples",
+    id_col: str = "media_id",
+    round_digits: int = 2,
+) -> DataFrame:
+    """Short-time Fourier power spectrogram, frame size 8, hop 8, as
+    PURE JVM column expressions — no Python, no UDF: the per-bin dot
+    products unroll into whole-stage-codegen arithmetic over array
+    slices, so the spectrogram costs one map stage at any scale (the
+    feature-extraction shape a 100-TB audio pipeline needs: decode
+    once, then stay columnar).
+
+    Returns (id, frame, bin, power) with power = re² + im² of the
+    8-point DFT of each non-overlapping 8-sample frame (bins 0–4;
+    real input, upper bins mirror), rounded with the shared floor-form
+    so the value replays exactly in the DuckDB oracle. Trailing
+    samples beyond the last full frame are dropped (standard STFT
+    framing)."""
+    frames = df.select(
+        id_col,
+        F.col(samples_col).alias("_s"),
+        F.explode(
+            F.sequence(F.lit(0), (F.size(samples_col) / 8).cast("int") - 1)
+        ).alias("frame"),
+    ).select(
+        id_col,
+        "frame",
+        F.slice(F.col("_s"), F.col("frame") * 8 + 1, 8).alias("_f"),
+    )
+
+    def _sum(terms: list[tuple[int, float]]) -> F.Column:
+        acc = None
+        for k, c in terms:
+            t = F.element_at(F.col("_f"), k + 1) * F.lit(c)
+            acc = t if acc is None else acc + t
+        return acc if acc is not None else F.lit(0.0)
+
+    powers = []
+    for m, row in enumerate(dft8_coefs()):
+        re = _sum([(k, c) for k, c, _s in row if c != 0.0])
+        im = _sum([(k, s) for k, _c, s in row if s != 0.0])
+        powers.append(rnd(re * re + im * im, round_digits).alias(f"_p{m}"))
+    wide = frames.select(id_col, "frame", *powers)
+    n_bins = len(powers)
+    stack = ", ".join(f"{m}L, _p{m}" for m in range(n_bins))
+    return wide.selectExpr(
+        id_col, "frame", f"stack({n_bins}, {stack}) AS (bin, power)"
+    )

@@ -5642,3 +5642,110 @@ def q181_gopher_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pass_all"))
         .select("doc_id", "source", "lang", F.col("n_tokens").cast("long"))
     )
+
+
+def _stft8_oracle() -> str:
+    """The DuckDB twin of operators/multimodal.py::stft8_power, generated
+    from the SAME dft8_coefs() table (terms in the same order, the same
+    exact {0, ±1, ±sqrt(1/2)} literals), over the q91 WAV quantization."""
+    from beast_spark.operators.multimodal import dft8_coefs
+
+    def terms(row, which):
+        parts = [
+            f"pcm[frame*8 + {k + 1}] * CAST({c!r} AS DOUBLE)"
+            for k, cc, ss in row
+            for c in [cc if which == "c" else ss]
+            if c != 0.0
+        ]
+        return " + ".join(parts) if parts else "CAST(0.0 AS DOUBLE)"
+
+    branches = []
+    for m, row in enumerate(dft8_coefs()):
+        re, im = terms(row, "c"), terms(row, "s")
+        branches.append(
+            f"SELECT media_id, frame, CAST({m} AS BIGINT) AS bin,\n"
+            f"       floor((({re}) * ({re}) + ({im}) * ({im})) * 100 + 0.5)"
+            f" / 100 AS power\n    FROM fr"
+        )
+    return (
+        """
+    WITH s AS (
+      SELECT vec_id AS media_id,
+             list_transform(range(1, 65),
+                 i -> greatest(least(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS INT),
+                                     32767), -32768)) AS pcm
+      FROM embeddings
+    ),
+    fr AS (
+      SELECT media_id, CAST(u.f AS INT) AS frame, pcm
+      FROM s, unnest(range(0, 8)) u(f)
+    )
+    """
+        + "\n    UNION ALL\n    ".join(branches)
+        + "\n    ORDER BY media_id, frame, bin"
+    )
+
+
+@register(
+    "q182_wav_spectrogram",
+    oracle=_stft8_oracle(),
+    doc="Audio FEATURE EXTRACTION end-to-end: the q91 WAV leg (embeddings "
+    "quantized to int16 PCM, encoded as real RIFF/WAVE bytes) decoded "
+    "back to a typed samples array (operators/multimodal.py::wav_samples "
+    "— the real container parser, strict mode), then a short-time "
+    "Fourier power spectrogram (frame 8, hop 8, bins 0-4) computed as "
+    "PURE JVM column expressions (stft8_power): the DFT unrolls into "
+    "whole-stage-codegen arithmetic whose twiddle factors are all exact "
+    "doubles {0, ±1, ±sqrt(1/2)}, so a Fourier transform — normally "
+    "unreplayable across engines because libm cos/sin are not "
+    "correctly rounded — is hash-checked bit-for-bit in DuckDB, "
+    "generated from the same coefficient table. Scale shape: decode "
+    "once (Arrow-batched mapInPandas), then stay columnar — the "
+    "spectrogram is one map stage, no Python, no shuffle until the "
+    "caller aggregates.",
+    bench=False,
+    bench_reason="python-codec media path (mapInPandas encode/decode); the STFT itself is JVM map-stage arithmetic",
+)
+def q182_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from beast_spark.operators.multimodal import (
+        encode_wav,
+        stft8_power,
+        wav_samples,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pcm = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.transform(
+            "embedding",
+            lambda v: F.greatest(
+                F.least(F.floor(v.cast("double") * 1000).cast("int"), F.lit(32767)),
+                F.lit(-32768),
+            ),
+        ).alias("pcm"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [encode_wav(8000, 1, list(s)) for s in pdf["pcm"]],
+                }
+            )
+
+    wavs = pcm.mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+    decoded = wav_samples(wavs, strict=True)
+    return stft8_power(decoded).orderBy("media_id", "frame", "bin")

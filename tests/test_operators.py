@@ -1471,3 +1471,44 @@ def test_gopher_gate_is_single_map_stage(spark, sf_dir):
     )
     for banned in ("Exchange", "BatchEvalPython", "Generate"):
         assert banned not in plan, plan
+
+
+def test_stft8_power_matches_numpy_fft(spark):
+    """The unrolled JVM DFT must be a REAL Fourier transform, not just
+    self-consistent with its oracle: compare against numpy's rfft power
+    on deterministic int16 signals (tolerance: rounding to 2 decimals
+    happens Spark-side; numpy and the exact-twiddle expansion agree to
+    ~1e-9 relative)."""
+    import numpy as np
+
+    from beast_spark.operators.multimodal import stft8_power
+
+    rows = [
+        (i, [((i * 31 + k * 17) % 200 - 100) * 50 for k in range(16)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, samples array<int>")
+    got = {
+        (r.media_id, r.frame, r.bin): r.power
+        for r in stft8_power(df).collect()
+    }
+    assert len(got) == 20 * 2 * 5  # 16 samples -> 2 frames x 5 bins
+    for i, s in rows:
+        for f in range(2):
+            spec = np.fft.rfft(np.array(s[f * 8 : (f + 1) * 8], dtype=float))
+            for m in range(5):
+                want = abs(spec[m]) ** 2
+                assert abs(got[(i, f, m)] - want) <= max(1e-6 * want, 0.01), (
+                    i, f, m, got[(i, f, m)], want,
+                )
+
+
+def test_stft8_power_drops_trailing_partial_frame(spark):
+    from beast_spark.operators.multimodal import stft8_power
+
+    df = spark.createDataFrame(
+        [(1, list(range(13)))], "media_id long, samples array<int>"
+    )
+    out = stft8_power(df).collect()
+    assert {r.frame for r in out} == {0}  # 13 samples -> one full frame
+    assert len(out) == 5
