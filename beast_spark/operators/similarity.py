@@ -52,6 +52,10 @@ __all__ = [
     "dequant_expr",
     "embedding_lsh_index_quantized",
     "incremental_lsh_neardup_pairs_quantized",
+    "pq_codebooks",
+    "pq_codes",
+    "pq_adc_lut",
+    "pq_adc_topk",
 ]
 
 
@@ -1170,3 +1174,136 @@ def incremental_lsh_neardup_pairs_quantized(
         .filter(F.col("cos_sim") >= threshold)
     )
     return new_idx, pairs
+
+
+# -- product quantization (PQ) ------------------------------------------
+#
+# The last rung of the index-memory ladder: raw doubles (8 B/dim) →
+# int8 scalar codes (1 B/dim, q167/q175) → PQ codes (1 B per SUBSPACE:
+# m bytes per vector — 64× smaller than raw for m=8 over 64 dims).
+# Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search": split each vector into m subvectors, quantize each against
+# its own small codebook, and score a query against N codes with an
+# m-lookup table sum (ADC — asymmetric distance computation) instead of
+# a d-dim dot product.
+#
+# Codebooks here are the subvectors of the first ``n_codes`` corpus
+# vectors by id — the same deterministic offline-training stand-in the
+# IVF path documents (swap in per-subspace k-means at production scale;
+# the assignment/ADC plan is identical). Deterministic codebooks are
+# what make the WHOLE PQ pipeline hash-replayable in the oracle:
+# assignments, the lookup table, and every ADC score are exact integer
+# micro-units (floor(d2 × 1e6 + 0.5) as BIGINT), so ADC ranking has no
+# float-summation-order hazard at all — sums of longs are associative.
+
+
+def _d2i(a, b) -> F.Column:
+    """Squared L2 distance in exact integer micro-units:
+    floor((|a|² + |b|² − 2·a·b) · 1e6 + 0.5) as BIGINT. The |a|²+|b|²−2ab
+    expansion reuses the dot/list_dot_product machinery the cosine
+    oracles already proved cross-engine-stable, and integerizing ONCE
+    per pair (not per addend) keeps later sums exact."""
+    d2 = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    return F.floor(d2 * 1e6 + F.lit(0.5)).cast("long")
+
+
+def _subvectors(vec_col: F.Column, m: int, sub: int) -> F.Column:
+    return F.array(*[F.slice(vec_col, s * sub + 1, sub) for s in range(m)])
+
+
+def pq_codebooks(
+    data: DataFrame,
+    dims: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, code, cvec): per-subspace codebooks — code c in subspace s is
+    the s-th subvector of corpus vector c (the first ``n_codes`` by id).
+    m × n_codes rows total; always broadcast."""
+    sub = dims // m
+    base = data.filter(F.col(id_col) < n_codes)
+    return base.select(
+        F.col(id_col).cast("int").alias("code"),
+        F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "cvec"),
+    ).select("s", "code", "cvec")
+
+
+def pq_codes(
+    data: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, code): each vector's nearest sub-centroid per subspace
+    (exact-integer d², ties to the lowest code). One map stage — the
+    m×n_codes codebook broadcasts — plus a map-side-combinable min-
+    struct argmin; this is the PQ encode a 100-TB corpus runs once at
+    ingest and stores as m TINYINT-able columns."""
+    sub = dims // m
+    rows = data.select(
+        id_col, F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "sv")
+    )
+    scored = rows.join(F.broadcast(codebooks), "s").select(
+        id_col,
+        "s",
+        "code",
+        _d2i(F.col("sv"), F.col("cvec")).alias("d2i"),
+    )
+    return (
+        scored.groupBy(id_col, "s")
+        .agg(F.min(F.struct("d2i", "code")).alias("b"))
+        .select(id_col, "s", F.col("b.code").alias("code"))
+    )
+
+
+def pq_adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, s, code, d2i): the ADC lookup table — exact-integer
+    sub-distances from every query subvector to every sub-centroid.
+    Q × m × n_codes rows; always broadcast."""
+    sub = dims // m
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "qv"),
+    ).join(F.broadcast(codebooks), "s").select(
+        "query_id", "s", "code", _d2i(F.col("qv"), F.col("cvec")).alias("d2i")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, adc, rank): top-k by ADC distance — each
+    corpus code row joins the broadcast lookup table and the m
+    sub-distances SUM AS LONGS (associative: no float-order hazard),
+    so the ranking is bit-deterministic; ``adc`` is micro-units / 1e6.
+    Self-matches excluded. Scale shape: the corpus side streams its m
+    code rows through one broadcast join and one map-side-combinable
+    sum — memory traffic is m bytes per vector, the entire point of PQ."""
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2i").alias("adci"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adci"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, (F.col("adci") / 1e6).alias("adc"), "rank"
+        )
+    )

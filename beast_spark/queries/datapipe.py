@@ -5749,3 +5749,239 @@ def q182_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = wav_samples(wavs, strict=True)
     return stft8_power(decoded).orderBy("media_id", "frame", "bin")
+
+
+_PQ_D2I = (
+    "CAST(floor((list_dot_product({a}, {a}) + list_dot_product({b}, {b}) "
+    "- 2 * list_dot_product({a}, {b})) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _pq_branch_sql(p: str, src: str) -> str:
+    """One PQ evaluation branch (prefix ``p`` over source CTE ``src``):
+    codebooks, codes, ADC lookup + ranking, shortlist-50 exact re-rank,
+    exact-L2 top-10, both recalls — the DuckDB twin of the
+    operators/similarity.py PQ stack composed as in q183."""
+    d = _PQ_D2I
+    return f"""
+    {p}cb AS (
+      SELECT CAST(u.s AS INT) AS s, CAST(vec_id AS INT) AS code,
+             v[u.s*8+1 : u.s*8+8] AS cvec
+      FROM {src}, unnest(range(0, 8)) u(s) WHERE vec_id < 16
+    ),
+    {p}sv AS (
+      SELECT vec_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS svec
+      FROM {src}, unnest(range(0, 8)) u(s)
+    ),
+    {p}codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                 ORDER BY {d.format(a='sv.svec', b='cb.cvec')}, cb.code) AS rn
+        FROM {p}sv sv JOIN {p}cb cb ON cb.s = sv.s) WHERE rn = 1
+    ),
+    {p}qv AS (SELECT vec_id AS query_id, v FROM {src} WHERE vec_id < 20),
+    {p}qsv AS (
+      SELECT query_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS qvec
+      FROM {p}qv, unnest(range(0, 8)) u(s)
+    ),
+    {p}lut AS (
+      SELECT q.query_id, q.s, cb.code,
+             {d.format(a='q.qvec', b='cb.cvec')} AS d2i
+      FROM {p}qsv q JOIN {p}cb cb ON cb.s = q.s
+    ),
+    {p}rk AS (
+      SELECT query_id, vec_id, r FROM (
+        SELECT l.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY l.query_id
+                 ORDER BY sum(l.d2i), c.vec_id) AS r
+        FROM {p}codes c JOIN {p}lut l ON l.s = c.s AND l.code = c.code
+        WHERE l.query_id <> c.vec_id
+        GROUP BY l.query_id, c.vec_id) WHERE r <= 50
+    ),
+    {p}rer AS (
+      SELECT query_id, vec_id FROM (
+        SELECT sh.query_id, sh.vec_id,
+               row_number() OVER (PARTITION BY sh.query_id
+                 ORDER BY {d.format(a='q.v', b='s.v')}, sh.vec_id) AS r2
+        FROM {p}rk sh
+        JOIN {src} s ON s.vec_id = sh.vec_id
+        JOIN {p}qv q ON q.query_id = sh.query_id) WHERE r2 <= 10
+    ),
+    {p}exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {d.format(a='q.v', b='s.v')}, s.vec_id) AS r
+        FROM {src} s JOIN {p}qv q ON s.vec_id <> q.query_id) WHERE r <= 10
+    ),
+    {p}ha AS (
+      SELECT a.query_id, count(*) AS h
+      FROM {p}rk a JOIN {p}exact x
+        ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      WHERE a.r <= 10 GROUP BY a.query_id
+    ),
+    {p}hr AS (
+      SELECT a.query_id, count(*) AS h
+      FROM {p}rer a JOIN {p}exact x
+        ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      GROUP BY a.query_id
+    ),
+    {p}perq AS (
+      SELECT q.query_id,
+             coalesce(ha.h, 0) / 10.0 AS rec_a,
+             coalesce(hr.h, 0) / 10.0 AS rec_r
+      FROM (SELECT DISTINCT query_id FROM {p}qv) q
+      LEFT JOIN {p}ha ha ON ha.query_id = q.query_id
+      LEFT JOIN {p}hr hr ON hr.query_id = q.query_id
+    )"""
+
+
+def _pq_row_sql(p: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS corpus,
+           CAST(10 AS BIGINT) AS k,
+           CAST(8 AS BIGINT) AS m_subspaces,
+           CAST(16 AS BIGINT) AS n_codes,
+           CAST(50 AS BIGINT) AS shortlist,
+           floor((SELECT avg(rec_a) FROM {p}perq) * 10000 + 0.5) / 10000
+             AS recall_adc_at_10,
+           floor((SELECT avg(rec_r) FROM {p}perq) * 10000 + 0.5) / 10000
+             AS recall_reranked"""
+
+
+_PQ_ADC_ORACLE = (
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    centers AS (
+      SELECT g.g,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5('c'||g.g::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS cv
+      FROM (SELECT unnest(range(0, 64)) AS g) g
+    ),
+    fc AS (
+      SELECT e.vec_id,
+             list_transform(range(0, 64), d -> centers.cv[d+1] + 2.0 * e.v[d+1]) AS v
+      FROM e JOIN centers ON centers.g = e.vec_id % 64
+    ),"""
+    + _pq_branch_sql("u_", "e")
+    + ","
+    + _pq_branch_sql("c_", "fc")
+    + "\n    SELECT * FROM ("
+    + _pq_row_sql("u_", "uniform")
+    + "\n    UNION ALL"
+    + _pq_row_sql("c_", "clustered")
+    + "\n    ) ORDER BY corpus"
+)
+
+
+@register(
+    "q183_pq_adc_recall",
+    oracle=_PQ_ADC_ORACLE,
+    doc="Product quantization with asymmetric distance computation "
+    "(Jégou et al. 2011) — the last rung of the index-memory ladder "
+    "after int8 scalar codes (q175): 64-dim vectors split into m=8 "
+    "subspaces, each coded against a 16-entry per-subspace codebook "
+    "(operators/similarity.py::pq_codebooks/pq_codes — deterministic "
+    "data-sampled codebooks, the same offline-training stand-in as the "
+    "IVF centroids), so a vector costs 8 BYTES in the ADC scan instead "
+    "of 512. Measured q174-style on BOTH corpora and BOTH operating "
+    "points: direct ADC top-10, and the production composition (ADC "
+    "shortlist-50 = 2.5%% of the corpus -> exact re-rank). At sf0.1: "
+    "clustered fixture 1.0 recall re-ranked (ADC-only 0.375); the "
+    "adversarially-uniform corpus 0.465 re-ranked (ADC-only 0.195) — "
+    "the honest 64x-compression floor on uniform vectors, same "
+    "documented bound as q174's. EVERYTHING is exact-integer "
+    "micro-units (floor(d2 x 1e6 + 0.5) as BIGINT, summed as longs — "
+    "associative, no float-order hazard), so assignments, the LUT, "
+    "both rankings, and both recalls replay bit-for-bit in DuckDB. "
+    "Scale shape: encode is one broadcast-codebook map stage at "
+    "ingest; ADC is one broadcast join + map-side-combinable long sum "
+    "whose memory traffic is m bytes/vector — the entire point of PQ.",
+)
+def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import (
+        _d2i,
+        clustered_fixture,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = []
+    for label, corpus in (("uniform", e), ("clustered", clustered_fixture(e, dims=64))):
+        cb = pq_codebooks(corpus, dims=64)
+        codes = pq_codes(corpus, cb, dims=64)
+        qs = corpus.filter(F.col("vec_id") < 20)
+        lut = pq_adc_lut(qs, cb, dims=64)
+        # ONE ranking pass serves both operating points: the direct ADC
+        # top-10 is the r<=10 prefix of the shortlist (same ordering).
+        short = pq_adc_topk(codes, lut, k=50).select("query_id", "vec_id", "rank")
+        qside = qs.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        wr = Window.partitionBy("query_id").orderBy(F.col("d2i"), F.col("vec_id"))
+        rer = (
+            short.join(corpus, "vec_id")
+            .join(F.broadcast(qside), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                _d2i(F.col("qvec"), F.col("embedding")).alias("d2i"),
+            )
+            .withColumn("r2", F.row_number().over(wr))
+            .filter(F.col("r2") <= 10)
+            .select("query_id", "vec_id")
+        )
+        exact = (
+            corpus.join(F.broadcast(qside), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _d2i(F.col("qvec"), F.col("embedding")).alias("d2i"),
+            )
+            .withColumn("r", F.row_number().over(wr))
+            .filter(F.col("r") <= 10)
+            .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        )
+        # q172's labeled-union shape: one marker join serves both recalls
+        methods = (
+            short.filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id", F.lit("a").alias("m"))
+            .unionByName(rer.select("query_id", "vec_id", F.lit("r").alias("m")))
+        )
+        hits = (
+            methods.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.when((F.col("m") == "a") & F.col("hit").isNotNull(), 1)).alias("ha"),
+                F.count(F.when((F.col("m") == "r") & F.col("hit").isNotNull(), 1)).alias("hr"),
+            )
+        )
+        perq = (
+            qs.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                (F.coalesce(F.col("ha"), F.lit(0)) / 10.0).alias("rec_a"),
+                (F.coalesce(F.col("hr"), F.lit(0)) / 10.0).alias("rec_r"),
+            )
+        )
+        rows.append(
+            perq.agg(
+                F.avg("rec_a").alias("mean_a"), F.avg("rec_r").alias("mean_r")
+            ).select(
+                F.lit(label).alias("corpus"),
+                F.lit(10).cast("long").alias("k"),
+                F.lit(8).cast("long").alias("m_subspaces"),
+                F.lit(16).cast("long").alias("n_codes"),
+                F.lit(50).cast("long").alias("shortlist"),
+                rnd(F.col("mean_a"), 4).alias("recall_adc_at_10"),
+                rnd(F.col("mean_r"), 4).alias("recall_reranked"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("corpus")

@@ -1512,3 +1512,54 @@ def test_stft8_power_drops_trailing_partial_frame(spark):
     out = stft8_power(df).collect()
     assert {r.frame for r in out} == {0}  # 13 samples -> one full frame
     assert len(out) == 5
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A codebook-member vector's nearest sub-centroid in every
+    subspace is its own subvector (distance 0, tie-break can't bite
+    since any tie would also be distance 0 → lowest code wins and the
+    distance stays exact) — the PQ analogue of 'centroids quantize to
+    themselves', which any slicing/off-by-one bug breaks."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import pq_codebooks, pq_codes
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_codebooks(e, dims=64)
+    codes = pq_codes(e.filter(F.col("vec_id") < 16), cb, dims=64).collect()
+    assert len(codes) == 16 * 8
+    mismatch = [r for r in codes if r.code > r.vec_id]
+    assert not mismatch, mismatch[:5]  # own subvector (or an exact-tie lower id)
+
+
+def test_pq_adc_scan_broadcasts_lut_and_never_shuffles_codes(spark, sf_dir):
+    """The ADC scan is the memory-bound hot loop: the Q×m×n_codes LUT
+    must broadcast onto the codes scan — no shuffle of the corpus-sized
+    codes side below the join (the per-(query,vec) sum may shuffle its
+    own aggregate rows above it)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_codebooks(e, dims=64)
+    codes = pq_codes(e, cb, dims=64)
+    lut = pq_adc_lut(e.filter(F.col("vec_id") < 3), cb, dims=64)
+    plan = (
+        pq_adc_topk(codes, lut, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    streamed = plan.split("BroadcastHashJoin")[-1].split("BroadcastExchange")[0]
+    assert "Exchange" not in streamed, streamed
