@@ -126,6 +126,56 @@ def main() -> None:
     t_inc = time.perf_counter() - t0
     print(f"incremental_multitable: {t_inc:.1f}s for a {n0}-vector increment, {npairs} pairs >= 0.8")
     new_post.unpersist(); new_vec.unpersist()
+    ex_post.unpersist(); ex_vec.unpersist()
+
+    # 4) PQ-ADC scan (the q183 path) at 100k: codes-only memory traffic
+    from beast_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    pq_cb = pq_codebooks(big, dims=64)
+    codes = pq_codes(big, pq_cb, dims=64).persist()
+    t0 = time.perf_counter()
+    ncodes = codes.count()  # encode cost measured separately from ADC
+    t_enc = time.perf_counter() - t0
+    lut = pq_adc_lut(qs, pq_cb, dims=64)
+    t0 = time.perf_counter()
+    nadc = pq_adc_topk(codes, lut, k=10).count()
+    t_adc = time.perf_counter() - t0
+    print(
+        f"pq_encode: {t_enc:.1f}s for {ncodes} code rows; "
+        f"pq_adc_topk: {t_adc:.1f}s for 20 queries over {n} vectors "
+        f"({nadc} results) — codes-only scan, 8 B/vector"
+    )
+    codes.unpersist()
+
+    # 5) streamed IVF maintenance: one 2k batch appended to a 98k index
+    import shutil
+    import tempfile
+
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    tmp = tempfile.mkdtemp(prefix="scale_ivf_")
+    try:
+        big.filter(F.col("vec_id") < 64).write.parquet(f"{tmp}/centroids")
+        m = IvfIndexMaintainer(f"{tmp}/state", f"{tmp}/centroids")
+        m.apply_batch(big.filter(F.col("vec_id") >= n0), 0)  # bulk load
+        t0 = time.perf_counter()
+        m.apply_batch(big.filter(F.col("vec_id") < n0), 1)  # the increment
+        t_batch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nsearch = m.search(spark, qs, nprobe=2, k=10).count()
+        t_s = time.perf_counter() - t0
+        print(
+            f"streamed_ivf: {t_batch:.1f}s to absorb a {n0}-vector batch "
+            f"into a {n - n0}-vector index; search {t_s:.1f}s "
+            f"({nsearch} results)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
