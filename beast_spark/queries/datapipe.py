@@ -5985,3 +5985,89 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1]).orderBy("corpus")
+
+
+_STREAM_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT CAST(u.s AS INT) AS s, CAST(vec_id AS INT) AS code,
+             v[u.s*8+1 : u.s*8+8] AS cvec
+      FROM e, unnest(range(0, 8)) u(s) WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS svec
+      FROM e, unnest(range(0, 8)) u(s)
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                 ORDER BY {_PQ_D2I.format(a='sv.svec', b='cb.cvec')}, cb.code) AS rn
+        FROM sv JOIN cb ON cb.s = sv.s) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    qsv AS (
+      SELECT query_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS qvec
+      FROM qv, unnest(range(0, 8)) u(s)
+    ),
+    lut AS (
+      SELECT q.query_id, q.s, cb.code,
+             {_PQ_D2I.format(a='q.qvec', b='cb.cvec')} AS d2i
+      FROM qsv q JOIN cb ON cb.s = q.s
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, sum(l.d2i) AS adci
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE l.query_id <> c.vec_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adci / 1000000.0 AS adc, CAST(r AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adci,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adci, vec_id) AS r
+      FROM adc) WHERE r <= 10
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q184_streaming_pq_adc_search",
+    oracle=_STREAM_PQ_ORACLE,
+    doc="The memory-bound ADC tier over STREAMED state: the "
+    "IvfIndexMaintainer also maintains PQ codes against FROZEN "
+    "per-subspace codebooks (q183's deterministic data-sampled books — "
+    "PQ encoding is per-row, hence additive across batches exactly "
+    "like the int8 codes), and adc_search ranks the whole corpus "
+    "through the broadcast lookup table reading 8 bytes/vector. "
+    "Because maintained codes == a batch encode under frozen "
+    "codebooks (property-tested) and the ADC ranking is exact-integer "
+    "(long sums — associative), the streamed search replays "
+    "bit-for-bit in DuckDB from the full corpus, ADC values included. "
+    "The streamed twin of q183's direct tier; q178/q179 cover the "
+    "exact and int8 tiers of the same maintainer.",
+)
+def q184_streaming_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import pq_codebooks
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q184_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    pq_codebooks(e, dims=64).write.parquet(f"{base}/pq_codebooks")
+    m = IvfIndexMaintainer(
+        f"{base}/state",
+        f"{base}/centroids",
+        pq_codebooks_path=f"{base}/pq_codebooks",
+        dims=64,
+    )
+    for batch in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.adc_search(spark, qs, k=10)
+        .select("query_id", "vec_id", "adc", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

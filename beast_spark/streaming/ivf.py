@@ -28,6 +28,13 @@ Frozen artifacts make the maintenance EXACT, not approximate:
   against frozen [mn, mx], hence additive for the same reason; values
   outside the frozen range in later increments clamp (documented
   saturation).
+* ``pq_codebooks_path`` (optional) — frozen per-subspace PQ codebooks
+  (q183). PQ encoding is per-row against frozen sub-centroids, hence
+  additive too; the maintained ``pq`` sub-table feeds the
+  memory-bound ADC tier (:meth:`adc_search`, m bytes/vector).
+
+Centroid/codebook DRIFT is handled by :meth:`rebuild` (retrain offline
+→ re-derive → atomic swap), never by mutating maintenance.
 
 State sub-tables (one atomic swap): ``assigned`` (id, cid — slim
 postings), ``vectors`` (id, raw vector — the exact re-rank read),
@@ -61,6 +68,9 @@ from beast_spark.operators.similarity import (
     dequantize_codes,
     ivf_assign,
     ivf_probes,
+    pq_adc_lut,
+    pq_adc_topk,
+    pq_codes,
     quantize_codes,
 )
 from beast_spark.streaming.swap import SwapCommittedTable
@@ -69,19 +79,24 @@ __all__ = ["IvfIndexMaintainer"]
 
 
 class IvfIndexMaintainer(SwapCommittedTable):
-    """Owns one swap-committed state directory (assigned+vectors[+codes])."""
+    """Owns one swap-committed state directory
+    (assigned+vectors[+codes][+pq])."""
 
     def __init__(
         self,
         path: str,
         centroids_path: str,
         codebook_path: str | None = None,
+        pq_codebooks_path: str | None = None,
+        dims: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
         SwapCommittedTable.__init__(self, path)
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
+        self.pq_codebooks_path = pq_codebooks_path
+        self.dims = dims
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -102,6 +117,9 @@ class IvfIndexMaintainer(SwapCommittedTable):
 
     def read_codes(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "codes")
+
+    def read_pq(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "pq")
 
     def _centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)
@@ -154,6 +172,13 @@ class IvfIndexMaintainer(SwapCommittedTable):
             frames["codes"] = (
                 new_codes if codes is None else codes.unionByName(new_codes)
             )
+        if self.pq_codebooks_path is not None:
+            pq_cb = spark.read.parquet(self.pq_codebooks_path)
+            new_pq = pq_codes(
+                inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
+            )
+            pq = self._read_sub(spark, "pq")
+            frames["pq"] = new_pq if pq is None else pq.unionByName(new_pq)
         self.commit_frames(frames, batch_id)
 
     # -- search over the maintained index --------------------------------
@@ -247,6 +272,77 @@ class IvfIndexMaintainer(SwapCommittedTable):
             .filter(F.col("rank") <= k)
             .select("query_id", self.id_col, "cos_sim", "rank")
         )
+
+    def adc_search(
+        self, spark: SparkSession, queries: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Top-k by PQ asymmetric distance over the maintained ``pq``
+        codes — the memory-bound tier (m bytes/vector scanned, q183's
+        direct operating point; compose with :meth:`search` or an exact
+        re-rank when recall matters more than scan cost). The ADC
+        ranking is exact-integer, so it replays bit-for-bit against a
+        batch encode of the same corpus (frozen PQ codebooks make the
+        maintained codes == batch codes, property-tested)."""
+        pq = self.read_pq(spark)
+        if pq is None:
+            raise ValueError(
+                "IvfIndexMaintainer: no PQ codes maintained — construct "
+                "with pq_codebooks_path to enable the ADC tier"
+            )
+        lut = pq_adc_lut(
+            queries,
+            spark.read.parquet(self.pq_codebooks_path),
+            self.dims,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        return pq_adc_topk(pq, lut, k=k, id_col=self.id_col)
+
+    # -- offline retrain --------------------------------------------------
+
+    def rebuild(
+        self,
+        spark: SparkSession,
+        centroids_path: str,
+        codebook_path: str | None = None,
+        pq_codebooks_path: str | None = None,
+    ) -> None:
+        """Swap in RETRAINED frozen artifacts: re-derive every derived
+        sub-table (assigned, codes, pq) from the maintained ``vectors``
+        against the new centroids/codebooks and commit atomically.
+
+        Maintenance cannot absorb a centroid change additively —
+        assignment depends on the centroids — so drift handling is the
+        standard IVF production operation: retrain offline, rebuild,
+        swap. The applied-batch ledger is preserved (the re-commit
+        unions an already-applied id), so the stream resumes appending
+        against the new index with exactly-once semantics intact."""
+        vectors = self.read_vectors(spark)
+        if vectors is None:
+            raise ValueError("IvfIndexMaintainer: no state ingested yet")
+        self.centroids_path = centroids_path
+        self.codebook_path = codebook_path
+        self.pq_codebooks_path = pq_codebooks_path
+        frames = {
+            "assigned": ivf_assign(
+                vectors, self._centroids(spark), self.id_col, self.vec_col
+            ).select(self.id_col, "cid"),
+            "vectors": vectors,
+        }
+        if codebook_path is not None:
+            frames["codes"] = quantize_codes(
+                vectors, spark.read.parquet(codebook_path), self.id_col, self.vec_col
+            )
+        if pq_codebooks_path is not None:
+            frames["pq"] = pq_codes(
+                vectors,
+                spark.read.parquet(pq_codebooks_path),
+                self.dims,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        applied = self.applied_batches()
+        self.commit_frames(frames, max(applied) if applied else 0)
 
     # -- wiring ----------------------------------------------------------
 

@@ -165,3 +165,72 @@ def test_streamed_ivf_probe_broadcasts_and_never_shuffles_postings(
     assert "Exchange" not in streamed_side, streamed_side
     # it IS the postings scan (the path string may be elided in toString)
     assert "struct<vec_id:bigint,cid:bigint>" in streamed_side, streamed_side
+
+
+def test_streamed_pq_codes_and_adc_search_equal_batch(spark, sf_dir, tmp_path):
+    """PQ tier: maintained codes equal a one-shot encode under the
+    frozen per-subspace codebooks, and adc_search over the maintained
+    state equals the batch ADC ranking (integer-exact, so set-equality
+    of full rows including the adc values)."""
+    from beast_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    cpath, ppath = str(tmp_path / "centroids"), str(tmp_path / "pq_cb")
+    e.filter(F.col("vec_id") < 16).write.parquet(cpath)
+    pq_codebooks(e, dims=64).write.parquet(ppath)
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), cpath, pq_codebooks_path=ppath, dims=64
+    )
+    for b in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == b), b)
+    cb = spark.read.parquet(ppath)
+    got_codes = {(r.vec_id, r.s, r.code) for r in m.read_pq(spark).collect()}
+    want_codes = {(r.vec_id, r.s, r.code) for r in pq_codes(e, cb, 64).collect()}
+    assert got_codes == want_codes and got_codes
+
+    qs = e.filter(F.col("vec_id") < 5)
+    got = {tuple(r) for r in m.adc_search(spark, qs, k=7).collect()}
+    want = {
+        tuple(r)
+        for r in pq_adc_topk(
+            pq_codes(e, cb, 64), pq_adc_lut(qs, cb, 64), k=7
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_rebuild_swaps_retrained_artifacts_atomically(spark, sf_dir, tmp_path):
+    """Offline retrain: rebuild() against NEW centroids re-derives every
+    derived sub-table from the maintained vectors, equals a fresh build
+    under the new artifacts, and preserves the applied-batch ledger so
+    the stream resumes exactly-once."""
+    from beast_spark.operators.similarity import ivf_assign
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    c1, c2 = str(tmp_path / "cent1"), str(tmp_path / "cent2")
+    e.filter(F.col("vec_id") < 8).write.parquet(c1)
+    e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).write.parquet(c2)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    for b in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == b), b)
+    applied = m.applied_batches()
+    before = {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()}
+
+    m.rebuild(spark, c2)
+    after = {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()}
+    want = {
+        (r.vec_id, r.cid)
+        for r in ivf_assign(e, spark.read.parquet(c2)).select("vec_id", "cid").collect()
+    }
+    assert after == want and after != before
+    assert m.applied_batches() == applied  # ledger preserved
+    # replay of an applied batch is still a no-op after the rebuild
+    m.apply_batch(e.filter(F.col("vec_id") % 2 == 0), max(applied) - 1)
+    assert {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()} == after
