@@ -617,12 +617,17 @@ def stft8_power(
     so the value replays exactly in the DuckDB oracle. Trailing
     samples beyond the last full frame are dropped (standard STFT
     framing)."""
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark (implicit
+    # step -1), so a sub-frame-length clip must gate to an empty array
+    # explicitly or it emits a partial frame 0 plus a crashing frame -1.
+    n_frames = (F.size(samples_col) / 8).cast("int")
+    frame_idx = F.when(
+        n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     frames = df.select(
         id_col,
         F.col(samples_col).alias("_s"),
-        F.explode(
-            F.sequence(F.lit(0), (F.size(samples_col) / 8).cast("int") - 1)
-        ).alias("frame"),
+        F.explode(frame_idx).alias("frame"),
     ).select(
         id_col,
         "frame",

@@ -1207,6 +1207,19 @@ def _d2i(a, b) -> F.Column:
     return F.floor(d2 * 1e6 + F.lit(0.5)).cast("long")
 
 
+def _pq_sub(dims: int, m: int) -> int:
+    """Subspace width, validating the split covers EVERY dimension — a
+    dims % m remainder would silently drop the trailing dims from every
+    codebook, assignment, and ADC distance."""
+    if dims % m:
+        raise ValueError(
+            f"PQ: dims={dims} is not divisible by m={m} subspaces — "
+            f"{dims % m} trailing dimensions would be silently ignored. "
+            "Pad the vectors or pick m | dims."
+        )
+    return dims // m
+
+
 def _subvectors(vec_col: F.Column, m: int, sub: int) -> F.Column:
     return F.array(*[F.slice(vec_col, s * sub + 1, sub) for s in range(m)])
 
@@ -1222,7 +1235,7 @@ def pq_codebooks(
     """(s, code, cvec): per-subspace codebooks — code c in subspace s is
     the s-th subvector of corpus vector c (the first ``n_codes`` by id).
     m × n_codes rows total; always broadcast."""
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     base = data.filter(F.col(id_col) < n_codes)
     return base.select(
         F.col(id_col).cast("int").alias("code"),
@@ -1243,7 +1256,7 @@ def pq_codes(
     m×n_codes codebook broadcasts — plus a map-side-combinable min-
     struct argmin; this is the PQ encode a 100-TB corpus runs once at
     ingest and stores as m TINYINT-able columns."""
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     rows = data.select(
         id_col, F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "sv")
     )
@@ -1271,7 +1284,7 @@ def pq_adc_lut(
     """(query_id, s, code, d2i): the ADC lookup table — exact-integer
     sub-distances from every query subvector to every sub-centroid.
     Q × m × n_codes rows; always broadcast."""
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "qv"),

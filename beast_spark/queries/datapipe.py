@@ -4971,16 +4971,12 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("corpus")
 
 
-@register(
-    "q175_quantized_index_neardup",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cells AS (
+_INT8_DQV_SQL = """cells AS (
       SELECT vec_id, CAST(u.d AS INT) AS dim, v[u.d + 1] AS val
       FROM e, unnest(range(0, 64)) u(d)
     ),
     p AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM cells GROUP BY dim),
-    qc AS (
+    qcq AS (
       SELECT c.vec_id, c.dim,
              CASE WHEN p.mx > p.mn
                   THEN p.mn + floor((c.val - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5)
@@ -4988,7 +4984,18 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE p.mn END AS dq
       FROM cells c JOIN p USING (dim)
     ),
-    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS v FROM qc GROUP BY vec_id),
+    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS v FROM qcq GROUP BY vec_id)"""
+# The per-dim [mn, mx] codebook + dequantized vectors of CTE ``e`` — the
+# DuckDB twin of quantization_params + dequantize_codes, shared by the
+# q175/q176/q179 oracles so the quantization formula cannot drift
+# between them (it ALSO must match operators/similarity.py).
+
+
+@register(
+    "q175_quantized_index_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """ + _INT8_DQV_SQL + """,
     planes6 AS (
       SELECT b.pp,
              list_transform(range(0, 64),
@@ -5107,20 +5114,7 @@ def q175_quantized_index_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_INT8_ORACLE = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cells AS (
-      SELECT vec_id, CAST(u.d AS INT) AS dim, v[u.d + 1] AS val
-      FROM e, unnest(range(0, 64)) u(d)
-    ),
-    p AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM cells GROUP BY dim),
-    qcq AS (
-      SELECT c.vec_id, c.dim,
-             CASE WHEN p.mx > p.mn
-                  THEN p.mn + floor((c.val - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5)
-                       * ((p.mx - p.mn) / 255.0)
-                  ELSE p.mn END AS dq
-      FROM cells c JOIN p USING (dim)
-    ),
-    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS v FROM qcq GROUP BY vec_id),
+    """ + _INT8_DQV_SQL + """,
     cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
     asg AS (
       SELECT vec_id, cid FROM (
@@ -5460,21 +5454,9 @@ def q178_streaming_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_IVF_INT8_ORACLE = (
     _STREAM_IVF_BASE
+    + ",\n    "
+    + _INT8_DQV_SQL
     + f""",
-    cells AS (
-      SELECT vec_id, CAST(u.d AS INT) AS dim, v[u.d + 1] AS val
-      FROM e, unnest(range(0, 64)) u(d)
-    ),
-    p AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM cells GROUP BY dim),
-    qcq AS (
-      SELECT c.vec_id, c.dim,
-             CASE WHEN p.mx > p.mn
-                  THEN p.mn + floor((c.val - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5)
-                       * ((p.mx - p.mn) / 255.0)
-                  ELSE p.mn END AS dq
-      FROM cells c JOIN p USING (dim)
-    ),
-    dqv AS (SELECT vec_id, array_agg(dq ORDER BY dim) AS v FROM qcq GROUP BY vec_id),
     short AS (
       SELECT query_id, vec_id FROM (
         SELECT c.query_id, c.vec_id,
@@ -5757,14 +5739,15 @@ _PQ_D2I = (
 )
 
 
-def _pq_branch_sql(p: str, src: str) -> str:
-    """One PQ evaluation branch (prefix ``p`` over source CTE ``src``):
-    codebooks, codes, ADC lookup + ranking, shortlist-50 exact re-rank,
-    exact-L2 top-10, both recalls — the DuckDB twin of the
-    operators/similarity.py PQ stack composed as in q183."""
+def _pq_pipe_sql(p: str, src: str) -> str:
+    """The shared PQ encode/LUT pipeline (prefix ``p`` over source CTE
+    ``src``): per-subspace codebooks, nearest-sub-centroid codes, query
+    subvectors, and the integer-exact ADC lookup table — the DuckDB
+    twin of pq_codebooks/pq_codes/pq_adc_lut, used by BOTH the q183
+    evaluation branches and the q184 streamed-search oracle so the PQ
+    formula cannot drift between them."""
     d = _PQ_D2I
-    return f"""
-    {p}cb AS (
+    return f"""{p}cb AS (
       SELECT CAST(u.s AS INT) AS s, CAST(vec_id AS INT) AS code,
              v[u.s*8+1 : u.s*8+8] AS cvec
       FROM {src}, unnest(range(0, 8)) u(s) WHERE vec_id < 16
@@ -5789,7 +5772,17 @@ def _pq_branch_sql(p: str, src: str) -> str:
       SELECT q.query_id, q.s, cb.code,
              {d.format(a='q.qvec', b='cb.cvec')} AS d2i
       FROM {p}qsv q JOIN {p}cb cb ON cb.s = q.s
-    ),
+    )"""
+
+
+def _pq_branch_sql(p: str, src: str) -> str:
+    """One PQ evaluation branch (prefix ``p`` over source CTE ``src``):
+    the shared pipe plus ADC ranking, shortlist-50 exact re-rank,
+    exact-L2 top-10, both recalls — the DuckDB twin of the
+    operators/similarity.py PQ stack composed as in q183."""
+    d = _PQ_D2I
+    return f"""
+    {_pq_pipe_sql(p, src)},
     {p}rk AS (
       SELECT query_id, vec_id, r FROM (
         SELECT l.query_id, c.vec_id,
@@ -5989,32 +5982,7 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_PQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cb AS (
-      SELECT CAST(u.s AS INT) AS s, CAST(vec_id AS INT) AS code,
-             v[u.s*8+1 : u.s*8+8] AS cvec
-      FROM e, unnest(range(0, 8)) u(s) WHERE vec_id < 16
-    ),
-    sv AS (
-      SELECT vec_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS svec
-      FROM e, unnest(range(0, 8)) u(s)
-    ),
-    codes AS (
-      SELECT vec_id, s, code FROM (
-        SELECT sv.vec_id, sv.s, cb.code,
-               row_number() OVER (PARTITION BY sv.vec_id, sv.s
-                 ORDER BY {_PQ_D2I.format(a='sv.svec', b='cb.cvec')}, cb.code) AS rn
-        FROM sv JOIN cb ON cb.s = sv.s) WHERE rn = 1
-    ),
-    qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
-    qsv AS (
-      SELECT query_id, CAST(u.s AS INT) AS s, v[u.s*8+1 : u.s*8+8] AS qvec
-      FROM qv, unnest(range(0, 8)) u(s)
-    ),
-    lut AS (
-      SELECT q.query_id, q.s, cb.code,
-             {_PQ_D2I.format(a='q.qvec', b='cb.cvec')} AS d2i
-      FROM qsv q JOIN cb ON cb.s = q.s
-    ),
+    {_pq_pipe_sql("", "e")},
     adc AS (
       SELECT l.query_id, c.vec_id, sum(l.d2i) AS adci
       FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code

@@ -55,34 +55,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beast_spark.operators.decontam import doc_gram_postings
-from beast_spark.streaming.swap import SwapCommittedTable
+from beast_spark.streaming.swap import SwapCommittedTable, artifact_fingerprint
 
 __all__ = ["DecontamMaintainer"]
-
-
-def _corpus_fingerprint(path: str) -> str:
-    """Deterministic fingerprint of the frozen train corpus: md5 over
-    the sorted (relative path, size, mtime_ns) of every data file under
-    ``path``. Cheap (pure directory metadata, no data scan) and strict
-    in the fail-safe direction — an in-place rewrite changes size or
-    mtime and is rejected with an explicit error instead of silently
-    probing postings built from the old bytes. A touched-but-unchanged
-    file also rejects; that costs an explicit rebuild, never a silent
-    wrong answer."""
-    import hashlib
-
-    entries = []
-    for root, _dirs, files in os.walk(path):
-        for name in files:
-            if name.startswith(("_", ".")):
-                continue  # _SUCCESS markers / CRCs churn without content
-            full = os.path.join(root, name)
-            st = os.stat(full)
-            entries.append(
-                (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
-            )
-    digest = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
-    return digest
 
 
 class DecontamMaintainer(SwapCommittedTable):
@@ -132,7 +107,7 @@ class DecontamMaintainer(SwapCommittedTable):
             # REWRITTEN IN PLACE at the same path (same n/train_path)
             # must not silently probe postings derived from the old
             # bytes — exactly the failure this marker exists to catch.
-            "train_fingerprint": _corpus_fingerprint(self.train_path),
+            "train_fingerprint": artifact_fingerprint(self.train_path),
         }
         if not os.path.exists(ppath):
             train = spark.read.parquet(self.train_path).select("doc_id", "text")

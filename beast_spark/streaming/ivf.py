@@ -73,7 +73,7 @@ from beast_spark.operators.similarity import (
     pq_codes,
     quantize_codes,
 )
-from beast_spark.streaming.swap import SwapCommittedTable
+from beast_spark.streaming.swap import SwapCommittedTable, artifact_fingerprint
 
 __all__ = ["IvfIndexMaintainer"]
 
@@ -124,12 +124,65 @@ class IvfIndexMaintainer(SwapCommittedTable):
     def _centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)
 
+    # -- frozen-artifact marker ------------------------------------------
+
+    def _meta(self) -> dict:
+        """The configuration + artifact-content record the state was
+        built under. Assignments/codes are only additive while the
+        frozen artifacts stay BIT-identical — a maintainer pointed at
+        retrained centroids (without :meth:`rebuild`), a swapped
+        codebook, or a mid-stream enable of a codes tier would
+        silently mix incompatible index rows; the marker turns every
+        one of those into an explicit error (the
+        ``streaming/decontam.py`` stale-postings guard pattern)."""
+        return {
+            "centroids": artifact_fingerprint(self.centroids_path),
+            "codebook": None
+            if self.codebook_path is None
+            else artifact_fingerprint(self.codebook_path),
+            "pq_codebooks": None
+            if self.pq_codebooks_path is None
+            else artifact_fingerprint(self.pq_codebooks_path),
+            "dims": self.dims,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+
+    def _meta_file(self) -> str:
+        return self.path + ".meta.json"
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+
+        with open(self._meta_file(), "w") as fh:
+            json.dump(meta, fh)
+
+    def _validate_meta(self, meta: dict) -> None:
+        import json
+
+        if os.path.exists(self._meta_file()):
+            with open(self._meta_file()) as fh:
+                stored = json.load(fh)
+        else:
+            stored = None
+        if stored != meta:
+            raise ValueError(
+                f"IvfIndexMaintainer: existing state at {self.path} was "
+                f"built with {stored}, this maintainer wants {meta} — "
+                "the frozen artifacts or config changed. For retrained "
+                "artifacts call rebuild(); otherwise rebuild the state "
+                "from the source stream (fresh state dir + checkpoint)."
+            )
+
     # -- the foreachBatch body -------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
         self._recover()
+        meta = self._meta()
+        if os.path.exists(self.path):
+            self._validate_meta(meta)
         spark = batch_df.sparkSession
         inc = batch_df.select(
             self.id_col,
@@ -179,6 +232,11 @@ class IvfIndexMaintainer(SwapCommittedTable):
             )
             pq = self._read_sub(spark, "pq")
             frames["pq"] = new_pq if pq is None else pq.unionByName(new_pq)
+        if not os.path.exists(self.path):
+            # marker BEFORE the first commit: a crash in between leaves
+            # marker-without-state, which the next attempt overwrites —
+            # never state-without-marker (that would reject every batch)
+            self._write_meta(meta)
         self.commit_frames(frames, batch_id)
 
     # -- search over the maintained index --------------------------------
@@ -241,10 +299,17 @@ class IvfIndexMaintainer(SwapCommittedTable):
                 .select("query_id", self.id_col, "cos_sim", "rank")
             )
         n_short = shortlist if shortlist is not None else 3 * k
+        codes = self.read_codes(spark)
+        if codes is None:
+            raise ValueError(
+                "IvfIndexMaintainer: codebook_path is set but the state "
+                "has no maintained codes sub-table — the state was built "
+                "without a codebook (the meta marker rejects this on the "
+                "next apply_batch; rebuild() re-derives codes from the "
+                "maintained vectors)."
+            )
         codebook = spark.read.parquet(self.codebook_path)
-        dq = dequantize_codes(
-            self.read_codes(spark), codebook, id_col=self.id_col
-        )
+        dq = dequantize_codes(codes, codebook, id_col=self.id_col)
         ws = Window.partitionBy("query_id").orderBy(
             F.col("s").desc(), F.col(self.id_col)
         )
@@ -320,12 +385,17 @@ class IvfIndexMaintainer(SwapCommittedTable):
         vectors = self.read_vectors(spark)
         if vectors is None:
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
-        self.centroids_path = centroids_path
-        self.codebook_path = codebook_path
-        self.pq_codebooks_path = pq_codebooks_path
+        # Derive everything from LOCAL paths and adopt them on self only
+        # after the commit lands: a failed rebuild must leave the
+        # maintainer pointed at the artifacts its state was built with,
+        # or the next apply_batch would mix assignments across centroid
+        # generations (exactly the hazard the meta marker guards).
         frames = {
             "assigned": ivf_assign(
-                vectors, self._centroids(spark), self.id_col, self.vec_col
+                vectors,
+                spark.read.parquet(centroids_path),
+                self.id_col,
+                self.vec_col,
             ).select(self.id_col, "cid"),
             "vectors": vectors,
         }
@@ -343,6 +413,13 @@ class IvfIndexMaintainer(SwapCommittedTable):
             )
         applied = self.applied_batches()
         self.commit_frames(frames, max(applied) if applied else 0)
+        self.centroids_path = centroids_path
+        self.codebook_path = codebook_path
+        self.pq_codebooks_path = pq_codebooks_path
+        # marker after the successful swap: a crash in between leaves
+        # new-state + old-marker, which the next apply_batch REJECTS
+        # (fail-safe: an explicit re-run of rebuild() heals it)
+        self._write_meta(self._meta())
 
     # -- wiring ----------------------------------------------------------
 

@@ -27,7 +27,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LEDGER = "_applied_batches.json"
 
-__all__ = ["SwapCommittedTable"]
+__all__ = ["SwapCommittedTable", "artifact_fingerprint"]
+
+
+def artifact_fingerprint(path: str) -> str:
+    """Deterministic fingerprint of a FROZEN on-disk artifact (a train
+    corpus, a centroid table, a codebook): md5 over the sorted
+    (relative path, size, mtime_ns) of every data file under ``path``.
+
+    Cheap — pure directory metadata, no data scan — and strict in the
+    fail-safe direction: an in-place rewrite changes size or mtime and
+    validation rejects it with an explicit error instead of silently
+    reading state derived from the old bytes; a touched-but-unchanged
+    file also rejects, which costs an explicit rebuild, never a silent
+    wrong answer. RAISES for a path that has no walkable data files
+    (missing dir, or a non-local URI ``os.walk`` cannot see) — a
+    constant fingerprint there would leave every guard built on this
+    helper silently inert."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue  # _SUCCESS markers / CRCs churn without content
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            entries.append(
+                (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+            )
+    if not entries:
+        raise ValueError(
+            f"artifact_fingerprint: no data files under {path!r} — not a "
+            "local artifact directory (remote URIs need a storage-native "
+            "fingerprint; pass one explicitly instead of relying on a "
+            "guard that would never fire)."
+        )
+    return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
 
 
 class SwapCommittedTable:

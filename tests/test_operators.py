@@ -1514,6 +1514,22 @@ def test_stft8_power_drops_trailing_partial_frame(spark):
     assert len(out) == 5
 
 
+def test_stft8_power_short_and_empty_clips_emit_zero_frames(spark):
+    """Sub-frame-length clips must yield NO frames (the documented
+    contract), not a crash: Spark's sequence(0, -1) is the DESCENDING
+    [0, -1], so an ungated frame index emits a partial frame 0 and an
+    out-of-range frame -1 (element_at index error under ANSI)."""
+    from beast_spark.operators.multimodal import stft8_power
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, []), (3, list(range(8)))],
+        "media_id long, samples array<int>",
+    )
+    out = stft8_power(df).collect()
+    assert {r.media_id for r in out} == {3}
+    assert len(out) == 5
+
+
 def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
     """A codebook-member vector's nearest sub-centroid in every
     subspace is its own subvector (distance 0, tie-break can't bite

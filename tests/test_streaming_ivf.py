@@ -234,3 +234,37 @@ def test_rebuild_swaps_retrained_artifacts_atomically(spark, sf_dir, tmp_path):
     # replay of an applied batch is still a no-op after the rebuild
     m.apply_batch(e.filter(F.col("vec_id") % 2 == 0), max(applied) - 1)
     assert {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()} == after
+
+
+def test_artifact_swap_without_rebuild_is_rejected(spark, sf_dir, tmp_path):
+    """Assignments are additive only while the frozen artifacts stay
+    bit-identical: a maintainer pointed at different centroids (or a
+    mid-stream enable of a codes tier) over existing state must raise,
+    not silently mix index generations — the decontam marker pattern."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    c1, c2 = str(tmp_path / "cent1"), str(tmp_path / "cent2")
+    e.filter(F.col("vec_id") < 8).write.parquet(c1)
+    e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).write.parquet(c2)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    m.apply_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+
+    # same state dir, retrained centroids, no rebuild(): rejected
+    m2 = IvfIndexMaintainer(str(tmp_path / "state"), c2)
+    with pytest.raises(ValueError, match="artifacts or config changed"):
+        m2.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+
+    # mid-stream enable of the int8 tier: rejected (old vectors would
+    # silently miss from the codes table)
+    from beast_spark.operators.similarity import quantization_params
+
+    qpath = str(tmp_path / "cb")
+    quantization_params(e).write.parquet(qpath)
+    m3 = IvfIndexMaintainer(str(tmp_path / "state"), c1, codebook_path=qpath)
+    with pytest.raises(ValueError, match="artifacts or config changed"):
+        m3.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+
+    # the original maintainer continues unaffected
+    m.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert m.read_assigned(spark).count() == e.count()
