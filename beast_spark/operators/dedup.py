@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from beast_spark.functions.hashing import md5_long
 from beast_spark.functions.text import tokens
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "simhash_pairs",
     "dedup_clusters",
     "dedup_clusters_minlabel",
+    "hashed_doc_vectors",
 ]
 
 
@@ -857,4 +859,59 @@ def dedup_clusters(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     ).union(
         edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009)
+    document embeddings — model-free vectors that bridge the TEXT dedup
+    stack into the EMBEDDING/ANN stack: each distinct n-gram shingle
+    hashes to one of ``dims`` buckets with a salted ±1 sign, and the
+    signed counts form a dims-dim float vector whose cosine
+    approximates shingle-set overlap (a Jaccard-like signal in
+    fixed-dim form). The point is the REPRESENTATION: the vectors feed
+    every operator the embedding column already has — LSH near-dup
+    mining, IVF/PQ search tiers, the incremental and streaming vector
+    indexes — without a model; they do NOT add order-invariance (the
+    n-gram features are as order-sensitive as Jaccard itself).
+
+    md5-derived bucket and sign (``functions/hashing.py::md5_long``) so
+    any engine replays the vectors bit-exactly; sums of ±1 are integer-
+    valued doubles, so aggregation order cannot perturb them. Scale
+    shape: shingles explode map-side, ONE shuffle on (doc, bucket), a
+    per-doc map assembly — the q36 signature envelope; no stage holds
+    more than one document's shingles plus a dims-sized map. Documents
+    with fewer than ``n`` tokens have no shingles and are ABSENT (the
+    q117 contract).
+
+    Returns (doc_id, embedding array<double>).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    hb = sh.select(
+        "doc_id",
+        (md5_long("shingle") % dims).alias("b"),
+        F.when(
+            md5_long(F.concat(F.lit("sgn|"), F.col("shingle"))) % 2 == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    w = hb.groupBy("doc_id", "b").agg(F.sum("sgn").alias("w"))
+    return (
+        w.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "w"))).alias("_m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)).cast("array<bigint>"),
+                lambda d: F.coalesce(F.element_at(F.col("_m"), d), F.lit(0.0)),
+            ).alias("embedding"),
+        )
     )

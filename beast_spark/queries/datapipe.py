@@ -6039,3 +6039,98 @@ def q184_streaming_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "adc", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q185_hashed_embedding_neardup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i + 2], ' ') AS s
+      FROM t, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    ),
+    hb AS (
+      SELECT doc_id,
+             ('0x'||substr(md5(s),1,15))::BIGINT % 64 AS b,
+             CASE WHEN ('0x'||substr(md5('sgn|'||s),1,15))::BIGINT % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM sh
+    ),
+    w AS (SELECT doc_id, b, sum(sgn) AS w FROM hb GROUP BY doc_id, b),
+    grid AS (
+      SELECT t.doc_id, CAST(u.d AS BIGINT) AS d
+      FROM t, unnest(range(0, 64)) u(d) WHERE len(toks) >= 3
+    ),
+    cells AS (
+      SELECT grid.doc_id, grid.d, coalesce(w.w, 0.0) AS v
+      FROM grid LEFT JOIN w ON w.doc_id = grid.doc_id AND w.b = grid.d
+    ),
+    vec AS (
+      SELECT doc_id, array_agg(v ORDER BY d) AS v FROM cells GROUP BY doc_id
+    ),
+    nz AS (SELECT * FROM vec WHERE list_dot_product(v, v) > 0),
+    planes6 AS (
+      SELECT b.pp,
+             list_transform(range(0, 64),
+                 d -> CASE WHEN ('0x'||substr(md5(b.pp::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
+                           THEN 1.0 ELSE -1.0 END) AS comp
+      FROM (SELECT unnest(range(0, 6)) AS pp) b
+    ),
+    bf AS (
+      SELECT nz.doc_id,
+             sum(CASE WHEN list_dot_product(nz.v, planes6.comp) > 0
+                      THEN (1::BIGINT << planes6.pp) ELSE 0::BIGINT END) AS bucket
+      FROM nz, planes6 GROUP BY nz.doc_id
+    )
+    SELECT a.doc_id AS doc1, bb.doc_id AS doc2,
+           floor((list_dot_product(av.v, bv.v)
+                  / (sqrt(list_dot_product(av.v, av.v))
+                     * sqrt(list_dot_product(bv.v, bv.v))))
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM bf a JOIN bf bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+    JOIN nz av ON av.doc_id = a.doc_id
+    JOIN nz bv ON bv.doc_id = bb.doc_id
+    WHERE floor((list_dot_product(av.v, bv.v)
+                 / (sqrt(list_dot_product(av.v, av.v))
+                    * sqrt(list_dot_product(bv.v, bv.v))))
+                * 1000000 + 0.5) / 1000000 >= 0.7
+    """,
+    doc="Model-free SEMANTIC-ISH text dedup bridging the text stack "
+    "into the ANN stack: feature-hashing ('hashing trick', Weinberger "
+    "et al. 2009) document embeddings "
+    "(operators/dedup.py::hashed_doc_vectors — distinct 3-gram "
+    "shingles hash to 64 signed buckets via md5, so the vectors replay "
+    "bit-exactly in any engine and integer ±1 sums have no float-order "
+    "hazard), then the EXISTING embedding near-dup machinery mines "
+    "pairs over them (lsh_neardup_pairs, q85's 6-plane md5-Rademacher "
+    "config, cosine >= 0.7). The cosine approximates shingle-set "
+    "overlap (a Jaccard-like signal) in a FIXED-DIM vector, which is "
+    "what unlocks the whole embedding toolbox for text — LSH pair "
+    "mining here, and equally the IVF/PQ search tiers and the "
+    "incremental/streaming vector indexes — at the cost of hash "
+    "collisions (the standard hashing-trick trade). "
+    "Scale shape: shingles explode map-side, one shuffle on "
+    "(doc, bucket), per-doc map assembly, then the bucketed pair join "
+    "— never a cartesian; zero-norm vectors (all buckets cancelled) "
+    "are dropped explicitly so no NaN cosine reaches the threshold "
+    "(NaN orders ABOVE all values in both engines).",
+)
+def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot
+    from beast_spark.operators.dedup import hashed_doc_vectors
+    from beast_spark.operators.similarity import lsh_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dims=64, n=3).filter(
+        dot(F.col("embedding"), F.col("embedding")) > 0
+    )
+    return lsh_neardup_pairs(
+        vecs,
+        dims=64,
+        id_col="doc_id",
+        threshold=0.7,
+        planes=hyperplanes_md5(64, 6),
+    ).select(
+        F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"), "cos_sim"
+    )

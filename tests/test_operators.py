@@ -1579,3 +1579,31 @@ def test_pq_adc_scan_broadcasts_lut_and_never_shuffles_codes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     streamed = plan.split("BroadcastHashJoin")[-1].split("BroadcastExchange")[0]
     assert "Exchange" not in streamed, streamed
+
+
+def test_hashed_doc_vectors_shape_and_contract(spark):
+    """Fixed dims, identical text -> identical vector, sub-n-token docs
+    absent, and the vector is the signed bucket-count of the DISTINCT
+    shingle set (a repeated shingle contributes once)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.dedup import hashed_doc_vectors
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # identical -> identical vector
+        (3, "a b c a b c a b c"),  # repeated shingles collapse (distinct)
+        (4, "x y"),                # < 3 tokens -> absent
+    ]
+    out = {
+        r.doc_id: r.embedding
+        for r in hashed_doc_vectors(
+            spark.createDataFrame(docs, "doc_id long, text string"), dims=16
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[2]
+    # doc 3 has distinct shingles {a b c, b c a, c a b}: total mass 3
+    assert sum(abs(x) for x in out[3]) <= 3
+    assert any(x != 0 for x in out[3])
