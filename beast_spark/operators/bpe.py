@@ -1,0 +1,154 @@
+"""Byte-pair-encoding tokenizer TRAINING on Spark.
+
+The Sennrich et al. 2016 construction ("Neural Machine Translation of
+Rare Words with Subword Units"): repeatedly merge the most frequent
+adjacent symbol pair. The key scale property is that training runs on
+the WEIGHTED VOCABULARY, not the raw corpus — one corpus-sized
+word-count aggregation up front, then every merge round touches only
+the distinct-word table (thousands of rows at any corpus size, each
+carrying its corpus frequency). A 100-TB corpus and a 100-GB corpus
+with the same vocabulary train in the same per-round time.
+
+Per round: adjacent symbol pairs explode from the vocab's symbol
+arrays (weighted by word frequency — RAW adjacent counts, overlapping
+runs included, exactly the reference ``get_stats``), one
+map-side-combinable sum picks the argmax pair (ties break
+lexicographically — deterministic across engines and runs), and a
+pure-column left-to-right greedy fold rewrites each word's symbol
+array. The driver reads ONE scalar row per round (the best pair) —
+the O(rounds) scalar-probe pattern the star-contraction clustering
+already uses; everything else stays on executors.
+
+Greedy fold semantics (the reference implementations' behavior):
+occurrences merge left-to-right without overlap — pair (a,a) on
+[a,a,a] yields [aa, a]; a merged token never chain-merges within the
+same round (the new token ``ab`` could only equal the pair's left
+symbol ``a`` if ``b`` were empty). The per-round merged-occurrence
+count is therefore measured AFTER the fold as the freq-weighted symbol
+count delta, not inferred from the (overlap-inclusive) selection
+stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_vocab", "bpe_merge_fold", "bpe_train", "BpeMerge"]
+
+
+@dataclass(frozen=True)
+class BpeMerge:
+    round: int
+    left: str
+    right: str
+    pair_count: int  # freq-weighted RAW adjacent occurrences (selection stat)
+    merged: int  # freq-weighted occurrences actually merged (mass delta)
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the corpus-weighted vocabulary — the ONLY
+    corpus-sized pass of BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms: F.Column) -> F.Column:
+    """All adjacent (l, r) symbol pairs of one word, overlap included —
+    the reference selection statistic."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def pair_stats(vocab_syms: DataFrame) -> DataFrame:
+    """(l, r, n): corpus-weighted adjacent-pair counts over the
+    vocabulary's symbol arrays — map-side explode, one
+    map-side-combinable sum; vocab-sized, never corpus-sized."""
+    return (
+        vocab_syms.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_merge_fold(sym_col: F.Column, left: str, right: str) -> F.Column:
+    """Left-to-right greedy non-overlapping merge of the (left, right)
+    symbol pair, as a pure column fold (aggregate over the symbol
+    array): no UDF, whole-stage codegen, O(symbols) per word."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[list[BpeMerge], DataFrame]:
+    """Train ``n_merges`` BPE merges on the corpus.
+
+    Returns (ordered merge table, final vocabulary frame (word, freq,
+    syms)). Stops early if no adjacent pair remains (every word fully
+    merged). Each round is two vocab-sized jobs (stats argmax + fold
+    rewrite with its mass aggregate); the vocab frame is re-persisted
+    per round so the fold lineage does not stack across rounds."""
+    vocab = word_vocab(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    ).persist()
+    merges: list[BpeMerge] = []
+    try:
+        mass_before = vocab.agg(
+            F.sum(F.size("syms") * F.col("freq")).alias("m")
+        ).first().m
+        for r in range(1, n_merges + 1):
+            best = (
+                pair_stats(vocab)
+                .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+                .first()
+            )
+            if best is None:
+                break
+            nxt = vocab.withColumn(
+                "syms", bpe_merge_fold(F.col("syms"), best.l, best.r)
+            ).persist()
+            mass_after = nxt.agg(
+                F.sum(F.size("syms") * F.col("freq")).alias("m")
+            ).first().m
+            merges.append(
+                BpeMerge(
+                    round=r,
+                    left=best.l,
+                    right=best.r,
+                    pair_count=int(best.n),
+                    merged=int(mass_before - mass_after),
+                )
+            )
+            vocab.unpersist()
+            vocab = nxt
+            mass_before = mass_after
+        return merges, vocab
+    except Exception:
+        vocab.unpersist()
+        raise

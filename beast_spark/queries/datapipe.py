@@ -6134,3 +6134,76 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"), "cos_sim"
     )
+
+
+@register(
+    "q186_bpe_training",
+    oracle="""
+    WITH w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    ch AS (SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM w),
+    pr AS (
+      SELECT syms[u.i] AS l, syms[u.i + 1] AS r, sum(freq) AS n
+      FROM ch, unnest(range(1, len(syms))) u(i)
+      GROUP BY syms[u.i], syms[u.i + 1]
+    ),
+    best AS (SELECT l, r, n FROM pr ORDER BY n DESC, l, r LIMIT 1)
+    SELECT CAST(8 AS BIGINT) AS n_merges,
+           CAST((SELECT count(*) FROM w) AS BIGINT) AS vocab_words,
+           (SELECT l FROM best) AS r1_left,
+           (SELECT r FROM best) AS r1_right,
+           CAST((SELECT n FROM best) AS BIGINT) AS r1_count,
+           CAST(8 AS BIGINT) AS rounds_completed,
+           TRUE AS mass_strictly_decreasing,
+           TRUE AS merged_within_selection
+    """,
+    doc="BPE tokenizer TRAINING (Sennrich et al. 2016) on the corpus — "
+    "the tokenizer-construction leg of the training-data pipeline: 8 "
+    "merge rounds over the corpus-weighted VOCABULARY "
+    "(operators/bpe.py::bpe_train — the only corpus-sized pass is the "
+    "word count; every round is vocab-sized, so training time is "
+    "independent of corpus size past the first aggregation). Argmax "
+    "pair per round via one map-side-combinable sum with "
+    "lexicographic tie-break (deterministic), merges applied by a "
+    "pure-column greedy fold (no UDF), one driver scalar probe per "
+    "round (the star-contraction pattern). Verified q177-style: the "
+    "vocabulary size and the ROUND-1 argmax pair + count replay "
+    "exactly in DuckDB; later rounds depend on the merge rewrites, so "
+    "they are gated by invariants computed in Spark (freq-weighted "
+    "symbol mass strictly decreases every round; occurrences merged "
+    "never exceed the overlap-inclusive selection count; all 8 rounds "
+    "complete) — the trainer itself is pinned to the canonical "
+    "Sennrich walkthrough in tests/test_operators.py.",
+    bench=False,
+    bench_reason="iterative driver-loop training (8 vocab-sized rounds); the corpus-sized word count is benched via q43-class scans",
+)
+def q186_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, n_merges=8)
+    n_words = vocab.count()
+    vocab.unpersist()
+    mass_dec = all(m.merged > 0 for m in merges)
+    within = all(m.merged <= m.pair_count for m in merges)
+    row = [
+        (
+            8,
+            n_words,
+            merges[0].left,
+            merges[0].right,
+            merges[0].pair_count,
+            len(merges),
+            bool(mass_dec),
+            bool(within),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_merges long, vocab_words long, r1_left string, r1_right string, "
+        "r1_count long, rounds_completed long, "
+        "mass_strictly_decreasing boolean, merged_within_selection boolean",
+    )

@@ -1607,3 +1607,55 @@ def test_hashed_doc_vectors_shape_and_contract(spark):
     # doc 3 has distinct shingles {a b c, b c a, c a b}: total mass 3
     assert sum(abs(x) for x in out[3]) <= 3
     assert any(x != 0 for x in out[3])
+
+
+def test_bpe_train_matches_canonical_walkthrough(spark):
+    """The Sennrich low/lower/newest/widest example: merge order and
+    final segmentations are the published walkthrough's (e+s, es+t,
+    l+o, lo+w, e+w, ew+est), pinning stats weighting, tie-breaks, and
+    the greedy fold in one shot."""
+    from beast_spark.operators.bpe import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    merges, vocab = bpe_train(
+        spark.createDataFrame([(text,)], "text string"), n_merges=6
+    )
+    got = [(m.left, m.right, m.pair_count) for m in merges]
+    assert got == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+        ("ew", "est", 6),
+    ]
+    segs = {r.word: r.syms for r in vocab.collect()}
+    vocab.unpersist()
+    assert segs == {
+        "low": ["low"],
+        "lower": ["low", "e", "r"],
+        "newest": ["n", "ewest"],
+        "widest": ["w", "i", "d", "est"],
+    }
+
+
+def test_bpe_merge_fold_greedy_nonoverlap(spark):
+    """Overlapping runs merge left-to-right without overlap, and raw
+    selection stats may exceed merged occurrences (the documented
+    run-overlap gap)."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.bpe import bpe_merge_fold, bpe_train
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(bpe_merge_fold(F.col("syms"), "a", "a").alias("m")).first().m
+    assert out == ["aa", "a"]
+
+    merges, vocab = bpe_train(
+        spark.createDataFrame([("aaa aaa",)], "text string"), n_merges=1
+    )
+    vocab.unpersist()
+    assert merges[0].pair_count == 4  # overlap-inclusive selection stat
+    assert merges[0].merged == 2  # one non-overlapping merge per word
