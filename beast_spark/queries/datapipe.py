@@ -1653,9 +1653,7 @@ def q103_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q104_psi_drift",
-    oracle="""
+_PSI_DRIFT_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a,
@@ -1681,7 +1679,12 @@ def q103_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) * 10000 + 0.5) / 10000 AS psi
     FROM t
     GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "q104_psi_drift",
+    oracle=_PSI_DRIFT_ORACLE,
     doc="Population-stability-index drift between the first half of the "
     "event month and the second, per event_type: 10 fixed-width value "
     "buckets (width 50, top-clamped), Laplace-smoothed shares "
@@ -6206,4 +6209,41 @@ def q186_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merges long, vocab_words long, r1_left string, r1_right string, "
         "r1_count long, rounds_completed long, "
         "mass_strictly_decreasing boolean, merged_within_selection boolean",
+    )
+
+
+@register(
+    "q187_streaming_psi_drift",
+    oracle=_PSI_DRIFT_ORACLE,
+    doc="q104's PSI drift as a CONTINUOUS monitor "
+    "(streaming/drift.py::DriftMaintainer): the reference window is a "
+    "FROZEN histogram artifact (here the first half-month, written "
+    "once and fingerprint-guarded — a baseline rewritten in place "
+    "raises instead of reporting drift against the wrong reference), "
+    "and the current window accumulates per micro-batch: bucket "
+    "counts are additive, so each trigger aggregates only ITS OWN "
+    "events (map-side combine) and merges into a keys x buckets "
+    "histogram whose size is independent of event volume; PSI derives "
+    "from histogram + baseline on read. streamed == batch exactly "
+    "(per-prefix property tests), so this query — two micro-batches "
+    "over the second half-month — shares q104's oracle VERBATIM: the "
+    "same numbers, now maintainable without rescanning history.",
+    bench=False,
+    bench_reason="maintainer composition; the scan+histogram plan is benched as q104",
+)
+def q187_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.drift import DriftMaintainer, bucket_histogram
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    base = scratch_dir("beast_q187_")
+    bucket_histogram(e.filter(F.col("ts") < cutoff)).write.parquet(
+        f"{base}/baseline"
+    )
+    m = DriftMaintainer(f"{base}/state", f"{base}/baseline")
+    cur = e.filter(F.col("ts") >= cutoff)
+    for batch in range(2):
+        m.apply_batch(cur.filter(F.col("event_id") % 2 == batch), batch)
+    return m.read_psi(spark).select(
+        F.col("key").alias("event_type"), "a_total", "b_total", "psi"
     )

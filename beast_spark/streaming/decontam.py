@@ -47,7 +47,6 @@ docs whose grams were all seen before (they still bump
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -55,7 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beast_spark.operators.decontam import doc_gram_postings
-from beast_spark.streaming.swap import SwapCommittedTable, artifact_fingerprint
+from beast_spark.streaming.swap import (
+    SwapCommittedTable,
+    artifact_fingerprint,
+    check_json_meta,
+    write_json_meta,
+)
 
 __all__ = ["DecontamMaintainer"]
 
@@ -117,26 +121,20 @@ class DecontamMaintainer(SwapCommittedTable):
             doc_gram_postings(train, self.n).select(
                 "g", F.col("doc_id").alias("train_doc_id")
             ).write.parquet(tmp)
-            with open(meta_file, "w") as fh:
-                json.dump(meta, fh)
+            write_json_meta(meta_file, meta)
             os.rename(tmp, ppath)
         else:
             # a maintainer constructed with a different gram width,
             # corpus path, or corpus CONTENT would silently probe stale
             # postings (every hash misses → contamination reads empty)
             # — validate the marker written at build time instead
-            if os.path.exists(meta_file):
-                with open(meta_file) as fh:
-                    stored = json.load(fh)
-            else:
-                stored = None
-            if stored != meta:
-                raise ValueError(
-                    f"decontam maintainer: existing train postings at "
-                    f"{ppath} were built with {stored}, this maintainer "
-                    f"wants {meta} — delete the postings dir (and the "
-                    f"state) to rebuild against the new configuration."
-                )
+            check_json_meta(
+                meta_file,
+                meta,
+                f"decontam maintainer (train postings at {ppath})",
+                "delete the postings dir (and the state) to rebuild "
+                "against the new configuration.",
+            )
         postings = spark.read.parquet(ppath)
         eval_grams = self._read_sub(spark, "eval_grams")
         eval_docs = self._read_sub(spark, "eval_docs")

@@ -1,0 +1,191 @@
+"""Streaming distribution-drift monitoring: PSI against a FROZEN
+baseline, maintained incrementally as current-window events stream in.
+
+The batch form (q104) compares two halves of one scan; in production
+the reference window is a frozen artifact (last quarter's histogram)
+and the CURRENT window grows event by event — recomputing the full PSI
+per trigger re-scans everything. This maintainer is the continuous
+form: per-(key, bucket) counts are ADDITIVE, so each micro-batch
+aggregates only ITS OWN events (map-side combine, buckets are a pure
+column expression) and merges into the tiny running histogram; PSI is
+derived from histogram + baseline on read. streamed(prefix) ==
+batch PSI(baseline, prefix) exactly — the per-prefix equivalence the
+tests pin.
+
+State: one swap-committed ``counts`` sub-table ((key, bucket, n) —
+keys × buckets rows, independent of event volume). The baseline is
+validated by the shared frozen-artifact marker
+(``streaming/swap.py::check_json_meta``): a baseline rewritten in
+place, or a maintainer constructed with different bucketing, raises
+instead of silently reporting drift against the wrong reference.
+
+Unlike the keyed maintainers (near-dup, IVF) there is no duplicate-id
+guard: events are observations, not keyed entities — exactly-once per
+BATCH is the contract, and the swap ledger provides it (replay no-op
+tested).
+
+PSI semantics match q104 bit-for-bit: fixed-width value buckets
+(top-clamped), Laplace smoothing +0.5 per present bucket with
++0.5·n_buckets on totals, psi = Σ (p−q)·ln(p/q) over the union of
+buckets present in either window, floor-rounded to 4 digits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beast_spark.queries._util import rnd
+from beast_spark.streaming.swap import (
+    SwapCommittedTable,
+    artifact_fingerprint,
+    check_json_meta,
+    write_json_meta,
+)
+
+__all__ = ["DriftMaintainer", "bucket_histogram", "psi_from_histograms"]
+
+
+def bucket_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: float = 50.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(key, bucket, n): fixed-width top-clamped value histogram — the
+    q104 bucketing as a reusable builder (one map stage + map-side
+    combinable count at any scale)."""
+    bucket = F.least(F.floor(F.col(value_col) / width), F.lit(n_buckets - 1)).cast(
+        "int"
+    )
+    return (
+        df.select(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_histograms(
+    baseline: DataFrame, current: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """(key, a_total, b_total, psi): q104's smoothed PSI from two
+    (key, bucket, n) histograms — full-outer per (key, bucket) so the
+    bucket set is the union of buckets present in EITHER window (the
+    q104 union-scan semantics), window totals over the tiny joined
+    frame, floor-rounded 4 digits. Histograms are keys × buckets rows;
+    everything here is aggregate-sized."""
+    a = baseline.select("key", "bucket", F.col("n").alias("a_cnt"))
+    b = current.select("key", "bucket", F.col("n").alias("b_cnt"))
+    j = (
+        a.join(b, ["key", "bucket"], "full")
+        .withColumn("a_cnt", F.coalesce("a_cnt", F.lit(0)))
+        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key")
+    t = j.withColumn("a_tot", F.sum("a_cnt").over(w)).withColumn(
+        "b_tot", F.sum("b_cnt").over(w)
+    )
+    smooth = 0.5 * n_buckets
+    p = (F.col("a_cnt") + 0.5) / (F.col("a_tot") + smooth)
+    q = (F.col("b_cnt") + 0.5) / (F.col("b_tot") + smooth)
+    return t.groupBy("key").agg(
+        F.max("a_tot").alias("a_total"),
+        F.max("b_tot").alias("b_total"),
+        rnd(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    )
+
+
+class DriftMaintainer(SwapCommittedTable):
+    """Owns one swap-committed state directory (counts)."""
+
+    def __init__(
+        self,
+        path: str,
+        baseline_path: str,
+        key_col: str = "event_type",
+        value_col: str = "value",
+        width: float = 50.0,
+        n_buckets: int = 10,
+    ) -> None:
+        SwapCommittedTable.__init__(self, path)
+        self.baseline_path = baseline_path
+        self.key_col = key_col
+        self.value_col = value_col
+        self.width = width
+        self.n_buckets = n_buckets
+
+    def _meta(self) -> dict:
+        return {
+            "baseline": artifact_fingerprint(self.baseline_path),
+            "key_col": self.key_col,
+            "value_col": self.value_col,
+            "width": self.width,
+            "n_buckets": self.n_buckets,
+        }
+
+    def read_counts(self, spark: SparkSession) -> DataFrame | None:
+        self._recover()
+        sub = os.path.join(self.path, "counts")
+        if not os.path.exists(sub):
+            return None
+        return spark.read.parquet(sub)
+
+    # -- the foreachBatch body -------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        meta = self._meta()
+        if os.path.exists(self.path):
+            check_json_meta(
+                self.path + ".meta.json",
+                meta,
+                f"DriftMaintainer (state at {self.path})",
+                "the frozen baseline or bucket config changed — rebuild "
+                "the state against the new reference (fresh state dir + "
+                "checkpoint).",
+            )
+        spark = batch_df.sparkSession
+        inc = bucket_histogram(
+            batch_df, self.key_col, self.value_col, self.width, self.n_buckets
+        )
+        counts = self.read_counts(spark)
+        merged = (
+            inc
+            if counts is None
+            else counts.unionByName(inc)
+            .groupBy("key", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        if not os.path.exists(self.path):
+            # marker BEFORE the first commit (see streaming/ivf.py)
+            write_json_meta(self.path + ".meta.json", meta)
+        self.commit_frames({"counts": merged}, batch_id)
+
+    # -- reads ------------------------------------------------------------
+
+    def read_psi(self, spark: SparkSession) -> DataFrame:
+        """(key, a_total, b_total, psi) of the maintained current window
+        vs the frozen baseline — aggregate-sized, derived on read."""
+        counts = self.read_counts(spark)
+        if counts is None:
+            raise ValueError("DriftMaintainer: no events ingested yet")
+        baseline = spark.read.parquet(self.baseline_path)
+        return psi_from_histograms(baseline, counts, self.n_buckets)
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, events: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            events.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

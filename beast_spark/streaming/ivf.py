@@ -73,7 +73,12 @@ from beast_spark.operators.similarity import (
     pq_codes,
     quantize_codes,
 )
-from beast_spark.streaming.swap import SwapCommittedTable, artifact_fingerprint
+from beast_spark.streaming.swap import (
+    SwapCommittedTable,
+    artifact_fingerprint,
+    check_json_meta,
+    write_json_meta,
+)
 
 __all__ = ["IvfIndexMaintainer"]
 
@@ -152,27 +157,17 @@ class IvfIndexMaintainer(SwapCommittedTable):
         return self.path + ".meta.json"
 
     def _write_meta(self, meta: dict) -> None:
-        import json
-
-        with open(self._meta_file(), "w") as fh:
-            json.dump(meta, fh)
+        write_json_meta(self._meta_file(), meta)
 
     def _validate_meta(self, meta: dict) -> None:
-        import json
-
-        if os.path.exists(self._meta_file()):
-            with open(self._meta_file()) as fh:
-                stored = json.load(fh)
-        else:
-            stored = None
-        if stored != meta:
-            raise ValueError(
-                f"IvfIndexMaintainer: existing state at {self.path} was "
-                f"built with {stored}, this maintainer wants {meta} — "
-                "the frozen artifacts or config changed. For retrained "
-                "artifacts call rebuild(); otherwise rebuild the state "
-                "from the source stream (fresh state dir + checkpoint)."
-            )
+        check_json_meta(
+            self._meta_file(),
+            meta,
+            f"IvfIndexMaintainer (state at {self.path})",
+            "the frozen artifacts or config changed. For retrained "
+            "artifacts call rebuild(); otherwise rebuild the state from "
+            "the source stream (fresh state dir + checkpoint).",
+        )
 
     # -- the foreachBatch body -------------------------------------------
 

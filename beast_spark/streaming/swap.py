@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LEDGER = "_applied_batches.json"
 
-__all__ = ["SwapCommittedTable", "artifact_fingerprint"]
+__all__ = [
+    "SwapCommittedTable",
+    "artifact_fingerprint",
+    "write_json_meta",
+    "check_json_meta",
+]
 
 
 def artifact_fingerprint(path: str) -> str:
@@ -64,6 +69,37 @@ def artifact_fingerprint(path: str) -> str:
             "guard that would never fire)."
         )
     return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+
+
+def write_json_meta(meta_file: str, meta: dict) -> None:
+    """Write the frozen-artifact marker a maintainer validates against
+    (see :func:`check_json_meta`)."""
+    import json
+
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+
+
+def check_json_meta(meta_file: str, meta: dict, what: str, hint: str) -> None:
+    """Raise unless the stored marker equals ``meta``.
+
+    The guard every maintainer with frozen inputs shares: derived state
+    is only valid against the exact artifact bytes + config it was
+    built under, so a changed artifact (or a missing marker) must be an
+    explicit error, never a silent wrong answer. ``what`` names the
+    maintainer for the message; ``hint`` says how to recover."""
+    import json
+
+    if os.path.exists(meta_file):
+        with open(meta_file) as fh:
+            stored = json.load(fh)
+    else:
+        stored = None
+    if stored != meta:
+        raise ValueError(
+            f"{what}: existing state was built with {stored}, this "
+            f"maintainer wants {meta} — {hint}"
+        )
 
 
 class SwapCommittedTable:
