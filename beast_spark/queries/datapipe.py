@@ -6139,30 +6139,78 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "q186_bpe_training",
-    oracle="""
+def _bpe_stage_sql(k: int) -> str:
+    """One BPE training round as chained CTEs: pair stats over the
+    encoded symbol lists, the argmax pair (lexicographic tie-break),
+    and the greedy left-to-right fold — list_reduce over
+    chr(1)-prefixed symbol strings emulates the Spark array fold
+    EXACTLY (the separator prefix makes 'acc ends with SEP||left' the
+    same predicate as 'last element == left', and consecutive
+    occurrences merge non-overlapping just like the fold). This is
+    what upgrades BPE from an invariant-gated oracle to a bit-exact
+    one: every round's argmax AND rewrite replay."""
+    return f""",
+    p{k} AS (
+      SELECT substr(es[u.i], 2) AS l, substr(es[u.i + 1], 2) AS r,
+             sum(freq) AS n
+      FROM v{k}, unnest(range(1, len(es))) u(i) GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+    v{k + 1} AS (
+      SELECT word, freq,
+        list_transform(
+          list_filter(
+            string_split(
+              list_reduce(es, (acc, s) -> CASE
+                WHEN ends_with(acc, chr(1) || bk.l) AND s = chr(1) || bk.r
+                THEN substr(acc, 1, length(acc) - length(bk.l) - 1)
+                     || chr(1) || bk.l || bk.r
+                ELSE acc || s END),
+              chr(1)),
+            x -> x <> ''),
+          s -> chr(1) || s) AS es
+      FROM v{k}, b{k} bk
+    )"""
+
+
+def _bpe_base_sql(n_rounds: int) -> str:
+    base = """
     WITH w AS (
       SELECT word, count(*) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
       ) WHERE len(word) > 0 GROUP BY word
     ),
-    ch AS (SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM w),
-    pr AS (
-      SELECT syms[u.i] AS l, syms[u.i + 1] AS r, sum(freq) AS n
-      FROM ch, unnest(range(1, len(syms))) u(i)
-      GROUP BY syms[u.i], syms[u.i + 1]
-    ),
-    best AS (SELECT l, r, n FROM pr ORDER BY n DESC, l, r LIMIT 1)
-    SELECT CAST(8 AS BIGINT) AS n_merges,
-           CAST((SELECT count(*) FROM w) AS BIGINT) AS vocab_words,
-           (SELECT l FROM best) AS r1_left,
-           (SELECT r FROM best) AS r1_right,
-           CAST((SELECT n FROM best) AS BIGINT) AS r1_count,
-           CAST(8 AS BIGINT) AS rounds_completed,
-           TRUE AS mass_strictly_decreasing,
-           TRUE AS merged_within_selection
-    """,
+    v1 AS (
+      SELECT word, freq,
+             list_transform(regexp_split_to_array(word, ''),
+                            s -> chr(1) || s) AS es
+      FROM w
+    )"""
+    for k in range(1, n_rounds + 1):
+        base += _bpe_stage_sql(k)
+    return base
+
+
+_BPE_ROUNDS = 8
+
+_BPE_TRAIN_ORACLE = (
+    _bpe_base_sql(_BPE_ROUNDS)
+    + "\n    SELECT * FROM (\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, l AS left, r AS right, "
+        f"CAST(n AS BIGINT) AS pair_count, "
+        f"CAST((SELECT sum(freq * len(es)) FROM v{k}) "
+        f"- (SELECT sum(freq * len(es)) FROM v{k + 1}) AS BIGINT) AS merged "
+        f"FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n    ) ORDER BY round"
+)
+
+
+@register(
+    "q186_bpe_training",
+    oracle=_BPE_TRAIN_ORACLE,
     doc="BPE tokenizer TRAINING (Sennrich et al. 2016) on the corpus — "
     "the tokenizer-construction leg of the training-data pipeline: 8 "
     "merge rounds over the corpus-weighted VOCABULARY "
@@ -6172,14 +6220,13 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     "pair per round via one map-side-combinable sum with "
     "lexicographic tie-break (deterministic), merges applied by a "
     "pure-column greedy fold (no UDF), one driver scalar probe per "
-    "round (the star-contraction pattern). Verified q177-style: the "
-    "vocabulary size and the ROUND-1 argmax pair + count replay "
-    "exactly in DuckDB; later rounds depend on the merge rewrites, so "
-    "they are gated by invariants computed in Spark (freq-weighted "
-    "symbol mass strictly decreases every round; occurrences merged "
-    "never exceed the overlap-inclusive selection count; all 8 rounds "
-    "complete) — the trainer itself is pinned to the canonical "
-    "Sennrich walkthrough in tests/test_operators.py.",
+    "round (the star-contraction pattern). The oracle replays ALL 8 "
+    "rounds bit-exactly: DuckDB's list_reduce over chr(1)-prefixed "
+    "symbol strings emulates the greedy fold (see _bpe_stage_sql), so "
+    "every round's argmax pair, its overlap-inclusive selection "
+    "count, AND the freq-weighted occurrences actually merged are "
+    "hash-checked. The trainer is additionally pinned to the "
+    "canonical Sennrich walkthrough in tests/test_operators.py.",
     bench=False,
     bench_reason="iterative driver-loop training (8 vocab-sized rounds); the corpus-sized word count is benched via q43-class scans",
 )
@@ -6187,28 +6234,66 @@ def q186_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.bpe import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
-    merges, vocab = bpe_train(d, n_merges=8)
-    n_words = vocab.count()
+    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
     vocab.unpersist()
-    mass_dec = all(m.merged > 0 for m in merges)
-    within = all(m.merged <= m.pair_count for m in merges)
-    row = [
-        (
-            8,
-            n_words,
-            merges[0].left,
-            merges[0].right,
-            merges[0].pair_count,
-            len(merges),
-            bool(mass_dec),
-            bool(within),
-        )
+    rows = [
+        (m.round, m.left, m.right, m.pair_count, m.merged) for m in merges
     ]
     return spark.createDataFrame(
-        row,
-        "n_merges long, vocab_words long, r1_left string, r1_right string, "
-        "r1_count long, rounds_completed long, "
-        "mass_strictly_decreasing boolean, merged_within_selection boolean",
+        rows,
+        "round long, left string, right string, pair_count long, merged long",
+    ).orderBy("round")
+
+
+@register(
+    "q188_bpe_apply",
+    oracle=_bpe_base_sql(_BPE_ROUNDS)
+    + f""",
+    sw AS (SELECT word, len(es) AS n_sub FROM v{_BPE_ROUNDS + 1}),
+    cw AS (
+      SELECT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE len(word) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords
+    FROM cw JOIN sw USING (word)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Applying the trained BPE tokenizer to the corpus — the "
+    "production shape: segment the DISTINCT vocabulary once "
+    "(bpe_train's final frame already carries the segmentations) and "
+    "broadcast-join it back onto the corpus words, so per-document "
+    "work is a dictionary lookup, never a re-segmentation. Reports "
+    "per-source token accounting (words, characters, subword tokens — "
+    "the compression the 8 merges bought). Fully hash-exact: the "
+    "oracle re-trains all 8 rounds via the q186 list_reduce fold "
+    "emulation and recomputes every segmentation length.",
+    bench=False,
+    bench_reason="driver-loop training dominates the build; the scan+join apply plan is q54-class, benched there",
+)
+def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
+    seg = vocab.select("word", F.size("syms").alias("n_sub"))
+    vocab.unpersist()
+    words = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .orderBy("source")
     )
 
 
