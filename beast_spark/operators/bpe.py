@@ -133,9 +133,13 @@ def bpe_train(
             nxt = vocab.withColumn(
                 "syms", bpe_merge_fold(F.col("syms"), best.l, best.r)
             ).persist()
-            mass_after = nxt.agg(
-                F.sum(F.size("syms") * F.col("freq")).alias("m")
-            ).first().m
+            try:
+                mass_after = nxt.agg(
+                    F.sum(F.size("syms") * F.col("freq")).alias("m")
+                ).first().m
+            except Exception:
+                nxt.unpersist()  # the outer handler releases `vocab`
+                raise
             merges.append(
                 BpeMerge(
                     round=r,

@@ -6149,6 +6149,10 @@ def _bpe_stage_sql(k: int) -> str:
     occurrences merge non-overlapping just like the fold). This is
     what upgrades BPE from an invariant-gated oracle to a bit-exact
     one: every round's argmax AND rewrite replay."""
+    # LEFT JOIN ON TRUE (not a cross join): a round with NO adjacent
+    # pair left yields an empty b{k}, and a cross join would wipe the
+    # vocabulary — the pass-through CASE keeps v{k+1} == v{k} then,
+    # matching bpe_train's early stop.
     return f""",
     p{k} AS (
       SELECT substr(es[u.i], 2) AS l, substr(es[u.i + 1], 2) AS r,
@@ -6158,6 +6162,7 @@ def _bpe_stage_sql(k: int) -> str:
     b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
     v{k + 1} AS (
       SELECT word, freq,
+        CASE WHEN bk.l IS NULL THEN es ELSE
         list_transform(
           list_filter(
             string_split(
@@ -6168,8 +6173,8 @@ def _bpe_stage_sql(k: int) -> str:
                 ELSE acc || s END),
               chr(1)),
             x -> x <> ''),
-          s -> chr(1) || s) AS es
-      FROM v{k}, b{k} bk
+          s -> chr(1) || s) END AS es
+      FROM v{k} LEFT JOIN b{k} bk ON TRUE
     )"""
 
 
@@ -6280,8 +6285,15 @@ def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
-    seg = vocab.select("word", F.size("syms").alias("n_sub"))
+    # materialize the trained segmentation lengths to scratch parquet:
+    # the returned frame must not carry the training lineage, or the
+    # driver's collect would re-run all 8 rounds from scratch
+    base = scratch_dir("beast_q188_")
+    vocab.select("word", F.size("syms").alias("n_sub")).write.parquet(
+        f"{base}/seg"
+    )
     vocab.unpersist()
+    seg = spark.read.parquet(f"{base}/seg")
     words = d.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.length("word") > 0)
@@ -6326,7 +6338,10 @@ def q187_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/baseline"
     )
     m = DriftMaintainer(f"{base}/state", f"{base}/baseline")
-    cur = e.filter(F.col("ts") >= cutoff)
+    # window B = NOT (ts < cutoff): a NULL ts lands in B, matching the
+    # shared oracle's CASE WHEN ts < cutoff THEN 1 ELSE 0 (and q104's
+    # own otherwise(0)) — `ts >= cutoff` would silently DROP null rows
+    cur = e.filter(~F.coalesce(F.col("ts") < cutoff, F.lit(False)))
     for batch in range(2):
         m.apply_batch(cur.filter(F.col("event_id") % 2 == batch), batch)
     return m.read_psi(spark).select(

@@ -78,12 +78,6 @@ class CorpusV2Maintainer(SwapCommittedTable):
 
     # -- state access -----------------------------------------------------
 
-    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, name)
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
 
     def read_signals(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "signals")

@@ -79,12 +79,6 @@ class CorpusV3Maintainer(SwapCommittedTable):
 
     # -- state access -----------------------------------------------------
 
-    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, name)
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
 
     # -- docs storage hooks (overridden by the pointer form) --------------
 

@@ -73,12 +73,6 @@ class DecontamMaintainer(SwapCommittedTable):
         self.train_path = train_path
         self.n = n
 
-    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, name)
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
 
     def read_contaminated(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "contam")

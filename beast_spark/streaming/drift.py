@@ -129,11 +129,7 @@ class DriftMaintainer(SwapCommittedTable):
         }
 
     def read_counts(self, spark: SparkSession) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, "counts")
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
+        return self._read_sub(spark, "counts")
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -172,7 +168,20 @@ class DriftMaintainer(SwapCommittedTable):
 
     def read_psi(self, spark: SparkSession) -> DataFrame:
         """(key, a_total, b_total, psi) of the maintained current window
-        vs the frozen baseline — aggregate-sized, derived on read."""
+        vs the frozen baseline — aggregate-sized, derived on read.
+        Validates the baseline marker FIRST: the read path is exactly
+        where a baseline rewritten in place (no new batch has run, so
+        apply_batch's guard never fired) would otherwise report drift
+        against the wrong reference silently."""
+        if os.path.exists(self.path):
+            check_json_meta(
+                self.path + ".meta.json",
+                self._meta(),
+                f"DriftMaintainer (state at {self.path})",
+                "the frozen baseline or bucket config changed — rebuild "
+                "the state against the new reference (fresh state dir + "
+                "checkpoint).",
+            )
         counts = self.read_counts(spark)
         if counts is None:
             raise ValueError("DriftMaintainer: no events ingested yet")

@@ -107,12 +107,6 @@ class IvfIndexMaintainer(SwapCommittedTable):
 
     # -- reads ------------------------------------------------------------
 
-    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, name)
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
 
     def read_assigned(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "assigned")

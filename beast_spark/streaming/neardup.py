@@ -65,12 +65,6 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._recover()
-        sub = os.path.join(self.path, name)
-        if not os.path.exists(sub):
-            return None
-        return spark.read.parquet(sub)
 
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "postings")

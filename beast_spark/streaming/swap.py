@@ -131,6 +131,15 @@ class SwapCommittedTable:
             return None
         return spark.read.parquet(self.path)
 
+    def _read_sub(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Read one sub-table of a multi-table state dir (None before
+        the first commit) — shared by every commit_frames maintainer."""
+        self._recover()
+        sub = os.path.join(self.path, name)
+        if not os.path.exists(sub):
+            return None
+        return spark.read.parquet(sub)
+
     # -- commit -----------------------------------------------------------
 
     def _swap_in(self, tmp: str) -> None:

@@ -1659,3 +1659,33 @@ def test_bpe_merge_fold_greedy_nonoverlap(spark):
     vocab.unpersist()
     assert merges[0].pair_count == 4  # overlap-inclusive selection stat
     assert merges[0].merged == 2  # one non-overlapping merge per word
+
+
+def test_bpe_early_exhaustion_and_oracle_passthrough(spark):
+    """When merges exhaust before the configured rounds, bpe_train stops
+    early keeping the last vocab, and the generated DuckDB oracle's
+    LEFT-JOIN pass-through stages must agree (an empty best-pair CTE
+    cross-joined would instead wipe the vocabulary)."""
+    import duckdb
+
+    from beast_spark.operators.bpe import bpe_train
+    from beast_spark.queries.datapipe import _BPE_ROUNDS, _bpe_base_sql
+
+    merges, vocab = bpe_train(
+        spark.createDataFrame([("ab ab cd",)], "text string"), n_merges=_BPE_ROUNDS
+    )
+    segs = {r.word: r.syms for r in vocab.collect()}
+    vocab.unpersist()
+    assert len(merges) == 2  # a+b, c+d — then nothing adjacent remains
+    assert segs == {"ab": ["ab"], "cd": ["cd"]}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'ab ab cd' AS text, 's1' AS source"
+    )
+    sql = (
+        _bpe_base_sql(_BPE_ROUNDS)
+        + f", sw AS (SELECT word, len(es) AS n_sub FROM v{_BPE_ROUNDS + 1}) "
+        "SELECT word, n_sub FROM sw ORDER BY word"
+    )
+    assert con.execute(sql).fetchall() == [("ab", 1), ("cd", 1)]
