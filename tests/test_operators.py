@@ -1689,3 +1689,60 @@ def test_bpe_early_exhaustion_and_oracle_passthrough(spark):
         "SELECT word, n_sub FROM sw ORDER BY word"
     )
     assert con.execute(sql).fetchall() == [("ab", 1), ("cd", 1)]
+
+
+def test_pq_adc_equals_decomposed_reconstruction_distance(spark, sf_dir):
+    """Squared L2 decomposes over subspaces: the ADC lookup-table sum
+    for (query, vector) must equal the distance from the query to the
+    vector's PQ RECONSTRUCTION (its assigned sub-centroids
+    concatenated), up to the per-subspace integerization slack (m
+    floors of +-0.5 micro-units vs one). Pins that the LUT is really
+    the decomposed distance, not merely self-consistent."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.functions.vectors import dot
+    from beast_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_codebooks(e, dims=64)
+    codes = pq_codes(e.filter(F.col("vec_id") < 40), cb, dims=64)
+    qs = e.filter(F.col("vec_id") < 3)
+    lut = pq_adc_lut(qs, cb, dims=64)
+    adc = (
+        codes.join(lut, ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2i").alias("adci"))
+    )
+    # reconstruction: concat assigned sub-centroids in subspace order
+    recon = (
+        codes.join(cb, ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cvec"))),
+                    lambda x: x["cvec"],
+                )
+            ).alias("rvec")
+        )
+    )
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    d2 = dot(F.col("qv"), F.col("qv")) + dot(F.col("rvec"), F.col("rvec")) - 2.0 * dot(
+        F.col("qv"), F.col("rvec")
+    )
+    direct = recon.crossJoin(F.broadcast(qv)).select(
+        "query_id", "vec_id", F.floor(d2 * 1e6 + F.lit(0.5)).cast("long").alias("di")
+    )
+    joined = adc.join(direct, ["query_id", "vec_id"]).select(
+        (F.abs(F.col("adci") - F.col("di"))).alias("gap")
+    )
+    mx = joined.agg(F.max("gap").alias("m")).first().m
+    n = joined.count()
+    assert n == 3 * 40
+    assert mx <= 8, mx  # 8 subspace floors vs 1: <= 4.5 micro-units; slack 8
