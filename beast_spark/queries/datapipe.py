@@ -5552,9 +5552,7 @@ _GOPHER_SIGNALS_SQL = """
     )"""
 
 
-@register(
-    "q180_gopher_quality_gate",
-    oracle="WITH " + _GOPHER_SIGNALS_SQL + """
+_GOPHER_GATE_ORACLE = "WITH " + _GOPHER_SIGNALS_SQL + """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum((NOT ok_word_count)::INT) AS BIGINT) AS fail_word_count,
            CAST(sum((NOT ok_mean_word_len)::INT) AS BIGINT) AS fail_mean_word_len,
@@ -5565,7 +5563,12 @@ _GOPHER_SIGNALS_SQL = """
            floor(sum(pass_all::INT) / count(*)::DOUBLE * 10000 + 0.5) / 10000
              AS retained_frac
     FROM g
-    """,
+    """
+
+
+@register(
+    "q180_gopher_quality_gate",
+    oracle=_GOPHER_GATE_ORACLE,
     doc="Rule-based document gate accounting in the MassiveText/Gopher "
     "style (operators/quality.py::gopher_signals — word-count band, "
     "mean-word-length band, top-token repetition cap, unique-token "
@@ -6347,3 +6350,30 @@ def q187_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_psi(spark).select(
         F.col("key").alias("event_type"), "a_total", "b_total", "psi"
     )
+
+
+@register(
+    "q189_streaming_gate_stats",
+    oracle=_GOPHER_GATE_ORACLE,
+    doc="q180's gate accounting as a LIVE monitor "
+    "(streaming/gatestats.py::GateStatsMaintainer): every reported "
+    "quantity is a sum of per-document 0/1 indicators, so maintenance "
+    "is purely additive — each micro-batch runs gopher_signals over "
+    "ITS OWN documents (scan-side column arithmetic, one map stage), "
+    "aggregates, and merges by addition into a single-row state; "
+    "retention derives on read. streamed == batch exactly per prefix "
+    "(property-tested, replay no-op, threshold-change guard), so this "
+    "query — two micro-batches over the corpus — shares q180's oracle "
+    "VERBATIM: the same rejection accounting, now current per trigger "
+    "instead of per rescan.",
+    bench=False,
+    bench_reason="maintainer composition; the gate's scan plan is benched as q180",
+)
+def q189_streaming_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.gatestats import GateStatsMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = GateStatsMaintainer(scratch_dir("beast_q189_") + "/state")
+    for batch in range(2):
+        m.apply_batch(d.filter(F.col("doc_id") % 2 == batch), batch)
+    return m.read_stats(spark)
