@@ -42,6 +42,26 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — Spark's second native columnar format (predicate
+    pushdown + column pruning like parquet; the interchange format
+    Hive-era warehouses still emit)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text corpus scan: one row per LINE (``value`` string), or one
+    row per FILE with ``wholetext`` — the ingestion shape for text
+    corpora that arrive as flat files rather than tables. Pair with
+    ``input_file_name()``/``_metadata.file_path`` for provenance."""
+    return spark.read.text(path, wholetext=whole)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "append"
 ) -> None:

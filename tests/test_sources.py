@@ -284,3 +284,38 @@ def test_zorder3_layout_prunes_all_three_axes(spark, tmp_path):
     for c in ("x", "y", "z"):
         m, t = rowgroups_matching(zpath, c, lo, hi)
         assert m <= t // 2, (c, m, t)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC write/read roundtrip preserves values, and filters reach the
+    ORC scan (searchArgument pushdown) like parquet."""
+    from beast_spark.sources.files import read_orc
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.write.orc(str(tmp_path / "region_orc"))
+    back = read_orc(spark, str(tmp_path / "region_orc"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(back.r_regionkey == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(r_regionkey), EqualTo(r_regionkey,1)" in plan
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    from beast_spark.sources.files import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("only line\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "only line",
+    ]
+    whole = read_text(spark, str(p), whole=True)
+    assert sorted(r.value for r in whole.collect()) == [
+        "line one\nline two\n", "only line\n",
+    ]
