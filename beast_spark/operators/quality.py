@@ -26,8 +26,21 @@ __all__ = [
     "window_hashes",
     "span_cleaned",
     "gopher_signals",
+    "gate_rejection_counts",
+    "gate_stats_row",
     "GATE_STOPWORDS",
 ]
+
+#: the gate's rule columns, in reporting order — shared by the batch
+#: accounting (q180) and the streaming maintainer so the two cannot
+#: drift (their equality is the q189 contract)
+GATE_RULES = (
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_top_token",
+    "ok_unique_ratio",
+    "ok_stopwords",
+)
 
 # The small closed stopword set the rule-gate counts PRESENCE of
 # (Gopher-style "contains at least two stopwords" rule). Closed and
@@ -350,4 +363,31 @@ def gopher_signals(
         & F.col("ok_top_token")
         & F.col("ok_unique_ratio")
         & F.col("ok_stopwords"),
+    )
+
+
+def gate_rejection_counts(sig: DataFrame) -> DataFrame:
+    """One row of raw gate accounting over a ``gopher_signals`` frame:
+    n_docs, one fail_* count per rule, n_retained — everything a sum of
+    per-document 0/1 indicators, which is what makes the streamed
+    maintenance (``streaming/gatestats.py``) exactly additive."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.count(F.when(~F.col(r), 1)).alias(r.replace("ok_", "fail_"))
+        for r in GATE_RULES
+    ]
+    aggs.append(F.count(F.when(F.col("pass_all"), 1)).alias("n_retained"))
+    return sig.agg(*aggs)
+
+
+def gate_stats_row(counts: DataFrame) -> DataFrame:
+    """The reported accounting row (q180's output shape): the raw
+    counts plus the derived retention fraction."""
+    return counts.select(
+        "n_docs",
+        *[r.replace("ok_", "fail_") for r in GATE_RULES],
+        "n_retained",
+        rnd(F.col("n_retained") / F.col("n_docs").cast("double"), 4).alias(
+            "retained_frac"
+        ),
     )

@@ -5581,30 +5581,14 @@ _GOPHER_GATE_ORACLE = "WITH " + _GOPHER_SIGNALS_SQL + """
     "exactly in DuckDB (integer counts + IEEE divisions).",
 )
 def q180_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.quality import gopher_signals
+    from beast_spark.operators.quality import (
+        gate_rejection_counts,
+        gate_stats_row,
+        gopher_signals,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    sig = gopher_signals(d)
-    return sig.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(~F.col("ok_word_count"), 1)).alias("fail_word_count"),
-        F.count(F.when(~F.col("ok_mean_word_len"), 1)).alias("fail_mean_word_len"),
-        F.count(F.when(~F.col("ok_top_token"), 1)).alias("fail_top_token"),
-        F.count(F.when(~F.col("ok_unique_ratio"), 1)).alias("fail_unique_ratio"),
-        F.count(F.when(~F.col("ok_stopwords"), 1)).alias("fail_stopwords"),
-        F.count(F.when(F.col("pass_all"), 1)).alias("n_retained"),
-    ).select(
-        "n_docs",
-        "fail_word_count",
-        "fail_mean_word_len",
-        "fail_top_token",
-        "fail_unique_ratio",
-        "fail_stopwords",
-        "n_retained",
-        rnd(F.col("n_retained") / F.col("n_docs").cast("double"), 4).alias(
-            "retained_frac"
-        ),
-    )
+    return gate_stats_row(gate_rejection_counts(gopher_signals(d)))
 
 
 @register(

@@ -26,8 +26,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beast_spark.operators.quality import gopher_signals
-from beast_spark.queries._util import rnd
+from beast_spark.operators.quality import (
+    gate_rejection_counts,
+    gate_stats_row,
+    gopher_signals,
+)
 from beast_spark.streaming.swap import (
     SwapCommittedTable,
     check_json_meta,
@@ -35,14 +38,6 @@ from beast_spark.streaming.swap import (
 )
 
 __all__ = ["GateStatsMaintainer"]
-
-_RULES = (
-    "ok_word_count",
-    "ok_mean_word_len",
-    "ok_top_token",
-    "ok_unique_ratio",
-    "ok_stopwords",
-)
 
 
 class GateStatsMaintainer(SwapCommittedTable):
@@ -55,15 +50,19 @@ class GateStatsMaintainer(SwapCommittedTable):
     def _meta(self) -> dict:
         return {"gate_kwargs": {k: self.gate_kwargs[k] for k in sorted(self.gate_kwargs)}}
 
+    def _guard(self) -> None:
+        check_json_meta(
+            self.path + ".meta.json",
+            self._meta(),
+            f"GateStatsMaintainer (state at {self.path})",
+            "the gate thresholds changed — accounting across regimes "
+            "is meaningless; rebuild the state (fresh dir + checkpoint).",
+        )
+
     def _batch_counts(self, batch_df: DataFrame) -> DataFrame:
-        sig = gopher_signals(batch_df, **self.gate_kwargs)
-        aggs = [F.count(F.lit(1)).alias("n_docs")]
-        aggs += [
-            F.count(F.when(~F.col(r), 1)).alias(r.replace("ok_", "fail_"))
-            for r in _RULES
-        ]
-        aggs.append(F.count(F.when(F.col("pass_all"), 1)).alias("n_retained"))
-        return sig.agg(*aggs)
+        # the q180 builders, shared so the batch query and its streamed
+        # twin cannot drift (their equality IS the q189 contract)
+        return gate_rejection_counts(gopher_signals(batch_df, **self.gate_kwargs))
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -73,13 +72,7 @@ class GateStatsMaintainer(SwapCommittedTable):
         self._recover()
         meta = self._meta()
         if os.path.exists(self.path):
-            check_json_meta(
-                self.path + ".meta.json",
-                meta,
-                f"GateStatsMaintainer (state at {self.path})",
-                "the gate thresholds changed — accounting across regimes "
-                "is meaningless; rebuild the state (fresh dir + checkpoint).",
-            )
+            self._guard()
         spark = batch_df.sparkSession
         inc = self._batch_counts(batch_df)
         counts = self._read_sub(spark, "counts")
@@ -99,18 +92,16 @@ class GateStatsMaintainer(SwapCommittedTable):
 
     def read_stats(self, spark: SparkSession) -> DataFrame:
         """q180's single accounting row (rejections per rule, retention)
-        over everything ingested so far."""
+        over everything ingested so far. Validates the threshold marker
+        FIRST — a reader constructed under different rules must not
+        silently attribute old-regime counts to its own config (the
+        drift read_psi precedent)."""
+        if os.path.exists(self.path):
+            self._guard()
         counts = self._read_sub(spark, "counts")
         if counts is None:
             raise ValueError("GateStatsMaintainer: no documents ingested yet")
-        return counts.select(
-            "n_docs",
-            *[r.replace("ok_", "fail_") for r in _RULES],
-            "n_retained",
-            rnd(F.col("n_retained") / F.col("n_docs").cast("double"), 4).alias(
-                "retained_frac"
-            ),
-        )
+        return gate_stats_row(counts)
 
     # -- wiring ----------------------------------------------------------
 

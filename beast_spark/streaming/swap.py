@@ -87,9 +87,14 @@ def check_json_meta(meta_file: str, meta: dict, what: str, hint: str) -> None:
     is only valid against the exact artifact bytes + config it was
     built under, so a changed artifact (or a missing marker) must be an
     explicit error, never a silent wrong answer. ``what`` names the
-    maintainer for the message; ``hint`` says how to recover."""
+    maintainer for the message; ``hint`` says how to recover.
+    ``meta`` is normalized through a JSON roundtrip before comparing —
+    the stored side already went through one, and without it a
+    tuple-valued config (JSON reads back as a list) would spuriously
+    reject every batch after the first."""
     import json
 
+    meta = json.loads(json.dumps(meta))
     if os.path.exists(meta_file):
         with open(meta_file) as fh:
             stored = json.load(fh)
