@@ -6361,3 +6361,130 @@ def q189_streaming_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch in range(2):
         m.apply_batch(d.filter(F.col("doc_id") % 2 == batch), batch)
     return m.read_stats(spark)
+
+
+@register(
+    "q190_streaming_grid_ks",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS et, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a,
+             CAST(least(floor(value / 5.0), 99) AS INT) AS bucket
+      FROM events
+    ),
+    c AS (
+      SELECT et, bucket,
+             CAST(sum(in_a) AS BIGINT) AS a_cnt,
+             CAST(sum(1 - in_a) AS BIGINT) AS b_cnt
+      FROM e GROUP BY et, bucket
+    ),
+    t AS (
+      SELECT et, bucket, a_cnt, b_cnt,
+             sum(a_cnt) OVER (PARTITION BY et ORDER BY bucket) AS a_cum,
+             sum(b_cnt) OVER (PARTITION BY et ORDER BY bucket) AS b_cum,
+             sum(a_cnt) OVER (PARTITION BY et) AS a_tot,
+             sum(b_cnt) OVER (PARTITION BY et) AS b_tot
+      FROM c
+    ),
+    grid AS (
+      SELECT et,
+             CAST(max(a_tot) AS BIGINT) AS a_total,
+             CAST(max(b_tot) AS BIGINT) AS b_total,
+             floor(max(abs(CAST(a_cum AS DOUBLE) / a_tot
+                           - CAST(b_cum AS DOUBLE) / b_tot))
+                   * 10000 + 0.5) / 10000 AS grid_ks
+      FROM t GROUP BY et
+    ),
+    k AS (
+      SELECT et, value, in_a,
+             sum(in_a) OVER (PARTITION BY et ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(1 - in_a) OVER (PARTITION BY et ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(in_a) OVER (PARTITION BY et) AS n_a,
+             sum(1 - in_a) OVER (PARTITION BY et) AS n_b
+      FROM e
+    ),
+    exact AS (
+      SELECT et,
+             floor(max(abs(CAST(cum_a AS DOUBLE) / n_a
+                           - CAST(cum_b AS DOUBLE) / n_b))
+                   * 10000 + 0.5) / 10000 AS exact_ks
+      FROM k GROUP BY et
+    )
+    SELECT grid.et AS event_type, a_total, b_total, grid_ks, exact_ks,
+           grid_ks <= exact_ks AS grid_le_exact
+    FROM grid JOIN exact ON exact.et = grid.et
+    ORDER BY event_type
+    """,
+    doc="KS drift from the STREAMED histogram — the honest "
+    "mergeable-summary form of q114: the exact two-sample KS needs the "
+    "full empirical CDF (not additive), but the fixed-grid CDF is, so "
+    "the SAME DriftMaintainer state that serves PSI serves a "
+    "grid-restricted KS (streaming/drift.py::grid_ks_from_histograms "
+    "— sup of |CDF_a − CDF_b| over 100 width-5 bucket boundaries). "
+    "The estimator contract is explicit AND checked per key: grid_ks "
+    "<= exact_ks always (the sup runs over a subset of split points; "
+    "floor-rounding is monotone, so the inequality survives rounding) "
+    "— both statistics and the comparison replay exactly in DuckDB. "
+    "Tighten the grid to tighten the gap; the non-additive exact form "
+    "stays batch-only by design.",
+    bench=False,
+    bench_reason="maintainer composition; the scan/window plans are benched as q104/q114",
+)
+def q190_streaming_grid_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.drift import DriftMaintainer, bucket_histogram
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    base = scratch_dir("beast_q190_")
+    bucket_histogram(
+        e.filter(F.col("ts") < cutoff), width=5.0, n_buckets=100
+    ).write.parquet(f"{base}/baseline")
+    m = DriftMaintainer(
+        f"{base}/state", f"{base}/baseline", width=5.0, n_buckets=100
+    )
+    cur = e.filter(~F.coalesce(F.col("ts") < cutoff, F.lit(False)))
+    for batch in range(2):
+        m.apply_batch(cur.filter(F.col("event_id") % 2 == batch), batch)
+    grid = m.read_grid_ks(spark).select(
+        F.col("key").alias("event_type"), "a_total", "b_total", "grid_ks"
+    )
+
+    # the exact statistic (q114's construction over the same halves)
+    d = e.select(
+        F.col("event_type").alias("et"),
+        "value",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("et")
+    c = (
+        d.withColumn("cum_a", F.sum("in_a").over(w))
+        .withColumn("cum_b", F.sum(F.lit(1) - F.col("in_a")).over(w))
+        .withColumn("n_a", F.sum("in_a").over(full))
+        .withColumn("n_b", F.sum(F.lit(1) - F.col("in_a")).over(full))
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    exact = c.groupBy(F.col("et").alias("event_type")).agg(
+        rnd(F.max(diff), 4).alias("exact_ks")
+    )
+    return (
+        grid.join(exact, "event_type")
+        .select(
+            "event_type",
+            "a_total",
+            "b_total",
+            "grid_ks",
+            "exact_ks",
+            (F.col("grid_ks") <= F.col("exact_ks")).alias("grid_le_exact"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,7 +45,12 @@ from beast_spark.streaming.swap import (
     write_json_meta,
 )
 
-__all__ = ["DriftMaintainer", "bucket_histogram", "psi_from_histograms"]
+__all__ = [
+    "DriftMaintainer",
+    "bucket_histogram",
+    "psi_from_histograms",
+    "grid_ks_from_histograms",
+]
 
 
 def bucket_histogram(
@@ -97,6 +102,48 @@ def psi_from_histograms(
         F.max("a_tot").alias("a_total"),
         F.max("b_tot").alias("b_total"),
         rnd(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    )
+
+
+def grid_ks_from_histograms(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """(key, a_total, b_total, grid_ks): the Kolmogorov–Smirnov sup
+    statistic restricted to the HISTOGRAM GRID — sup over bucket
+    boundaries of |CDF_a − CDF_b|.
+
+    This is the honest mergeable-summary form of KS: the exact
+    two-sample statistic (q114) needs the full empirical CDF and is not
+    additive, but a fixed-grid CDF is — per-bucket counts merge by
+    addition, so the SAME maintained histogram that serves PSI serves
+    this. The estimator contract is explicit: grid_ks <= exact KS
+    always (the sup runs over a subset of split points), with equality
+    whenever the true sup lands on a grid boundary; tighten the grid
+    (n_buckets) to tighten the gap. Cumulative fractions are plain IEEE
+    divisions of integer counts, so the statistic replays exactly in
+    any engine."""
+    a = baseline.select("key", "bucket", F.col("n").alias("a_cnt"))
+    b = current.select("key", "bucket", F.col("n").alias("b_cnt"))
+    j = (
+        a.join(b, ["key", "bucket"], "full")
+        .withColumn("a_cnt", F.coalesce("a_cnt", F.lit(0)))
+        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
+    )
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("key").orderBy("bucket")
+    wk = Window.partitionBy("key")
+    t = (
+        j.withColumn("a_cum", F.sum("a_cnt").over(wc))
+        .withColumn("b_cum", F.sum("b_cnt").over(wc))
+        .withColumn("a_tot", F.sum("a_cnt").over(wk))
+        .withColumn("b_tot", F.sum("b_cnt").over(wk))
+    )
+    gap = F.abs(
+        F.col("a_cum") / F.col("a_tot") - F.col("b_cum") / F.col("b_tot")
+    )
+    return t.groupBy("key").agg(
+        F.max("a_tot").alias("a_total"),
+        F.max("b_tot").alias("b_total"),
+        rnd(F.max(gap), 4).alias("grid_ks"),
     )
 
 
@@ -187,6 +234,26 @@ class DriftMaintainer(SwapCommittedTable):
             raise ValueError("DriftMaintainer: no events ingested yet")
         baseline = spark.read.parquet(self.baseline_path)
         return psi_from_histograms(baseline, counts, self.n_buckets)
+
+    def read_grid_ks(self, spark: SparkSession) -> DataFrame:
+        """(key, a_total, b_total, grid_ks) — the KS-on-the-grid read of
+        the SAME maintained histogram (see
+        :func:`grid_ks_from_histograms` for the estimator contract);
+        same marker validation as :meth:`read_psi`."""
+        if os.path.exists(self.path):
+            check_json_meta(
+                self.path + ".meta.json",
+                self._meta(),
+                f"DriftMaintainer (state at {self.path})",
+                "the frozen baseline or bucket config changed — rebuild "
+                "the state against the new reference (fresh state dir + "
+                "checkpoint).",
+            )
+        counts = self.read_counts(spark)
+        if counts is None:
+            raise ValueError("DriftMaintainer: no events ingested yet")
+        baseline = spark.read.parquet(self.baseline_path)
+        return grid_ks_from_histograms(baseline, counts)
 
     # -- wiring ----------------------------------------------------------
 

@@ -94,3 +94,38 @@ def test_streamed_psi_replay_noop_and_baseline_guard(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="DriftMaintainer"):
         m2.apply_batch(cur.filter(F.col("event_id") % 2 == 1), 1)
+
+
+def test_streamed_grid_ks_equals_batch_per_prefix(spark, sf_dir, tmp_path):
+    """The grid-KS read of the maintained histogram equals the batch
+    computation per prefix. (The grid_ks <= exact_ks estimator bound is
+    checked per key by q190's hash-verified grid_le_exact column.)"""
+    from beast_spark.streaming.drift import (
+        DriftMaintainer,
+        bucket_histogram,
+        grid_ks_from_histograms,
+    )
+
+    e = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    bucket_histogram(
+        e.filter(F.col("ts") < cutoff), width=5.0, n_buckets=100
+    ).write.parquet(str(tmp_path / "baseline"))
+    baseline = spark.read.parquet(str(tmp_path / "baseline"))
+    m = DriftMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "baseline"), width=5.0, n_buckets=100
+    )
+    cur = e.filter(F.col("ts") >= cutoff)
+    seen = None
+    for k in range(2):
+        sl = cur.filter(F.col("event_id") % 2 == k)
+        m.apply_batch(sl, k)
+        seen = sl if seen is None else seen.unionByName(sl)
+        got = {tuple(r) for r in m.read_grid_ks(spark).collect()}
+        want = {
+            tuple(r)
+            for r in grid_ks_from_histograms(
+                baseline, bucket_histogram(seen, width=5.0, n_buckets=100)
+            ).collect()
+        }
+        assert got == want and got, f"prefix {k}"
