@@ -215,3 +215,53 @@ def test_quantized_increment_property_on_arbitrary_vectors(spark, vecs, split):
     existing = dq_pairs(old_df)
     assert existing | inc_set == full
     assert existing.isdisjoint(inc_set)
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_matches_python_reference(spark, words, n_merges):
+    """The distributed trainer must agree with a direct Python
+    implementation of Sennrich's algorithm (raw adjacent stats argmax
+    with lexicographic tie-break; greedy left-to-right non-overlapping
+    merge) on arbitrary tiny corpora — including the adversarial
+    all-'a'/'b' run-heavy cases where overlap handling matters."""
+    from collections import Counter
+
+    from beast_spark.operators.bpe import bpe_train
+
+    def py_merge(syms, left, right):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    vocab = {w: (list(w), c) for w, c in Counter(words).items()}
+    expected = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        expected.append((l, r, n))
+        vocab = {w: (py_merge(s, l, r), c) for w, (s, c) in vocab.items()}
+
+    merges, final = bpe_train(
+        spark.createDataFrame([(" ".join(words),)], "text string"),
+        n_merges=n_merges,
+    )
+    got_segs = {r.word: r.syms for r in final.collect()}
+    final.unpersist()
+    assert [(m.left, m.right, m.pair_count) for m in merges] == expected
+    assert got_segs == {w: s for w, (s, _c) in vocab.items()}
