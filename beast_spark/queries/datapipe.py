@@ -2068,6 +2068,8 @@ def q113_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the q92/q101 pattern.",
 )
 def q114_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.drift import exact_ks
+
     e = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-16").cast("timestamp")
     d = e.select(
@@ -2075,26 +2077,8 @@ def q114_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
     )
-    w = (
-        Window.partitionBy("et")
-        .orderBy("value")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    full = Window.partitionBy("et")
-    c = (
-        d.withColumn("cum_a", F.sum("in_a").over(w))
-        .withColumn("cum_b", F.sum(F.lit(1) - F.col("in_a")).over(w))
-        .withColumn("n_a", F.sum("in_a").over(full))
-        .withColumn("n_b", F.sum(F.lit(1) - F.col("in_a")).over(full))
-    )
-    diff = F.abs(
-        F.col("cum_a").cast("double") / F.col("n_a")
-        - F.col("cum_b").cast("double") / F.col("n_b")
-    )
-    return c.groupBy(F.col("et").alias("event_type")).agg(
-        F.max("n_a").cast("long").alias("n_a"),
-        F.max("n_b").cast("long").alias("n_b"),
-        rnd(F.max(diff), 4).alias("ks_stat"),
+    return exact_ks(d).select(
+        F.col("key").alias("event_type"), "n_a", "n_b", "ks_stat"
     )
 
 
@@ -6390,8 +6374,11 @@ def q189_streaming_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT et,
              CAST(max(a_tot) AS BIGINT) AS a_total,
              CAST(max(b_tot) AS BIGINT) AS b_total,
-             floor(max(abs(CAST(a_cum AS DOUBLE) / a_tot
-                           - CAST(b_cum AS DOUBLE) / b_tot))
+             floor(max(abs(
+                 CASE WHEN a_tot > 0 THEN CAST(a_cum AS DOUBLE) / a_tot
+                      ELSE 0.0 END
+                 - CASE WHEN b_tot > 0 THEN CAST(b_cum AS DOUBLE) / b_tot
+                        ELSE 0.0 END))
                    * 10000 + 0.5) / 10000 AS grid_ks
       FROM t GROUP BY et
     ),
@@ -6451,30 +6438,16 @@ def q190_streaming_grid_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"), "a_total", "b_total", "grid_ks"
     )
 
-    # the exact statistic (q114's construction over the same halves)
+    # the exact statistic (q114's builder over the same halves)
+    from beast_spark.streaming.drift import exact_ks
+
     d = e.select(
         F.col("event_type").alias("et"),
         "value",
         F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
     )
-    w = (
-        Window.partitionBy("et")
-        .orderBy("value")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    full = Window.partitionBy("et")
-    c = (
-        d.withColumn("cum_a", F.sum("in_a").over(w))
-        .withColumn("cum_b", F.sum(F.lit(1) - F.col("in_a")).over(w))
-        .withColumn("n_a", F.sum("in_a").over(full))
-        .withColumn("n_b", F.sum(F.lit(1) - F.col("in_a")).over(full))
-    )
-    diff = F.abs(
-        F.col("cum_a").cast("double") / F.col("n_a")
-        - F.col("cum_b").cast("double") / F.col("n_b")
-    )
-    exact = c.groupBy(F.col("et").alias("event_type")).agg(
-        rnd(F.max(diff), 4).alias("exact_ks")
+    exact = exact_ks(d).select(
+        F.col("key").alias("event_type"), F.col("ks_stat").alias("exact_ks")
     )
     return (
         grid.join(exact, "event_type")

@@ -1,5 +1,6 @@
-"""Streaming distribution-drift monitoring: PSI against a FROZEN
-baseline, maintained incrementally as current-window events stream in.
+"""Streaming distribution-drift monitoring: PSI and a grid-restricted
+KS against a FROZEN baseline, maintained incrementally as
+current-window events stream in.
 
 The batch form (q104) compares two halves of one scan; in production
 the reference window is a frozen artifact (last quarter's histogram)
@@ -28,6 +29,15 @@ PSI semantics match q104 bit-for-bit: fixed-width value buckets
 (top-clamped), Laplace smoothing +0.5 per present bucket with
 +0.5·n_buckets on totals, psi = Σ (p−q)·ln(p/q) over the union of
 buckets present in either window, floor-rounded to 4 digits.
+
+TWO reads of the same maintained histogram, with different estimator
+contracts: ``read_psi`` is the EXACT streamed twin of the batch PSI
+(binned by construction), while ``read_grid_ks`` is a grid-restricted
+KS — exact w.r.t. its own definition (and == its batch twin per
+prefix), but a LOWER BOUND on the raw-value KS statistic (q190
+hash-checks the bound). A key present in only one window reports the
+maximal statistic (its missing side's CDF is taken as 0 → grid_ks = 1)
+instead of crashing — a brand-new event type IS the drift signal.
 """
 
 from __future__ import annotations
@@ -36,6 +46,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from beast_spark.queries._util import rnd
 from beast_spark.streaming.swap import (
@@ -50,6 +61,7 @@ __all__ = [
     "bucket_histogram",
     "psi_from_histograms",
     "grid_ks_from_histograms",
+    "exact_ks",
 ]
 
 
@@ -73,6 +85,19 @@ def bucket_histogram(
     )
 
 
+def _joined_histograms(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Full-outer (key, bucket) union of two histograms with zero-filled
+    counts — defines which buckets participate for BOTH derived
+    statistics, so the two reads cannot disagree about the bucket set."""
+    a = baseline.select("key", "bucket", F.col("n").alias("a_cnt"))
+    b = current.select("key", "bucket", F.col("n").alias("b_cnt"))
+    return (
+        a.join(b, ["key", "bucket"], "full")
+        .withColumn("a_cnt", F.coalesce("a_cnt", F.lit(0)))
+        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
+    )
+
+
 def psi_from_histograms(
     baseline: DataFrame, current: DataFrame, n_buckets: int = 10
 ) -> DataFrame:
@@ -82,15 +107,7 @@ def psi_from_histograms(
     q104 union-scan semantics), window totals over the tiny joined
     frame, floor-rounded 4 digits. Histograms are keys × buckets rows;
     everything here is aggregate-sized."""
-    a = baseline.select("key", "bucket", F.col("n").alias("a_cnt"))
-    b = current.select("key", "bucket", F.col("n").alias("b_cnt"))
-    j = (
-        a.join(b, ["key", "bucket"], "full")
-        .withColumn("a_cnt", F.coalesce("a_cnt", F.lit(0)))
-        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
-    )
-    from pyspark.sql.window import Window
-
+    j = _joined_histograms(baseline, current)
     w = Window.partitionBy("key")
     t = j.withColumn("a_tot", F.sum("a_cnt").over(w)).withColumn(
         "b_tot", F.sum("b_cnt").over(w)
@@ -120,15 +137,7 @@ def grid_ks_from_histograms(baseline: DataFrame, current: DataFrame) -> DataFram
     (n_buckets) to tighten the gap. Cumulative fractions are plain IEEE
     divisions of integer counts, so the statistic replays exactly in
     any engine."""
-    a = baseline.select("key", "bucket", F.col("n").alias("a_cnt"))
-    b = current.select("key", "bucket", F.col("n").alias("b_cnt"))
-    j = (
-        a.join(b, ["key", "bucket"], "full")
-        .withColumn("a_cnt", F.coalesce("a_cnt", F.lit(0)))
-        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
-    )
-    from pyspark.sql.window import Window
-
+    j = _joined_histograms(baseline, current)
     wc = Window.partitionBy("key").orderBy("bucket")
     wk = Window.partitionBy("key")
     t = (
@@ -137,13 +146,58 @@ def grid_ks_from_histograms(baseline: DataFrame, current: DataFrame) -> DataFram
         .withColumn("a_tot", F.sum("a_cnt").over(wk))
         .withColumn("b_tot", F.sum("b_cnt").over(wk))
     )
-    gap = F.abs(
-        F.col("a_cum") / F.col("a_tot") - F.col("b_cum") / F.col("b_tot")
+    # a key in only ONE window (a brand-new event type after the
+    # baseline freeze — exactly the drift to catch): the missing side's
+    # CDF is taken as 0, so the key reports the maximal statistic
+    # (grid_ks = 1) instead of a divide-by-zero crash under ANSI
+    cdf_a = F.when(F.col("a_tot") > 0, F.col("a_cum") / F.col("a_tot")).otherwise(
+        F.lit(0.0)
     )
+    cdf_b = F.when(F.col("b_tot") > 0, F.col("b_cum") / F.col("b_tot")).otherwise(
+        F.lit(0.0)
+    )
+    gap = F.abs(cdf_a - cdf_b)
     return t.groupBy("key").agg(
         F.max("a_tot").alias("a_total"),
         F.max("b_tot").alias("b_total"),
         rnd(F.max(gap), 4).alias("grid_ks"),
+    )
+
+
+def exact_ks(
+    df: DataFrame,
+    key_col: str = "et",
+    value_col: str = "value",
+    in_a_col: str = "in_a",
+) -> DataFrame:
+    """(key, n_a, n_b, ks_stat): the EXACT two-sample KS over raw
+    values — q114's construction as the shared builder, so the batch
+    query and the q190 grid-vs-exact comparison cannot drift. ECDFs via
+    RANGE-frame cumulative sums over the pooled sample (the RANGE frame
+    counts ties identically in any engine); max is order-insensitive.
+    Both samples must be non-empty per key — the raw-value statistic is
+    undefined for an empty side (the guarded, monitor-safe form is the
+    grid read: :func:`grid_ks_from_histograms`)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy(key_col)
+    c = (
+        df.withColumn("cum_a", F.sum(in_a_col).over(w))
+        .withColumn("cum_b", F.sum(F.lit(1) - F.col(in_a_col)).over(w))
+        .withColumn("n_a", F.sum(in_a_col).over(full))
+        .withColumn("n_b", F.sum(F.lit(1) - F.col(in_a_col)).over(full))
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return c.groupBy(F.col(key_col).alias("key")).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        rnd(F.max(diff), 4).alias("ks_stat"),
     )
 
 
@@ -213,13 +267,14 @@ class DriftMaintainer(SwapCommittedTable):
 
     # -- reads ------------------------------------------------------------
 
-    def read_psi(self, spark: SparkSession) -> DataFrame:
-        """(key, a_total, b_total, psi) of the maintained current window
-        vs the frozen baseline — aggregate-sized, derived on read.
-        Validates the baseline marker FIRST: the read path is exactly
-        where a baseline rewritten in place (no new batch has run, so
-        apply_batch's guard never fired) would otherwise report drift
-        against the wrong reference silently."""
+    def _validated_state(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame]:
+        """(baseline, counts) for the derived reads, marker-validated
+        FIRST: the read path is exactly where a baseline rewritten in
+        place (no new batch has run, so apply_batch's guard never
+        fired) would otherwise report drift against the wrong
+        reference silently."""
         if os.path.exists(self.path):
             check_json_meta(
                 self.path + ".meta.json",
@@ -232,7 +287,12 @@ class DriftMaintainer(SwapCommittedTable):
         counts = self.read_counts(spark)
         if counts is None:
             raise ValueError("DriftMaintainer: no events ingested yet")
-        baseline = spark.read.parquet(self.baseline_path)
+        return spark.read.parquet(self.baseline_path), counts
+
+    def read_psi(self, spark: SparkSession) -> DataFrame:
+        """(key, a_total, b_total, psi) of the maintained current window
+        vs the frozen baseline — aggregate-sized, derived on read."""
+        baseline, counts = self._validated_state(spark)
         return psi_from_histograms(baseline, counts, self.n_buckets)
 
     def read_grid_ks(self, spark: SparkSession) -> DataFrame:
@@ -240,19 +300,7 @@ class DriftMaintainer(SwapCommittedTable):
         the SAME maintained histogram (see
         :func:`grid_ks_from_histograms` for the estimator contract);
         same marker validation as :meth:`read_psi`."""
-        if os.path.exists(self.path):
-            check_json_meta(
-                self.path + ".meta.json",
-                self._meta(),
-                f"DriftMaintainer (state at {self.path})",
-                "the frozen baseline or bucket config changed — rebuild "
-                "the state against the new reference (fresh state dir + "
-                "checkpoint).",
-            )
-        counts = self.read_counts(spark)
-        if counts is None:
-            raise ValueError("DriftMaintainer: no events ingested yet")
-        baseline = spark.read.parquet(self.baseline_path)
+        baseline, counts = self._validated_state(spark)
         return grid_ks_from_histograms(baseline, counts)
 
     # -- wiring ----------------------------------------------------------

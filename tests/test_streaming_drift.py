@@ -129,3 +129,19 @@ def test_streamed_grid_ks_equals_batch_per_prefix(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got == want and got, f"prefix {k}"
+
+
+def test_grid_ks_new_key_reports_maximal_drift_instead_of_crashing(spark, tmp_path):
+    """An event type that first appears AFTER the baseline freeze is
+    exactly the drift the monitor exists to catch: its missing side's
+    CDF is taken as 0, so the key reports grid_ks = 1.0 — never a
+    divide-by-zero crash of the whole monitoring read."""
+    from beast_spark.streaming.drift import grid_ks_from_histograms
+
+    hist_ddl = "key string, bucket int, n long"
+    baseline = spark.createDataFrame([("old", 0, 5), ("old", 1, 5)], hist_ddl)
+    current = spark.createDataFrame(
+        [("old", 0, 5), ("old", 1, 5), ("brand_new", 2, 7)], hist_ddl
+    )
+    got = {r.key: r.grid_ks for r in grid_ks_from_histograms(baseline, current).collect()}
+    assert got == {"old": 0.0, "brand_new": 1.0}
