@@ -6461,3 +6461,111 @@ def q190_streaming_grid_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TEXT_ANN_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_TEXT_ANN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i + 2], ' ') AS s
+      FROM t, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    ),
+    hb AS (
+      SELECT doc_id,
+             ('0x'||substr(md5(s),1,15))::BIGINT % 64 AS b,
+             CASE WHEN ('0x'||substr(md5('sgn|'||s),1,15))::BIGINT % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM sh
+    ),
+    w AS (SELECT doc_id, b, sum(sgn) AS w FROM hb GROUP BY doc_id, b),
+    grid AS (
+      SELECT t.doc_id, CAST(u.d AS BIGINT) AS d
+      FROM t, unnest(range(0, 64)) u(d) WHERE len(toks) >= 3
+    ),
+    cells AS (
+      SELECT grid.doc_id, grid.d, coalesce(w.w, 0.0) AS v
+      FROM grid LEFT JOIN w ON w.doc_id = grid.doc_id AND w.b = grid.d
+    ),
+    vecs AS (
+      SELECT doc_id, array_agg(v ORDER BY d) AS v FROM cells GROUP BY doc_id
+    ),
+    nz AS (SELECT * FROM vecs WHERE list_dot_product(v, v) > 0),
+    cents AS (SELECT doc_id AS cid, v AS cv FROM nz WHERE doc_id < 16),
+    asg AS (
+      SELECT doc_id, cid FROM (
+        SELECT s.doc_id, c.cid,
+               row_number() OVER (PARTITION BY s.doc_id
+                 ORDER BY {_TEXT_ANN_COS.format(a='s.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM nz s, cents c) WHERE rn = 1
+    ),
+    qv AS (SELECT doc_id AS query_id, v AS qvec FROM nz WHERE doc_id < 5),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_TEXT_ANN_COS.format(a='q.qvec', b='c.cv')} DESC, c.cid) AS rn
+        FROM qv q, cents c) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.doc_id
+      FROM probes p JOIN asg a ON a.cid = p.cid
+      WHERE a.doc_id <> p.query_id
+    )
+    SELECT query_id, doc_id, cos_sim, CAST(r AS BIGINT) AS rank FROM (
+      SELECT c.query_id, c.doc_id,
+             {_TEXT_ANN_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_TEXT_ANN_COS.format(a='q.qvec', b='s.v')} DESC, c.doc_id) AS r
+      FROM cand c
+      JOIN nz s ON s.doc_id = c.doc_id
+      JOIN qv q ON q.query_id = c.query_id
+    ) WHERE r <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q191_text_ann_end_to_end",
+    oracle=_TEXT_ANN_ORACLE,
+    doc="The text→ANN loop CLOSED end-to-end, every stage hash-checked: "
+    "documents become model-free hashing-trick vectors (q185's "
+    "hashed_doc_vectors), the vectors stream into the production IVF "
+    "index in two micro-batches (streaming/ivf.py — frozen centroids, "
+    "swap-ledger exactly-once), and similar-document search runs over "
+    "the MAINTAINED state (broadcast probe list onto the never-shuffled "
+    "postings, exact scoring, top-5). Because the vectors are "
+    "md5-deterministic AND maintained state == rebuild under frozen "
+    "artifacts, the WHOLE pipeline — shingles, buckets, signs, vector "
+    "assembly, assignment, probes, ranking — replays bit-for-bit in "
+    "DuckDB. This is what q185's 'the vectors feed the streamed index' "
+    "claim looks like as a verified query rather than a docstring.",
+    bench=False,
+    bench_reason="maintainer composition; the vector build and search plans are benched as q185/q178",
+)
+def q191_text_ann_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot
+    from beast_spark.operators.dedup import hashed_doc_vectors
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dims=64, n=3).filter(
+        dot(F.col("embedding"), F.col("embedding")) > 0
+    )
+    base = scratch_dir("beast_q191_")
+    vecs.filter(F.col("doc_id") < 16).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(
+        f"{base}/state", f"{base}/centroids", id_col="doc_id", dims=64
+    )
+    for batch in range(2):
+        m.apply_batch(vecs.filter(F.col("doc_id") % 2 == batch), batch)
+    qs = vecs.filter(F.col("doc_id") < 5)
+    return (
+        m.search(spark, qs, nprobe=2, k=5)
+        .select("query_id", "doc_id", "cos_sim", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
