@@ -6015,10 +6015,11 @@ def q184_streaming_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q185_hashed_embedding_neardup",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# The hashing-trick document-vector CTE chain (the DuckDB twin of
+# operators/dedup.py::hashed_doc_vectors at the q185 config, down to
+# the zero-norm filter) — shared by the q185 and q191 oracles so the
+# vector spec cannot drift between them.
+_HASHED_VECS_SQL = """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i + 2], ' ') AS s
       FROM t, unnest(range(1, len(toks) - 1)) u(i)
@@ -6043,7 +6044,12 @@ def q184_streaming_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec AS (
       SELECT doc_id, array_agg(v ORDER BY d) AS v FROM cells GROUP BY doc_id
     ),
-    nz AS (SELECT * FROM vec WHERE list_dot_product(v, v) > 0),
+    nz AS (SELECT * FROM vec WHERE list_dot_product(v, v) > 0)"""
+
+
+@register(
+    "q185_hashed_embedding_neardup",
+    oracle="WITH " + _HASHED_VECS_SQL + """,
     planes6 AS (
       SELECT b.pp,
              list_transform(range(0, 64),
@@ -6463,44 +6469,16 @@ def q190_streaming_grid_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_ANN_COS = (
-    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
-    "* sqrt(list_dot_product({b}, {b}))), 6)"
-)
-
-_TEXT_ANN_ORACLE = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i + 2], ' ') AS s
-      FROM t, unnest(range(1, len(toks) - 1)) u(i)
-      WHERE len(toks) >= 3
-    ),
-    hb AS (
-      SELECT doc_id,
-             ('0x'||substr(md5(s),1,15))::BIGINT % 64 AS b,
-             CASE WHEN ('0x'||substr(md5('sgn|'||s),1,15))::BIGINT % 2 = 1
-                  THEN 1.0 ELSE -1.0 END AS sgn
-      FROM sh
-    ),
-    w AS (SELECT doc_id, b, sum(sgn) AS w FROM hb GROUP BY doc_id, b),
-    grid AS (
-      SELECT t.doc_id, CAST(u.d AS BIGINT) AS d
-      FROM t, unnest(range(0, 64)) u(d) WHERE len(toks) >= 3
-    ),
-    cells AS (
-      SELECT grid.doc_id, grid.d, coalesce(w.w, 0.0) AS v
-      FROM grid LEFT JOIN w ON w.doc_id = grid.doc_id AND w.b = grid.d
-    ),
-    vecs AS (
-      SELECT doc_id, array_agg(v ORDER BY d) AS v FROM cells GROUP BY doc_id
-    ),
-    nz AS (SELECT * FROM vecs WHERE list_dot_product(v, v) > 0),
+_TEXT_ANN_ORACLE = (
+    "WITH "
+    + _HASHED_VECS_SQL
+    + f""",
     cents AS (SELECT doc_id AS cid, v AS cv FROM nz WHERE doc_id < 16),
     asg AS (
       SELECT doc_id, cid FROM (
         SELECT s.doc_id, c.cid,
                row_number() OVER (PARTITION BY s.doc_id
-                 ORDER BY {_TEXT_ANN_COS.format(a='s.v', b='c.cv')} DESC, c.cid) AS rn
+                 ORDER BY {_STREAM_IVF_COS.format(a='s.v', b='c.cv')} DESC, c.cid) AS rn
         FROM nz s, cents c) WHERE rn = 1
     ),
     qv AS (SELECT doc_id AS query_id, v AS qvec FROM nz WHERE doc_id < 5),
@@ -6508,7 +6486,7 @@ _TEXT_ANN_ORACLE = f"""
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid,
                row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY {_TEXT_ANN_COS.format(a='q.qvec', b='c.cv')} DESC, c.cid) AS rn
+                 ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='c.cv')} DESC, c.cid) AS rn
         FROM qv q, cents c) WHERE rn <= 2
     ),
     cand AS (
@@ -6518,15 +6496,16 @@ _TEXT_ANN_ORACLE = f"""
     )
     SELECT query_id, doc_id, cos_sim, CAST(r AS BIGINT) AS rank FROM (
       SELECT c.query_id, c.doc_id,
-             {_TEXT_ANN_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
+             {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
              row_number() OVER (PARTITION BY c.query_id
-               ORDER BY {_TEXT_ANN_COS.format(a='q.qvec', b='s.v')} DESC, c.doc_id) AS r
+               ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} DESC, c.doc_id) AS r
       FROM cand c
       JOIN nz s ON s.doc_id = c.doc_id
       JOIN qv q ON q.query_id = c.query_id
     ) WHERE r <= 5
     ORDER BY query_id, rank
 """
+)
 
 
 @register(
@@ -6553,10 +6532,14 @@ def q191_text_ann_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.streaming.ivf import IvfIndexMaintainer
 
     d = load_table(spark, sf_dir, "documents")
-    vecs = hashed_doc_vectors(d, dims=64, n=3).filter(
-        dot(F.col("embedding"), F.col("embedding")) > 0
-    )
     base = scratch_dir("beast_q191_")
+    # materialize the vectors ONCE: the centroid write, both batch
+    # commits, and the search would each re-run the shingle-explode
+    # vector build otherwise (md5-deterministic, so results identical)
+    hashed_doc_vectors(d, dims=64, n=3).filter(
+        dot(F.col("embedding"), F.col("embedding")) > 0
+    ).write.parquet(f"{base}/vecs")
+    vecs = spark.read.parquet(f"{base}/vecs")
     vecs.filter(F.col("doc_id") < 16).write.parquet(f"{base}/centroids")
     m = IvfIndexMaintainer(
         f"{base}/state", f"{base}/centroids", id_col="doc_id", dims=64
