@@ -23,13 +23,26 @@ document's cleaned form against the global counts:
   to find documents affected by a threshold crossing.
 * ``signals``  — per-doc cleaned-form gate values: n_raw, n_removed,
   n_clean, norm_entropy, dup_trigram_frac, ctext_hash.
+* ``flagged``  — window hashes whose global count has reached >= 2
+  (append-only: counts never decrease, so a hash crosses at most
+  once — each batch appends exactly its newly-crossed hashes).
 
 Per-batch work is O(batch + postings-of-crossed-hashes + affected
 docs): only documents holding a window hash that crossed >= 2 THIS
 batch are re-derived (their spans can only grow — counts never
-decrease — so cleaned text only shrinks, monotonically). All four
-sub-tables commit in one atomic rename on the shared swap-ledger
-protocol (``streaming/swap.py``), so crash replays are no-ops.
+decrease — so cleaned text only shrinks, monotonically).
+
+Commits go through the manifest protocol
+(``streaming/swap.py::ManifestSwapTable``), so bytes WRITTEN per batch
+are O(delta) too, never O(corpus): ``docs`` and ``flagged`` append one
+fragment of only this batch's rows; ``postings`` appends one fragment
+shard-partitioned by ``hash(wh)`` so the crossed-hash lookup reads
+only matching shards; ``whcounts`` and ``signals`` are merge tables
+sharded by ``hash(wh)`` / ``hash(doc_id)`` — the batch rewrites ONLY
+the shards its keys touch, untouched shards keep their existing
+fragment leaves byte-identical. All sub-table deltas and the
+applied-batch ledger flip in one atomic manifest rename, so crash
+replays are no-ops.
 
 Equivalence contract (tested): after any prefix of batches,
 ``survivors_by_split`` == the batch q169 capstone run over exactly the
@@ -39,7 +52,6 @@ dedup of cleaned texts, per-source cap, md5 split.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,14 +64,14 @@ from beast_spark.operators.quality import (
     span_cleaned,
     window_hashes,
 )
-from beast_spark.streaming.swap import SwapCommittedTable
+from beast_spark.streaming.swap import ManifestSwapTable
 
 __all__ = ["CorpusV3Maintainer", "CorpusV3PointerMaintainer"]
 
 
-class CorpusV3Maintainer(SwapCommittedTable):
-    """Owns one swap-committed state directory
-    (docs/whcounts/postings/signals)."""
+class CorpusV3Maintainer(ManifestSwapTable):
+    """Owns one manifest-committed state directory
+    (docs/whcounts/postings/signals/flagged)."""
 
     def __init__(
         self,
@@ -69,8 +81,9 @@ class CorpusV3Maintainer(SwapCommittedTable):
         min_norm_entropy: float = 0.8,
         max_dup_trigram_frac: float = 0.2,
         source_cap: int = 10,
+        n_shards: int = 16,
     ) -> None:
-        SwapCommittedTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
         self.window = window
         self.min_clean_tokens = min_clean_tokens
         self.min_norm_entropy = min_norm_entropy
@@ -127,24 +140,43 @@ class CorpusV3Maintainer(SwapCommittedTable):
         post_new = wins.select("doc_id", "wh").distinct()
 
         old_docs = self._read_sub(spark, "docs")
-        old_counts = self._read_sub(spark, "whcounts")
-        old_postings = self._read_sub(spark, "postings")
-        old_signals = self._read_sub(spark, "signals")
 
-        if old_counts is None:
-            merged = cnt_new.select("wh", F.col("nd_new").cast("long").alias("n"))
-            crossed = merged.filter(F.col("n") >= 2).select("wh")
+        # -- whcounts: merge ONLY the shards this batch's hashes touch.
+        # The shard lists collected here and below are O(n_shards)
+        # driver-side scalars (never rows), the same class as the
+        # iterative convergence probes.
+        wh_shards = sorted(
+            r.s
+            for r in cnt_new.select(self.shard_of(F.col("wh")).alias("s"))
+            .distinct()
+            .collect()
+        )
+        old_touched = self._read_sub(spark, "whcounts", shards=wh_shards)
+        if old_touched is None:
+            both = cnt_new.select(
+                "wh",
+                F.lit(0).cast("long").alias("n_old"),
+                F.col("nd_new").cast("long").alias("n_inc"),
+            )
         else:
-            both = old_counts.join(cnt_new, "wh", "full_outer").select(
+            both = old_touched.join(cnt_new, "wh", "full_outer").select(
                 "wh",
                 F.coalesce(F.col("n"), F.lit(0)).alias("n_old"),
-                F.coalesce(F.col("nd_new"), F.lit(0)).alias("n_inc"),
+                F.coalesce(F.col("nd_new"), F.lit(0)).cast("long").alias("n_inc"),
             )
-            merged = both.select("wh", (F.col("n_old") + F.col("n_inc")).alias("n"))
-            crossed = both.filter(
-                (F.col("n_old") < 2) & (F.col("n_old") + F.col("n_inc") >= 2)
-            ).select("wh")
-        flagged = merged.filter(F.col("n") >= 2).select("wh")
+        merged_touched = both.select(
+            "wh", (F.col("n_old") + F.col("n_inc")).alias("n")
+        )
+        crossed = both.filter(
+            (F.col("n_old") < 2) & (F.col("n_old") + F.col("n_inc") >= 2)
+        ).select("wh")
+        # the global >=2 set: counts never decrease, so a hash crosses at
+        # most once and the append-only ``flagged`` sub-table's union IS
+        # the set — no full whcounts scan needed to rebuild it
+        old_flagged = self._read_sub(spark, "flagged")
+        flagged = (
+            crossed if old_flagged is None else old_flagged.unionByName(crossed)
+        )
 
         # Append-only contract guard: the retroactive machinery assumes
         # window-hash counts NEVER decrease ("spans only grow"). A
@@ -179,34 +211,73 @@ class CorpusV3Maintainer(SwapCommittedTable):
         btext = bdocs.select("doc_id", "text", "source")
         if old_docs is None:
             redo = btext
-            signals = self._derive_signals(redo, flagged)
-            docs = self._docs_frame(bdocs)
-            postings = post_new
         else:
-            affected = (
-                old_postings.join(crossed, "wh", "left_semi")
-                .select("doc_id")
+            # the inverted index is sharded by hash(wh): the crossed-hash
+            # lookup reads only the shards holding a crossed hash
+            crossed_shards = sorted(
+                r.s
+                for r in crossed.select(self.shard_of(F.col("wh")).alias("s"))
                 .distinct()
+                .collect()
             )
-            redo_old = self._with_text(
-                spark, old_docs.join(affected, "doc_id", "left_semi")
+            affected_post = (
+                self._read_sub(spark, "postings", shards=crossed_shards)
+                if crossed_shards
+                else None
             )
-            redo = redo_old.unionByName(btext)
-            sig_redo = self._derive_signals(redo, flagged)
-            signals = old_signals.join(
+            if affected_post is None:
+                redo = btext
+            else:
+                affected = (
+                    affected_post.join(crossed, "wh", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                redo_old = self._with_text(
+                    spark, old_docs.join(affected, "doc_id", "left_semi")
+                )
+                redo = redo_old.unionByName(btext)
+
+        sig_redo = self._derive_signals(redo, flagged)
+        # signals is an upsert keyed by doc_id: rewrite ONLY the shards
+        # holding a re-derived doc (kept rows of those shards carried
+        # over; untouched shards keep their leaves byte-identical)
+        sig_shards = sorted(
+            r.s
+            for r in redo.select(self.shard_of(F.col("doc_id")).alias("s"))
+            .distinct()
+            .collect()
+        )
+        old_sig_touched = self._read_sub(spark, "signals", shards=sig_shards)
+        if old_sig_touched is None:
+            sig_content = sig_redo
+        else:
+            sig_content = old_sig_touched.join(
                 redo.select("doc_id"), "doc_id", "left_anti"
             ).unionByName(sig_redo)
-            docs = old_docs.unionByName(self._docs_frame(bdocs))
-            postings = old_postings.unionByName(post_new)
 
-        self.commit_frames(
-            {
-                "docs": docs,
-                "whcounts": merged,
-                "postings": postings,
-                "signals": signals,
-            },
+        self.commit_delta(
             batch_id,
+            appends={"docs": self._docs_frame(bdocs), "flagged": crossed},
+            sharded_appends={
+                "postings": post_new.withColumn(
+                    "_shard", self.shard_of(F.col("wh"))
+                )
+            },
+            shard_replacements={
+                "whcounts": (
+                    merged_touched.withColumn(
+                        "_shard", self.shard_of(F.col("wh"))
+                    ),
+                    wh_shards,
+                ),
+                "signals": (
+                    sig_content.withColumn(
+                        "_shard", self.shard_of(F.col("doc_id"))
+                    ),
+                    sig_shards,
+                ),
+            },
         )
 
 

@@ -68,10 +68,16 @@ class DecontamMaintainer(SwapCommittedTable):
     """Owns one swap-committed state directory
     (train_postings/eval_grams/eval_docs/contam)."""
 
-    def __init__(self, path: str, train_path: str, n: int = 8) -> None:
+    def __init__(
+        self, path: str, train_path: str, n: int = 8, fingerprint=None
+    ) -> None:
         SwapCommittedTable.__init__(self, path)
         self.train_path = train_path
         self.n = n
+        # storage-native fingerprint hook: the default walks local files
+        # (and RAISES on non-walkable URIs); on object storage inject a
+        # callable returning e.g. a listing of (key, size, etag)
+        self.fingerprint = fingerprint or artifact_fingerprint
 
 
     def read_contaminated(self, spark: SparkSession) -> DataFrame | None:
@@ -105,7 +111,7 @@ class DecontamMaintainer(SwapCommittedTable):
             # REWRITTEN IN PLACE at the same path (same n/train_path)
             # must not silently probe postings derived from the old
             # bytes — exactly the failure this marker exists to catch.
-            "train_fingerprint": artifact_fingerprint(self.train_path),
+            "train_fingerprint": self.fingerprint(self.train_path),
         }
         if not os.path.exists(ppath):
             train = spark.read.parquet(self.train_path).select("doc_id", "text")

@@ -212,8 +212,11 @@ class DriftMaintainer(SwapCommittedTable):
         value_col: str = "value",
         width: float = 50.0,
         n_buckets: int = 10,
+        fingerprint=None,
     ) -> None:
         SwapCommittedTable.__init__(self, path)
+        # storage-native fingerprint hook, as in DecontamMaintainer
+        self.fingerprint = fingerprint or artifact_fingerprint
         self.baseline_path = baseline_path
         self.key_col = key_col
         self.value_col = value_col
@@ -222,7 +225,7 @@ class DriftMaintainer(SwapCommittedTable):
 
     def _meta(self) -> dict:
         return {
-            "baseline": artifact_fingerprint(self.baseline_path),
+            "baseline": self.fingerprint(self.baseline_path),
             "key_col": self.key_col,
             "value_col": self.value_col,
             "width": self.width,

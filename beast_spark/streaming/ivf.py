@@ -36,13 +36,16 @@ Frozen artifacts make the maintenance EXACT, not approximate:
 Centroid/codebook DRIFT is handled by :meth:`rebuild` (retrain offline
 → re-derive → atomic swap), never by mutating maintenance.
 
-State sub-tables (one atomic swap): ``assigned`` (id, cid — slim
-postings), ``vectors`` (id, raw vector — the exact re-rank read),
-``codes`` (id, int8 codes; only when a codebook is given). Like every
-swap-committed maintainer here the commit rewrites cumulative state —
-at warehouse scale partition ``assigned``/``vectors``/``codes`` by
-``cid`` and merge only the cells the batch touched; the per-batch
-PROBE work is already O(batch) (broadcast centroids onto the batch).
+State sub-tables (one atomic manifest flip): ``assigned`` (id, cid —
+slim postings), ``vectors`` (id, raw vector — the exact re-rank read),
+``codes`` (id, int8 codes; only when a codebook is given). Every
+sub-table is APPEND-ONLY under frozen artifacts, so each micro-batch
+commits exactly one new fragment per sub-table holding only its own
+rows (``streaming/swap.py::ManifestSwapTable``) — bytes written per
+trigger are O(batch), never O(index); the old whole-state rewrite was
+write amplification proportional to corpus size. Fragment count grows
+one per batch; fold with :meth:`ManifestSwapTable.compact` (optionally
+cid-sharded for probe-side scan pruning) as offline maintenance.
 
 ``search`` runs the q174/q176 plan over the maintained state: probe
 lists broadcast onto the postings (the corpus side never shuffles
@@ -57,7 +60,6 @@ postings and silently double-count candidates); duplicates raise, the
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,7 +76,7 @@ from beast_spark.operators.similarity import (
     quantize_codes,
 )
 from beast_spark.streaming.swap import (
-    SwapCommittedTable,
+    ManifestSwapTable,
     artifact_fingerprint,
     check_json_meta,
     write_json_meta,
@@ -83,8 +85,8 @@ from beast_spark.streaming.swap import (
 __all__ = ["IvfIndexMaintainer"]
 
 
-class IvfIndexMaintainer(SwapCommittedTable):
-    """Owns one swap-committed state directory
+class IvfIndexMaintainer(ManifestSwapTable):
+    """Owns one manifest-committed state directory
     (assigned+vectors[+codes][+pq])."""
 
     def __init__(
@@ -96,14 +98,19 @@ class IvfIndexMaintainer(SwapCommittedTable):
         dims: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        fingerprint=None,
     ) -> None:
-        SwapCommittedTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path)
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
         self.pq_codebooks_path = pq_codebooks_path
         self.dims = dims
         self.id_col = id_col
         self.vec_col = vec_col
+        # storage-native fingerprint hook: the default walks local files
+        # (and RAISES on non-walkable URIs); on object storage inject a
+        # callable returning e.g. a listing of (key, size, etag)
+        self.fingerprint = fingerprint or artifact_fingerprint
 
     # -- reads ------------------------------------------------------------
 
@@ -135,13 +142,13 @@ class IvfIndexMaintainer(SwapCommittedTable):
         one of those into an explicit error (the
         ``streaming/decontam.py`` stale-postings guard pattern)."""
         return {
-            "centroids": artifact_fingerprint(self.centroids_path),
+            "centroids": self.fingerprint(self.centroids_path),
             "codebook": None
             if self.codebook_path is None
-            else artifact_fingerprint(self.codebook_path),
+            else self.fingerprint(self.codebook_path),
             "pq_codebooks": None
             if self.pq_codebooks_path is None
-            else artifact_fingerprint(self.pq_codebooks_path),
+            else self.fingerprint(self.pq_codebooks_path),
             "dims": self.dims,
             "id_col": self.id_col,
             "vec_col": self.vec_col,
@@ -168,16 +175,15 @@ class IvfIndexMaintainer(SwapCommittedTable):
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
-        self._recover()
         meta = self._meta()
-        if os.path.exists(self.path):
+        fresh = self._load_manifest() is None
+        if not fresh:
             self._validate_meta(meta)
         spark = batch_df.sparkSession
         inc = batch_df.select(
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
-        assigned = self.read_assigned(spark)
         vectors = self.read_vectors(spark)
 
         # append-only guard: intra-batch duplicate or already-ingested id
@@ -198,35 +204,32 @@ class IvfIndexMaintainer(SwapCommittedTable):
                 "postings). Rebuild the state from the corrected stream."
             )
 
-        new_asg = ivf_assign(
-            inc, self._centroids(spark), self.id_col, self.vec_col
-        ).select(self.id_col, "cid")
-        frames = {
-            "assigned": new_asg
-            if assigned is None
-            else assigned.unionByName(new_asg),
-            "vectors": inc if vectors is None else vectors.unionByName(inc),
+        # every sub-table is append-only under frozen artifacts, so the
+        # commit is one new fragment per sub holding ONLY this batch's
+        # rows — bytes written O(batch), the whole point of the
+        # manifest protocol
+        appends = {
+            "assigned": ivf_assign(
+                inc, self._centroids(spark), self.id_col, self.vec_col
+            ).select(self.id_col, "cid"),
+            "vectors": inc,
         }
         if self.codebook_path is not None:
             codebook = spark.read.parquet(self.codebook_path)
-            new_codes = quantize_codes(inc, codebook, self.id_col, self.vec_col)
-            codes = self.read_codes(spark)
-            frames["codes"] = (
-                new_codes if codes is None else codes.unionByName(new_codes)
+            appends["codes"] = quantize_codes(
+                inc, codebook, self.id_col, self.vec_col
             )
         if self.pq_codebooks_path is not None:
             pq_cb = spark.read.parquet(self.pq_codebooks_path)
-            new_pq = pq_codes(
+            appends["pq"] = pq_codes(
                 inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
             )
-            pq = self._read_sub(spark, "pq")
-            frames["pq"] = new_pq if pq is None else pq.unionByName(new_pq)
-        if not os.path.exists(self.path):
+        if fresh:
             # marker BEFORE the first commit: a crash in between leaves
             # marker-without-state, which the next attempt overwrites —
             # never state-without-marker (that would reject every batch)
             self._write_meta(meta)
-        self.commit_frames(frames, batch_id)
+        self.commit_delta(batch_id, appends=appends)
 
     # -- search over the maintained index --------------------------------
 
@@ -401,7 +404,9 @@ class IvfIndexMaintainer(SwapCommittedTable):
                 vec_col=self.vec_col,
             )
         applied = self.applied_batches()
-        self.commit_frames(frames, max(applied) if applied else 0)
+        # full-replace commit: the one legitimately O(index) write —
+        # an offline retrain rewrites every derived sub-table by design
+        self.commit_delta(max(applied) if applied else 0, full=frames)
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
         self.pq_codebooks_path = pq_codebooks_path

@@ -10,11 +10,14 @@ matmul), probes the persisted postings for candidate partners, appends
 its postings + vectors, and accumulates the new pairs —
 pairs(after batch k) == pairs(full rebuild over everything ingested
 through batch k), property of the disjoint-union exactness the operator
-tests pin. Exactly-once commit is the shared swap-ledger protocol
-(``streaming/swap.py``): the postings append, the vectors append, the
-pair append, and the ledger flip in ONE atomic rename, so a replayed
-batch after any crash is a no-op and a crash between write and swap
-never double-counts a pair.
+tests pin. Exactly-once commit is the shared manifest protocol
+(``streaming/swap.py::ManifestSwapTable``): all three sub-tables are
+APPEND-ONLY, so each micro-batch commits one new fragment per
+sub-table holding only its own rows — bytes written per trigger are
+O(increment), never O(index) — and the new fragments + the ledger flip
+live in ONE atomic manifest rename, so a replayed batch after any
+crash is a no-op and a crash between write and flip never
+double-counts a pair.
 
 Operating point: the default is the PRODUCTION multi-table
 configuration (L=75 tables × P=8 planes) — the q172 evaluation
@@ -40,13 +43,14 @@ from beast_spark.operators.similarity import (
     incremental_multitable_neardup_pairs,
     multitable_planes,
 )
-from beast_spark.streaming.swap import SwapCommittedTable
+from beast_spark.streaming.swap import ManifestSwapTable
 
 __all__ = ["EmbeddingNearDupMaintainer"]
 
 
-class EmbeddingNearDupMaintainer(SwapCommittedTable):
-    """Owns one swap-committed state directory (postings+vectors+pairs)."""
+class EmbeddingNearDupMaintainer(ManifestSwapTable):
+    """Owns one manifest-committed state directory
+    (postings+vectors+pairs)."""
 
     def __init__(
         self,
@@ -58,7 +62,7 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
-        SwapCommittedTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path)
         self.dims = dims
         self.threshold = threshold
         self.tables = multitable_planes(dims, n_planes, n_tables)
@@ -78,20 +82,22 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
     # -- the foreachBatch body -------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.applied_batches():
-            return  # replay after a post-commit crash: already applied
-        self._recover()
         if os.path.exists(os.path.join(self.path, "index")):
             # Pre-round-6 state: single-table layout under 'index'.
             # Silently treating it as an empty multi-table index would
             # honor the old ledger + pairs while losing every already-
-            # ingested vector from future probes.
+            # ingested vector from future probes. Checked before the
+            # ledger read — the old layout has no manifest, so the
+            # generic legacy-layout error would otherwise mask this
+            # more specific one.
             raise ValueError(
                 "EmbeddingNearDupMaintainer: state dir holds the old "
                 "single-table 'index' layout; the maintainer now persists "
                 "a multi-table postings+vectors index. Rebuild the state "
                 "from the source stream (fresh state dir + checkpoint)."
             )
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
         postings = self.read_postings(spark)
         vectors = self.read_vectors(spark)
@@ -117,18 +123,15 @@ class EmbeddingNearDupMaintainer(SwapCommittedTable):
             tables=self.tables,
         )
         try:
-            all_post = postings.unionByName(
-                new_post.select("t", "bucket", self.id_col)
-            )
-            all_vec = vectors.unionByName(
-                new_vec.select(self.id_col, self.vec_col, "nrm")
-            )
-            old_pairs = self.read_pairs(spark)
-            pairs = (
-                new_pairs if old_pairs is None else old_pairs.unionByName(new_pairs)
-            )
-            self.commit_frames(
-                {"postings": all_post, "vectors": all_vec, "pairs": pairs}, batch_id
+            # append-only sub-tables: commit ONLY this batch's rows as
+            # one new fragment each — O(increment) bytes, never O(index)
+            self.commit_delta(
+                batch_id,
+                appends={
+                    "postings": new_post.select("t", "bucket", self.id_col),
+                    "vectors": new_vec.select(self.id_col, self.vec_col, "nrm"),
+                    "pairs": new_pairs,
+                },
             )
         finally:
             # the operator persists its two increment frames; release them

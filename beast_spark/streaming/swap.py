@@ -29,6 +29,7 @@ _LEDGER = "_applied_batches.json"
 
 __all__ = [
     "SwapCommittedTable",
+    "ManifestSwapTable",
     "artifact_fingerprint",
     "write_json_meta",
     "check_json_meta",
@@ -172,8 +173,12 @@ class SwapCommittedTable:
         """Multi-sub-table form of :meth:`commit`: write every frame as a
         sub-directory under one tmp dir, record ``batch_id`` in the
         ledger, then the single swap rename commits all of them together
-        — the protocol every multi-table maintainer (near-dup, corpus
-        v2/v3, decontam) shares."""
+        — the protocol every multi-table maintainer with SMALL state
+        (drift histograms, gate counters, decontam markers) shares.
+        Index-bearing maintainers whose state grows with the corpus
+        (IVF/near-dup/corpus-v3) use :class:`ManifestSwapTable` instead:
+        this method rewrites every frame in full each commit, which is
+        write amplification proportional to state size."""
         tmp = self.path + ".applying"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -182,3 +187,285 @@ class SwapCommittedTable:
         with open(os.path.join(tmp, _LEDGER), "w") as fh:
             json.dump(sorted(self.applied_batches() | {batch_id}), fh)
         self._swap_in(tmp)
+
+
+_MANIFEST = "MANIFEST.json"
+_SHARD = "_shard"
+
+
+class ManifestSwapTable:
+    """Multi-sub-table state directory committed by a single atomic
+    MANIFEST flip — per-batch write cost proportional to the DELTA, not
+    the cumulative state.
+
+    :class:`SwapCommittedTable.commit_frames` rewrites every sub-table
+    in full per commit: exactly-once and crash-safe, but each
+    micro-batch of an index-bearing maintainer (IVF postings, LSH
+    postings, corpus signals) would rewrite the whole index — write
+    amplification proportional to corpus size, the one O(N)-per-trigger
+    cost a streaming index cannot afford at warehouse scale. This class
+    keeps each sub-table as a set of immutable FRAGMENT directories and
+    commits by atomically renaming a new ``MANIFEST.json`` over the old
+    one (POSIX rename of a file is atomic). The manifest is the single
+    source of truth: it lists every live fragment leaf per sub-table
+    and holds the applied-batch ledger, so data + ledger still flip in
+    one commit point and a replayed batch after any crash is a no-op —
+    the same contract as the whole-directory swap, at O(delta) writes.
+
+    Commit modes per sub-table (mix freely in one commit):
+
+    * ``appends``          — append-only sub-tables (IVF assigned /
+      vectors / codes, LSH postings, discovered pairs): one new
+      fragment holding ONLY this batch's rows.
+    * ``sharded_appends``  — append-only but keyed for lookup: the
+      fragment is written ``partitionBy(_shard)`` so point reads
+      (:meth:`read_sub` with ``shards=``) prune to the key's hash
+      shards across all fragments.
+    * ``shard_replacements`` — merge/upsert sub-tables (window-hash
+      counts, per-doc signals): the batch rewrites ONLY the hash
+      shards its keys touch; untouched shards keep their existing
+      fragment leaves byte-identical.
+    * ``full`` — replace the whole sub-table (offline rebuild /
+      retrain / compaction).
+
+    Crash safety: fragments are written BEFORE the manifest flip, so a
+    crash mid-commit leaves orphan directories the manifest never
+    references — invisible to readers, garbage-collected at the start
+    of the next commit. A crash after the flip leaves superseded leaves
+    unreferenced — same GC. There is no window where a reader sees a
+    half-applied batch, and no ``.replaced`` dance: the live manifest
+    file always exists once the first commit lands.
+
+    Fragment-count growth (one per batch for append subs) is the
+    standard log-structured trade; :meth:`compact` folds a sub-table
+    back to one fragment (optionally shard-partitioned) through the
+    same manifest flip — an offline maintenance action, like partition
+    compaction (``streaming/maintenance.py``).
+
+    Single-writer per state directory, like every maintainer here (one
+    streaming query owns one checkpoint owns one state dir)."""
+
+    def __init__(self, path: str, n_shards: int = 16) -> None:
+        self.path = path
+        self.n_shards = n_shards
+
+    # -- manifest io --------------------------------------------------------
+
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict | None:
+        mf = self._manifest_file()
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                return json.load(fh)
+        if os.path.exists(os.path.join(self.path, _LEDGER)):
+            raise ValueError(
+                f"ManifestSwapTable: state at {self.path!r} uses the legacy "
+                "whole-directory swap layout (top-level _applied_batches.json, "
+                "no MANIFEST.json) — this maintainer now commits per-fragment "
+                "through a manifest. Rebuild the state from the source stream "
+                "(fresh state dir + checkpoint)."
+            )
+        return None
+
+    def _manifest(self) -> dict:
+        m = self._load_manifest()
+        return m if m is not None else {"gen": 0, "applied_batches": [], "subs": {}}
+
+    def _recover(self) -> None:
+        """No dir-rename healing needed: the manifest flip is the only
+        rename and it is atomic. Kept for call-site symmetry with
+        :class:`SwapCommittedTable`."""
+
+    def applied_batches(self) -> set[int]:
+        m = self._load_manifest()
+        return set(m["applied_batches"]) if m else set()
+
+    # -- reads ----------------------------------------------------------------
+
+    def sub_leaves(self, name: str, shards: list[int] | None = None) -> list[str]:
+        """Absolute paths of the live fragment leaves for one sub-table,
+        optionally restricted to a shard list (unsharded fragments are
+        always included — they may hold any key)."""
+        m = self._load_manifest()
+        if not m:
+            return []
+        want = None if shards is None else {str(s) for s in shards}
+        leaves = []
+        for frag in m["subs"].get(name, []):
+            for key, rel in frag.items():
+                if want is None or key == "_" or key in want:
+                    leaves.append(os.path.join(self.path, rel))
+        return leaves
+
+    def _read_sub(
+        self, spark: SparkSession, name: str, shards: list[int] | None = None
+    ) -> DataFrame | None:
+        leaves = self.sub_leaves(name, shards)
+        if not leaves:
+            # distinguish "sub-table exists but the requested shards are
+            # empty" (empty frame of unknown schema is unbuildable here —
+            # callers restricting by shard handle None as no-rows) from
+            # "never committed"
+            return None
+        return spark.read.parquet(*leaves)
+
+    def shard_of(self, col):
+        """The shard expression readers/writers must share:
+        ``pmod(hash(key), n_shards)`` (Spark's Murmur3 with its fixed
+        seed — stable across runs and sessions)."""
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(col), F.lit(self.n_shards))
+
+    # -- commit ---------------------------------------------------------------
+
+    def _gc(self, manifest: dict) -> None:
+        """Delete every on-disk leaf the manifest does not reference —
+        orphans from a crashed commit (written, never flipped live) and
+        leaves superseded by a shard replacement or compaction."""
+        referenced = {
+            rel
+            for frags in manifest["subs"].values()
+            for frag in frags
+            for rel in frag.values()
+        }
+        if not os.path.isdir(self.path):
+            return
+        for sub in os.listdir(self.path):
+            subdir = os.path.join(self.path, sub)
+            if not os.path.isdir(subdir):
+                continue  # MANIFEST.json / tmp files
+            for frag in os.listdir(subdir):
+                fragdir = os.path.join(subdir, frag)
+                rel = f"{sub}/{frag}"
+                if rel in referenced:
+                    continue
+                shard_children = [
+                    c for c in os.listdir(fragdir) if c.startswith(_SHARD + "=")
+                ] if os.path.isdir(fragdir) else []
+                if shard_children:
+                    kept = False
+                    for c in shard_children:
+                        if f"{rel}/{c}" in referenced:
+                            kept = True
+                        else:
+                            shutil.rmtree(os.path.join(fragdir, c))
+                    if not kept:
+                        shutil.rmtree(fragdir)
+                elif os.path.isdir(fragdir):
+                    shutil.rmtree(fragdir)
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+
+    def _write_sharded(self, df: DataFrame, dest: str) -> dict[str, str]:
+        """Write ``df`` (which must carry a ``_shard`` column) partitioned
+        by shard; return {shard: relpath} for the leaves produced."""
+        df.write.partitionBy(_SHARD).parquet(dest)
+        rel = os.path.relpath(dest, self.path)
+        out = {}
+        for child in sorted(os.listdir(dest)):
+            if child.startswith(_SHARD + "="):
+                out[child.split("=", 1)[1]] = f"{rel}/{child}"
+        return out
+
+    def commit_delta(
+        self,
+        batch_id: int,
+        appends: dict[str, DataFrame] | None = None,
+        sharded_appends: dict[str, DataFrame] | None = None,
+        shard_replacements: dict[str, tuple[DataFrame, list[int]]] | None = None,
+        full: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """Write this batch's delta fragments, then flip the manifest —
+        the single atomic commit point covering every sub-table AND the
+        applied-batch ledger.
+
+        ``shard_replacements`` maps a sub-table to ``(df, touched)``:
+        ``df`` holds the COMPLETE new content of the touched shards
+        (carrying a ``_shard`` column computed with :meth:`shard_of`),
+        ``touched`` names them explicitly — a touched shard whose new
+        content is empty is dropped, which the written leaves alone
+        could not express."""
+        manifest = self._manifest()
+        self._gc(manifest)  # orphans from a crashed previous commit
+        gen = manifest["gen"] + 1
+        os.makedirs(self.path, exist_ok=True)
+        subs = {k: [dict(f) for f in v] for k, v in manifest["subs"].items()}
+
+        for name, df in (appends or {}).items():
+            dest = os.path.join(self.path, name, f"g{gen}")
+            df.write.parquet(dest)
+            subs.setdefault(name, []).append({"_": f"{name}/g{gen}"})
+        for name, df in (sharded_appends or {}).items():
+            dest = os.path.join(self.path, name, f"g{gen}")
+            leaves = self._write_sharded(df, dest)
+            if leaves:
+                subs.setdefault(name, []).append(leaves)
+        for name, (df, touched) in (shard_replacements or {}).items():
+            old = subs.get(name, [])
+            if any("_" in frag for frag in old):
+                raise ValueError(
+                    f"ManifestSwapTable: sub-table {name!r} has unsharded "
+                    "fragments — shard replacement cannot drop a key's rows "
+                    "from an unsharded fragment. Use sharded writes for this "
+                    "sub-table from the first commit (or compact with a "
+                    "shard column first)."
+                )
+            dest = os.path.join(self.path, name, f"g{gen}")
+            leaves = self._write_sharded(df, dest)
+            drop = {str(s) for s in touched}
+            kept = [
+                {k: v for k, v in frag.items() if k not in drop} for frag in old
+            ]
+            subs[name] = [f for f in kept if f] + ([leaves] if leaves else [])
+        for name, df in (full or {}).items():
+            dest = os.path.join(self.path, name, f"g{gen}")
+            df.write.parquet(dest)
+            subs[name] = [{"_": f"{name}/g{gen}"}]
+
+        new_manifest = {
+            "gen": gen,
+            "applied_batches": sorted(self.applied_batches() | {batch_id}),
+            "subs": subs,
+        }
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(new_manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_file())  # <- the commit point
+        self._gc(new_manifest)  # superseded leaves
+
+    def compact(
+        self, spark: SparkSession, name: str, shard_col: str | None = None
+    ) -> None:
+        """Fold a sub-table's fragments into one (offline maintenance).
+        With ``shard_col`` the compacted fragment is shard-partitioned,
+        which also migrates an unsharded-append sub-table onto the
+        shard-replacement path."""
+        df = self._read_sub(spark, name)
+        if df is None:
+            return
+        manifest = self._manifest()
+        gen = manifest["gen"] + 1
+        dest = os.path.join(self.path, name, f"g{gen}")
+        if shard_col is None:
+            df.write.parquet(dest)
+            manifest["subs"][name] = [{"_": f"{name}/g{gen}"}]
+        else:
+            from pyspark.sql import functions as F  # noqa: F401
+
+            leaves = self._write_sharded(
+                df.withColumn(_SHARD, self.shard_of(shard_col)), dest
+            )
+            manifest["subs"][name] = [leaves] if leaves else []
+        manifest["gen"] = gen
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_file())
+        self._gc(manifest)

@@ -1,0 +1,247 @@
+"""The manifest commit protocol (``streaming/swap.py::ManifestSwapTable``):
+per-batch writes must be O(delta) — append fragments plus
+touched-shard rewrites only, with untouched leaves byte-identical on
+disk — while the single manifest flip keeps the data + ledger commit
+atomic, orphans get garbage-collected, and legacy whole-swap layouts
+are rejected instead of silently misread.
+
+This is the scale contract the round-7 review named: the previous
+whole-directory swap rewrote the full cumulative index every
+micro-batch (write amplification proportional to corpus size)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.streaming.swap import ManifestSwapTable
+
+DDL = "vec_id long, embedding array<double>"
+
+
+def _files(root):
+    """{relpath: (size, mtime_ns)} of every data file under ``root``,
+    excluding the manifest itself (which legitimately changes)."""
+    out = {}
+    for dp, _dirs, fs in os.walk(root):
+        for f in fs:
+            if f.startswith("MANIFEST"):
+                continue
+            full = os.path.join(dp, f)
+            st = os.stat(full)
+            out[os.path.relpath(full, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _rows(n, base=0):
+    return [(base + i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(n)]
+
+
+def test_append_commit_writes_only_the_batch(spark, tmp_path):
+    """IVF maintainer: after a large first batch, a small second batch
+    must leave every first-batch file byte-identical in place and add
+    only increment-sized fragments — the write-amplification fix."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    m.apply_batch(spark.createDataFrame(_rows(20000), DDL), 0)
+    before = _files(str(tmp_path / "state"))
+    total_before = sum(sz for sz, _ in before.values())
+
+    m.apply_batch(spark.createDataFrame(_rows(10, base=20000), DDL), 1)
+    after = _files(str(tmp_path / "state"))
+    # every pre-existing file untouched: same size AND mtime (no rewrite)
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"batch-0 file rewritten: {rel}"
+    # new bytes are increment-sized — fixed parquet footers (~0.5 KB ×
+    # n_partitions × n_subs) dominate a 10-row fragment, so the bound is
+    # loose at test scale; the byte-identical check above is the real
+    # no-rewrite contract
+    new_bytes = sum(sz for rel, (sz, _) in after.items() if rel not in before)
+    assert new_bytes > 0
+    assert new_bytes < total_before / 4, (new_bytes, total_before)
+    assert m.read_vectors(spark).count() == 20010
+
+
+def test_corpus_v3_rewrites_only_touched_shards(spark, tmp_path):
+    """whcounts/signals are merge tables: a batch must rewrite only the
+    hash shards its keys touch; at least some batch-0 shard leaves stay
+    byte-identical, and the merged counts still equal a full recount."""
+    from beast_spark.streaming.corpus_v3 import CorpusV3Maintainer
+
+    DOC_DDL = "doc_id long, text string, lang string, source string, ts long"
+    docs0 = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)), "en", "s1", 0)
+        for i in range(40)
+    ]
+    docs1 = [(100, " ".join(f"y{j}" for j in range(12)), "en", "s2", 0)]
+    m = CorpusV3Maintainer(str(tmp_path / "state"), n_shards=8)
+    m.apply_batch(spark.createDataFrame(docs0, DOC_DDL), 0)
+    before = _files(str(tmp_path / "state"))
+    m.apply_batch(spark.createDataFrame(docs1, DOC_DDL), 1)
+    after = _files(str(tmp_path / "state"))
+
+    surviving = [r for r in before if r in after and after[r] == before[r]]
+    wh_kept = [r for r in surviving if r.startswith("whcounts/")]
+    sig_kept = [r for r in surviving if r.startswith("signals/")]
+    # one 12-token doc touches 5 window hashes / 1 doc_id: most of the 8
+    # shards must keep their original leaves
+    assert wh_kept, "every whcounts shard was rewritten for a 1-doc batch"
+    assert sig_kept, "every signals shard was rewritten for a 1-doc batch"
+
+    # merged counts == recount over everything ingested
+    from beast_spark.operators.quality import window_hashes
+
+    all_docs = spark.createDataFrame(docs0 + docs1, DOC_DDL)
+    want = {
+        (r.wh, r.n)
+        for r in window_hashes(all_docs, m.window)
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    got = {(r.wh, r.n) for r in m._read_sub(spark, "whcounts").collect()}
+    assert got == want
+
+
+def test_orphan_fragments_are_garbage_collected(spark, tmp_path):
+    """Fragments written by a crashed commit (never referenced by the
+    manifest) must be invisible to readers and removed by the next
+    commit's GC."""
+    t = ManifestSwapTable(str(tmp_path / "state"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.commit_delta(0, appends={"tab": df})
+
+    orphan = tmp_path / "state" / "tab" / "g999"
+    os.makedirs(orphan)
+    (orphan / "junk.parquet").write_bytes(b"not really parquet")
+    # reader goes through the manifest: orphan invisible
+    assert t._read_sub(spark, "tab").count() == 1
+
+    t.commit_delta(1, appends={"tab": spark.createDataFrame([(2, "b")], "id long, v string")})
+    assert not orphan.exists()
+    assert t._read_sub(spark, "tab").count() == 2
+    assert t.applied_batches() == {0, 1}
+
+
+def test_legacy_whole_swap_layout_rejected(spark, tmp_path):
+    """A state dir written by the old whole-directory swap (top-level
+    ledger, no manifest) must raise, never read as empty state."""
+    state = tmp_path / "state"
+    os.makedirs(state)
+    with open(state / "_applied_batches.json", "w") as fh:
+        json.dump([0], fh)
+    t = ManifestSwapTable(str(state))
+    with pytest.raises(ValueError, match="legacy"):
+        t.applied_batches()
+
+
+def test_shard_replacement_drops_emptied_shards(spark, tmp_path):
+    """A touched shard whose new content is empty must drop its rows —
+    the explicit touched list expresses what written leaves alone
+    cannot."""
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=4)
+    df0 = spark.range(20).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).withColumn("_shard", F.pmod(F.hash("id"), F.lit(4)))
+    shards0 = sorted(r.s for r in df0.select(F.col("_shard").alias("s")).distinct().collect())
+    t.commit_delta(0, shard_replacements={"tab": (df0, shards0)})
+    assert t._read_sub(spark, "tab").count() == 20
+
+    # rewrite shard of id=3 with only id=3 doubled; empty out another shard
+    sh3 = df0.filter(F.col("id") == 3).select("_shard").collect()[0][0]
+    other = next(s for s in shards0 if s != sh3)
+    repl = (
+        spark.range(3, 4)
+        .select(F.col("id"), (F.col("id") * 100).alias("v"))
+        .withColumn("_shard", F.pmod(F.hash("id"), F.lit(4)))
+    )
+    t.commit_delta(1, shard_replacements={"tab": (repl, [sh3, other])})
+    rows = {(r.id, r.v) for r in t._read_sub(spark, "tab").collect()}
+    assert (3, 300) in rows
+    # everything that hashed to sh3 (other than id=3) or to `other` is gone
+    import pyspark.sql.functions as FF
+
+    gone = {
+        r.id
+        for r in spark.range(20)
+        .withColumn("s", FF.pmod(FF.hash("id"), FF.lit(4)))
+        .filter(FF.col("s").isin([int(sh3), int(other)]))
+        .collect()
+    }
+    assert {i for i, _ in rows} == (set(range(20)) - gone) | {3}
+
+
+def test_shard_replacement_rejects_unsharded_fragments(spark, tmp_path):
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=4)
+    df = spark.range(5).withColumn("_shard", F.pmod(F.hash("id"), F.lit(4)))
+    t.commit_delta(0, appends={"tab": spark.range(5)})
+    with pytest.raises(ValueError, match="unsharded"):
+        t.commit_delta(1, shard_replacements={"tab": (df, [0, 1, 2, 3])})
+
+
+def test_compact_folds_fragments_and_enables_sharding(spark, tmp_path):
+    """compact() folds N append fragments into one (content preserved),
+    and with a shard column migrates the sub-table onto the
+    shard-replacement path."""
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=4)
+    for b in range(5):
+        t.commit_delta(b, appends={"tab": spark.range(b * 10, b * 10 + 10)})
+    want = set(range(50))
+    assert {r.id for r in t._read_sub(spark, "tab").collect()} == want
+    assert len(t.sub_leaves("tab")) == 5
+
+    t.compact(spark, "tab", shard_col="id")
+    assert {r.id for r in t._read_sub(spark, "tab").collect()} == want
+    # now sharded: replacement is legal and shard-restricted reads prune
+    some_shard = int(
+        spark.range(1).select(F.pmod(F.hash(F.lit(7)), F.lit(4))).collect()[0][0]
+    )
+    restricted = t._read_sub(spark, "tab", shards=[some_shard])
+    assert restricted is not None and 7 in {r.id for r in restricted.collect()}
+    repl = (
+        spark.range(7, 8)
+        .select(F.col("id"))
+        .withColumn("_shard", F.pmod(F.hash("id"), F.lit(4)))
+    )
+    t.commit_delta(99, shard_replacements={"tab": (repl, [some_shard])})
+    got = {r.id for r in t._read_sub(spark, "tab").collect()}
+    assert 7 in got and len(got) < 50
+    assert t.applied_batches() == {0, 1, 2, 3, 4, 99}
+
+
+def test_injected_storage_native_fingerprint(spark, tmp_path):
+    """The frozen-artifact guard takes a storage-native fingerprint
+    callable (object-storage etags instead of the local os.walk): the
+    injected hook is what lands in the marker, and a maintainer
+    validating under a DIFFERENT fingerprint function rejects instead
+    of silently accepting."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    cpath = str(tmp_path / "cent")
+    spark.createDataFrame(_rows(4), DDL).write.parquet(cpath)
+    calls = []
+
+    def native(path):
+        calls.append(path)
+        return "etag::v1::" + os.path.basename(path)
+
+    m = IvfIndexMaintainer(str(tmp_path / "state"), cpath, fingerprint=native)
+    m.apply_batch(spark.createDataFrame(_rows(10), DDL), 0)
+    assert cpath in calls
+    with open(str(tmp_path / "state") + ".meta.json") as fh:
+        assert json.load(fh)["centroids"] == "etag::v1::cent"
+
+    # same hook: accepted
+    m2 = IvfIndexMaintainer(str(tmp_path / "state"), cpath, fingerprint=native)
+    m2.apply_batch(spark.createDataFrame(_rows(10, base=10), DDL), 1)
+
+    # the default (local-walk) fingerprint disagrees with the marker:
+    # rejected — a guard must never silently accept a different scheme
+    m3 = IvfIndexMaintainer(str(tmp_path / "state"), cpath)
+    with pytest.raises(ValueError, match="artifacts or config changed"):
+        m3.apply_batch(spark.createDataFrame(_rows(10, base=20), DDL), 2)

@@ -122,14 +122,14 @@ def test_corpus_v3_pointer_state_stores_no_text(spark, tmp_path):
     spark.createDataFrame([d3], DOC_DDL).write.parquet(str(src_dir / "b1"))
     _run_once(spark, m, src_dir, tmp_path / "ckpt")
 
-    docs_state = spark.read.parquet(str(tmp_path / "state" / "docs"))
+    docs_state = m._read_sub(spark, "docs")
     assert set(docs_state.columns) == {"doc_id", "source", "src_path"}
     assert docs_state.count() == 3
     # the retroactive rewrite (doc 1's run duplicated by doc 3) worked
     # off re-read text: doc 1 survives on its 5000 fresh tokens, doc 3
     # keeps its 6 fresh tokens
     assert {r.doc_id for r in m.survivors(spark).collect()} == {1, 2, 3}
-    sig = spark.read.parquet(str(tmp_path / "state" / "signals"))
+    sig = m._read_sub(spark, "signals")
     r1 = sig.filter(F.col("doc_id") == 1).collect()[0]
     assert r1.n_removed == 8 and r1.n_clean == 5000
     # on-disk docs state is pointer-sized, not corpus-sized
