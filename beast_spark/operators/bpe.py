@@ -36,7 +36,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_vocab", "bpe_merge_fold", "bpe_train", "BpeMerge"]
+__all__ = [
+    "word_vocab",
+    "bpe_merge_fold",
+    "bpe_train",
+    "bpe_train_batched",
+    "BpeMerge",
+]
 
 
 @dataclass(frozen=True)
@@ -152,6 +158,109 @@ def bpe_train(
             vocab.unpersist()
             vocab = nxt
             mass_before = mass_after
+        return merges, vocab
+    except Exception:
+        vocab.unpersist()
+        raise
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    batch: int = 4,
+    text_col: str = "text",
+) -> tuple[list[BpeMerge], DataFrame]:
+    """BPE training with BATCHED merge passes — the production-vocab
+    form of :func:`bpe_train`.
+
+    Sequential Sennrich training runs one vocab-sized Spark job pair
+    per merge: fine for 8 merges, but a 32k-vocab tokenizer is 32k
+    sequential jobs — the driver round-trip, scheduler latency, and
+    lineage churn dominate long before compute does. This variant
+    applies up to ``batch`` merges per PASS: one pair-stats job, then a
+    driver-side greedy selection of the top pairs (by n desc, then
+    (l, r) lexicographic) that are mutually SYMBOL-DISJOINT, then one
+    rewrite job chaining all selected folds in rank order. Vocab-sized
+    jobs per merge drop ~``batch``-fold; driver probes against the
+    PERSISTED (tiny) stats frame are scalar reads.
+
+    Disjointness rule: a pair (l2, r2) may join the pass only if
+    neither symbol appears among an earlier-selected pair's {l, r,
+    l||r}. Under that rule the occurrence SET of each selected pair is
+    invariant under the earlier folds of the same pass — a fold
+    consumes only its own l/r tokens and the token it creates sits
+    between untouched neighbours, so it neither makes nor breaks an
+    adjacency of symbols it does not mention. Hence every applied
+    merge's selection count equals its true adjacent count at
+    application time, and the per-pass stats stay honest.
+
+    This is a DIFFERENT (documented) training order from sequential
+    Sennrich: a merged token created mid-pass could, under sequential
+    training, out-rank the pass's later slots (e.g. when every ``ab``
+    is preceded by the same ``x``, sequential picks (x, ab) next).
+    Batched training defers such derived pairs to the next pass. The
+    trade is standard for distributed BPE; determinism is total (stats
+    argmax + lexicographic ties + the fixed disjointness rule), so the
+    whole schedule replays bit-for-bit in the DuckDB oracle (q194) and
+    against the pure-Python reference (property-tested).
+
+    Returns (ordered merge table, final vocab frame) exactly like
+    :func:`bpe_train`; ``BpeMerge.round`` numbers merges globally in
+    application order.
+    """
+    vocab = (
+        word_vocab(docs, text_col)
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .persist()
+    )
+    merges: list[BpeMerge] = []
+    try:
+        while len(merges) < n_merges:
+            stats = pair_stats(vocab).persist()
+            try:
+                sel = []
+                used: set[str] = set()
+                while len(sel) < min(batch, n_merges - len(merges)):
+                    cand = stats
+                    if used:
+                        blocked = sorted(used)
+                        cand = stats.filter(
+                            ~F.col("l").isin(blocked) & ~F.col("r").isin(blocked)
+                        )
+                    row = cand.orderBy(F.col("n").desc(), "l", "r").first()
+                    if row is None:
+                        break
+                    sel.append(row)
+                    used |= {row.l, row.r, row.l + row.r}
+            finally:
+                stats.unpersist()
+            if not sel:
+                break
+            # one job computes the symbol mass after EACH fold stage (the
+            # chained folds are re-evaluated per stage — O(batch^2) folds
+            # over the vocab-sized frame, cheap for small batches), so the
+            # per-merge merged-occurrence accounting matches bpe_train's
+            folded = F.col("syms")
+            mass_cols = [F.sum(F.size("syms") * F.col("freq")).alias("m0")]
+            for i, row in enumerate(sel, start=1):
+                folded = bpe_merge_fold(folded, row.l, row.r)
+                mass_cols.append(
+                    F.sum(F.size(folded) * F.col("freq")).alias(f"m{i}")
+                )
+            masses = vocab.agg(*mass_cols).first()
+            nxt = vocab.withColumn("syms", folded).persist()
+            for i, row in enumerate(sel, start=1):
+                merges.append(
+                    BpeMerge(
+                        round=len(merges) + 1,
+                        left=row.l,
+                        right=row.r,
+                        pair_count=int(row.n),
+                        merged=int(masses[i - 1] - masses[i]),
+                    )
+                )
+            vocab.unpersist()
+            vocab = nxt
         return merges, vocab
     except Exception:
         vocab.unpersist()

@@ -6301,14 +6301,31 @@ def _bpe_stage_sql(k: int) -> str:
     # pair left yields an empty b{k}, and a cross join would wipe the
     # vocabulary — the pass-through CASE keeps v{k+1} == v{k} then,
     # matching bpe_train's early stop.
+    return (
+        _bpe_pair_stats_cte(f"v{k}", f"p{k}")
+        + f""",
+    b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1)"""
+        + _bpe_fold_cte(f"v{k}", f"b{k}", f"v{k + 1}")
+    )
+
+
+def _bpe_pair_stats_cte(src: str, out: str) -> str:
+    """Adjacent-pair stats over one encoded-vocab CTE (overlap-inclusive
+    selection counts, the reference ``get_stats``)."""
     return f""",
-    p{k} AS (
+    {out} AS (
       SELECT substr(es[u.i], 2) AS l, substr(es[u.i + 1], 2) AS r,
              sum(freq) AS n
-      FROM v{k}, unnest(range(1, len(es))) u(i) GROUP BY 1, 2
-    ),
-    b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
-    v{k + 1} AS (
+      FROM {src}, unnest(range(1, len(es))) u(i) GROUP BY 1, 2
+    )"""
+
+
+def _bpe_fold_cte(src: str, pair: str, out: str) -> str:
+    """One greedy left-to-right fold of ``src``'s symbol arrays by the
+    (possibly empty) single-row pair CTE ``pair`` — the list_reduce
+    emulation of bpe_merge_fold (see _bpe_stage_sql docstring)."""
+    return f""",
+    {out} AS (
       SELECT word, freq,
         CASE WHEN bk.l IS NULL THEN es ELSE
         list_transform(
@@ -6322,7 +6339,7 @@ def _bpe_stage_sql(k: int) -> str:
               chr(1)),
             x -> x <> ''),
           s -> chr(1) || s) END AS es
-      FROM v{k} LEFT JOIN b{k} bk ON TRUE
+      FROM {src} LEFT JOIN {pair} bk ON TRUE
     )"""
 
 
@@ -6455,6 +6472,114 @@ def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_batched_pass_sql(k: int) -> str:
+    """One BATCHED training pass (batch=2) as chained CTEs: stats once,
+    slot 1 = the argmax pair, slot 2 = the best pair sharing no symbol
+    with slot 1's {l, r, l||r} (the disjointness rule that keeps both
+    selection counts honest at application time), then both folds in
+    rank order — the DuckDB twin of operators/bpe.py::bpe_train_batched
+    at batch=2."""
+    return (
+        _bpe_pair_stats_cte(f"u{k}", f"s{k}")
+        + f""",
+    x{k}a AS (SELECT l, r, n FROM s{k} ORDER BY n DESC, l, r LIMIT 1),
+    x{k}b AS (
+      SELECT s.l, s.r, s.n FROM s{k} s, x{k}a f
+      WHERE s.l <> f.l AND s.l <> f.r AND s.l <> f.l || f.r
+        AND s.r <> f.l AND s.r <> f.r AND s.r <> f.l || f.r
+      ORDER BY s.n DESC, s.l, s.r LIMIT 1
+    )"""
+        + _bpe_fold_cte(f"u{k}", f"x{k}a", f"h{k}")
+        + _bpe_fold_cte(f"h{k}", f"x{k}b", f"u{k + 1}")
+    )
+
+
+_BPE_BATCHED_PASSES = 2
+
+
+def _bpe_batched_base_sql(passes: int) -> str:
+    base = """
+    WITH w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    u1 AS (
+      SELECT word, freq,
+             list_transform(regexp_split_to_array(word, ''),
+                            s -> chr(1) || s) AS es
+      FROM w
+    )"""
+    for k in range(1, passes + 1):
+        base += _bpe_batched_pass_sql(k)
+    return base
+
+
+def _bpe_mass(cte: str) -> str:
+    return f"(SELECT sum(freq * len(es)) FROM {cte})"
+
+
+_BPE_BATCHED_ORACLE = (
+    _bpe_batched_base_sql(_BPE_BATCHED_PASSES)
+    + "\n    SELECT * FROM (\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({2 * (k - 1) + 1} AS BIGINT) AS merge_no, "
+        f"l AS left, r AS right, CAST(n AS BIGINT) AS pair_count, "
+        f"CAST({_bpe_mass(f'u{k}')} - {_bpe_mass(f'h{k}')} AS BIGINT) AS merged "
+        f"FROM x{k}a"
+        f"\n    UNION ALL\n    "
+        f"SELECT CAST({2 * (k - 1) + 2} AS BIGINT), l, r, CAST(n AS BIGINT), "
+        f"CAST({_bpe_mass(f'h{k}')} - {_bpe_mass(f'u{k + 1}')} AS BIGINT) "
+        f"FROM x{k}b"
+        for k in range(1, _BPE_BATCHED_PASSES + 1)
+    )
+    + "\n    ) ORDER BY merge_no"
+)
+
+
+@register(
+    "q194_bpe_training_batched",
+    oracle=_BPE_BATCHED_ORACLE,
+    doc="BPE training with BATCHED merge passes "
+    "(operators/bpe.py::bpe_train_batched) — the production-vocab "
+    "answer to q186's cost model: sequential Sennrich training is one "
+    "vocab-sized job pair PER MERGE (a 32k-vocab tokenizer = 32k "
+    "sequential Spark jobs, scheduler latency dominating), while a "
+    "batched pass computes stats once, greedily selects the top "
+    "SYMBOL-DISJOINT pairs driver-side (scalar reads against the "
+    "persisted stats frame), and applies them in rank order in ONE "
+    "rewrite job — vocab-sized jobs per merge drop ~batch-fold. "
+    "Under the disjointness rule each selected pair's occurrence set "
+    "is invariant under the pass's earlier folds, so every selection "
+    "count is the true adjacent count at application time; the "
+    "schedule deviates from sequential Sennrich only in deferring "
+    "mid-pass DERIVED pairs to the next pass (documented trade, "
+    "deterministic). The oracle replays 2 passes x batch=2 "
+    "bit-exactly — both stats argmaxes, the disjointness filter, all "
+    "four folds, and the per-merge merged mass (via the same "
+    "list_reduce fold emulation as q186). The batched trainer is "
+    "additionally property-tested against a pure-Python reference on "
+    "random corpora.",
+    bench=False,
+    bench_reason="iterative driver-loop training like q186; the corpus-sized word count is benched via q43-class scans",
+)
+def q194_bpe_training_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.bpe import bpe_train_batched
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train_batched(
+        d, n_merges=2 * _BPE_BATCHED_PASSES, batch=2
+    )
+    vocab.unpersist()
+    rows = [
+        (m.round, m.left, m.right, m.pair_count, m.merged) for m in merges
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_no long, left string, right string, pair_count long, merged long",
+    ).orderBy("merge_no")
 
 
 @register(

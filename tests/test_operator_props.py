@@ -265,3 +265,75 @@ def test_bpe_train_matches_python_reference(spark, words, n_merges):
     final.unpersist()
     assert [(m.left, m.right, m.pair_count) for m in merges] == expected
     assert got_segs == {w: s for w, (s, _c) in vocab.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+    batch=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_train_batched_matches_python_reference(spark, words, n_merges, batch):
+    """The BATCHED trainer must agree with a direct Python
+    implementation of the batched schedule: per pass, stats once, then
+    greedy selection of the top pairs (n desc, lexicographic ties)
+    whose symbols avoid every earlier-selected pair's {l, r, l||r},
+    applied in rank order — including per-merge merged-mass accounting
+    and the final segmentations. batch=1 must degenerate to plain
+    sequential Sennrich (bpe_train)."""
+    from collections import Counter
+
+    from beast_spark.operators.bpe import bpe_train, bpe_train_batched
+
+    def py_merge(syms, left, right):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    def mass(vocab):
+        return sum(len(s) * c for s, c in vocab.values())
+
+    vocab = {w: (list(w), c) for w, c in Counter(words).items()}
+    expected = []
+    while len(expected) < n_merges:
+        stats = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        sel, used = [], set()
+        for (pl, pr), n in ranked:
+            if len(sel) == min(batch, n_merges - len(expected)):
+                break
+            if pl in used or pr in used:
+                continue
+            sel.append((pl, pr, n))
+            used |= {pl, pr, pl + pr}
+        if not sel:
+            break
+        for pl, pr, n in sel:
+            m0 = mass(vocab)
+            vocab = {w: (py_merge(s, pl, pr), c) for w, (s, c) in vocab.items()}
+            expected.append((pl, pr, n, m0 - mass(vocab)))
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    merges, final = bpe_train_batched(docs, n_merges=n_merges, batch=batch)
+    got_segs = {r.word: r.syms for r in final.collect()}
+    final.unpersist()
+    assert [
+        (m.left, m.right, m.pair_count, m.merged) for m in merges
+    ] == expected
+    assert got_segs == {w: s for w, (s, _c) in vocab.items()}
+
+    if batch == 1:
+        seq, fin = bpe_train(docs, n_merges=n_merges)
+        fin.unpersist()
+        assert [(m.left, m.right, m.pair_count, m.merged) for m in seq] == expected
