@@ -298,12 +298,41 @@ class DriftMaintainer(SwapCommittedTable):
         baseline, counts = self._validated_state(spark)
         return psi_from_histograms(baseline, counts, self.n_buckets)
 
-    def read_grid_ks(self, spark: SparkSession) -> DataFrame:
+    def read_grid_ks(self, spark: SparkSession, coarsen: int = 1) -> DataFrame:
         """(key, a_total, b_total, grid_ks) — the KS-on-the-grid read of
         the SAME maintained histogram (see
         :func:`grid_ks_from_histograms` for the estimator contract);
-        same marker validation as :meth:`read_psi`."""
+        same marker validation as :meth:`read_psi`.
+
+        ``coarsen`` surfaces the grid as a READ-TIME parameter: the
+        maintained ``n_buckets`` histogram is rebinned onto the
+        ``n_buckets / coarsen`` grid by additive bucket merging (fixed-
+        grid counts are mergeable in the bucket dimension exactly like
+        they are in time). Because an integer-factor coarse grid's
+        boundaries are a SUBSET of the fine grid's, the estimator chain
+        is monotone: grid_ks(coarsen=k) <= grid_ks(coarsen=1) <= exact
+        KS — so one maintained state yields the whole tunable envelope
+        (q195 records the captured fraction at two grids) and
+        tightening means maintaining a finer base grid, never a
+        rebuild of the coarse reads."""
+        if coarsen < 1 or self.n_buckets % coarsen:
+            raise ValueError(
+                f"DriftMaintainer.read_grid_ks: coarsen={coarsen} must be a "
+                f"positive divisor of n_buckets={self.n_buckets} — a "
+                "non-divisor grid's boundaries would not nest inside the "
+                "maintained grid and the grid_ks <= exact contract chain "
+                "would not be provable"
+            )
         baseline, counts = self._validated_state(spark)
+        if coarsen > 1:
+
+            def rebin(df: DataFrame) -> DataFrame:
+                return df.groupBy(
+                    "key",
+                    F.floor(F.col("bucket") / coarsen).cast("int").alias("bucket"),
+                ).agg(F.sum("n").alias("n"))
+
+            baseline, counts = rebin(baseline), rebin(counts)
         return grid_ks_from_histograms(baseline, counts)
 
     # -- wiring ----------------------------------------------------------

@@ -145,3 +145,49 @@ def test_grid_ks_new_key_reports_maximal_drift_instead_of_crashing(spark, tmp_pa
     )
     got = {r.key: r.grid_ks for r in grid_ks_from_histograms(baseline, current).collect()}
     assert got == {"old": 0.0, "brand_new": 1.0}
+
+
+def test_read_grid_ks_coarsen_rebins_and_bounds(spark, sf_dir, tmp_path):
+    """The read-time grid parameter: coarsen=k rebins the maintained
+    histogram additively, equals grid_ks over a directly-built k-times
+    coarser histogram, never exceeds the fine-grid statistic (nested
+    boundaries), and rejects a non-divisor factor (whose boundaries
+    would not nest, voiding the contract chain)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beast_spark.streaming.drift import (
+        DriftMaintainer,
+        bucket_histogram,
+        grid_ks_from_histograms,
+    )
+
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    bucket_histogram(
+        e.filter(F.col("ts") < cutoff), width=5.0, n_buckets=100
+    ).write.parquet(str(tmp_path / "baseline"))
+    m = DriftMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "baseline"), width=5.0, n_buckets=100
+    )
+    cur = e.filter(~F.coalesce(F.col("ts") < cutoff, F.lit(False)))
+    m.apply_batch(cur, 0)
+
+    got = {tuple(r) for r in m.read_grid_ks(spark, coarsen=5).collect()}
+    want = {
+        tuple(r)
+        for r in grid_ks_from_histograms(
+            bucket_histogram(e.filter(F.col("ts") < cutoff), width=25.0, n_buckets=20),
+            bucket_histogram(cur, width=25.0, n_buckets=20),
+        ).collect()
+    }
+    assert got == want and got
+
+    fine = {r.key: r.grid_ks for r in m.read_grid_ks(spark).collect()}
+    for r in m.read_grid_ks(spark, coarsen=5).collect():
+        assert r.grid_ks <= fine[r.key], r.key
+
+    with pytest.raises(ValueError, match="divisor"):
+        m.read_grid_ks(spark, coarsen=3)
