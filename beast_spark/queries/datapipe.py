@@ -6015,6 +6015,81 @@ def q184_streaming_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_PQ_RERANK_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_pq_pipe_sql("", "e")},
+    adc AS (
+      SELECT l.query_id, c.vec_id, sum(l.d2i) AS adci
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE l.query_id <> c.vec_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    sh AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adci, vec_id) AS r
+        FROM adc) WHERE r <= 50
+    )
+    SELECT query_id, vec_id, d2i, CAST(r2 AS BIGINT) AS rank FROM (
+      SELECT sh.query_id, sh.vec_id,
+             {_PQ_D2I.format(a='q.v', b='s.v')} AS d2i,
+             row_number() OVER (PARTITION BY sh.query_id
+               ORDER BY {_PQ_D2I.format(a='q.v', b='s.v')}, sh.vec_id) AS r2
+      FROM sh
+      JOIN e s ON s.vec_id = sh.vec_id
+      JOIN qv q ON q.query_id = sh.query_id
+    ) WHERE r2 <= 10
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q196_streaming_pq_adc_reranked",
+    oracle=_STREAM_PQ_RERANK_ORACLE,
+    doc="The PQ tier's PRODUCTION recall point over STREAMED state — "
+    "q184's successor closing the round-7 gap that the maintained "
+    "index only served the ADC-only floor (recall 0.195-0.375): "
+    "IvfIndexMaintainer.adc_search_reranked composes the ADC "
+    "shortlist-50 scan (8 bytes/vector) with an exact integer-L2 "
+    "re-rank of only the shortlisted rows against the maintained "
+    "``vectors`` sub-table — the q183-measured composition (recall@10 "
+    "1.0 clustered / 0.465 uniform) now reading every input from "
+    "streamed state. Both stages are exact-integer micro-units "
+    "(associative long sums), so shortlist membership, every re-rank "
+    "distance, and the final ranking replay bit-for-bit in DuckDB. "
+    "Scale shape: full-corpus traffic stays m bytes/vector; raw "
+    "vectors are touched for Q x shortlist rows via one join against "
+    "the id-keyed vectors table, query side broadcast.",
+    bench=False,
+    bench_reason="maintainer composition; the ADC scan and re-rank plans are benched as q183",
+)
+def q196_streaming_pq_adc_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import pq_codebooks
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q196_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    pq_codebooks(e, dims=64).write.parquet(f"{base}/pq_codebooks")
+    m = IvfIndexMaintainer(
+        f"{base}/state",
+        f"{base}/centroids",
+        pq_codebooks_path=f"{base}/pq_codebooks",
+        dims=64,
+    )
+    for batch in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.adc_search_reranked(spark, qs, k=10, shortlist=50)
+        .select("query_id", "vec_id", "d2i", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
 # The hashing-trick document-vector CTE chain (the DuckDB twin of
 # operators/dedup.py::hashed_doc_vectors at the q185 config, down to
 # the zero-norm filter) — shared by the q185 and q191 oracles so the

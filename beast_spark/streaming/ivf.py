@@ -67,6 +67,7 @@ from pyspark.sql.window import Window
 
 from beast_spark.functions.vectors import cosine
 from beast_spark.operators.similarity import (
+    _d2i,
     dequantize_codes,
     ivf_assign,
     ivf_probes,
@@ -354,6 +355,51 @@ class IvfIndexMaintainer(ManifestSwapTable):
             vec_col=self.vec_col,
         )
         return pq_adc_topk(pq, lut, k=k, id_col=self.id_col)
+
+    def adc_search_reranked(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """(query_id, vec_id, d2i, rank): the PRODUCTION recall point of
+        the PQ tier over streamed state — ADC top-``shortlist`` (the
+        m-bytes/vector scan of :meth:`adc_search`) followed by an exact
+        integer-L2 re-rank of ONLY the shortlisted rows against the
+        maintained ``vectors`` sub-table. q183 measures this
+        composition at shortlist 50 (= 2.5% of the sf0.1 corpus):
+        recall@10 1.0 on the clustered fixture / 0.465 on the
+        adversarially-uniform corpus, vs 0.375/0.195 ADC-only — the
+        re-rank is what makes the 64×-compressed tier servable. Both
+        stages are exact-integer micro-units (associative long sums),
+        so the whole composition replays bit-for-bit in DuckDB (q196).
+        Scale shape: the full-corpus scan touches 8-byte codes only;
+        raw vectors are read for Q × shortlist rows via one join
+        against the id-keyed vectors table (bucket by id at warehouse
+        scale), query side broadcast."""
+        short = self.adc_search(spark, queries, k=shortlist).select(
+            "query_id", self.id_col
+        )
+        vectors = self.read_vectors(spark)
+        qside = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).cast("array<double>").alias("qvec"),
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("d2i"), F.col(self.id_col)
+        )
+        return (
+            short.join(vectors, self.id_col)
+            .join(F.broadcast(qside), "query_id")
+            .select(
+                "query_id",
+                self.id_col,
+                _d2i(F.col("qvec"), F.col(self.vec_col)).alias("d2i"),
+            )
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+        )
 
     # -- offline retrain --------------------------------------------------
 

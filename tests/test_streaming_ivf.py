@@ -268,3 +268,56 @@ def test_artifact_swap_without_rebuild_is_rejected(spark, sf_dir, tmp_path):
     # the original maintainer continues unaffected
     m.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
     assert m.read_assigned(spark).count() == e.count()
+
+
+def test_streamed_adc_reranked_equals_batch_composition(spark, sf_dir, tmp_path):
+    """The production PQ recall point over streamed state: ADC
+    shortlist from the maintained codes -> exact integer-L2 re-rank
+    against the maintained vectors must equal the same composition
+    computed from a one-shot batch encode (integer-exact, so full-row
+    set equality including the d2i values)."""
+    from pyspark.sql.window import Window
+
+    from beast_spark.operators.similarity import (
+        _d2i,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    cpath, ppath = str(tmp_path / "centroids"), str(tmp_path / "pq_cb")
+    e.filter(F.col("vec_id") < 16).write.parquet(cpath)
+    pq_codebooks(e, dims=64).write.parquet(ppath)
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), cpath, pq_codebooks_path=ppath, dims=64
+    )
+    for b in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 2 == b), b)
+    qs = e.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r) for r in m.adc_search_reranked(spark, qs, k=7, shortlist=20).collect()
+    }
+
+    cb = spark.read.parquet(ppath)
+    short = pq_adc_topk(pq_codes(e, cb, 64), pq_adc_lut(qs, cb, 64), k=20).select(
+        "query_id", "vec_id"
+    )
+    qside = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("d2i"), F.col("vec_id"))
+    want = {
+        tuple(r)
+        for r in short.join(e, "vec_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id", "vec_id", _d2i(F.col("qvec"), F.col("embedding")).alias("d2i")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want and got
