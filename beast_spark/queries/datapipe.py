@@ -6179,9 +6179,11 @@ _TEXT_MT_SQL = """,
     "hazard), then the PRODUCTION multi-table near-dup miner over them "
     "(lsh_multitable_neardup_pairs, 75 tables x 8 planes, cosine >= "
     "0.7). The operating point matters twice: the repo's own recall "
-    "evaluations (q172 on embeddings, q192 on THESE text vectors) "
-    "measure the old single-table 6-plane config at single-digit pair "
-    "recall, and its 64 buckets make within-bucket candidate volume "
+    "evaluations measure the old single-table 6-plane config at ~7% "
+    "pair recall on embeddings (q172) and at 69.9% on THESE text "
+    "vectors at sf0.1 (q192, vs 100% for the shipped index — text "
+    "pairs at 0.7 are easier, but a dedup missing 30% is still not a "
+    "dedup), and its 64 buckets make within-bucket candidate volume "
     "~n^2/64 — quadratic in corpus size — where 8-plane tables cap "
     "each table at 256 buckets and the OR over 75 tables buys recall "
     "without concentrating candidates. "
@@ -6571,7 +6573,7 @@ def _bpe_batched_pass_sql(k: int) -> str:
     )
 
 
-_BPE_BATCHED_PASSES = 2
+_BPE_BATCHED_MERGES = 4
 
 
 def _bpe_batched_base_sql(passes: int) -> str:
@@ -6596,21 +6598,31 @@ def _bpe_mass(cte: str) -> str:
     return f"(SELECT sum(freq * len(es)) FROM {cte})"
 
 
+# One oracle pass per MERGE (the worst case: a pass whose argmax blocks
+# every other pair yields one merge), capped to the first n merges in
+# application order — so the replay stays exact even when a pass
+# selects fewer than `batch` disjoint pairs and the trainer's
+# while-loop runs extra passes. (The remaining-quota clamp only bites
+# on the LAST merge, so the global (pass, slot) order cap reproduces
+# the trainer's schedule exactly; capped later-pass rows are discarded
+# before they could diverge.)
 _BPE_BATCHED_ORACLE = (
-    _bpe_batched_base_sql(_BPE_BATCHED_PASSES)
-    + "\n    SELECT * FROM (\n    "
+    _bpe_batched_base_sql(_BPE_BATCHED_MERGES)
+    + '\n    SELECT merge_no, "left", "right", pair_count, merged FROM (\n'
+    + "      SELECT *, row_number() OVER (ORDER BY pass, slot) AS merge_no"
+    + " FROM (\n    "
     + "\n    UNION ALL\n    ".join(
-        f"SELECT CAST({2 * (k - 1) + 1} AS BIGINT) AS merge_no, "
+        f"SELECT {k} AS pass, 1 AS slot, "
         f"l AS left, r AS right, CAST(n AS BIGINT) AS pair_count, "
         f"CAST({_bpe_mass(f'u{k}')} - {_bpe_mass(f'h{k}')} AS BIGINT) AS merged "
         f"FROM x{k}a"
         f"\n    UNION ALL\n    "
-        f"SELECT CAST({2 * (k - 1) + 2} AS BIGINT), l, r, CAST(n AS BIGINT), "
+        f"SELECT {k}, 2, l, r, CAST(n AS BIGINT), "
         f"CAST({_bpe_mass(f'h{k}')} - {_bpe_mass(f'u{k + 1}')} AS BIGINT) "
         f"FROM x{k}b"
-        for k in range(1, _BPE_BATCHED_PASSES + 1)
+        for k in range(1, _BPE_BATCHED_MERGES + 1)
     )
-    + "\n    ) ORDER BY merge_no"
+    + f"\n    )) WHERE merge_no <= {_BPE_BATCHED_MERGES} ORDER BY merge_no"
 )
 
 
@@ -6631,10 +6643,12 @@ _BPE_BATCHED_ORACLE = (
     "count is the true adjacent count at application time; the "
     "schedule deviates from sequential Sennrich only in deferring "
     "mid-pass DERIVED pairs to the next pass (documented trade, "
-    "deterministic). The oracle replays 2 passes x batch=2 "
-    "bit-exactly — both stats argmaxes, the disjointness filter, all "
-    "four folds, and the per-merge merged mass (via the same "
-    "list_reduce fold emulation as q186). The batched trainer is "
+    "deterministic). The oracle replays the whole schedule bit-exactly "
+    "— one CTE pass per merge (the under-full worst case), capped to "
+    "the first 4 merges in (pass, slot) order, covering every stats "
+    "argmax, the disjointness filter, every fold, and the per-merge "
+    "merged mass (the q186 list_reduce fold emulation). The batched "
+    "trainer is "
     "additionally property-tested against a pure-Python reference on "
     "random corpora.",
     bench=False,
@@ -6645,7 +6659,7 @@ def q194_bpe_training_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     merges, vocab = bpe_train_batched(
-        d, n_merges=2 * _BPE_BATCHED_PASSES, batch=2
+        d, n_merges=_BPE_BATCHED_MERGES, batch=2
     )
     vocab.unpersist()
     rows = [

@@ -451,8 +451,17 @@ class IvfIndexMaintainer(ManifestSwapTable):
             )
         applied = self.applied_batches()
         # full-replace commit: the one legitimately O(index) write —
-        # an offline retrain rewrites every derived sub-table by design
-        self.commit_delta(max(applied) if applied else 0, full=frames)
+        # an offline retrain rewrites every derived sub-table by design.
+        # Tiers the rebuild no longer derives (a dropped codebook /
+        # pq_codebooks) are DROPPED from the manifest in the same flip:
+        # leaving them would serve codes encoded under retired
+        # artifacts, and adc_search would pass its None guard only to
+        # crash on the null codebook path.
+        manifest = self._load_manifest() or {"subs": {}}
+        stale = [name for name in manifest["subs"] if name not in frames]
+        self.commit_delta(
+            max(applied) if applied else 0, full=frames, drop=stale
+        )
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
         self.pq_codebooks_path = pq_codebooks_path

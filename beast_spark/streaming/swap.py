@@ -370,6 +370,19 @@ class ManifestSwapTable:
                 out[child.split("=", 1)[1]] = f"{rel}/{child}"
         return out
 
+    def _flip(self, manifest: dict) -> None:
+        """Atomically install ``manifest`` as the live one (write tmp,
+        fsync, rename — THE commit point), then GC superseded leaves.
+        The single copy of the flip protocol, shared by commit_delta
+        and compact."""
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_file())  # <- the commit point
+        self._gc(manifest)
+
     def commit_delta(
         self,
         batch_id: int,
@@ -377,6 +390,7 @@ class ManifestSwapTable:
         sharded_appends: dict[str, DataFrame] | None = None,
         shard_replacements: dict[str, tuple[DataFrame, list[int]]] | None = None,
         full: dict[str, DataFrame] | None = None,
+        drop: list[str] | None = None,
     ) -> None:
         """Write this batch's delta fragments, then flip the manifest —
         the single atomic commit point covering every sub-table AND the
@@ -387,12 +401,19 @@ class ManifestSwapTable:
         (carrying a ``_shard`` column computed with :meth:`shard_of`),
         ``touched`` names them explicitly — a touched shard whose new
         content is empty is dropped, which the written leaves alone
-        could not express."""
+        could not express.
+
+        ``drop`` removes whole sub-tables from the manifest (their
+        leaves GC after the flip) — how a rebuild retires a tier it no
+        longer derives; leaving the entries in place would silently
+        serve index rows encoded under retired artifacts."""
         manifest = self._manifest()
         self._gc(manifest)  # orphans from a crashed previous commit
         gen = manifest["gen"] + 1
         os.makedirs(self.path, exist_ok=True)
         subs = {k: [dict(f) for f in v] for k, v in manifest["subs"].items()}
+        for name in drop or []:
+            subs.pop(name, None)
 
         for name, df in (appends or {}).items():
             dest = os.path.join(self.path, name, f"g{gen}")
@@ -425,18 +446,13 @@ class ManifestSwapTable:
             df.write.parquet(dest)
             subs[name] = [{"_": f"{name}/g{gen}"}]
 
-        new_manifest = {
-            "gen": gen,
-            "applied_batches": sorted(self.applied_batches() | {batch_id}),
-            "subs": subs,
-        }
-        tmp = self._manifest_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(new_manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, self._manifest_file())  # <- the commit point
-        self._gc(new_manifest)  # superseded leaves
+        self._flip(
+            {
+                "gen": gen,
+                "applied_batches": sorted(self.applied_batches() | {batch_id}),
+                "subs": subs,
+            }
+        )
 
     def compact(
         self, spark: SparkSession, name: str, shard_col: str | None = None
@@ -449,23 +465,19 @@ class ManifestSwapTable:
         if df is None:
             return
         manifest = self._manifest()
+        # orphans from a crashed previous commit occupy the next gen's
+        # fragment names — the same pre-write GC commit_delta does, or
+        # the compacting write fails on PATH_ALREADY_EXISTS
+        self._gc(manifest)
         gen = manifest["gen"] + 1
         dest = os.path.join(self.path, name, f"g{gen}")
         if shard_col is None:
             df.write.parquet(dest)
             manifest["subs"][name] = [{"_": f"{name}/g{gen}"}]
         else:
-            from pyspark.sql import functions as F  # noqa: F401
-
             leaves = self._write_sharded(
                 df.withColumn(_SHARD, self.shard_of(shard_col)), dest
             )
             manifest["subs"][name] = [leaves] if leaves else []
         manifest["gen"] = gen
-        tmp = self._manifest_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, self._manifest_file())
-        self._gc(manifest)
+        self._flip(manifest)

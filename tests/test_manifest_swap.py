@@ -245,3 +245,51 @@ def test_injected_storage_native_fingerprint(spark, tmp_path):
     m3 = IvfIndexMaintainer(str(tmp_path / "state"), cpath)
     with pytest.raises(ValueError, match="artifacts or config changed"):
         m3.apply_batch(spark.createDataFrame(_rows(10, base=20), DDL), 2)
+
+
+def test_rebuild_drops_retired_tiers(spark, tmp_path):
+    """A rebuild that no longer derives a tier (dropped codebook /
+    pq_codebooks) must DROP that sub-table in the same manifest flip:
+    leaving it would serve codes encoded under retired artifacts, and
+    adc_search would pass its None guard only to crash on the null
+    codebook path."""
+    from beast_spark.operators.similarity import pq_codebooks
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "c1"))
+    spark.createDataFrame(_rows(4, base=4), DDL).write.parquet(str(tmp_path / "c2"))
+    e = spark.createDataFrame(_rows(40), DDL)
+    pq_codebooks(e, dims=8, m=2).write.parquet(str(tmp_path / "pq"))
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "c1"),
+        pq_codebooks_path=str(tmp_path / "pq"),
+        dims=8,
+    )
+    m.apply_batch(e, 0)
+    assert m.read_pq(spark) is not None
+
+    m.rebuild(spark, str(tmp_path / "c2"))  # retrain WITHOUT the PQ tier
+    assert m.read_pq(spark) is None
+    with pytest.raises(ValueError, match="pq_codebooks_path"):
+        m.adc_search(spark, e.filter(F.col("vec_id") < 2))
+    # and no stale leaves linger on disk
+    assert not os.path.exists(str(tmp_path / "state" / "pq")), os.listdir(
+        str(tmp_path / "state" / "pq")
+    )
+
+
+def test_compact_survives_a_crashed_prior_commit(spark, tmp_path):
+    """compact() must GC orphan fragments before writing, like
+    commit_delta does — an orphan occupying the next gen's fragment
+    name (a commit that crashed between write and flip) would
+    otherwise fail the compacting write with PATH_ALREADY_EXISTS."""
+    t = ManifestSwapTable(str(tmp_path / "state"))
+    t.commit_delta(0, appends={"tab": spark.range(10)})
+    # simulate a crash: fragment for gen 2 written, manifest never flipped
+    orphan = tmp_path / "state" / "tab" / "g2"
+    spark.range(100, 105).write.parquet(str(orphan))
+
+    t.compact(spark, "tab")
+    assert {r.id for r in t._read_sub(spark, "tab").collect()} == set(range(10))
+    assert len(t.sub_leaves("tab")) == 1

@@ -91,11 +91,15 @@ def test_streamed_neardup_releases_operator_caches(spark, tmp_path):
     m = EmbeddingNearDupMaintainer(
         str(tmp_path / "state"), dims=8, threshold=0.9, n_planes=4, n_tables=8
     )
+    # start from a clean cache: the session fixture is shared, and the
+    # async ContextCleaner collecting OTHER tests' stale blocks
+    # mid-test makes a before/after equality flaky in full-suite runs
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     for b in range(4):
         m.apply_batch(spark.createDataFrame(rows[b * 10 : (b + 1) * 10], ddl), b)
-    assert jsc.getPersistentRDDs().size() == before
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_streamed_neardup_rejects_old_single_table_state(spark, tmp_path):
