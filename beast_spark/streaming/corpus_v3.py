@@ -34,15 +34,17 @@ decrease — so cleaned text only shrinks, monotonically).
 
 Commits go through the manifest protocol
 (``streaming/swap.py::ManifestSwapTable``), so bytes WRITTEN per batch
-are O(delta) too, never O(corpus): ``docs`` and ``flagged`` append one
-fragment of only this batch's rows; ``postings`` appends one fragment
-shard-partitioned by ``hash(wh)`` so the crossed-hash lookup reads
-only matching shards; ``whcounts`` and ``signals`` are merge tables
-sharded by ``hash(wh)`` / ``hash(doc_id)`` — the batch rewrites ONLY
-the shards its keys touch, untouched shards keep their existing
-fragment leaves byte-identical. All sub-table deltas and the
-applied-batch ledger flip in one atomic manifest rename, so crash
-replays are no-ops.
+are O(delta) too, never O(corpus): ``flagged`` appends one fragment of
+only this batch's rows; ``docs`` and ``postings`` append fragments
+shard-partitioned by ``hash(doc_id)`` / ``hash(wh)`` so the per-batch
+point reads prune — the append-only id guard and the affected-doc
+re-derivation read only the doc shards their ids hash into, the
+crossed-hash lookup only matching postings shards; ``whcounts`` and
+``signals`` are merge tables sharded by ``hash(wh)`` / ``hash(doc_id)``
+— the batch rewrites ONLY the shards its keys touch, untouched shards
+keep their existing fragment leaves byte-identical. All sub-table
+deltas and the applied-batch ledger flip in one atomic manifest
+rename, so crash replays are no-ops.
 
 Equivalence contract (tested): after any prefix of batches,
 ``survivors_by_split`` == the batch q169 capstone run over exactly the
@@ -139,7 +141,9 @@ class CorpusV3Maintainer(ManifestSwapTable):
         cnt_new = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("nd_new"))
         post_new = wins.select("doc_id", "wh").distinct()
 
-        old_docs = self._read_sub(spark, "docs")
+        # existence flag only (no data read): rows are fetched through
+        # shard-pruned reads below
+        have_docs = bool(self.sub_leaves("docs"))
 
         # -- whcounts: merge ONLY the shards this batch's hashes touch.
         # The shard lists collected here and below are O(n_shards)
@@ -187,7 +191,9 @@ class CorpusV3Maintainer(ManifestSwapTable):
         # sub-window-threshold duplicate (which never enters bdocs)
         # raises: it would otherwise lurk in the source files and
         # ambush a pointer-form re-read later. Both probes fold into
-        # ONE Spark action per batch.
+        # ONE Spark action per batch, and the already-ingested probe
+        # reads ONLY the doc shards the batch's ids hash into (docs is
+        # id-hash sharded) — never a full id-index scan per trigger.
         ids_new = batch_df.select("doc_id")
         dup_ids = (
             ids_new.groupBy("doc_id")
@@ -195,10 +201,18 @@ class CorpusV3Maintainer(ManifestSwapTable):
             .filter(F.col("_n") > 1)
             .select("doc_id")
         )
-        if old_docs is not None:
-            dup_ids = dup_ids.unionByName(
-                ids_new.join(old_docs.select("doc_id"), "doc_id", "left_semi")
+        if have_docs:
+            id_shards = sorted(
+                r.s
+                for r in ids_new.select(self.shard_of(F.col("doc_id")).alias("s"))
+                .distinct()
+                .collect()
             )
+            seen = self._read_sub(spark, "docs", shards=id_shards)
+            if seen is not None:
+                dup_ids = dup_ids.unionByName(
+                    ids_new.join(seen.select("doc_id"), "doc_id", "left_semi")
+                )
         if dup_ids.limit(1).count():
             raise ValueError(
                 "corpus-v3 maintainer: duplicate doc_id(s) — repeated "
@@ -209,7 +223,7 @@ class CorpusV3Maintainer(ManifestSwapTable):
                 "the corrected source instead."
             )
         btext = bdocs.select("doc_id", "text", "source")
-        if old_docs is None:
+        if not have_docs:
             redo = btext
         else:
             # the inverted index is sharded by hash(wh): the crossed-hash
@@ -233,10 +247,30 @@ class CorpusV3Maintainer(ManifestSwapTable):
                     .select("doc_id")
                     .distinct()
                 )
-                redo_old = self._with_text(
-                    spark, old_docs.join(affected, "doc_id", "left_semi")
+                # the affected docs' rows come from the shards their ids
+                # hash into — the re-derivation read stays
+                # O(affected-doc shards), matching the documented
+                # per-batch cost
+                aff_shards = sorted(
+                    r.s
+                    for r in affected.select(
+                        self.shard_of(F.col("doc_id")).alias("s")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                redo = redo_old.unionByName(btext)
+                aff_docs = (
+                    self._read_sub(spark, "docs", shards=aff_shards)
+                    if aff_shards
+                    else None
+                )
+                if aff_docs is None:
+                    redo = btext
+                else:
+                    redo_old = self._with_text(
+                        spark, aff_docs.join(affected, "doc_id", "left_semi")
+                    )
+                    redo = redo_old.unionByName(btext)
 
         sig_redo = self._derive_signals(redo, flagged)
         # signals is an upsert keyed by doc_id: rewrite ONLY the shards
@@ -258,11 +292,14 @@ class CorpusV3Maintainer(ManifestSwapTable):
 
         self.commit_delta(
             batch_id,
-            appends={"docs": self._docs_frame(bdocs), "flagged": crossed},
+            appends={"flagged": crossed},
             sharded_appends={
+                "docs": self._docs_frame(bdocs).withColumn(
+                    "_shard", self.shard_of(F.col("doc_id"))
+                ),
                 "postings": post_new.withColumn(
                     "_shard", self.shard_of(F.col("wh"))
-                )
+                ),
             },
             shard_replacements={
                 "whcounts": (

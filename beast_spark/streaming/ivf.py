@@ -37,15 +37,18 @@ Centroid/codebook DRIFT is handled by :meth:`rebuild` (retrain offline
 → re-derive → atomic swap), never by mutating maintenance.
 
 State sub-tables (one atomic manifest flip): ``assigned`` (id, cid —
-slim postings), ``vectors`` (id, raw vector — the exact re-rank read),
-``codes`` (id, int8 codes; only when a codebook is given). Every
-sub-table is APPEND-ONLY under frozen artifacts, so each micro-batch
-commits exactly one new fragment per sub-table holding only its own
-rows (``streaming/swap.py::ManifestSwapTable``) — bytes written per
-trigger are O(batch), never O(index); the old whole-state rewrite was
-write amplification proportional to corpus size. Fragment count grows
-one per batch; fold with :meth:`ManifestSwapTable.compact` (optionally
-cid-sharded for probe-side scan pruning) as offline maintenance.
+slim postings), ``vectors`` (id, raw vector — the exact re-rank read;
+fragments are id-hash SHARDED so the per-batch append-only guard reads
+only the shards the batch's ids hash into, never a full id-index scan
+per trigger), ``codes`` (id, int8 codes; only when a codebook is
+given). Every sub-table is APPEND-ONLY under frozen artifacts, so each
+micro-batch commits exactly one new fragment per sub-table holding
+only its own rows (``streaming/swap.py::ManifestSwapTable``) — bytes
+written per trigger are O(batch), never O(index); the old whole-state
+rewrite was write amplification proportional to corpus size. Fragment
+count grows one per batch; fold with :meth:`ManifestSwapTable.compact`
+(optionally cid-sharded for probe-side scan pruning) as offline
+maintenance.
 
 ``search`` runs the q174/q176 plan over the maintained state: probe
 lists broadcast onto the postings (the corpus side never shuffles
@@ -185,19 +188,34 @@ class IvfIndexMaintainer(ManifestSwapTable):
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
-        vectors = self.read_vectors(spark)
 
-        # append-only guard: intra-batch duplicate or already-ingested id
+        # append-only guard: intra-batch duplicate or already-ingested
+        # id. The already-ingested probe reads ONLY the vector shards
+        # the batch's ids hash into (the vectors sub-table is id-hash
+        # sharded) — for a steady-state micro-batch that is
+        # min(|batch|, n_shards)/n_shards of the id index, not a full
+        # index scan per trigger. The shard list is O(n_shards) driver
+        # scalars, the corpus-v3 probe pattern.
         dup = (
             inc.groupBy(self.id_col)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
             .select(self.id_col)
         )
-        if vectors is not None:
-            dup = dup.unionByName(
-                inc.select(self.id_col).join(vectors, self.id_col, "left_semi")
+        if not fresh:
+            inc_shards = sorted(
+                r.s
+                for r in inc.select(
+                    self.shard_of(F.col(self.id_col)).alias("s")
+                )
+                .distinct()
+                .collect()
             )
+            seen = self._read_sub(spark, "vectors", shards=inc_shards)
+            if seen is not None:
+                dup = dup.unionByName(
+                    inc.select(self.id_col).join(seen, self.id_col, "left_semi")
+                )
         if dup.limit(1).count():
             raise ValueError(
                 "IvfIndexMaintainer: duplicate vector id(s) — the embedding "
@@ -213,7 +231,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
             "assigned": ivf_assign(
                 inc, self._centroids(spark), self.id_col, self.vec_col
             ).select(self.id_col, "cid"),
-            "vectors": inc,
+        }
+        sharded = {
+            "vectors": inc.withColumn(
+                "_shard", self.shard_of(F.col(self.id_col))
+            )
         }
         if self.codebook_path is not None:
             codebook = spark.read.parquet(self.codebook_path)
@@ -230,7 +252,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
             # marker-without-state, which the next attempt overwrites —
             # never state-without-marker (that would reject every batch)
             self._write_meta(meta)
-        self.commit_delta(batch_id, appends=appends)
+        self.commit_delta(batch_id, appends=appends, sharded_appends=sharded)
 
     # -- search over the maintained index --------------------------------
 
@@ -435,7 +457,6 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 self.id_col,
                 self.vec_col,
             ).select(self.id_col, "cid"),
-            "vectors": vectors,
         }
         if codebook_path is not None:
             frames["codes"] = quantize_codes(
@@ -452,15 +473,31 @@ class IvfIndexMaintainer(ManifestSwapTable):
         applied = self.applied_batches()
         # full-replace commit: the one legitimately O(index) write —
         # an offline retrain rewrites every derived sub-table by design.
-        # Tiers the rebuild no longer derives (a dropped codebook /
-        # pq_codebooks) are DROPPED from the manifest in the same flip:
-        # leaving them would serve codes encoded under retired
-        # artifacts, and adc_search would pass its None guard only to
-        # crash on the null codebook path.
+        # The vectors rewrite stays id-hash SHARDED (a replacement of
+        # every shard), so the dup guard's shard-pruned reads keep
+        # pruning after a rebuild. Tiers the rebuild no longer derives
+        # (a dropped codebook / pq_codebooks) are DROPPED from the
+        # manifest in the same flip: leaving them would serve codes
+        # encoded under retired artifacts, and adc_search would pass
+        # its None guard only to crash on the null codebook path.
         manifest = self._load_manifest() or {"subs": {}}
-        stale = [name for name in manifest["subs"] if name not in frames]
+        stale = [
+            name
+            for name in manifest["subs"]
+            if name not in frames and name != "vectors"
+        ]
         self.commit_delta(
-            max(applied) if applied else 0, full=frames, drop=stale
+            max(applied) if applied else 0,
+            full=frames,
+            shard_replacements={
+                "vectors": (
+                    vectors.withColumn(
+                        "_shard", self.shard_of(F.col(self.id_col))
+                    ),
+                    list(range(self.n_shards)),
+                )
+            },
+            drop=stale,
         )
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path

@@ -258,7 +258,22 @@ class ManifestSwapTable:
         mf = self._manifest_file()
         if os.path.exists(mf):
             with open(mf) as fh:
-                return json.load(fh)
+                m = json.load(fh)
+            if m.get("n_shards") != self.n_shards:
+                # the shard function is part of the on-disk layout: a
+                # maintainer reopened with a different n_shards would
+                # mis-prune shard-restricted reads (silently missing
+                # rows) and mis-route shard replacements (corrupting
+                # merges) — fail loudly instead
+                raise ValueError(
+                    f"ManifestSwapTable: state at {self.path!r} was written "
+                    f"with n_shards={m.get('n_shards')}, this maintainer has "
+                    f"n_shards={self.n_shards} — shard-restricted reads and "
+                    "shard replacements would silently miss rows. Recreate "
+                    "the maintainer with the original shard count, or "
+                    "rebuild the state."
+                )
+            return m
         if os.path.exists(os.path.join(self.path, _LEDGER)):
             raise ValueError(
                 f"ManifestSwapTable: state at {self.path!r} uses the legacy "
@@ -271,7 +286,14 @@ class ManifestSwapTable:
 
     def _manifest(self) -> dict:
         m = self._load_manifest()
-        return m if m is not None else {"gen": 0, "applied_batches": [], "subs": {}}
+        if m is not None:
+            return m
+        return {
+            "gen": 0,
+            "applied_batches": [],
+            "subs": {},
+            "n_shards": self.n_shards,
+        }
 
     def _recover(self) -> None:
         """No dir-rename healing needed: the manifest flip is the only
@@ -451,6 +473,7 @@ class ManifestSwapTable:
                 "gen": gen,
                 "applied_batches": sorted(self.applied_batches() | {batch_id}),
                 "subs": subs,
+                "n_shards": self.n_shards,
             }
         )
 

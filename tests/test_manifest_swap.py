@@ -293,3 +293,45 @@ def test_compact_survives_a_crashed_prior_commit(spark, tmp_path):
     t.compact(spark, "tab")
     assert {r.id for r in t._read_sub(spark, "tab").collect()} == set(range(10))
     assert len(t.sub_leaves("tab")) == 1
+
+
+def test_n_shards_mismatch_rejected(spark, tmp_path):
+    """The shard function is part of the on-disk layout: a maintainer
+    reopened with a different n_shards would silently mis-prune
+    shard-restricted reads and mis-route shard replacements — it must
+    raise on the first ledger read instead."""
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=8)
+    t.commit_delta(0, appends={"tab": spark.range(5)})
+    t2 = ManifestSwapTable(str(tmp_path / "state"), n_shards=16)
+    with pytest.raises(ValueError, match="n_shards"):
+        t2.applied_batches()
+
+
+def test_ivf_guard_reads_only_the_batch_id_shards(spark, tmp_path):
+    """The append-only guard's already-ingested probe must read only
+    the vector shards the batch's ids hash into — and still catch a
+    re-sent id (which by construction hashes into a probed shard)."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    m.apply_batch(spark.createDataFrame(_rows(64), DDL), 0)
+    # vectors landed sharded: multiple _shard= leaves, no unsharded frag
+    leaves = m.sub_leaves("vectors")
+    assert len(leaves) > 1 and all("_shard=" in leaf for leaf in leaves)
+    # shard-restricted read returns a strict subset
+    some = m._read_sub(spark, "vectors", shards=[0])
+    assert some is None or some.count() < 64
+
+    # fresh ids pass; a re-sent id raises despite the pruned probe
+    m.apply_batch(spark.createDataFrame(_rows(4, base=64), DDL), 1)
+    with pytest.raises(ValueError, match="append-only"):
+        m.apply_batch(spark.createDataFrame(_rows(1, base=10), DDL), 2)
+    # rebuild keeps the vectors sub sharded (pruning survives retrain)
+    spark.createDataFrame(_rows(4, base=100), DDL).write.parquet(
+        str(tmp_path / "cent2")
+    )
+    m.rebuild(spark, str(tmp_path / "cent2"))
+    assert all("_shard=" in leaf for leaf in m.sub_leaves("vectors"))
+    with pytest.raises(ValueError, match="append-only"):
+        m.apply_batch(spark.createDataFrame(_rows(1, base=10), DDL), 3)
