@@ -138,7 +138,26 @@ class CorpusV3Maintainer(ManifestSwapTable):
         w = self.window
         bdocs = batch_df.filter(F.size(F.split("text", " ")) >= w)
         wins = window_hashes(bdocs, w)
-        cnt_new = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("nd_new"))
+        # cnt_new / crossed / affected are batch-sized id/hash frames,
+        # each consumed by several downstream reads AND a shard probe —
+        # persisted for the batch (released in the finally) so the
+        # window-hash scan and the whcounts merge are not re-evaluated
+        # per consumer
+        cnt_new = (
+            wins.groupBy("wh").agg(F.count(F.lit(1)).alias("nd_new")).persist()
+        )
+        _persisted = [cnt_new]
+        try:
+            self._apply_rest(
+                spark, batch_df, bdocs, wins, cnt_new, _persisted, batch_id
+            )
+        finally:
+            for df in _persisted:
+                df.unpersist()
+
+    def _apply_rest(
+        self, spark, batch_df, bdocs, wins, cnt_new, _persisted, batch_id
+    ):
         post_new = wins.select("doc_id", "wh").distinct()
 
         # existence flag only (no data read): rows are fetched through
@@ -146,15 +165,10 @@ class CorpusV3Maintainer(ManifestSwapTable):
         have_docs = bool(self.sub_leaves("docs"))
 
         # -- whcounts: merge ONLY the shards this batch's hashes touch.
-        # The shard lists collected here and below are O(n_shards)
-        # driver-side scalars (never rows), the same class as the
-        # iterative convergence probes.
-        wh_shards = sorted(
-            r.s
-            for r in cnt_new.select(self.shard_of(F.col("wh")).alias("s"))
-            .distinct()
-            .collect()
-        )
+        # The shard probes here and below are O(n_shards) driver-side
+        # scalars (never rows), the same class as the iterative
+        # convergence probes.
+        wh_shards = self.touched_shards(cnt_new, "wh")
         old_touched = self._read_sub(spark, "whcounts", shards=wh_shards)
         if old_touched is None:
             both = cnt_new.select(
@@ -171,9 +185,14 @@ class CorpusV3Maintainer(ManifestSwapTable):
         merged_touched = both.select(
             "wh", (F.col("n_old") + F.col("n_inc")).alias("n")
         )
-        crossed = both.filter(
-            (F.col("n_old") < 2) & (F.col("n_old") + F.col("n_inc") >= 2)
-        ).select("wh")
+        crossed = (
+            both.filter(
+                (F.col("n_old") < 2) & (F.col("n_old") + F.col("n_inc") >= 2)
+            )
+            .select("wh")
+            .persist()
+        )
+        _persisted.append(crossed)
         # the global >=2 set: counts never decrease, so a hash crosses at
         # most once and the append-only ``flagged`` sub-table's union IS
         # the set — no full whcounts scan needed to rebuild it
@@ -202,13 +221,9 @@ class CorpusV3Maintainer(ManifestSwapTable):
             .select("doc_id")
         )
         if have_docs:
-            id_shards = sorted(
-                r.s
-                for r in ids_new.select(self.shard_of(F.col("doc_id")).alias("s"))
-                .distinct()
-                .collect()
+            seen = self._read_sub(
+                spark, "docs", shards=self.touched_shards(ids_new, "doc_id")
             )
-            seen = self._read_sub(spark, "docs", shards=id_shards)
             if seen is not None:
                 dup_ids = dup_ids.unionByName(
                     ids_new.join(seen.select("doc_id"), "doc_id", "left_semi")
@@ -226,14 +241,9 @@ class CorpusV3Maintainer(ManifestSwapTable):
         if not have_docs:
             redo = btext
         else:
-            # the inverted index is sharded by hash(wh): the crossed-hash
-            # lookup reads only the shards holding a crossed hash
-            crossed_shards = sorted(
-                r.s
-                for r in crossed.select(self.shard_of(F.col("wh")).alias("s"))
-                .distinct()
-                .collect()
-            )
+            # the inverted index is sharded by hash(wh): the
+            # crossed-hash lookup reads only matching shards
+            crossed_shards = self.touched_shards(crossed, "wh")
             affected_post = (
                 self._read_sub(spark, "postings", shards=crossed_shards)
                 if crossed_shards
@@ -246,19 +256,13 @@ class CorpusV3Maintainer(ManifestSwapTable):
                     affected_post.join(crossed, "wh", "left_semi")
                     .select("doc_id")
                     .distinct()
+                    .persist()
                 )
-                # the affected docs' rows come from the shards their ids
-                # hash into — the re-derivation read stays
-                # O(affected-doc shards), matching the documented
-                # per-batch cost
-                aff_shards = sorted(
-                    r.s
-                    for r in affected.select(
-                        self.shard_of(F.col("doc_id")).alias("s")
-                    )
-                    .distinct()
-                    .collect()
-                )
+                _persisted.append(affected)
+                # the affected docs' rows come from the shards their
+                # ids hash into — the re-derivation read stays
+                # O(affected-doc shards), the documented per-batch cost
+                aff_shards = self.touched_shards(affected, "doc_id")
                 aff_docs = (
                     self._read_sub(spark, "docs", shards=aff_shards)
                     if aff_shards
@@ -276,12 +280,7 @@ class CorpusV3Maintainer(ManifestSwapTable):
         # signals is an upsert keyed by doc_id: rewrite ONLY the shards
         # holding a re-derived doc (kept rows of those shards carried
         # over; untouched shards keep their leaves byte-identical)
-        sig_shards = sorted(
-            r.s
-            for r in redo.select(self.shard_of(F.col("doc_id")).alias("s"))
-            .distinct()
-            .collect()
-        )
+        sig_shards = self.touched_shards(redo, "doc_id")
         old_sig_touched = self._read_sub(spark, "signals", shards=sig_shards)
         if old_sig_touched is None:
             sig_content = sig_redo

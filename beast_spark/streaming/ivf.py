@@ -82,8 +82,6 @@ from beast_spark.operators.similarity import (
 from beast_spark.streaming.swap import (
     ManifestSwapTable,
     artifact_fingerprint,
-    check_json_meta,
-    write_json_meta,
 )
 
 __all__ = ["IvfIndexMaintainer"]
@@ -136,6 +134,25 @@ class IvfIndexMaintainer(ManifestSwapTable):
 
     # -- frozen-artifact marker ------------------------------------------
 
+    def _meta_for(
+        self,
+        centroids_path: str,
+        codebook_path: str | None,
+        pq_codebooks_path: str | None,
+    ) -> dict:
+        return {
+            "centroids": self.fingerprint(centroids_path),
+            "codebook": None
+            if codebook_path is None
+            else self.fingerprint(codebook_path),
+            "pq_codebooks": None
+            if pq_codebooks_path is None
+            else self.fingerprint(pq_codebooks_path),
+            "dims": self.dims,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+
     def _meta(self) -> dict:
         """The configuration + artifact-content record the state was
         built under. Assignments/codes are only additive while the
@@ -144,35 +161,31 @@ class IvfIndexMaintainer(ManifestSwapTable):
         codebook, or a mid-stream enable of a codes tier would
         silently mix incompatible index rows; the marker turns every
         one of those into an explicit error (the
-        ``streaming/decontam.py`` stale-postings guard pattern)."""
-        return {
-            "centroids": self.fingerprint(self.centroids_path),
-            "codebook": None
-            if self.codebook_path is None
-            else self.fingerprint(self.codebook_path),
-            "pq_codebooks": None
-            if self.pq_codebooks_path is None
-            else self.fingerprint(self.pq_codebooks_path),
-            "dims": self.dims,
-            "id_col": self.id_col,
-            "vec_col": self.vec_col,
-        }
+        ``streaming/decontam.py`` stale-postings guard pattern).
 
-    def _meta_file(self) -> str:
-        return self.path + ".meta.json"
-
-    def _write_meta(self, meta: dict) -> None:
-        write_json_meta(self._meta_file(), meta)
+        Stored INSIDE the manifest (``commit_delta(user_meta=...)``),
+        so the marker and the state it describes flip in the SAME
+        atomic rename: a side-file marker would leave a crash window
+        between state swap and marker write in which a restarted
+        maintainer pointed at the ORIGINAL artifacts would validate
+        against the old marker and silently mix index generations on
+        top of rebuilt state."""
+        return self._meta_for(
+            self.centroids_path, self.codebook_path, self.pq_codebooks_path
+        )
 
     def _validate_meta(self, meta: dict) -> None:
-        check_json_meta(
-            self._meta_file(),
-            meta,
-            f"IvfIndexMaintainer (state at {self.path})",
-            "the frozen artifacts or config changed. For retrained "
-            "artifacts call rebuild(); otherwise rebuild the state from "
-            "the source stream (fresh state dir + checkpoint).",
-        )
+        import json
+
+        stored = self.user_meta()
+        if stored != json.loads(json.dumps(meta)):
+            raise ValueError(
+                f"IvfIndexMaintainer (state at {self.path}): existing state "
+                f"was built with {stored}, this maintainer wants {meta} — "
+                "the frozen artifacts or config changed. For retrained "
+                "artifacts call rebuild(); otherwise rebuild the state from "
+                "the source stream (fresh state dir + checkpoint)."
+            )
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -203,15 +216,9 @@ class IvfIndexMaintainer(ManifestSwapTable):
             .select(self.id_col)
         )
         if not fresh:
-            inc_shards = sorted(
-                r.s
-                for r in inc.select(
-                    self.shard_of(F.col(self.id_col)).alias("s")
-                )
-                .distinct()
-                .collect()
+            seen = self._read_sub(
+                spark, "vectors", shards=self.touched_shards(inc, self.id_col)
             )
-            seen = self._read_sub(spark, "vectors", shards=inc_shards)
             if seen is not None:
                 dup = dup.unionByName(
                     inc.select(self.id_col).join(seen, self.id_col, "left_semi")
@@ -247,12 +254,14 @@ class IvfIndexMaintainer(ManifestSwapTable):
             appends["pq"] = pq_codes(
                 inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
             )
-        if fresh:
-            # marker BEFORE the first commit: a crash in between leaves
-            # marker-without-state, which the next attempt overwrites —
-            # never state-without-marker (that would reject every batch)
-            self._write_meta(meta)
-        self.commit_delta(batch_id, appends=appends, sharded_appends=sharded)
+        # the marker rides in the manifest: first commit installs it
+        # atomically with the state, later commits carry it forward
+        self.commit_delta(
+            batch_id,
+            appends=appends,
+            sharded_appends=sharded,
+            user_meta=meta if fresh else None,
+        )
 
     # -- search over the maintained index --------------------------------
 
@@ -486,6 +495,12 @@ class IvfIndexMaintainer(ManifestSwapTable):
             for name in manifest["subs"]
             if name not in frames and name != "vectors"
         ]
+        # the NEW artifacts' marker goes into the SAME flip as the
+        # re-derived state: there is no window in which rebuilt state
+        # coexists with the old marker. A crash after the flip (before
+        # this process's attrs update) restarted with the ORIGINAL
+        # artifact paths fails validation explicitly — never a silent
+        # mix of index generations.
         self.commit_delta(
             max(applied) if applied else 0,
             full=frames,
@@ -498,14 +513,13 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 )
             },
             drop=stale,
+            user_meta=self._meta_for(
+                centroids_path, codebook_path, pq_codebooks_path
+            ),
         )
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
         self.pq_codebooks_path = pq_codebooks_path
-        # marker after the successful swap: a crash in between leaves
-        # new-state + old-marker, which the next apply_batch REJECTS
-        # (fail-safe: an explicit re-run of rebuild() heals it)
-        self._write_meta(self._meta())
 
     # -- wiring ----------------------------------------------------------
 

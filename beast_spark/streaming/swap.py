@@ -259,7 +259,26 @@ class ManifestSwapTable:
         if os.path.exists(mf):
             with open(mf) as fh:
                 m = json.load(fh)
-            if m.get("n_shards") != self.n_shards:
+            stored = m.get("n_shards")
+            if stored is None:
+                # manifest written before the shard count was recorded:
+                # safe to adopt ONLY while nothing is sharded (unsharded
+                # '_' leaves are included in every restricted read, so
+                # no prune can miss); backfilled at the next commit
+                has_sharded = any(
+                    k != "_"
+                    for frags in m.get("subs", {}).values()
+                    for frag in frags
+                    for k in frag
+                )
+                if has_sharded:
+                    raise ValueError(
+                        f"ManifestSwapTable: state at {self.path!r} has "
+                        "shard-partitioned fragments but records no shard "
+                        "count — the shard function cannot be recovered; "
+                        "rebuild the state from the source stream."
+                    )
+            elif stored != self.n_shards:
                 # the shard function is part of the on-disk layout: a
                 # maintainer reopened with a different n_shards would
                 # mis-prune shard-restricted reads (silently missing
@@ -267,7 +286,7 @@ class ManifestSwapTable:
                 # merges) — fail loudly instead
                 raise ValueError(
                     f"ManifestSwapTable: state at {self.path!r} was written "
-                    f"with n_shards={m.get('n_shards')}, this maintainer has "
+                    f"with n_shards={stored}, this maintainer has "
                     f"n_shards={self.n_shards} — shard-restricted reads and "
                     "shard replacements would silently miss rows. Recreate "
                     "the maintainer with the original shard count, or "
@@ -341,6 +360,26 @@ class ManifestSwapTable:
 
         return F.pmod(F.hash(col), F.lit(self.n_shards))
 
+    def touched_shards(self, df: DataFrame, col: str) -> list[int]:
+        """The distinct shard ids ``df[col]`` hashes into — the
+        driver-side probe every shard-pruned read/replacement starts
+        from (O(n_shards) scalars, never rows). One Spark action."""
+        from pyspark.sql import functions as F
+
+        return sorted(
+            r.s
+            for r in df.select(self.shard_of(F.col(col)).alias("s"))
+            .distinct()
+            .collect()
+        )
+
+    def user_meta(self) -> dict | None:
+        """The caller-supplied marker stored INSIDE the manifest (see
+        :meth:`commit_delta`'s ``user_meta``), or None before the first
+        commit."""
+        m = self._load_manifest()
+        return None if m is None else m.get("user_meta")
+
     # -- commit ---------------------------------------------------------------
 
     def _gc(self, manifest: dict) -> None:
@@ -413,10 +452,18 @@ class ManifestSwapTable:
         shard_replacements: dict[str, tuple[DataFrame, list[int]]] | None = None,
         full: dict[str, DataFrame] | None = None,
         drop: list[str] | None = None,
+        user_meta: dict | None = None,
     ) -> None:
         """Write this batch's delta fragments, then flip the manifest —
         the single atomic commit point covering every sub-table AND the
         applied-batch ledger.
+
+        ``user_meta`` stores a caller marker (e.g. frozen-artifact
+        fingerprints) INSIDE the manifest, so marker and state change
+        in the SAME atomic flip — a side-file marker would reopen the
+        crash window between state swap and marker write that lets a
+        restarted maintainer silently mix index generations. Omitted ⇒
+        the existing marker is carried forward unchanged.
 
         ``shard_replacements`` maps a sub-table to ``(df, touched)``:
         ``df`` holds the COMPLETE new content of the touched shards
@@ -458,9 +505,10 @@ class ManifestSwapTable:
                 )
             dest = os.path.join(self.path, name, f"g{gen}")
             leaves = self._write_sharded(df, dest)
-            drop = {str(s) for s in touched}
+            touched_keys = {str(s) for s in touched}
             kept = [
-                {k: v for k, v in frag.items() if k not in drop} for frag in old
+                {k: v for k, v in frag.items() if k not in touched_keys}
+                for frag in old
             ]
             subs[name] = [f for f in kept if f] + ([leaves] if leaves else [])
         for name, df in (full or {}).items():
@@ -468,14 +516,20 @@ class ManifestSwapTable:
             df.write.parquet(dest)
             subs[name] = [{"_": f"{name}/g{gen}"}]
 
-        self._flip(
-            {
-                "gen": gen,
-                "applied_batches": sorted(self.applied_batches() | {batch_id}),
-                "subs": subs,
-                "n_shards": self.n_shards,
-            }
+        new_manifest = {
+            "gen": gen,
+            "applied_batches": sorted(self.applied_batches() | {batch_id}),
+            "subs": subs,
+            "n_shards": self.n_shards,
+        }
+        # json-normalize so a tuple-valued config compares equal to its
+        # stored (list) form on the next validation
+        carried = (
+            manifest.get("user_meta") if user_meta is None else user_meta
         )
+        if carried is not None:
+            new_manifest["user_meta"] = json.loads(json.dumps(carried))
+        self._flip(new_manifest)
 
     def compact(
         self, spark: SparkSession, name: str, shard_col: str | None = None
@@ -483,11 +537,24 @@ class ManifestSwapTable:
         """Fold a sub-table's fragments into one (offline maintenance).
         With ``shard_col`` the compacted fragment is shard-partitioned,
         which also migrates an unsharded-append sub-table onto the
-        shard-replacement path."""
+        shard-replacement path. A sub-table that is ALREADY
+        shard-partitioned refuses an unsharded compaction: silently
+        dropping the layout would reinstate full-index guard reads and
+        break future shard replacements — pass the key column."""
         df = self._read_sub(spark, name)
         if df is None:
             return
         manifest = self._manifest()
+        if shard_col is None and any(
+            k != "_" for frag in manifest["subs"].get(name, []) for k in frag
+        ):
+            raise ValueError(
+                f"ManifestSwapTable.compact: sub-table {name!r} is "
+                "shard-partitioned — compacting it unsharded would silently "
+                "retire the shard layout its pruned reads and shard "
+                "replacements depend on. Pass shard_col=<key column> to "
+                "preserve it."
+            )
         # orphans from a crashed previous commit occupy the next gen's
         # fragment names — the same pre-write GC commit_delta does, or
         # the compacting write fails on PATH_ALREADY_EXISTS
@@ -503,4 +570,5 @@ class ManifestSwapTable:
             )
             manifest["subs"][name] = [leaves] if leaves else []
         manifest["gen"] = gen
+        manifest["n_shards"] = self.n_shards  # backfill legacy manifests
         self._flip(manifest)

@@ -233,8 +233,8 @@ def test_injected_storage_native_fingerprint(spark, tmp_path):
     m = IvfIndexMaintainer(str(tmp_path / "state"), cpath, fingerprint=native)
     m.apply_batch(spark.createDataFrame(_rows(10), DDL), 0)
     assert cpath in calls
-    with open(str(tmp_path / "state") + ".meta.json") as fh:
-        assert json.load(fh)["centroids"] == "etag::v1::cent"
+    # the marker lives INSIDE the manifest — same atomic flip as the state
+    assert m.user_meta()["centroids"] == "etag::v1::cent"
 
     # same hook: accepted
     m2 = IvfIndexMaintainer(str(tmp_path / "state"), cpath, fingerprint=native)

@@ -321,3 +321,32 @@ def test_streamed_adc_reranked_equals_batch_composition(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == want and got
+
+
+def test_marker_flips_atomically_with_rebuild(spark, sf_dir, tmp_path):
+    """The frozen-artifact marker rides INSIDE the manifest, so rebuild
+    installs state and marker in one rename: a maintainer restarted
+    with the ORIGINAL artifact paths after a rebuild must be rejected —
+    the crash-window scenario where a side-file marker written after
+    the swap would have validated the old artifacts against rebuilt
+    state and silently mixed index generations."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    e.filter(F.col("vec_id") < 8).write.parquet(c1)
+    e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).write.parquet(c2)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    m.apply_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+    m.rebuild(spark, c2)
+    # no side-car marker file exists to drift out of sync
+    assert not os.path.exists(str(tmp_path / "state") + ".meta.json")
+
+    # restart pointed at the ORIGINAL artifacts: rejected, not mixed
+    m_old = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    with pytest.raises(ValueError, match="artifacts or config changed"):
+        m_old.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+    # restart pointed at the rebuilt artifacts: resumes
+    m_new = IvfIndexMaintainer(str(tmp_path / "state"), c2)
+    m_new.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert m_new.read_assigned(spark).count() == e.count()
