@@ -4353,9 +4353,9 @@ def q168_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q169_corpus_prep_v3",
-    oracle="""
+# Shared by q169 (batch capstone) and q197 (its streamed twin over
+# CorpusV3Maintainer) so the pipeline spec cannot drift between them.
+_CORPUS_PREP_V3_ORACLE = """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       WHERE len(string_split(text, ' ')) >= 8
@@ -4471,7 +4471,12 @@ def q168_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM capped GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "q169_corpus_prep_v3",
+    oracle=_CORPUS_PREP_V3_ORACLE,
     doc="Corpus-prep capstone v3 — the round-5 additions composed into "
     "one publishable pipeline: exact repeated-SPAN removal (q166) "
     "rewrites every document, the quality gates re-run on the CLEANED "
@@ -4537,6 +4542,35 @@ def q169_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "q197_streaming_corpus_prep",
+    oracle=_CORPUS_PREP_V3_ORACLE,
+    doc="The corpus-prep v3 capstone served from STREAMED state — "
+    "q169's full pipeline (repeated-span removal with RETROACTIVE "
+    "rewrites, entropy/repetition gates on cleaned text, exact dedup "
+    "of cleaned texts, per-source cap, md5 split) maintained "
+    "incrementally by streaming/corpus_v3.py::CorpusV3Maintainer over "
+    "two micro-batches, then read via survivors_by_split. Shares "
+    "q169's oracle VERBATIM (the streamed-twin pattern): the "
+    "maintainer's per-prefix streamed==rebuild equivalence is "
+    "property-tested, and this query puts the deepest maintainer — "
+    "retroactive state, five sub-tables, shard-replaced merges — "
+    "under the hash-exact driver gate too. Per-batch cost is "
+    "O(batch + postings-of-crossed + affected docs) with O(delta) "
+    "writes (manifest commits) and shard-pruned guard reads.",
+    bench=False,
+    bench_reason="maintainer composition; the pipeline stages are benched via q166/q117/q123/q168/q88 as in q169",
+)
+def q197_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.corpus_v3 import CorpusV3Maintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = CorpusV3Maintainer(scratch_dir("beast_q197_") + "/state")
+    for batch in range(2):
+        m.apply_batch(d.filter(F.col("doc_id") % 2 == batch), batch)
+    return m.survivors_by_split(spark)
 
 
 @register(
