@@ -6156,20 +6156,31 @@ _HASHED_VECS_SQL = """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM 
     nz AS (SELECT * FROM vec WHERE list_dot_product(v, v) > 0)"""
 
 
-# The multi-table (75 tables x 8 planes) bucketing + pair CTE chain
-# over the hashed TEXT vectors (``nz`` from _HASHED_VECS_SQL) — the
-# DuckDB twin of operators/similarity.py::lsh_multitable_neardup_pairs
-# at the production config, shared by the q185/q192/q193 oracles so
-# the index spec cannot drift between the batch miner, the recall
-# evaluation, and the streamed maintainer.
-_TEXT_MT_SQL = """,
+# The TEXT near-dup operating point: MORE planes and tables than the
+# embeddings default (8x75 at threshold 0.42). Text vectors are
+# correlated (shared vocabulary), so at 8 planes random doc pairs
+# collide constantly — measured 28.9% candidate fraction at sf0.1,
+# quadratic pair work. At 12 planes x 100 tables the measured
+# candidate fraction is 3.75% with measured pair recall 1.0 (q192),
+# and the THEORETICAL floor at the cosine-0.7 boundary is ~95%
+# (p = 1 - arccos(0.7)/pi = 0.747 per plane; 1-(1-0.747^12)^100).
+_TEXT_LSH_PLANES = 12
+_TEXT_LSH_TABLES = 100
+
+# The multi-table bucketing + pair CTE chain over the hashed TEXT
+# vectors (``nz`` from _HASHED_VECS_SQL) — the DuckDB twin of
+# operators/similarity.py::lsh_multitable_neardup_pairs at the text
+# config above, shared by the q185/q192/q193 oracles so the index
+# spec cannot drift between the batch miner, the recall evaluation,
+# and the streamed maintainer.
+_TEXT_MT_SQL = f""",
     tplanes AS (
       SELECT t.t, b.p,
              list_transform(range(0, 64),
                  d -> CASE WHEN ('0x'||substr(md5(t.t::VARCHAR||'|'||b.p::VARCHAR||':'||d::VARCHAR),1,1))::INT % 2 = 1
                            THEN 1.0 ELSE -1.0 END) AS comp
-      FROM (SELECT unnest(range(0, 75)) AS t) t,
-           (SELECT unnest(range(0, 8)) AS p) b
+      FROM (SELECT unnest(range(0, {_TEXT_LSH_TABLES})) AS t) t,
+           (SELECT unnest(range(0, {_TEXT_LSH_PLANES})) AS p) b
     ),
     tdots AS (
       SELECT nz.doc_id, tplanes.t, tplanes.p,
@@ -6211,16 +6222,16 @@ _TEXT_MT_SQL = """,
     "shingles hash to 64 signed buckets via md5, so the vectors replay "
     "bit-exactly in any engine and integer ±1 sums have no float-order "
     "hazard), then the PRODUCTION multi-table near-dup miner over them "
-    "(lsh_multitable_neardup_pairs, 75 tables x 8 planes, cosine >= "
-    "0.7). The operating point matters twice: the repo's own recall "
-    "evaluations measure the old single-table 6-plane config at ~7% "
-    "pair recall on embeddings (q172) and at 69.9% on THESE text "
-    "vectors at sf0.1 (q192, vs 100% for the shipped index — text "
-    "pairs at 0.7 are easier, but a dedup missing 30% is still not a "
-    "dedup), and its 64 buckets make within-bucket candidate volume "
-    "~n^2/64 — quadratic in corpus size — where 8-plane tables cap "
-    "each table at 256 buckets and the OR over 75 tables buys recall "
-    "without concentrating candidates. "
+    "(lsh_multitable_neardup_pairs, TEXT config 100 tables x 12 "
+    "planes, cosine >= 0.7). The operating point matters on BOTH "
+    "axes, measured: the old single-table 6-plane config finds ~7% of "
+    "true pairs on embeddings (q172) and 69.9% on THESE text vectors "
+    "at sf0.1 (q192, vs 1.0 for the shipped index); and because text "
+    "vectors are vocabulary-correlated, the embeddings-default 8x75 "
+    "config collides constantly — measured 28.9% candidate fraction "
+    "at sf0.1 (quadratic pair work), where 12-plane tables cut it to "
+    "3.75% at measured recall 1.0 and a ~95% theoretical floor at "
+    "the 0.7 boundary (1-(1-0.747^12)^100). "
     "Scale shape: shingles explode map-side, one shuffle on "
     "(doc, bucket), per-doc map assembly, vectors materialized ONCE to "
     "scratch parquet (the miner reads them three times), bucketing is "
@@ -6242,7 +6253,12 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     ).write.parquet(f"{base}/vecs")
     vecs = spark.read.parquet(f"{base}/vecs")
     return lsh_multitable_neardup_pairs(
-        vecs, dims=64, id_col="doc_id", threshold=0.7
+        vecs,
+        dims=64,
+        id_col="doc_id",
+        threshold=0.7,
+        n_planes=_TEXT_LSH_PLANES,
+        n_tables=_TEXT_LSH_TABLES,
     ).select(
         F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"), "cos_sim"
     )
@@ -6293,7 +6309,7 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     "point — q172's evaluation rerun on q185's hashed document "
     "vectors: of the exact all-pairs cosine >= 0.7 set, what fraction "
     "does the old single-table 6-plane config find vs the shipped "
-    "75x8 multi-table index? This is the evidence that retiring the "
+    "shipped 100x12 multi-table text index? Evidence that retiring the "
     "single-table config from q185 was necessary on text too (round-7 "
     "review: the 6-plane config measures ~7% pair recall on "
     "embeddings), not an embeddings-only artifact. All three pair "
@@ -6335,7 +6351,12 @@ def q192_text_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, dims=64, id_col="doc_id", threshold=0.7, planes=hyperplanes_md5(64, 6)
     ).select(F.col("vec1").alias("d1"), F.col("vec2").alias("d2"))
     multi = lsh_multitable_neardup_pairs(
-        vecs, dims=64, id_col="doc_id", threshold=0.7
+        vecs,
+        dims=64,
+        id_col="doc_id",
+        threshold=0.7,
+        n_planes=_TEXT_LSH_PLANES,
+        n_tables=_TEXT_LSH_TABLES,
     ).select(F.col("vec1").alias("d1"), F.col("vec2").alias("d2"))
     methods = single.withColumn("m", F.lit("s")).unionByName(
         multi.withColumn("m", F.lit("m"))
@@ -6366,7 +6387,7 @@ def q192_text_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="STREAMING text near-dup over the maintained multi-table "
     "index: q185's hashed document vectors arrive in two micro-batches "
-    "and streaming/neardup.py::EmbeddingNearDupMaintainer (75x8 "
+    "and streaming/neardup.py::EmbeddingNearDupMaintainer (100x12 "
     "multi-table postings+vectors, manifest-committed O(batch) "
     "appends) accumulates the pair set — which must equal the one-shot "
     "batch miner's pairs over the same corpus (disjoint-union "
@@ -6389,7 +6410,12 @@ def q193_streamed_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(f"{base}/vecs")
     vecs = spark.read.parquet(f"{base}/vecs")
     m = EmbeddingNearDupMaintainer(
-        f"{base}/state", dims=64, threshold=0.7, id_col="doc_id"
+        f"{base}/state",
+        dims=64,
+        threshold=0.7,
+        id_col="doc_id",
+        n_planes=_TEXT_LSH_PLANES,
+        n_tables=_TEXT_LSH_TABLES,
     )
     for batch in range(2):
         m.apply_batch(vecs.filter(F.col("doc_id") % 2 == batch), batch)
