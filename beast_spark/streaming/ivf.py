@@ -10,7 +10,8 @@ centroids (one broadcast-centroid map stage + a map-side-combinable
 argmax — ``operators/similarity.py::ivf_assign``), appends the slim
 (id, cid) postings, the raw vectors, and (optionally) their int8
 codes, and commits all sub-tables atomically through the shared
-swap-ledger protocol (``streaming/swap.py``).
+manifest protocol (``streaming/swap.py::ManifestSwapTable`` — one
+delta-sized fragment per sub-table, one atomic manifest flip).
 
 Frozen artifacts make the maintenance EXACT, not approximate:
 
