@@ -6157,7 +6157,7 @@ _HASHED_VECS_SQL = """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM 
 
 
 # The TEXT near-dup operating point: MORE planes and tables than the
-# embeddings default (8x75 at threshold 0.42). Text vectors are
+# embeddings default (75 tables x 8 planes at threshold 0.42). Text vectors are
 # correlated (shared vocabulary), so at 8 planes random doc pairs
 # collide constantly — measured 28.9% candidate fraction at sf0.1,
 # quadratic pair work. At 12 planes x 100 tables the measured
@@ -6227,7 +6227,7 @@ _TEXT_MT_SQL = f""",
     "axes, measured: the old single-table 6-plane config finds ~7% of "
     "true pairs on embeddings (q172) and 69.9% on THESE text vectors "
     "at sf0.1 (q192, vs 1.0 for the shipped index); and because text "
-    "vectors are vocabulary-correlated, the embeddings-default 8x75 "
+    "vectors are vocabulary-correlated, the embeddings-default 75x8 "
     "config collides constantly — measured 28.9% candidate fraction "
     "at sf0.1 (quadratic pair work), where 12-plane tables cut it to "
     "3.75% at measured recall 1.0 and a ~95% theoretical floor at "
@@ -6309,7 +6309,7 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     "point — q172's evaluation rerun on q185's hashed document "
     "vectors: of the exact all-pairs cosine >= 0.7 set, what fraction "
     "does the old single-table 6-plane config find vs the shipped "
-    "shipped 100x12 multi-table text index? Evidence that retiring the "
+    "100-table x 12-plane text index? Evidence that retiring the "
     "single-table config from q185 was necessary on text too (round-7 "
     "review: the 6-plane config measures ~7% pair recall on "
     "embeddings), not an embeddings-only artifact. All three pair "
@@ -6387,7 +6387,8 @@ def q192_text_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="STREAMING text near-dup over the maintained multi-table "
     "index: q185's hashed document vectors arrive in two micro-batches "
-    "and streaming/neardup.py::EmbeddingNearDupMaintainer (100x12 "
+    "and streaming/neardup.py::EmbeddingNearDupMaintainer (100 tables "
+    "x 12 planes "
     "multi-table postings+vectors, manifest-committed O(batch) "
     "appends) accumulates the pair set — which must equal the one-shot "
     "batch miner's pairs over the same corpus (disjoint-union "
