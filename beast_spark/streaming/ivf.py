@@ -38,11 +38,13 @@ Centroid/codebook DRIFT is handled by :meth:`rebuild` (retrain offline
 → re-derive → atomic swap), never by mutating maintenance.
 
 State sub-tables (one atomic manifest flip): ``assigned`` (id, cid —
-slim postings), ``vectors`` (id, raw vector — the exact re-rank read;
-fragments are id-hash SHARDED so the per-batch append-only guard reads
-only the shards the batch's ids hash into, never a full id-index scan
-per trigger), ``codes`` (id, int8 codes; only when a codebook is
-given). Every sub-table is APPEND-ONLY under frozen artifacts, so each
+slim postings; fragments are cid-hash SHARDED so a search's posting
+read prunes to the probed cells' shards — the classic IVF
+posting-list read), ``vectors`` (id, raw vector — the exact re-rank
+read; fragments are id-hash SHARDED so the per-batch append-only
+guard reads only the shards the batch's ids hash into, never a full
+id-index scan per trigger), ``codes`` (id, int8 codes; only when a
+codebook is given). Every sub-table is APPEND-ONLY under frozen artifacts, so each
 micro-batch commits exactly one new fragment per sub-table holding
 only its own rows (``streaming/swap.py::ManifestSwapTable``) — bytes
 written per trigger are O(batch), never O(index); the old whole-state
@@ -235,15 +237,20 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # commit is one new fragment per sub holding ONLY this batch's
         # rows — bytes written O(batch), the whole point of the
         # manifest protocol
-        appends = {
+        appends = {}
+        sharded = {
+            # assigned is sharded by the cell id: a search's posting
+            # read prunes to the probed cells' shards — the classic
+            # IVF posting-list read, at fragment granularity
             "assigned": ivf_assign(
                 inc, self._centroids(spark), self.id_col, self.vec_col
-            ).select(self.id_col, "cid"),
-        }
-        sharded = {
+            )
+            .select(self.id_col, "cid")
+            .withColumn("_shard", self.shard_of(F.col("cid"))),
+            # vectors by id: the append-only guard's pruned probe
             "vectors": inc.withColumn(
                 "_shard", self.shard_of(F.col(self.id_col))
-            )
+            ),
         }
         if self.codebook_path is not None:
             codebook = spark.read.parquet(self.codebook_path)
@@ -273,13 +280,29 @@ class IvfIndexMaintainer(ManifestSwapTable):
         query, self-matches excluded — the maintained-state twin of
         ``operators/similarity.py::ivf_candidates`` (same probe
         selection, but the corpus-side assignment is READ, not
-        recomputed: that is the point of maintaining it)."""
-        assigned = self.read_assigned(spark)
-        if assigned is None:
+        recomputed: that is the point of maintaining it).
+
+        The posting read PRUNES to the probed cells' shards (assigned
+        is cid-hash sharded): for a serving-sized query set the scan
+        touches only the cells being probed — the classic IVF
+        posting-list read — and degrades gracefully to the full scan
+        as Q × nprobe approaches the cell count."""
+        if not self.sub_leaves("assigned"):
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
+        assigned = self._read_sub(
+            spark, "assigned", shards=self.touched_shards(probes, "cid")
+        )
+        if assigned is None:
+            # probed shards hold no fragments ⇒ the probed cells are
+            # empty ⇒ no candidates (schema from the probe frame)
+            return probes.select(
+                "query_id",
+                "query_vec",
+                F.lit(None).cast("long").alias(self.id_col),
+            ).limit(0)
         return (
             assigned.join(F.broadcast(probes), "cid")
             .filter(F.col("query_id") != F.col(self.id_col))
@@ -460,14 +483,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # maintainer pointed at the artifacts its state was built with,
         # or the next apply_batch would mix assignments across centroid
         # generations (exactly the hazard the meta marker guards).
-        frames = {
-            "assigned": ivf_assign(
-                vectors,
-                spark.read.parquet(centroids_path),
-                self.id_col,
-                self.vec_col,
-            ).select(self.id_col, "cid"),
-        }
+        frames = {}
         if codebook_path is not None:
             frames["codes"] = quantize_codes(
                 vectors, spark.read.parquet(codebook_path), self.id_col, self.vec_col
@@ -483,18 +499,39 @@ class IvfIndexMaintainer(ManifestSwapTable):
         applied = self.applied_batches()
         # full-replace commit: the one legitimately O(index) write —
         # an offline retrain rewrites every derived sub-table by design.
-        # The vectors rewrite stays id-hash SHARDED (a replacement of
-        # every shard), so the dup guard's shard-pruned reads keep
-        # pruning after a rebuild. Tiers the rebuild no longer derives
-        # (a dropped codebook / pq_codebooks) are DROPPED from the
-        # manifest in the same flip: leaving them would serve codes
-        # encoded under retired artifacts, and adc_search would pass
-        # its None guard only to crash on the null codebook path.
+        # The assigned/vectors rewrites stay cid-/id-hash SHARDED (a
+        # replacement of every shard), so the posting-read and
+        # dup-guard pruning both survive a rebuild. Tiers the rebuild
+        # no longer derives (a dropped codebook / pq_codebooks) are
+        # DROPPED from the manifest in the same flip: leaving them
+        # would serve codes encoded under retired artifacts, and
+        # adc_search would pass its None guard only to crash on the
+        # null codebook path.
+        all_shards = list(range(self.n_shards))
+        replacements = {
+            "assigned": (
+                ivf_assign(
+                    vectors,
+                    spark.read.parquet(centroids_path),
+                    self.id_col,
+                    self.vec_col,
+                )
+                .select(self.id_col, "cid")
+                .withColumn("_shard", self.shard_of(F.col("cid"))),
+                all_shards,
+            ),
+            "vectors": (
+                vectors.withColumn(
+                    "_shard", self.shard_of(F.col(self.id_col))
+                ),
+                all_shards,
+            ),
+        }
         manifest = self._load_manifest() or {"subs": {}}
         stale = [
             name
             for name in manifest["subs"]
-            if name not in frames and name != "vectors"
+            if name not in frames and name not in replacements
         ]
         # the NEW artifacts' marker goes into the SAME flip as the
         # re-derived state: there is no window in which rebuilt state
@@ -505,14 +542,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         self.commit_delta(
             max(applied) if applied else 0,
             full=frames,
-            shard_replacements={
-                "vectors": (
-                    vectors.withColumn(
-                        "_shard", self.shard_of(F.col(self.id_col))
-                    ),
-                    list(range(self.n_shards)),
-                )
-            },
+            shard_replacements=replacements,
             drop=stale,
             user_meta=self._meta_for(
                 centroids_path, codebook_path, pq_codebooks_path

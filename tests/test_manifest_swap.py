@@ -335,3 +335,39 @@ def test_ivf_guard_reads_only_the_batch_id_shards(spark, tmp_path):
     assert all("_shard=" in leaf for leaf in m.sub_leaves("vectors"))
     with pytest.raises(ValueError, match="append-only"):
         m.apply_batch(spark.createDataFrame(_rows(1, base=10), DDL), 3)
+
+
+def test_ivf_posting_read_prunes_to_probed_cell_shards(spark, tmp_path):
+    """assigned fragments are cid-hash sharded and a search's posting
+    read restricts to the probed cells' shards — results must equal
+    the unrestricted join, and the shard-restricted read must be a
+    strict subset of the index for a 1-query probe."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(16), DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    m.apply_batch(spark.createDataFrame(_rows(200), DDL), 0)
+    leaves = m.sub_leaves("assigned")
+    assert all("_shard=" in leaf for leaf in leaves)
+
+    qs = spark.createDataFrame(_rows(1, base=7), DDL)  # vec_id 7
+    got = {
+        (r.query_id, r.vec_id)
+        for r in m.candidates(spark, qs, nprobe=2).collect()
+    }
+    # unrestricted twin: same probes joined against the FULL assigned
+    from beast_spark.operators.similarity import ivf_probes
+
+    probes = ivf_probes(qs, spark.read.parquet(str(tmp_path / "cent")), 2)
+    want = {
+        (r.query_id, r.vec_id)
+        for r in m.read_assigned(spark)
+        .join(probes, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    assert got == want and got
+    # the pruned read touches fewer shards than the whole index holds
+    probed = m.touched_shards(probes, "cid")
+    assert len(m.sub_leaves("assigned", shards=probed)) < len(leaves)
