@@ -6,20 +6,24 @@ The reference streams rows into ONE flat BigQuery table
 (`sink/bq/BqSink.java:82-93`) and leaves dimension modeling to the
 warehouse. This module closes that gap engine-side: each micro-batch is
 an append-only changelog increment, applied in O(increment) (untouched
-keys never shuffle — see operators/scd.py), and committed by an atomic
-directory swap.
+keys never shuffle — see operators/scd.py), committed exactly-once.
 
-Exactly-once commit is the shared swap-ledger protocol
-(``streaming/swap.py``): ledger inside the new directory before the
-swap, the swap as the single commit point, ``.replaced`` crash
-recovery.
+Exactly-once commit: :class:`Scd2Maintainer` flips one atomic manifest
+carrying the data AND the applied-batch ledger
+(``streaming/swap.py::ManifestSwapTable``);
+:class:`VersionedScd2Maintainer` commits through the versioned table's
+pointer manifest. A replayed batch after any crash is a no-op in both.
 
-Scale: per batch the history is read once through broadcast anti/semi
-joins (no shuffle) and rewritten. Rewriting the full history per batch
-is the local-parquet simplification — at warehouse scale the same
-operator feeds a keyed MERGE (streaming/sink.py staged keyed publish) or
-rewrites only the key-bucket files the increment touched; the increment
-algebra and the commit protocol are identical.
+Scale: per batch the history is read through broadcast anti/semi joins
+(no shuffle). :class:`Scd2Maintainer` commits through the manifest
+protocol (``ManifestSwapTable``): the history is key-hash SHARDED and a
+batch reads and rewrites ONLY the shards its keys touch — untouched
+shards keep their fragment leaves byte-identical, so per-trigger I/O is
+O(touched keys' shards), never O(dimension). (That is the keyed-MERGE
+shape this docstring used to defer to the warehouse.)
+:class:`VersionedScd2Maintainer` instead snapshots the WHOLE history
+per batch into a versioned table — full rewrite by design, that is
+what a retained snapshot is.
 """
 
 from __future__ import annotations
@@ -30,14 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from beast_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
 from beast_spark.sources.versioned import VersionedTable
-from beast_spark.streaming.swap import SwapCommittedTable
+from beast_spark.streaming.swap import ManifestSwapTable
 
 __all__ = ["Scd2Maintainer", "VersionedScd2Maintainer"]
 
 
 class _Scd2Logic:
     """The maintenance algebra, independent of the commit backend
-    (same factoring as ``streaming/rollup.py::_RollupLogic``)."""
+    (same factoring as ``streaming/rollup.py::_RollupLogic``).
+    Subclasses provide ``_read_for_batch`` (the history rows the
+    increment may touch) and ``_commit_history``."""
 
     key_cols: list
     attr_col: str
@@ -50,13 +56,23 @@ class _Scd2Logic:
     def read_history(self, spark: SparkSession) -> DataFrame | None:
         return self.read_table(spark)
 
+    def _read_for_batch(
+        self, spark: SparkSession, batch_df: DataFrame
+    ) -> DataFrame | None:
+        return self.read_history(spark)
+
+    def _commit_history(
+        self, updated: DataFrame, batch_df: DataFrame, batch_id: int
+    ) -> None:
+        self.commit(updated, batch_id)
+
     # -- the foreachBatch body -------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
-        history = self.read_history(spark)
+        history = self._read_for_batch(spark, batch_df)
         if history is None:
             updated = scd2_from_changelog(
                 batch_df, self.key_cols, self.attr_col, self.order_cols
@@ -65,7 +81,7 @@ class _Scd2Logic:
             updated = scd2_apply_increment(
                 history, batch_df, self.key_cols, self.attr_col, self.order_cols
             )
-        self.commit(updated, batch_id)
+        self._commit_history(updated, batch_df, batch_id)
 
     # -- wiring ----------------------------------------------------------
 
@@ -82,8 +98,14 @@ class _Scd2Logic:
         )
 
 
-class Scd2Maintainer(_Scd2Logic, SwapCommittedTable):
-    """Owns one SCD2 history directory fed by a changelog stream."""
+class Scd2Maintainer(_Scd2Logic, ManifestSwapTable):
+    """Owns one SCD2 history directory fed by a changelog stream.
+
+    The history is key-hash sharded: a batch reads only the shards its
+    keys touch (the pass-through of untouched keys inside those shards
+    rides along in ``scd2_apply_increment``'s anti-join), and the
+    commit replaces exactly those shards — per-trigger I/O is
+    O(touched shards), never O(dimension)."""
 
     def __init__(
         self,
@@ -91,11 +113,42 @@ class Scd2Maintainer(_Scd2Logic, SwapCommittedTable):
         key_cols: Sequence[str],
         attr_col: str,
         order_cols: Sequence[str],
+        n_shards: int = 16,
     ) -> None:
-        SwapCommittedTable.__init__(self, history_path)
+        ManifestSwapTable.__init__(self, history_path, n_shards=n_shards)
         self.key_cols = list(key_cols)
         self.attr_col = attr_col
         self.order_cols = list(order_cols)
+
+    def read_history(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "history")
+
+    def _read_for_batch(
+        self, spark: SparkSession, batch_df: DataFrame
+    ) -> DataFrame | None:
+        # only the shards holding a batch key: scd2_apply_increment's
+        # untouched-key pass-through then reconstructs exactly the new
+        # content of those shards
+        self._touched = self.touched_shards(batch_df, *self.key_cols)
+        return self._read_sub(spark, "history", shards=self._touched)
+
+    def _commit_history(
+        self, updated: DataFrame, batch_df: DataFrame, batch_id: int
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        self.commit_delta(
+            batch_id,
+            shard_replacements={
+                "history": (
+                    updated.withColumn(
+                        "_shard",
+                        self.shard_of(*[F.col(c) for c in self.key_cols]),
+                    ),
+                    self._touched,
+                )
+            },
+        )
 
 
 class VersionedScd2Maintainer(_Scd2Logic, VersionedTable):

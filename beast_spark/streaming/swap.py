@@ -352,23 +352,27 @@ class ManifestSwapTable:
             return None
         return spark.read.parquet(*leaves)
 
-    def shard_of(self, col):
+    def shard_of(self, *cols):
         """The shard expression readers/writers must share:
-        ``pmod(hash(key), n_shards)`` (Spark's Murmur3 with its fixed
-        seed — stable across runs and sessions)."""
+        ``pmod(hash(key...), n_shards)`` (Spark's Murmur3 with its
+        fixed seed — stable across runs and sessions). Composite keys
+        pass every key column."""
         from pyspark.sql import functions as F
 
-        return F.pmod(F.hash(col), F.lit(self.n_shards))
+        return F.pmod(F.hash(*cols), F.lit(self.n_shards))
 
-    def touched_shards(self, df: DataFrame, col: str) -> list[int]:
-        """The distinct shard ids ``df[col]`` hashes into — the
-        driver-side probe every shard-pruned read/replacement starts
-        from (O(n_shards) scalars, never rows). One Spark action."""
+    def touched_shards(self, df: DataFrame, *cols: str) -> list[int]:
+        """The distinct shard ids ``df``'s key column(s) hash into —
+        the driver-side probe every shard-pruned read/replacement
+        starts from (O(n_shards) scalars, never rows). One Spark
+        action."""
         from pyspark.sql import functions as F
 
         return sorted(
             r.s
-            for r in df.select(self.shard_of(F.col(col)).alias("s"))
+            for r in df.select(
+                self.shard_of(*[F.col(c) for c in cols]).alias("s")
+            )
             .distinct()
             .collect()
         )

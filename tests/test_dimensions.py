@@ -77,17 +77,39 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert m.applied_batches() == {0, 1}
 
 
-def test_crashed_swap_recovers(spark, tmp_path):
+def test_crashed_commit_leaves_state_intact(spark, tmp_path):
+    """Manifest protocol: a commit that crashed after writing fragments
+    but before the flip leaves orphans the reader never sees; the next
+    batch GCs them and state stays correct. A one-key second batch also
+    rewrites only the shards its key touches."""
     import os
 
     t0 = dt.datetime(2024, 1, 1)
     m = Scd2Maintainer(str(tmp_path / "hist"), **ARGS)
-    m.apply_batch(_rows(spark, [(1, 1, t0, "A")]), 0)
+    rows0 = [(k, 1, t0, "A") for k in range(1, 9)]
+    m.apply_batch(_rows(spark, rows0), 0)
     want = _histset(m.read_history(spark))
-    # simulate a crash between the two renames: live gone, .replaced left
-    os.rename(m.history_path, m.history_path + ".replaced")
-    assert m.read_history(spark) is not None  # _recover healed it
-    assert _histset(m.read_history(spark)) == want
+    # simulate a crash: fragment written for the next gen, never flipped
+    orphan = os.path.join(m.history_path, "history", "g99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert _histset(m.read_history(spark)) == want  # orphan invisible
+
+    before = {
+        leaf: os.path.getmtime(leaf) for leaf in m.sub_leaves("history")
+    }
+    m.apply_batch(_rows(spark, [(1, 2, dt.datetime(2024, 1, 2), "B")]), 1)
+    assert not os.path.exists(orphan)
+    # untouched key shards keep their leaves in place
+    kept = [
+        leaf
+        for leaf, mt in before.items()
+        if leaf in m.sub_leaves("history") and os.path.getmtime(leaf) == mt
+    ]
+    assert kept, "every history shard was rewritten for a one-key batch"
+    hist = m.read_history(spark)
+    assert hist.count() == len(rows0) + 1  # key 1 gained a new interval
 
 
 def test_versioned_scd2_maintainer_time_travels(spark, tmp_path):
