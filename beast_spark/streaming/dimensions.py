@@ -129,14 +129,22 @@ class Scd2Maintainer(_Scd2Logic, ManifestSwapTable):
         # only the shards holding a batch key: scd2_apply_increment's
         # untouched-key pass-through then reconstructs exactly the new
         # content of those shards
-        self._touched = self.touched_shards(batch_df, *self.key_cols)
-        return self._read_sub(spark, "history", shards=self._touched)
+        return self._read_sub(
+            spark,
+            "history",
+            shards=self.touched_shards(batch_df, *self.key_cols),
+        )
 
     def _commit_history(
         self, updated: DataFrame, batch_df: DataFrame, batch_id: int
     ) -> None:
         from pyspark.sql import functions as F
 
+        # the touched list is recomputed from the SAME deterministic
+        # shard function (one O(n_shards)-scalar action) rather than
+        # smuggled between the two hooks as instance state — a retried
+        # or out-of-order hook call can never commit a replacement
+        # scoped to a previous batch's shards
         self.commit_delta(
             batch_id,
             shard_replacements={
@@ -145,7 +153,7 @@ class Scd2Maintainer(_Scd2Logic, ManifestSwapTable):
                         "_shard",
                         self.shard_of(*[F.col(c) for c in self.key_cols]),
                     ),
-                    self._touched,
+                    self.touched_shards(batch_df, *self.key_cols),
                 )
             },
         )

@@ -286,25 +286,48 @@ class IvfIndexMaintainer(ManifestSwapTable):
         is cid-hash sharded): for a serving-sized query set the scan
         touches only the cells being probed — the classic IVF
         posting-list read — and degrades gracefully to the full scan
-        as Q × nprobe approaches the cell count."""
+        as Q × nprobe approaches the cell count. The probe pairs and
+        their shard ids come back in ONE collect (Q × nprobe scalar
+        rows, never vectors — the serving regime this read is for),
+        so the probe-selection plan runs once, not once per consumer.
+
+        Reads validate the frozen-artifact marker first: a search-only
+        maintainer constructed with the ORIGINAL centroids after a
+        rebuild would otherwise hash stale probe cells against
+        new-generation assignments — silently wrong candidates, the
+        generation-mixing hazard the marker exists to catch."""
         if not self.sub_leaves("assigned"):
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
+        self._validate_meta(self._meta())
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
-        assigned = self._read_sub(
-            spark, "assigned", shards=self.touched_shards(probes, "cid")
+        pair_schema = probes.select("query_id", "cid").schema
+        rows = probes.select(
+            "query_id", "cid", self.shard_of(F.col("cid")).alias("s")
+        ).collect()
+        assigned = (
+            self._read_sub(
+                spark, "assigned", shards=sorted({r.s for r in rows})
+            )
+            if rows
+            else None
         )
         if assigned is None:
             # probed shards hold no fragments ⇒ the probed cells are
-            # empty ⇒ no candidates (schema from the probe frame)
-            return probes.select(
-                "query_id",
-                "query_vec",
-                F.lit(None).cast("long").alias(self.id_col),
-            ).limit(0)
+            # empty ⇒ no candidates; the zero-row full read keeps the
+            # schema exact for any id type
+            assigned = self._read_sub(spark, "assigned").limit(0)
+        pairs = spark.createDataFrame(
+            [(r.query_id, r.cid) for r in rows], pair_schema
+        )
+        qv = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("query_vec"),
+        )
         return (
-            assigned.join(F.broadcast(probes), "cid")
+            assigned.join(F.broadcast(pairs), "cid")
+            .join(F.broadcast(qv), "query_id")
             .filter(F.col("query_id") != F.col(self.id_col))
             .select("query_id", "query_vec", self.id_col)
         )
@@ -396,6 +419,12 @@ class IvfIndexMaintainer(ManifestSwapTable):
         ranking is exact-integer, so it replays bit-for-bit against a
         batch encode of the same corpus (frozen PQ codebooks make the
         maintained codes == batch codes, property-tested)."""
+        # same read-path marker validation as candidates(): ADC against
+        # codes encoded under different frozen books must raise (only
+        # once state exists — an empty maintainer falls through to the
+        # clearer no-codes error below)
+        if self._load_manifest() is not None:
+            self._validate_meta(self._meta())
         pq = self.read_pq(spark)
         if pq is None:
             raise ValueError(
@@ -507,32 +536,29 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # would serve codes encoded under retired artifacts, and
         # adc_search would pass its None guard only to crash on the
         # null codebook path.
-        all_shards = list(range(self.n_shards))
-        replacements = {
-            "assigned": (
-                ivf_assign(
-                    vectors,
-                    spark.read.parquet(centroids_path),
-                    self.id_col,
-                    self.vec_col,
-                )
-                .select(self.id_col, "cid")
-                .withColumn("_shard", self.shard_of(F.col("cid"))),
-                all_shards,
-            ),
-            "vectors": (
-                vectors.withColumn(
-                    "_shard", self.shard_of(F.col(self.id_col))
-                ),
-                all_shards,
+        # assigned/vectors are rebuilt as DROP + one sharded append:
+        # a full replace that re-establishes the cid-/id-hash shard
+        # layout REGARDLESS of the prior layout (a shard REPLACEMENT
+        # would refuse unsharded legacy fragments, bricking the
+        # documented drift-recovery path on upgraded state dirs).
+        sharded = {
+            "assigned": ivf_assign(
+                vectors,
+                spark.read.parquet(centroids_path),
+                self.id_col,
+                self.vec_col,
+            )
+            .select(self.id_col, "cid")
+            .withColumn("_shard", self.shard_of(F.col("cid"))),
+            "vectors": vectors.withColumn(
+                "_shard", self.shard_of(F.col(self.id_col))
             ),
         }
+        # drop EVERYTHING the rebuild does not re-derive (stale tiers)
+        # plus the two sharded rebuilds (drop runs before the appends
+        # land in the same flip — together, a full replace)
         manifest = self._load_manifest() or {"subs": {}}
-        stale = [
-            name
-            for name in manifest["subs"]
-            if name not in frames and name not in replacements
-        ]
+        stale = [name for name in manifest["subs"] if name not in frames]
         # the NEW artifacts' marker goes into the SAME flip as the
         # re-derived state: there is no window in which rebuilt state
         # coexists with the old marker. A crash after the flip (before
@@ -542,7 +568,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         self.commit_delta(
             max(applied) if applied else 0,
             full=frames,
-            shard_replacements=replacements,
+            sharded_appends=sharded,
             drop=stale,
             user_meta=self._meta_for(
                 centroids_path, codebook_path, pq_codebooks_path

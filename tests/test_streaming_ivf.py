@@ -350,3 +350,64 @@ def test_marker_flips_atomically_with_rebuild(spark, sf_dir, tmp_path):
     m_new = IvfIndexMaintainer(str(tmp_path / "state"), c2)
     m_new.apply_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
     assert m_new.read_assigned(spark).count() == e.count()
+
+
+def test_search_reads_validate_the_marker(spark, sf_dir, tmp_path):
+    """READ paths validate the frozen-artifact marker too: after a
+    rebuild, a search-only maintainer still pointed at the ORIGINAL
+    centroids must raise — it would otherwise hash stale probe cells
+    against new-generation assignments and return silently wrong
+    candidates."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    e.filter(F.col("vec_id") < 8).write.parquet(c1)
+    e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).write.parquet(c2)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    m.apply_batch(e, 0)
+    m.rebuild(spark, c2)
+
+    reader_old = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    with pytest.raises(ValueError, match="artifacts or config changed"):
+        reader_old.candidates(spark, e.filter(F.col("vec_id") < 2))
+    reader_new = IvfIndexMaintainer(str(tmp_path / "state"), c2)
+    assert reader_new.search(spark, e.filter(F.col("vec_id") < 2), k=5).count()
+
+
+def test_rebuild_works_over_legacy_unsharded_layout(spark, sf_dir, tmp_path):
+    """rebuild() must succeed on a state dir whose assigned/vectors
+    fragments predate the shard layout (plain unsharded appends): the
+    drop + sharded-append form re-establishes the layout regardless of
+    what it replaces — drift recovery cannot require a manual compact
+    first."""
+    from beast_spark.operators.similarity import ivf_assign
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = _emb(spark, sf_dir)
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    e.filter(F.col("vec_id") < 8).write.parquet(c1)
+    e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).write.parquet(c2)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), c1)
+    # hand-commit the PRE-SHARD layout: unsharded assigned + vectors
+    cent = spark.read.parquet(c1)
+    m.commit_delta(
+        0,
+        appends={
+            "assigned": ivf_assign(e, cent).select("vec_id", "cid"),
+            "vectors": e,
+        },
+        user_meta=m._meta(),
+    )
+    assert any("_shard=" not in leaf for leaf in m.sub_leaves("assigned"))
+
+    m.rebuild(spark, c2)  # must not raise on the unsharded fragments
+    assert all("_shard=" in leaf for leaf in m.sub_leaves("assigned"))
+    assert all("_shard=" in leaf for leaf in m.sub_leaves("vectors"))
+    want = {
+        (r.vec_id, r.cid)
+        for r in ivf_assign(e, spark.read.parquet(c2))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()} == want
