@@ -315,6 +315,12 @@ class CorpusV3Maintainer(ManifestSwapTable):
                 ),
             },
         )
+        # amortized fragment fold for the append-only subs (whcounts
+        # and signals are replacement tables — self-bound at n_shards
+        # fragments; see ManifestSwapTable.maybe_compact)
+        self.maybe_compact(spark, "docs", shard_col="doc_id")
+        self.maybe_compact(spark, "postings", shard_col="wh")
+        self.maybe_compact(spark, "flagged")
 
 
     # -- derived views ----------------------------------------------------

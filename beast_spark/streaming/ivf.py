@@ -49,9 +49,10 @@ micro-batch commits exactly one new fragment per sub-table holding
 only its own rows (``streaming/swap.py::ManifestSwapTable``) — bytes
 written per trigger are O(batch), never O(index); the old whole-state
 rewrite was write amplification proportional to corpus size. Fragment
-count grows one per batch; fold with :meth:`ManifestSwapTable.compact`
-(optionally cid-sharded for probe-side scan pruning) as offline
-maintenance.
+count is bounded by amortized folding
+(:meth:`ManifestSwapTable.maybe_compact` after each commit — O(rows /
+threshold) per trigger), so the log-structured trade never becomes a
+small-file problem.
 
 ``search`` runs the q174/q176 plan over the maintained state: probe
 lists broadcast onto the postings (the corpus side never shuffles
@@ -270,6 +271,13 @@ class IvfIndexMaintainer(ManifestSwapTable):
             sharded_appends=sharded,
             user_meta=meta if fresh else None,
         )
+        # amortized fold of the per-batch append fragments (see
+        # ManifestSwapTable.maybe_compact); a crash between the commit
+        # above and a fold loses only the fold
+        self.maybe_compact(spark, "assigned", shard_col="cid")
+        self.maybe_compact(spark, "vectors", shard_col=self.id_col)
+        self.maybe_compact(spark, "codes")
+        self.maybe_compact(spark, "pq")
 
     # -- search over the maintained index --------------------------------
 

@@ -133,6 +133,10 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
                     "pairs": new_pairs,
                 },
             )
+            # amortized fragment fold (small-file control; see
+            # ManifestSwapTable.maybe_compact)
+            for sub in ("postings", "vectors", "pairs"):
+                self.maybe_compact(spark, sub)
         finally:
             # the operator persists its two increment frames; release them
             # once the commit lands or cached blocks accumulate for the

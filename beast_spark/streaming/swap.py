@@ -576,3 +576,32 @@ class ManifestSwapTable:
         manifest["gen"] = gen
         manifest["n_shards"] = self.n_shards  # backfill legacy manifests
         self._flip(manifest)
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        shard_col: str | None = None,
+        max_fragments: int = 64,
+    ) -> bool:
+        """Fold ``name`` when its fragment count exceeds
+        ``max_fragments`` — the log-structured amortization for
+        APPEND-ONLY sub-tables, whose fragment count otherwise grows
+        one per batch (the classic small-file problem; a 10k-trigger
+        stream would union 10k files per read). Shard-REPLACEMENT
+        sub-tables self-bound at ``n_shards`` fragments (every shard's
+        current leaf lives in exactly one fragment) and never need
+        this.
+
+        The fold is O(sub-table) when it fires, amortized
+        O(rows / max_fragments) per trigger — maintainers call it
+        right after their commit, so a crash in between loses only
+        the compaction, never a batch. At warehouse scale, run the
+        same fold from a separate maintenance cadence instead if
+        trigger-latency jitter matters; correctness is identical.
+        Returns whether a fold ran."""
+        m = self._load_manifest()
+        if m is None or len(m["subs"].get(name, ())) <= max_fragments:
+            return False
+        self.compact(spark, name, shard_col=shard_col)
+        return True

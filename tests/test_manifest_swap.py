@@ -371,3 +371,35 @@ def test_ivf_posting_read_prunes_to_probed_cell_shards(spark, tmp_path):
     # the pruned read touches fewer shards than the whole index holds
     probed = m.touched_shards(probes, "cid")
     assert len(m.sub_leaves("assigned", shards=probed)) < len(leaves)
+
+
+def test_maybe_compact_amortizes_fragment_growth(spark, tmp_path):
+    """maybe_compact folds only past the threshold (the log-structured
+    amortization for append-only subs), preserves content, and a
+    maintainer keeps answering correctly across a fold + further
+    appends."""
+    t = ManifestSwapTable(str(tmp_path / "t"))
+    for b in range(4):
+        t.commit_delta(b, appends={"tab": spark.range(b * 5, b * 5 + 5)})
+    assert t.maybe_compact(spark, "tab", max_fragments=10) is False
+    assert len(t.sub_leaves("tab")) == 4
+    assert t.maybe_compact(spark, "tab", max_fragments=3) is True
+    assert len(t.sub_leaves("tab")) == 1
+    assert {r.id for r in t._read_sub(spark, "tab").collect()} == set(range(20))
+
+    # maintainer-level: fold mid-stream, then keep appending + searching
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    for b in range(3):
+        m.apply_batch(spark.createDataFrame(_rows(20, base=b * 20), DDL), b)
+    assert m.maybe_compact(spark, "vectors", shard_col="vec_id", max_fragments=1)
+    assert m.maybe_compact(spark, "assigned", shard_col="cid", max_fragments=1)
+    m.apply_batch(spark.createDataFrame(_rows(20, base=60), DDL), 3)
+    assert m.read_vectors(spark).count() == 80
+    # dup guard still works through the folded + fresh fragments
+    with pytest.raises(ValueError, match="append-only"):
+        m.apply_batch(spark.createDataFrame(_rows(1, base=5), DDL), 4)
+    qs = spark.createDataFrame(_rows(2), DDL)
+    assert m.search(spark, qs, nprobe=2, k=5).count() > 0
