@@ -403,3 +403,106 @@ def test_maybe_compact_amortizes_fragment_growth(spark, tmp_path):
         m.apply_batch(spark.createDataFrame(_rows(1, base=5), DDL), 4)
     qs = spark.createDataFrame(_rows(2), DDL)
     assert m.search(spark, qs, nprobe=2, k=5).count() > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=0, max_size=6)),
+    st.tuples(st.just("sharded_append"), st.lists(st.integers(0, 99), min_size=0, max_size=6)),
+    st.tuples(st.just("replace"), st.lists(st.integers(0, 99), min_size=0, max_size=6)),
+    st.tuples(st.just("crash"), st.just(None)),
+    st.tuples(st.just("compact"), st.just(None)),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=st.lists(_OP, min_size=1, max_size=7))
+def test_manifest_protocol_matches_python_model(spark, tmp_path_factory, ops):
+    """Model-based property test of the protocol every index maintainer
+    now rides on: a random sequence of appends / sharded appends /
+    shard replacements / compactions — interleaved with CRASHED commits
+    (fragments written, manifest never flipped) — must leave the read
+    state equal to a trivial Python model at every step. Appends append
+    ids; a replacement installs new values for its ids' shards and
+    KEEPS other ids in those shards; crashes are invisible."""
+    import shutil
+
+    NS = 4
+    root = tmp_path_factory.mktemp("mproto")
+    path = str(root / "state")
+    t = ManifestSwapTable(path, n_shards=NS)
+    model: dict[int, int] = {}  # id -> value
+    batch = 0
+    version = 0
+
+    def spark_shard(ids):
+        if not ids:
+            return {}
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        return {
+            r.id: r.s
+            for r in df.select("id", F.pmod(F.hash("id"), F.lit(NS)).alias("s")).collect()
+        }
+
+    for op, ids in ops:
+        version += 1
+        if op == "crash":
+            # a commit that died after writing a fragment: orphan dir
+            orphan = os.path.join(path, "tab", f"g{batch + 99}")
+            if not os.path.exists(orphan):
+                os.makedirs(orphan)
+                with open(os.path.join(orphan, "part-junk.parquet"), "wb") as fh:
+                    fh.write(b"junk")
+            continue
+        if op == "compact":
+            if t._load_manifest() is not None and t._load_manifest()["subs"].get("tab"):
+                sharded = any(
+                    k != "_"
+                    for fr in t._load_manifest()["subs"]["tab"]
+                    for k in fr
+                )
+                t.compact(spark, "tab", shard_col="id" if sharded else None)
+        elif op == "append":
+            new = {i: version for i in ids if i not in model}
+            df = spark.createDataFrame(
+                [(i, v) for i, v in new.items()], "id long, v long"
+            )
+            t.commit_delta(batch, appends={"tab": df})
+            model.update(new)
+            batch += 1
+        elif op == "sharded_append":
+            new = {i: version for i in ids if i not in model}
+            df = spark.createDataFrame(
+                [(i, v) for i, v in new.items()], "id long, v long"
+            ).withColumn("_shard", F.pmod(F.hash("id"), F.lit(NS)))
+            # mixing unsharded + sharded fragments in one sub is legal
+            # for appends; replacements below guard against the mix
+            t.commit_delta(batch, sharded_appends={"tab": df})
+            model.update(new)
+            batch += 1
+        else:  # replace: new values for ids' shards, keep co-sharded rows
+            frags = (t._load_manifest() or {"subs": {}})["subs"].get("tab", [])
+            if any("_" in fr for fr in frags):
+                continue  # replacement over unsharded fragments refuses
+            shards = sorted(set(spark_shard(ids).values()))
+            upd = {i: version for i in ids}
+            sh = spark_shard(list(model) + list(upd))
+            content = {
+                i: (upd[i] if i in upd else model[i])
+                for i in set(model) | set(upd)
+                if sh[i] in shards
+            }
+            df = spark.createDataFrame(
+                [(i, v) for i, v in content.items()], "id long, v long"
+            ).withColumn("_shard", F.pmod(F.hash("id"), F.lit(NS)))
+            t.commit_delta(batch, shard_replacements={"tab": (df, shards)})
+            model.update(upd)
+            batch += 1
+
+        got_df = t._read_sub(spark, "tab")
+        got = {} if got_df is None else {r.id: r.v for r in got_df.collect()}
+        assert got == model, f"after {op}"
+    # crashes leave no ghost rows behind even at the end
+    shutil.rmtree(str(root), ignore_errors=True)
