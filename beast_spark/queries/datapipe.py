@@ -6553,9 +6553,11 @@ def q186_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
-@register(
-    "q188_bpe_apply",
-    oracle=_bpe_base_sql(_BPE_ROUNDS)
+# Shared by q188 (batch apply) and q198 (its streamed accounting twin
+# over TokenAccountingMaintainer) so the tokenizer-application spec
+# cannot drift between them.
+_BPE_APPLY_ORACLE = (
+    _bpe_base_sql(_BPE_ROUNDS)
     + f""",
     sw AS (SELECT word, len(es) AS n_sub FROM v{_BPE_ROUNDS + 1}),
     cw AS (
@@ -6570,7 +6572,13 @@ def q186_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_sub) AS BIGINT) AS n_subwords
     FROM cw JOIN sw USING (word)
     GROUP BY source ORDER BY source
-    """,
+    """
+)
+
+
+@register(
+    "q188_bpe_apply",
+    oracle=_BPE_APPLY_ORACLE,
     doc="Applying the trained BPE tokenizer to the corpus — the "
     "production shape: segment the DISTINCT vocabulary once "
     "(bpe_train's final frame already carries the segmentations) and "
@@ -6610,6 +6618,42 @@ def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q198_streaming_token_accounting",
+    oracle=_BPE_APPLY_ORACLE,
+    doc="Per-source token/char/subword accounting maintained LIVE over "
+    "the document stream (streaming/tokenstats.py::"
+    "TokenAccountingMaintainer) — the streamed twin of q188: a "
+    "training-data pipeline budgets by tokens (mixture weights, "
+    "source caps, cost projection), and under a FROZEN tokenizer "
+    "(the trained BPE segmentation table, fingerprint-markered like "
+    "the IVF centroids) every q188 quantity is a sum of per-word "
+    "values — purely additive, so each micro-batch joins only ITS OWN "
+    "words against the broadcast segmentation and merges O(sources) "
+    "counts by addition. Shares q188's oracle VERBATIM; "
+    "streamed(prefix) == batch(prefix) is property-tested per prefix, "
+    "a retrained segmentation over existing counts raises (tokenizer "
+    "generations must not mix).",
+    bench=False,
+    bench_reason="maintainer composition; the word-explode + broadcast-join plan is benched as q188's batch form",
+)
+def q198_streaming_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.bpe import bpe_train
+    from beast_spark.streaming.tokenstats import TokenAccountingMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
+    base = scratch_dir("beast_q198_")
+    vocab.select("word", F.size("syms").alias("n_sub")).write.parquet(
+        f"{base}/seg"
+    )
+    vocab.unpersist()
+    m = TokenAccountingMaintainer(f"{base}/state", f"{base}/seg")
+    for batch in range(2):
+        m.apply_batch(d.filter(F.col("doc_id") % 2 == batch), batch)
+    return m.read_stats(spark).orderBy("source")
 
 
 def _bpe_batched_pass_sql(k: int) -> str:
