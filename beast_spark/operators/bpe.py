@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_vocab",
+    "bpe_token_accounting",
     "bpe_merge_fold",
     "bpe_train",
     "bpe_train_batched",
@@ -107,6 +108,30 @@ def bpe_merge_fold(sym_col: F.Column, left: str, right: str) -> F.Column:
                 F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
             ),
         ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_token_accounting(docs: DataFrame, seg: DataFrame) -> DataFrame:
+    """(source, n_words, n_chars, n_subwords): per-source token
+    accounting of ``docs`` under a TRAINED segmentation table
+    (word, n_sub) — q188's application shape (segment the distinct
+    vocabulary once offline, broadcast-join it back onto the corpus
+    words: a dictionary lookup per word, never a re-segmentation;
+    out-of-vocabulary words drop via the inner join). Shared by the
+    batch query (q188) and the streaming maintainer's per-batch
+    contribution (q198) so the application spec cannot drift between
+    the twin and its query."""
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
     )
 
 

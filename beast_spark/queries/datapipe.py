@@ -6576,6 +6576,24 @@ _BPE_APPLY_ORACLE = (
 )
 
 
+def _trained_seg(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Train the q186 tokenizer and materialize its segmentation table
+    (word, n_sub) to scratch parquet, returning the path — shared by
+    q188 and q198 so the seg contract lives once. Materializing cuts
+    the 8-round training lineage: the returned frame must not carry it,
+    or every downstream action would re-run training from scratch."""
+    from beast_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
+    base = scratch_dir(prefix)
+    vocab.select("word", F.size("syms").alias("n_sub")).write.parquet(
+        f"{base}/seg"
+    )
+    vocab.unpersist()
+    return f"{base}/seg"
+
+
 @register(
     "q188_bpe_apply",
     oracle=_BPE_APPLY_ORACLE,
@@ -6592,32 +6610,11 @@ _BPE_APPLY_ORACLE = (
     bench_reason="driver-loop training dominates the build; the scan+join apply plan is q54-class, benched there",
 )
 def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.bpe import bpe_train
+    from beast_spark.operators.bpe import bpe_token_accounting
 
     d = load_table(spark, sf_dir, "documents")
-    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
-    # materialize the trained segmentation lengths to scratch parquet:
-    # the returned frame must not carry the training lineage, or the
-    # driver's collect would re-run all 8 rounds from scratch
-    base = scratch_dir("beast_q188_")
-    vocab.select("word", F.size("syms").alias("n_sub")).write.parquet(
-        f"{base}/seg"
-    )
-    vocab.unpersist()
-    seg = spark.read.parquet(f"{base}/seg")
-    words = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    return (
-        words.join(F.broadcast(seg), "word")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_sub").alias("n_subwords"),
-        )
-        .orderBy("source")
-    )
+    seg = spark.read.parquet(_trained_seg(spark, sf_dir, "beast_q188_"))
+    return bpe_token_accounting(d, seg).orderBy("source")
 
 
 @register(
@@ -6640,17 +6637,13 @@ def q188_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_reason="maintainer composition; the word-explode + broadcast-join plan is benched as q188's batch form",
 )
 def q198_streaming_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.bpe import bpe_train
     from beast_spark.streaming.tokenstats import TokenAccountingMaintainer
 
     d = load_table(spark, sf_dir, "documents")
-    merges, vocab = bpe_train(d, n_merges=_BPE_ROUNDS)
-    base = scratch_dir("beast_q198_")
-    vocab.select("word", F.size("syms").alias("n_sub")).write.parquet(
-        f"{base}/seg"
+    seg_path = _trained_seg(spark, sf_dir, "beast_q198_")
+    m = TokenAccountingMaintainer(
+        scratch_dir("beast_q198s_") + "/state", seg_path
     )
-    vocab.unpersist()
-    m = TokenAccountingMaintainer(f"{base}/state", f"{base}/seg")
     for batch in range(2):
         m.apply_batch(d.filter(F.col("doc_id") % 2 == batch), batch)
     return m.read_stats(spark).orderBy("source")

@@ -277,7 +277,11 @@ class DriftMaintainer(SwapCommittedTable):
         FIRST: the read path is exactly where a baseline rewritten in
         place (no new batch has run, so apply_batch's guard never
         fired) would otherwise report drift against the wrong
-        reference silently."""
+        reference silently. Recovery runs FIRST: a crash between the
+        swap's two renames leaves the live dir missing, and an
+        exists()-gated guard would be skipped while read_counts'
+        internal recovery then served the counts unvalidated."""
+        self._recover()
         if os.path.exists(self.path):
             check_json_meta(
                 self.path + ".meta.json",

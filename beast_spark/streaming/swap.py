@@ -29,6 +29,7 @@ _LEDGER = "_applied_batches.json"
 
 __all__ = [
     "SwapCommittedTable",
+    "AdditiveStatsMaintainer",
     "ManifestSwapTable",
     "artifact_fingerprint",
     "write_json_meta",
@@ -187,6 +188,91 @@ class SwapCommittedTable:
         with open(os.path.join(tmp, _LEDGER), "w") as fh:
             json.dump(sorted(self.applied_batches() | {batch_id}), fh)
         self._swap_in(tmp)
+
+
+class AdditiveStatsMaintainer(SwapCommittedTable):
+    """Shared choreography for SMALL additive-counts maintainers (gate
+    accounting, token accounting): replay no-op, crash recovery BEFORE
+    the marker guard, marker-before-first-commit, per-batch counts
+    merged additively, marker-guarded reads. Factoring this once is
+    what keeps the subtle orderings from drifting between copies — a
+    review found the recover-after-guard read bug had already
+    propagated by copy-paste.
+
+    Subclasses provide :meth:`_meta` (the frozen-config marker),
+    :meth:`_batch_counts` (this batch's contribution — must share its
+    builder with the batch query so twin and query cannot drift),
+    :meth:`_merge` (additive combine), and the guard message hooks."""
+
+    _SUB = "counts"
+
+    def _meta(self) -> dict:
+        raise NotImplementedError
+
+    def _batch_counts(self, spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _merge(self, counts: DataFrame, inc: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _guard_what(self) -> str:
+        return f"{type(self).__name__} (state at {self.path})"
+
+    def _guard_hint(self) -> str:
+        raise NotImplementedError
+
+    def _empty_msg(self) -> str:
+        return f"{type(self).__name__}: nothing ingested yet"
+
+    def _guard(self) -> None:
+        check_json_meta(
+            self.path + ".meta.json",
+            self._meta(),
+            self._guard_what(),
+            self._guard_hint(),
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        meta = self._meta()
+        if os.path.exists(self.path):
+            self._guard()
+        spark = batch_df.sparkSession
+        inc = self._batch_counts(spark, batch_df)
+        counts = self._read_sub(spark, self._SUB)
+        merged = inc if counts is None else self._merge(counts, inc)
+        if not os.path.exists(self.path):
+            # marker BEFORE the first commit: a crash in between leaves
+            # marker-without-state (overwritten next attempt), never
+            # state-without-marker
+            write_json_meta(self.path + ".meta.json", meta)
+        self.commit_frames({self._SUB: merged}, batch_id)
+
+    def _read_counts_guarded(self, spark: SparkSession) -> DataFrame:
+        """The marker-validated counts read every derived view starts
+        from. Recovery runs FIRST: a crash between the swap's two
+        renames leaves the live dir missing, and an exists()-gated
+        guard would be skipped while ``_read_sub``'s internal recovery
+        then served the counts UNVALIDATED — a reader holding changed
+        frozen config would silently mix regimes."""
+        self._recover()
+        if os.path.exists(self.path):
+            self._guard()
+        counts = self._read_sub(spark, self._SUB)
+        if counts is None:
+            raise ValueError(self._empty_msg())
+        return counts
+
+    def stream_from(self, rows: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            rows.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 _MANIFEST = "MANIFEST.json"

@@ -103,3 +103,31 @@ def test_empty_maintainer_read_raises_cleanly(spark, tmp_path):
     with pytest.raises(ValueError, match="no documents"):
         m.read_stats(spark)
     assert not os.path.exists(str(tmp_path / "state"))
+
+
+def test_guard_survives_midswap_crash(spark, tmp_path):
+    """The read guard must run AFTER crash recovery: a crash between the
+    swap's two renames leaves the live dir missing, and an
+    exists()-gated guard would be skipped while the internal recovery
+    then served old-generation counts attributed to a RETRAINED
+    tokenizer (reproduced by review; now fixed in the shared
+    AdditiveStatsMaintainer base)."""
+    from beast_spark.streaming.tokenstats import TokenAccountingMaintainer
+
+    _seg(spark, str(tmp_path / "seg"), SEG)
+    m = TokenAccountingMaintainer(str(tmp_path / "state"), str(tmp_path / "seg"))
+    m.apply_batch(_docs(spark, ROWS[:2]), 0)
+    # simulate the mid-swap crash: live dir moved, replacement not in place
+    os.rename(str(tmp_path / "state"), str(tmp_path / "state") + ".replaced")
+
+    _seg(spark, str(tmp_path / "seg2"), [("aa", 5)])
+    m2 = TokenAccountingMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "seg2")
+    )
+    with pytest.raises(ValueError, match="segmentation changed"):
+        m2.read_stats(spark)
+    # the original config still reads fine through the healed state
+    m3 = TokenAccountingMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "seg")
+    )
+    assert m3.read_stats(spark).count() == 1
