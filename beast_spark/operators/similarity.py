@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 from beast_spark.functions.vectors import cosine, dot, norm
 
 __all__ = [
+    "DEFAULT_MAX_BUCKET",
+    "capped_bucket_pairs",
     "brute_force_topk",
     "hyperplanes",
     "hyperplanes_md5",
@@ -312,6 +314,104 @@ def lsh_topk_multitable(
     )
 
 
+#: Default degenerate-bucket cap for the EMBEDDING LSH pair family.
+#: Higher than minhash_lsh_pairs' 1000 on purpose: a MinHash band bucket
+#: is a near-unique signature slice (high cardinality, small buckets), an
+#: embedding bucket is one of only 2^P sign cells, so healthy occupancy
+#: is ~N/2^P and the cap must sit well above it. 10k caps the per-bucket
+#: pair expansion at ~5·10^7 candidate dot products — bounded work — while
+#: a boilerplate-heavy crawl that funnels millions of near-identical
+#: vectors into one cell is dropped AND reported instead of going
+#: quadratic.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def capped_bucket_pairs(
+    post: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int,
+    out1: str = "vec1",
+    out2: str = "vec2",
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate id pairs from slim (``*keys``, id) postings with the
+    degenerate-bucket guard — the embedding twin of
+    ``minhash_lsh_pairs``' ``max_bucket`` filter
+    (operators/dedup.py:541): one groupBy shuffle collects each
+    bucket's ids, buckets over ``max_bucket`` are DROPPED before the
+    quadratic pair expansion (which stays in codegen — array lambdas,
+    no self-join shuffle), and — no silent caps — the dropped buckets
+    come back as the second frame: (``*keys``, bucket_size), one row
+    per capped bucket.
+
+    The collected id array of a degenerate bucket is materialized O(N)
+    transiently (map-side partial aggregation splits it across
+    mappers) but never expanded O(N²) — the cap bounds the quadratic
+    half, which is the one that kills the job.
+
+    Both returned frames derive from the same lazy groupBy; a caller
+    that never evaluates ``dropped`` pays nothing for it.
+    """
+    grouped = post.groupBy(*keys).agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    kept = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    dropped = grouped.filter(F.size("ids") > max_bucket).select(
+        *keys, F.size("ids").alias("bucket_size")
+    )
+    pairs = kept.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias(out1), y.alias(out2)),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(f"p.{out1}", f"p.{out2}")
+    return pairs, dropped
+
+
+def _capped_incremental_gate(
+    new_side: DataFrame,
+    existing_side: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared degenerate-bucket gate for the INCREMENTAL pair forms:
+    drops every bucket whose COMBINED occupancy (increment rows +
+    probed existing rows) exceeds ``max_bucket`` — the same bucket a
+    full batch rebuild over everything-so-far would drop, so capping
+    stays consistent with the batch form's semantics (exact
+    incremental == batch equivalence holds only while no bucket
+    crosses the cap; capping is inherently non-monotone — see the
+    callers' docstrings).
+
+    Returns (gated_new, gated_existing, dropped) where dropped is
+    (``*keys``, bucket_size) with combined sizes. Both count aggs run
+    over slim already-pruned frames; the gate itself is a broadcast
+    anti-join (degenerate buckets are few by construction — each holds
+    > max_bucket rows), so the existing side's Exchange-free probe
+    shape survives.
+    """
+    ncnt = new_side.groupBy(*keys).agg(F.count("*").alias("_n_new"))
+    ecnt = existing_side.groupBy(*keys).agg(F.count("*").alias("_n_exist"))
+    sizes = ncnt.join(ecnt, keys, "left").select(
+        *keys,
+        (F.col("_n_new") + F.coalesce(F.col("_n_exist"), F.lit(0))).alias("bucket_size"),
+    )
+    dropped = sizes.filter(F.col("bucket_size") > max_bucket)
+    gate = F.broadcast(dropped.select(*keys))
+    return (
+        new_side.join(gate, keys, "left_anti"),
+        existing_side.join(gate, keys, "left_anti"),
+        dropped,
+    )
+
+
 def lsh_neardup_pairs(
     data: DataFrame,
     dims: int,
@@ -321,34 +421,49 @@ def lsh_neardup_pairs(
     n_planes: int = 8,
     seed: int = 7,
     planes: list[list[float]] | None = None,
-) -> DataFrame:
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_dropped: bool = False,
+):
     """Embedding near-dup PAIRS over shared LSH buckets — the scale path
-    for the exact all-pairs cosine form: the self-join keys on the bucket
-    id, so candidate volume falls ~2^P-fold and the join shuffles both
-    sides BY BUCKET (co-partitioned equi-join — no broadcast of the full
-    corpus, no cartesian). Norms are computed once per vector before the
-    join; per-pair work is a single dot product. Recall < 1 single-probe
-    (pairs split by one hyperplane are missed) — the usual
+    for the exact all-pairs cosine form: candidate volume falls ~2^P-fold
+    vs the quadratic baseline. Norms are computed once per vector, never
+    per pair; per-pair work is a single dot product. Recall < 1
+    single-probe (pairs split by one hyperplane are missed) — the usual
     planes/probes/threshold tradeoff.
+
+    Scale shape: candidates come from the slim (bucket, id) postings via
+    :func:`capped_bucket_pairs` — one groupBy shuffle, pair expansion in
+    codegen, and buckets over ``max_bucket`` rows (a boilerplate-heavy
+    crawl can funnel millions of near-identical vectors into one of the
+    2^P cells) are dropped instead of going quadratic. The wide vectors
+    join back once per pair SIDE afterwards. ``with_dropped=True``
+    additionally returns the (bucket, bucket_size) accounting frame of
+    capped buckets — no silent caps.
     """
     if planes is None:
         planes = hyperplanes(dims, n_planes, seed)
-    d = data.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-    ).withColumn("bucket", lsh_bucket_col("_v", planes)).withColumn("_n", norm(F.col("_v")))
-    a = d.select("bucket", F.col("_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
-    b = d.select("bucket", F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
-    joined = a.join(b, ["bucket"]).filter(F.col("vec1") < F.col("vec2"))
+    d = (
+        data.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("bucket", lsh_bucket_col("_v", planes))
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    cand, dropped = capped_bucket_pairs(
+        d.select("bucket", "_id"), ["bucket"], "_id", max_bucket
+    )
+    v1 = d.select(F.col("_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
+    v2 = d.select(F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    return (
-        joined.select(
+    pairs = (
+        cand.join(v1, "vec1")
+        .join(v2, "vec2")
+        .select(
             "vec1",
             "vec2",
             (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    return (pairs, dropped) if with_dropped else pairs
 
 
 def embedding_lsh_index(
@@ -379,11 +494,24 @@ def incremental_lsh_neardup_pairs_indexed(
     threshold: float = 0.42,
     n_planes: int = 6,
     planes: list[list[float]] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_dropped: bool = False,
+):
     """Embedding near-dup for an INCREMENT against the persisted LSH
     index: returns ``(new_index_rows, pairs)`` where pairs involve at
     least one new vector (new×new and new×existing; existing×existing
     pairs were found when the corpus was built).
+
+    Degenerate-bucket guard: buckets whose COMBINED occupancy
+    (increment + probed index rows) exceeds ``max_bucket`` are dropped
+    from BOTH the new×new and new×existing joins — the same bucket a
+    batch rebuild with this cap would drop — and reported via
+    ``with_dropped=True`` as a third (bucket, bucket_size) frame.
+    The incremental == batch-union equivalence property holds exactly
+    while no bucket crosses the cap; once one does, capping is
+    inherently non-monotone (the existing×existing pairs of a bucket
+    that was under the cap at corpus-build time are already in the pair
+    set and are not retracted).
 
     The q98 discipline applied to :func:`lsh_neardup_pairs` (q85),
     which re-buckets the full corpus per run: here the corpus side is
@@ -414,6 +542,9 @@ def incremental_lsh_neardup_pairs_indexed(
         F.col(vec_col).alias("nv"),
         F.col("nrm").alias("nn"),
     )
+    touched = a.select("bucket").distinct()
+    ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
+    a, ex, dropped = _capped_incremental_gate(a, ex, ["bucket"], max_bucket)
     b = a.select(
         "bucket",
         F.col("nid").alias("vec2"),
@@ -432,8 +563,6 @@ def incremental_lsh_neardup_pairs_indexed(
             "n2",
         )
     )
-    touched = a.select("bucket").distinct()
-    ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
     ne_pairs = (
         ex.join(F.broadcast(a), "bucket")
         # an id present in BOTH the index and the increment (an
@@ -459,7 +588,7 @@ def incremental_lsh_neardup_pairs_indexed(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    return new_idx, pairs
+    return (new_idx, pairs, dropped) if with_dropped else (new_idx, pairs)
 
 
 def ivf_assign(
@@ -701,30 +830,32 @@ def lsh_multitable_neardup_pairs(
     n_planes: int = 8,
     n_tables: int = 75,
     tables: list[list[list[float]]] | None = None,
-) -> DataFrame:
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_dropped: bool = False,
+):
     """Embedding near-dup PAIRS over the multi-table index — the
     OR-amplified recall upgrade of :func:`lsh_neardup_pairs`: a pair is
     a candidate if it shares a bucket in ANY of the L tables, so recall
     rises 1−(1−p^P)^L while the single-table form stops at p^P (measured
     on this corpus: q172). Same slim-postings discipline as
-    :func:`lsh_multitable_candidates`: the self-join runs on
-    (t, bucket, id) rows, the pair dedup shuffles only id pairs, and
-    the wide vectors join back once per SIDE (norms precomputed per
-    vector, never per pair). Returns (vec1, vec2, cos_sim) with
-    vec1 < vec2, floor-rounded, filtered to ``threshold``.
+    :func:`lsh_multitable_candidates`: candidates come from the slim
+    (t, bucket, id) rows via :func:`capped_bucket_pairs` (groupBy +
+    codegen pair expansion; per-table buckets over ``max_bucket``
+    dropped AND reported — no silent caps), the pair dedup shuffles
+    only id pairs, and the wide vectors join back once per SIDE (norms
+    precomputed per vector, never per pair). Returns (vec1, vec2,
+    cos_sim) with vec1 < vec2, floor-rounded, filtered to
+    ``threshold``; ``with_dropped=True`` adds the (t, bucket,
+    bucket_size) accounting frame.
     """
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
     budf = lsh_multitable_bucket_udf(tables)
     post = data.select(F.col(id_col), F.posexplode(budf(vec_col)).alias("t", "bucket"))
-    a = post.select("t", "bucket", F.col(id_col).alias("vec1"))
-    b = post.select("t", "bucket", F.col(id_col).alias("vec2"))
-    cand = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("vec1") < F.col("vec2"))
-        .select("vec1", "vec2")
-        .distinct()
+    raw_cand, dropped = capped_bucket_pairs(
+        post, ["t", "bucket"], id_col, max_bucket
     )
+    cand = raw_cand.distinct()
     v = data.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -735,7 +866,7 @@ def lsh_multitable_neardup_pairs(
         .join(v.select(F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2")), "vec2")
     )
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    return (
+    pairs = (
         j.select(
             "vec1",
             "vec2",
@@ -743,6 +874,7 @@ def lsh_multitable_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    return (pairs, dropped) if with_dropped else pairs
 
 
 def embedding_multitable_postings(
@@ -775,7 +907,9 @@ def incremental_multitable_neardup_pairs(
     n_planes: int = 8,
     n_tables: int = 75,
     tables: list[list[list[float]]] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_dropped: bool = False,
+):
     """Multi-table (OR-amplified) embedding near-dup for an INCREMENT
     against the persisted postings+vectors index — the recall upgrade of
     :func:`incremental_lsh_neardup_pairs_indexed`, whose single-table
@@ -809,6 +943,14 @@ def incremental_multitable_neardup_pairs(
     pairs(existing) ∪ pairs(increment), canonical (vec1 < vec2,
     floor-rounded cos_sim ≥ threshold) rows as
     :func:`lsh_multitable_neardup_pairs`.
+
+    Degenerate-bucket guard: per-table buckets whose COMBINED occupancy
+    (increment postings + probed index postings) exceeds ``max_bucket``
+    are dropped from both join sides and reported (``with_dropped=True``
+    returns a fourth (t, bucket, bucket_size) frame). The equivalence
+    property above holds exactly while no bucket crosses the cap; past
+    it, capping is non-monotone (see
+    :func:`incremental_lsh_neardup_pairs_indexed`).
     """
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
@@ -819,9 +961,17 @@ def incremental_multitable_neardup_pairs(
         .persist()
     )
 
+    # probe the persisted postings on touched keys only, then gate both
+    # sides through the combined-occupancy degenerate-bucket cap
+    touched = new_post.select("t", "bucket").distinct()
+    ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
+    gated_post, ex, dropped = _capped_incremental_gate(
+        new_post, ex, ["t", "bucket"], max_bucket
+    )
+
     # new × new: self-join the increment postings per (t, bucket)
-    a = new_post.select("t", "bucket", F.col(id_col).alias("vec1"))
-    b = new_post.select("t", "bucket", F.col(id_col).alias("vec2"))
+    a = gated_post.select("t", "bucket", F.col(id_col).alias("vec1"))
+    b = gated_post.select("t", "bucket", F.col(id_col).alias("vec2"))
     nn_cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("vec1") < F.col("vec2"))
@@ -829,12 +979,9 @@ def incremental_multitable_neardup_pairs(
         .distinct()
     )
 
-    # new × existing: probe the persisted postings on touched keys only
-    touched = new_post.select("t", "bucket").distinct()
-    ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
     ne_cand = (
         ex.join(
-            F.broadcast(new_post.select("t", "bucket", F.col(id_col).alias("_nid"))),
+            F.broadcast(gated_post.select("t", "bucket", F.col(id_col).alias("_nid"))),
             ["t", "bucket"],
         )
         .filter(F.col(id_col) != F.col("_nid"))  # overlapping re-append guard
@@ -885,6 +1032,8 @@ def incremental_multitable_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if with_dropped:
+        return new_post, new_vec, pairs, dropped
     return new_post, new_vec, pairs
 
 
@@ -1097,7 +1246,9 @@ def incremental_lsh_neardup_pairs_quantized(
     threshold: float = 0.42,
     n_planes: int = 6,
     planes: list[list[float]] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_dropped: bool = False,
+):
     """Near-dup increment against the QUANTIZED index: the
     :func:`incremental_lsh_neardup_pairs_indexed` contract (returns
     ``(new_index_rows, pairs)``, pairs involve ≥ 1 new vector, caller
@@ -1107,6 +1258,10 @@ def incremental_lsh_neardup_pairs_quantized(
     map stage (no extra table touched), the increment quantizes with
     the same FROZEN ``params``. Exactness (property-tested):
     pairs_q(full) == pairs_q(existing) ∪ pairs_q(increment).
+
+    Same combined-occupancy degenerate-bucket guard as the
+    full-precision form (``max_bucket`` / ``with_dropped``; see
+    :func:`incremental_lsh_neardup_pairs_indexed`).
     """
     if planes is None:
         planes = hyperplanes_md5(dims, n_planes)
@@ -1125,6 +1280,9 @@ def incremental_lsh_neardup_pairs_quantized(
         dequant_expr("codes", mn_arr, sc_arr).alias("nv"),
         F.col("nrm").alias("nn"),
     )
+    touched = a.select("bucket").distinct()
+    ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
+    a, ex, dropped = _capped_incremental_gate(a, ex, ["bucket"], max_bucket)
     b = a.select(
         "bucket",
         F.col("nid").alias("vec2"),
@@ -1143,8 +1301,6 @@ def incremental_lsh_neardup_pairs_quantized(
             "n2",
         )
     )
-    touched = a.select("bucket").distinct()
-    ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
     ex_dq = ex.select(
         id_col,
         "bucket",
@@ -1173,7 +1329,7 @@ def incremental_lsh_neardup_pairs_quantized(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    return new_idx, pairs
+    return (new_idx, pairs, dropped) if with_dropped else (new_idx, pairs)
 
 
 # -- product quantization (PQ) ------------------------------------------

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beast_spark.operators.similarity import (
+    DEFAULT_MAX_BUCKET,
     incremental_multitable_neardup_pairs,
     multitable_planes,
 )
@@ -61,6 +62,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         n_tables: int = 75,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        max_bucket: int = DEFAULT_MAX_BUCKET,
     ) -> None:
         ManifestSwapTable.__init__(self, path)
         self.dims = dims
@@ -68,6 +70,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         self.tables = multitable_planes(dims, n_planes, n_tables)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.max_bucket = max_bucket
 
 
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
@@ -78,6 +81,13 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
 
     def read_pairs(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "pairs")
+
+    def read_capped(self, spark: SparkSession) -> DataFrame | None:
+        """Degenerate-bucket accounting: (t, bucket, bucket_size,
+        batch_id), one row per (capped bucket, micro-batch that hit
+        it). Absent (None) until a batch actually trips the cap — no
+        silent caps, but also no empty-fragment churn per trigger."""
+        return self._read_sub(spark, "capped")
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -112,7 +122,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
-        new_post, new_vec, new_pairs = incremental_multitable_neardup_pairs(
+        new_post, new_vec, new_pairs, dropped = incremental_multitable_neardup_pairs(
             postings,
             vectors,
             inc,
@@ -121,21 +131,29 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             vec_col=self.vec_col,
             threshold=self.threshold,
             tables=self.tables,
+            max_bucket=self.max_bucket,
+            with_dropped=True,
         )
         try:
             # append-only sub-tables: commit ONLY this batch's rows as
             # one new fragment each — O(increment) bytes, never O(index)
-            self.commit_delta(
-                batch_id,
-                appends={
-                    "postings": new_post.select("t", "bucket", self.id_col),
-                    "vectors": new_vec.select(self.id_col, self.vec_col, "nrm"),
-                    "pairs": new_pairs,
-                },
-            )
+            appends = {
+                "postings": new_post.select("t", "bucket", self.id_col),
+                "vectors": new_vec.select(self.id_col, self.vec_col, "nrm"),
+                "pairs": new_pairs,
+            }
+            # no silent caps: a batch that trips the degenerate-bucket
+            # guard commits its accounting rows in the SAME atomic flip
+            # as the (capped) pairs it stands for. The isEmpty probe is
+            # one cheap action over slim counted postings; the common
+            # all-buckets-healthy case writes no extra fragment.
+            capped = dropped.withColumn("batch_id", F.lit(batch_id))
+            if not dropped.isEmpty():
+                appends["capped"] = capped
+            self.commit_delta(batch_id, appends=appends)
             # amortized fragment fold (small-file control; see
             # ManifestSwapTable.maybe_compact)
-            for sub in ("postings", "vectors", "pairs"):
+            for sub in ("postings", "vectors", "pairs", "capped"):
                 self.maybe_compact(spark, sub)
         finally:
             # the operator persists its two increment frames; release them
