@@ -255,7 +255,13 @@ class ProtoUpdateWatcher:
         self._digest = digest
         if self.on_swap is not None:
             self.on_swap(new_ingest)
-        if plan["restart_required"] and self.restart is not None:
+        # Restart whenever WE stopped the query, not only when the diff
+        # added columns: a registry push that merely REORDERS fields
+        # (same names/numbers/types — the §7.4 matrix's third leg)
+        # yields an empty additive diff, but the query was already
+        # stopped above and would otherwise stay dead with a freshly
+        # swapped parser serving nothing.
+        if (stopped or plan["restart_required"]) and self.restart is not None:
             self.restart()
         return plan
 

@@ -383,3 +383,184 @@ def test_watcher_applies_ddl_for_catalog_tables(spark, tmp_path):
     assert plan["ddl"] == "ALTER TABLE reg_test.t ADD COLUMNS (region string)"
     assert "region" in spark.table("reg_test.t").columns
     spark.sql("DROP TABLE reg_test.t")
+
+
+# -- nested-RECORD evolution + reorder (SURVEY §7.4's remaining legs) ----
+
+_SHIP_V1 = (
+    PField(1, "item_id", "int64"),
+    PField(2, "quantity", "int32"),
+    PField(3, "name", "string"),
+)
+# V2 adds a field INSIDE the nested RECORD *and* reorders every level —
+# field numbers (the wire identity) are unchanged, so V1-encoded bytes
+# must keep decoding identically under the V2 descriptor.
+_SHIP_V2 = (
+    PField(3, "name", "string"),
+    PField(1, "item_id", "int64"),
+    PField(2, "quantity", "int32"),
+    PField(4, "warehouse", "string"),
+)
+NESTED_V1 = (
+    PField(1, "order_number", "string"),
+    PField(6, "discount", "int64"),
+    PField(12, "shipping", "message", fields=_SHIP_V1),
+)
+NESTED_V2 = (
+    PField(12, "shipping", "message", fields=_SHIP_V2),
+    PField(6, "discount", "int64"),
+    PField(1, "order_number", "string"),
+)
+NESTED_V1_REORDERED = tuple(reversed(NESTED_V1))
+
+
+def _nested_row(i: int, schema, ship: dict) -> tuple:
+    msg = {"order_number": f"order-{i}", "discount": i * 10, "shipping": ship}
+    return (
+        f"k{i}".encode(),
+        encode_message(msg, schema),
+        "orders",
+        0,
+        100 + i,
+        dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(seconds=i),
+    )
+
+
+def test_watcher_evolves_field_added_inside_nested_record(spark, tmp_path):
+    """The evolution-matrix leg the proto world actually exercises
+    (ProtoUpdateListener.java:101-126 evolves whole descriptor TREES):
+    a field added INSIDE a nested RECORD, with every level reordered in
+    the same push. The running stream evolves through stop→swap→restart,
+    old rows NULL-backfill the NESTED column, and the reorder neither
+    re-ingests nor mis-decodes (wire identity is the field number)."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, NESTED_V1)
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [
+            _nested_row(i, NESTED_V1, {"item_id": i, "quantity": 2, "name": "widget"})
+            for i in range(3)
+        ],
+        KAFKA_DDL,
+    ).write.parquet(str(src_dir / "b0"))
+
+    in_schema = spark.createDataFrame([], KAFKA_DDL).schema
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    live = {}
+
+    def run_stream(ingest):
+        stream = spark.readStream.schema(in_schema).format("parquet").load(str(src_dir) + "/*")
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ingest.apply))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    watcher = ProtoUpdateWatcher(
+        reg,
+        spark,
+        SchemaEvolver(table=None),
+        settings=IngestSettings(),
+        stop=lambda: live.setdefault("stopped", True),
+        restart=lambda: run_stream(watcher.ingest),
+        on_swap=lambda ing: live.update(ingest=ing),
+    )
+    run_stream(watcher.ingest)
+    assert spark.read.parquet(str(tmp_path / "wh")).count() == 3
+
+    dump_registry(reg, NESTED_V2)
+    spark.createDataFrame(
+        [
+            _nested_row(
+                i,
+                NESTED_V2,
+                {"item_id": i, "quantity": 5, "name": "gadget", "warehouse": f"w-{i}"},
+            )
+            for i in range(3, 5)
+        ],
+        KAFKA_DDL,
+    ).write.parquet(str(src_dir / "b1"))
+    plan = watcher.poll()
+
+    # the diff is the nested addition ONLY — the reorders are invisible
+    assert plan["added"] == [("shipping.warehouse", "string")]
+    assert live["stopped"] and live["ingest"].schema == NESTED_V2
+    out = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "wh"))
+    rows = {r.message_offset: r for r in out.collect()}
+    assert len(rows) == 5  # offsets preserved: b0 NOT re-ingested
+    # NULL backfill INSIDE the nested RECORD; sibling fields intact
+    # (row 102, not 100: proto zero-defaults — item_id=0 — are absent on
+    # the wire and decode as NULL regardless of evolution)
+    assert rows[100].shipping.warehouse is None
+    assert rows[102].shipping.warehouse is None
+    assert rows[102].shipping.item_id == 2 and rows[102].shipping.name == "widget"
+    # new rows decode the added nested field; the reordered descriptor
+    # still routes wire field numbers to the right names
+    assert rows[104].shipping.warehouse == "w-4"
+    assert rows[104].shipping.item_id == 4 and rows[104].shipping.quantity == 5
+    assert rows[104].order_number == "order-4" and rows[104].discount == 40
+
+
+def test_pure_reorder_push_restarts_the_stopped_stream(spark, tmp_path):
+    """A registry push that ONLY reorders fields (names/numbers/types
+    unchanged) is an empty additive diff — but the watcher has already
+    stopped the query by the time it knows that, so it must restart it
+    anyway: parser swapped, no DDL, stream alive, nothing re-ingested."""
+    reg = str(tmp_path / "reg.json")
+    dump_registry(reg, NESTED_V1)
+    src_dir = tmp_path / "incoming"
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [
+            _nested_row(i, NESTED_V1, {"item_id": i, "quantity": 2, "name": "widget"})
+            for i in range(2)
+        ],
+        KAFKA_DDL,
+    ).write.parquet(str(src_dir / "b0"))
+
+    in_schema = spark.createDataFrame([], KAFKA_DDL).schema
+    sink = WarehouseSink(table_path=str(tmp_path / "wh"), dlq_path=str(tmp_path / "dlq"))
+    live = {"restarts": 0}
+
+    def run_stream(ingest):
+        stream = spark.readStream.schema(in_schema).format("parquet").load(str(src_dir) + "/*")
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ingest.apply))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def restart():
+        live["restarts"] += 1
+        run_stream(watcher.ingest)
+
+    watcher = ProtoUpdateWatcher(
+        reg,
+        spark,
+        SchemaEvolver(table=None),
+        settings=IngestSettings(),
+        stop=lambda: live.update(stopped=True),
+        restart=restart,
+        on_swap=lambda ing: live.update(ingest=ing),
+    )
+    run_stream(watcher.ingest)
+
+    dump_registry(reg, NESTED_V1_REORDERED)
+    spark.createDataFrame(
+        [_nested_row(2, NESTED_V1_REORDERED, {"item_id": 2, "quantity": 9, "name": "late"})],
+        KAFKA_DDL,
+    ).write.parquet(str(src_dir / "b1"))
+    plan = watcher.poll()
+
+    assert plan["added"] == [] and plan["ddl"] is None
+    assert live["stopped"]
+    assert live["restarts"] == 1  # stopped ⟹ restarted, even with no DDL
+    assert live["ingest"].schema == NESTED_V1_REORDERED
+    rows = {r.message_offset: r for r in spark.read.parquet(str(tmp_path / "wh")).collect()}
+    assert len(rows) == 3  # b1 ingested by the restarted query; b0 not re-run
+    assert rows[102].shipping.quantity == 9 and rows[102].shipping.name == "late"
