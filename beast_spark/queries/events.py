@@ -19,9 +19,7 @@ from beast_spark.queries._util import cents, exact_avg, rnd
 from beast_spark.sources.tables import load_table
 
 
-@register(
-    "q23_events_hourly_window",
-    oracle="""
+_Q23_ORACLE = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
            floor((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS total_value,
@@ -29,24 +27,31 @@ from beast_spark.sources.tables import load_table
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
-    """,
-    doc="Tumbling 1-hour window aggregation (batch face of a streaming window).",
-)
-def q23_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        rnd(F.sum(cents(F.col("value"))) / 100.0, 2).alias("total_value"),
-        exact_avg(F.col("value"), 2, 2).alias("avg_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
+    """
 
 
 @register(
-    "q24_events_sessionize",
-    oracle="""
+    "q23_events_hourly_window",
+    oracle=_Q23_ORACLE,
+    doc="Tumbling 1-hour window aggregation (batch face of a streaming window).",
+)
+def q23_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase through the SHARED additive partials (the same builders
+    # the q200 streaming maintainer merges per micro-batch — twin and
+    # batch cannot drift): partial agg keyed (window, type, user), then
+    # the finalizer where countDistinct(user) collapses to count of
+    # partial rows. Same two-exchange shape Catalyst expands a
+    # countDistinct into anyway.
+    from beast_spark.operators.eventwindows import (
+        hourly_user_partials,
+        hourly_window_stats,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return hourly_window_stats(hourly_user_partials(e))
+
+
+_Q24_ORACLE = """
     WITH flagged AS (
       SELECT user_id, event_id, ts,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
@@ -68,33 +73,34 @@ def q23_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
     FROM sessions
     GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "q24_events_sessionize",
+    oracle=_Q24_ORACLE,
     doc="Sessionization (30-min gap) via gaps-and-islands: lag + cumulative sum. "
     "Streaming equivalent: session_window(ts, '30 minutes').",
 )
 def q24_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SHARED builders with the q201 streaming maintainer: event-level
+    # gaps-and-islands to intervals, ordinal ids assigned on the final
+    # (disjoint) sessions — identical rows to the old inline
+    # cumulative-flag numbering, but the interval form is the mergeable
+    # algebra the streamed twin folds micro-batches with.
+    from beast_spark.operators.eventwindows import (
+        numbered_sessions,
+        session_intervals,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.expr("unix_millis(ts)")
-    flagged = e.select(
+    return numbered_sessions(session_intervals(e)).select(
         "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            (ms - F.lag(ms).over(w) > 1800000) | F.lag("ts").over(w).isNull(), 1
-        ).otherwise(0).alias("new_sess"),
-    )
-    sessions = flagged.withColumn(
         "session_id",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        (F.expr("unix_millis(max(ts))") - F.expr("unix_millis(min(ts))")).alias("duration_ms"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_ms",
     )
 
 
@@ -983,4 +989,61 @@ def q171_ordered_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .join(e1, "user_id", "left")
         .select("user_id", "n_events", F.coalesce("matched", F.lit(False)).alias("matched"))
+    )
+
+
+@register(
+    "q200_streaming_hourly_window",
+    oracle=_Q23_ORACLE,
+    doc="q23's tumbling hourly stats maintained LIVE over the event "
+    "stream (streaming/eventstats.py::HourlyWindowStatsMaintainer) — "
+    "the oracle-checked streamed twin the SURVEY §2.B streaming row "
+    "was missing: q23 decomposes into additive per-(window, type, "
+    "user) partials (countDistinct(user) = count of partial rows), so "
+    "each micro-batch merges only ITS OWN partials into the touched "
+    "hash shards of the manifest-committed state — O(batch) I/O, "
+    "exactly-once across replays. The three micro-batches split by "
+    "event_id % 3, i.e. fully time-interleaved — the worst case for "
+    "any implementation that assumed per-batch time order. Shares "
+    "q23's oracle VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the partial-agg plan is benched as q23's batch form",
+)
+def q200_streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import HourlyWindowStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = HourlyWindowStatsMaintainer(scratch_dir("beast_q200_") + "/state")
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_stats(spark)
+
+
+@register(
+    "q201_streaming_sessionize",
+    oracle=_Q24_ORACLE,
+    doc="q24's 30-min-gap sessions maintained LIVE over the event "
+    "stream (streaming/eventstats.py::SessionStatsMaintainer): "
+    "sessions are MERGEABLE intervals (per-batch sessionization yields "
+    "sub-intervals of the final sessions; endpoint-gap re-merge of the "
+    "union is exact, split- and order-independent — the session_window "
+    "state-store algebra as an inspectable sharded table). Each "
+    "micro-batch sessionizes only its own events and re-merges only "
+    "the touched user shards. Batches split by event_id % 3 — maximal "
+    "time interleaving, so every session in the final answer was "
+    "stitched across batches. Shares q24's oracle VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the gaps-and-islands plan is benched as q24's batch form",
+)
+def q201_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import SessionStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = SessionStatsMaintainer(scratch_dir("beast_q201_") + "/state")
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_sessions(spark).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end", "duration_ms"
     )

@@ -1,0 +1,184 @@
+"""Streaming event-window maintenance: the oracle-checkable streamed
+twins of the batch window queries (q23 tumbling hourly stats, q24
+30-min-gap sessions).
+
+Both ride the shared builders in ``operators/eventwindows.py`` — the
+batch query and the maintainer compute through the SAME column
+expressions, so twin and batch cannot drift — and both commit through
+the manifest protocol (``streaming/swap.py::ManifestSwapTable``) with
+the state hash-SHARDED on its merge key: a micro-batch reads and
+rewrites only the shards its keys touch, so per-trigger I/O is
+O(touched shards), never O(state). (The whole-table
+``AdditiveStatsMaintainer`` protocol fits O(sources)-sized counters;
+window×user and user×session state grows with the corpus, so it gets
+the same touched-shard discipline as the SCD2 dimension maintainer.)
+
+* :class:`HourlyWindowStatsMaintainer` — q23 decomposes into additive
+  per-(window, event_type, user) partials (countDistinct(user) becomes
+  a count of partial rows), so maintenance is a keyed additive merge.
+* :class:`SessionStatsMaintainer` — sessions are MERGEABLE intervals:
+  per-batch event-level sessionization yields sub-intervals of the
+  final sessions, and re-merging on endpoint gaps reproduces
+  event-level sessionization of the union exactly, independent of how
+  events were split across batches (property-tested on adversarially
+  time-interleaved splits). This is the algebra Spark's
+  ``session_window`` state store applies; keeping it in DataFrame land
+  makes the state an inspectable, shard-replaceable table.
+
+Reference parity: the reference defers all window analytics to the
+warehouse (``sink/bq/BqSink.java:82-93``); this closes SURVEY §2.B's
+streaming row with driver-gate-checkable results (q200/q201 share
+q23/q24's oracles verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beast_spark.operators.eventwindows import (
+    SESSION_GAP_MS,
+    hourly_user_partials,
+    hourly_window_stats,
+    merge_session_intervals,
+    numbered_sessions,
+    session_intervals,
+)
+from beast_spark.streaming.swap import ManifestSwapTable
+
+__all__ = ["HourlyWindowStatsMaintainer", "SessionStatsMaintainer"]
+
+
+class _ShardedMergeMaintainer(ManifestSwapTable):
+    """Shared choreography for keyed-merge maintainers whose state
+    grows with the data: per batch, build the increment rows, read only
+    the touched shards, merge, and commit the replacement shards + the
+    ledger in one atomic manifest flip. Subclasses set ``_SUB`` /
+    ``_KEYS`` and provide ``_batch_rows`` / ``_merge`` / ``_meta``."""
+
+    _SUB = "state"
+    _KEYS: list[str] = []
+
+    def _meta(self) -> dict:
+        raise NotImplementedError
+
+    def _batch_rows(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _merge(self, existing: DataFrame, inc: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _guard(self) -> None:
+        stored = self.user_meta()
+        import json
+
+        want = json.loads(json.dumps(self._meta()))
+        if stored is not None and stored != want:
+            raise ValueError(
+                f"{type(self).__name__}: state at {self.path} was built "
+                f"under config {stored}, maintainer configured with "
+                f"{want} — mixed-config windows/sessions are meaningless; "
+                "rebuild the state (fresh dir + checkpoint)."
+            )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._guard()
+        spark = batch_df.sparkSession
+        # the increment is read twice (touched-shard probe + merge) —
+        # persist so the batch source is scanned once
+        inc = self._batch_rows(batch_df).persist()
+        try:
+            touched = self.touched_shards(inc, *self._KEYS)
+            existing = self._read_sub(spark, self._SUB, shards=touched)
+            merged = inc if existing is None else self._merge(existing, inc)
+            self.commit_delta(
+                batch_id,
+                shard_replacements={
+                    self._SUB: (
+                        merged.withColumn(
+                            "_shard",
+                            self.shard_of(*[F.col(c) for c in self._KEYS]),
+                        ),
+                        touched,
+                    )
+                },
+                user_meta=self._meta(),
+            )
+        finally:
+            inc.unpersist()
+
+    def _read_state(self, spark: SparkSession) -> DataFrame:
+        self._guard()
+        state = self._read_sub(spark, self._SUB)
+        if state is None:
+            raise ValueError(f"{type(self).__name__}: nothing ingested yet")
+        return state
+
+    def stream_from(self, rows: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            rows.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
+    """q23's tumbling hourly stats maintained live: additive partials
+    keyed (window_start, event_type, user_id), finalized on read."""
+
+    _SUB = "partials"
+    _KEYS = ["window_start", "event_type", "user_id"]
+
+    def _meta(self) -> dict:
+        return {"window": "1 hour"}
+
+    def _batch_rows(self, batch_df: DataFrame) -> DataFrame:
+        return hourly_user_partials(batch_df)
+
+    def _merge(self, existing: DataFrame, inc: DataFrame) -> DataFrame:
+        return (
+            existing.select(inc.columns)
+            .unionByName(inc)
+            .groupBy(*self._KEYS)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_value").alias("n_value"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+        )
+
+    def read_stats(self, spark: SparkSession) -> DataFrame:
+        """q23's output over everything ingested so far."""
+        return hourly_window_stats(self._read_state(spark))
+
+
+class SessionStatsMaintainer(_ShardedMergeMaintainer):
+    """q24's sessions maintained live: merged per-user session
+    intervals, ordinal ids assigned on read (an id is only meaningful
+    once the session set is final for the asked-at moment)."""
+
+    _SUB = "sessions"
+    _KEYS = ["user_id"]
+
+    def __init__(self, path: str, gap_ms: int = SESSION_GAP_MS, n_shards: int = 16):
+        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+        self.gap_ms = gap_ms
+
+    def _meta(self) -> dict:
+        return {"gap_ms": self.gap_ms}
+
+    def _batch_rows(self, batch_df: DataFrame) -> DataFrame:
+        return session_intervals(batch_df, gap_ms=self.gap_ms)
+
+    def _merge(self, existing: DataFrame, inc: DataFrame) -> DataFrame:
+        return merge_session_intervals(
+            existing.select(inc.columns).unionByName(inc), gap_ms=self.gap_ms
+        )
+
+    def read_sessions(self, spark: SparkSession) -> DataFrame:
+        """q24's output over everything ingested so far."""
+        return numbered_sessions(self._read_state(spark))

@@ -1,0 +1,126 @@
+"""Streamed event-window twins (q200/q201): merge algebra, exactly-once
+choreography, touched-shard-only I/O, config guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.operators.eventwindows import (
+    merge_session_intervals,
+    numbered_sessions,
+    session_intervals,
+)
+from beast_spark.streaming.eventstats import (
+    HourlyWindowStatsMaintainer,
+    SessionStatsMaintainer,
+)
+
+EVENTS_DDL = "event_id long, user_id long, event_type string, ts timestamp, value double"
+
+
+def _ev(eid, uid, minutes, etype="click", value=1.0):
+    return (eid, uid, etype, dt.datetime(2024, 3, 1, 8, 0, 0) + dt.timedelta(minutes=minutes), value)
+
+
+def _sessions_set(df):
+    return {
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in df.collect()
+    }
+
+
+def test_session_merge_stitches_across_batches_any_split(spark):
+    """The mergeable-interval algebra: event-level sessionization of the
+    union == interval re-merge of per-batch sessions, for adversarial
+    splits — including the chain case where batch A's two far-apart
+    sessions are only connected by batch B's bridging event."""
+    rows = [
+        _ev(1, 1, 0),      # s1: 08:00
+        _ev(2, 1, 25),     # bridges to 08:25
+        _ev(3, 1, 50),     # bridges to 08:50 (gap 25)
+        _ev(4, 1, 120),    # new session: gap 70
+        _ev(5, 2, 0),
+        _ev(6, 2, 31),     # user 2: two singleton sessions (gap 31)
+        _ev(7, 3, 10),
+    ]
+    full = spark.createDataFrame(rows, EVENTS_DDL)
+    expected = _sessions_set(numbered_sessions(session_intervals(full)))
+    # splits: time-interleaved parity, bridge-last, and singletons
+    splits = [
+        [rows[0::2], rows[1::2]],
+        [[rows[0], rows[2], rows[3]], [rows[1]], rows[4:]],
+        [[r] for r in rows],
+    ]
+    for parts in splits:
+        merged = None
+        for part in parts:
+            inc = session_intervals(spark.createDataFrame(part, EVENTS_DDL))
+            merged = inc if merged is None else merge_session_intervals(
+                merged.unionByName(inc)
+            )
+        assert _sessions_set(numbered_sessions(merged)) == expected
+
+
+def test_hourly_maintainer_replay_and_touched_shards(spark, tmp_path):
+    m = HourlyWindowStatsMaintainer(str(tmp_path / "state"))
+    b0 = spark.createDataFrame([_ev(i, i % 4, i) for i in range(20)], EVENTS_DDL)
+    m.apply_batch(b0, 0)
+    first = {tuple(r) for r in m.read_stats(spark).collect()}
+    # replay after a post-commit crash: a no-op
+    m.apply_batch(b0, 0)
+    assert {tuple(r) for r in m.read_stats(spark).collect()} == first
+
+    # a batch touching ONE user rewrites only that key's shards: every
+    # other fragment leaf survives byte-identical (path-identical)
+    before = set(m.sub_leaves("partials"))
+    one_user = spark.createDataFrame([_ev(100, 1, 30)], EVENTS_DDL)
+    touched = m.touched_shards(
+        m._batch_rows(one_user), *m._KEYS
+    )
+    m.apply_batch(one_user, 1)
+    after = set(m.sub_leaves("partials"))
+    untouched_kept = {
+        leaf for leaf in before
+        if not any(leaf.endswith(f"_shard={s}") for s in touched)
+    }
+    assert untouched_kept <= after  # untouched shards' leaves survive
+
+
+def test_hourly_maintainer_matches_batch_on_fixture(spark, sf_dir):
+    from beast_spark.queries import all_queries
+
+    batch = all_queries()["q23_events_hourly_window"].fn(spark, sf_dir)
+    import uuid, tempfile, os
+    state = os.path.join(tempfile.gettempdir(), f"evs_{uuid.uuid4().hex}")
+    m = HourlyWindowStatsMaintainer(state)
+    from beast_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    for b in range(4):
+        m.apply_batch(e.filter(F.col("event_id") % 4 == b), b)
+    assert {tuple(r) for r in m.read_stats(spark).collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+
+
+def test_session_maintainer_guard_rejects_changed_gap(spark, tmp_path):
+    m = SessionStatsMaintainer(str(tmp_path / "state"), gap_ms=1_800_000)
+    m.apply_batch(spark.createDataFrame([_ev(1, 1, 0)], EVENTS_DDL), 0)
+    m2 = SessionStatsMaintainer(str(tmp_path / "state"), gap_ms=60_000)
+    with pytest.raises(ValueError, match="mixed-config"):
+        m2.apply_batch(spark.createDataFrame([_ev(2, 1, 5)], EVENTS_DDL), 1)
+    with pytest.raises(ValueError, match="mixed-config"):
+        m2.read_sessions(spark)
+    # the original config still reads fine
+    assert m.read_sessions(spark).count() == 1
+
+
+def test_session_maintainer_empty_batch_is_committed(spark, tmp_path):
+    m = SessionStatsMaintainer(str(tmp_path / "state"))
+    m.apply_batch(spark.createDataFrame([_ev(1, 1, 0)], EVENTS_DDL), 0)
+    m.apply_batch(spark.createDataFrame([], EVENTS_DDL), 1)
+    assert 1 in m.applied_batches()
+    assert m.read_sessions(spark).count() == 1
