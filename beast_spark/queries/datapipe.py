@@ -7338,3 +7338,80 @@ def q199_capped_lsh_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@register(
+    "q203_text_source_documents",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+           count(DISTINCT text) AS n_distinct
+    FROM documents
+    """,
+    doc="Raw text source under the driver gate (sources/files.py::"
+    "read_text — registered coverage for the line-oriented corpus scan "
+    "added in round 7): the documents' text is materialized as plain "
+    "UTF-8 lines (the commonest LLM-corpus interchange shape) and the "
+    "line-level accounting over the text scan — line count, char mass, "
+    "whitespace token mass, distinct lines — must match the parquet "
+    "oracle exactly. The fixture texts are newline-free by "
+    "construction, so line == document.",
+    bench=False,
+    bench_reason="source-format coverage; the scan feeds the same agg shapes benched elsewhere",
+)
+def q203_text_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.sources.files import read_text
+
+    base = scratch_dir("beast_q203_")
+    load_table(spark, sf_dir, "documents").select("text").write.text(f"{base}/docs_txt")
+    t = read_text(spark, f"{base}/docs_txt")
+    toks = F.filter(F.split(F.col("value"), " "), lambda x: F.length(x) > 0)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
+@register(
+    "q204_streaming_ivf_compact_then_serve",
+    oracle=_STREAM_IVF_ORACLE,
+    doc="q178's streamed IVF search with the COMPACTION path in the "
+    "line of fire (round-8 verdict #7: maybe_compact was only "
+    "unit-tested): four micro-batches, an explicit mid-stream "
+    "compact() of both the cell-sharded postings and the id-sharded "
+    "vectors after batch 1 (the amortized fold maybe_compact fires at "
+    "its fragment threshold), two more appends ON TOP of the folded "
+    "fragments, then the same search — identical rows to the oracle's "
+    "full-corpus replay, proving fold + subsequent appends change "
+    "bytes-on-disk layout only, never content. Shares q178's oracle "
+    "VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the search plan is benched as q178/q174's batch forms",
+)
+def q204_streaming_ivf_compact_then_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q204_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(f"{base}/state", f"{base}/centroids")
+    for batch in range(2):
+        m.apply_batch(e.filter(F.col("vec_id") % 4 == batch), batch)
+    # fold everything committed so far into one fragment per shard,
+    # then keep streaming: the next appends land NEXT TO folded leaves
+    m.compact(spark, "assigned", shard_col="cid")
+    m.compact(spark, "vectors", shard_col="vec_id")
+    for batch in range(2, 4):
+        m.apply_batch(e.filter(F.col("vec_id") % 4 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.search(spark, qs, nprobe=2, k=10)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

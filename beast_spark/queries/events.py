@@ -1047,3 +1047,40 @@ def q201_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_sessions(spark).select(
         "user_id", "session_id", "n_events", "session_start", "session_end", "duration_ms"
     )
+
+
+@register(
+    "q202_orc_source_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+           count(DISTINCT user_id) AS n_users,
+           min(ts) AS first_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="ORC source under the driver gate (sources/files.py::read_orc — "
+    "registered coverage for the scan surface added in round 7): the "
+    "events table round-trips through an ORC copy (written once into "
+    "process-scoped scratch) and the aggregate over the ORC scan must "
+    "match the parquet oracle exactly, including the timestamp column "
+    "surviving the format conversion (min(ts) is in the hash). ORC "
+    "predicate pushdown/pruning follow the same DataSource V1 path "
+    "plan-tested in test_sources.py.",
+    bench=False,
+    bench_reason="source-format coverage; the aggregate plan is benched via the parquet-scan queries",
+)
+def q202_orc_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import cents, scratch_dir
+    from beast_spark.sources.files import read_orc
+
+    base = scratch_dir("beast_q202_")
+    load_table(spark, sf_dir, "events").write.orc(f"{base}/events_orc")
+    o = read_orc(spark, f"{base}/events_orc")
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+    )
