@@ -282,7 +282,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
     # -- search over the maintained index --------------------------------
 
     def candidates(
-        self, spark: SparkSession, queries: DataFrame, nprobe: int = 2
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        nprobe: int = 2,
+        max_probe_collect: int = 100_000,
     ) -> DataFrame:
         """(query_id, query_vec, vec_id): the probed cells' members per
         query, self-matches excluded — the maintained-state twin of
@@ -298,6 +302,12 @@ class IvfIndexMaintainer(ManifestSwapTable):
         their shard ids come back in ONE collect (Q × nprobe scalar
         rows, never vectors — the serving regime this read is for),
         so the probe-selection plan runs once, not once per consumer.
+        That collect is bounded: when Q × nprobe exceeds
+        ``max_probe_collect`` (an OFFLINE-sized query set, where shard
+        pruning buys nothing — most shards are touched anyway), the
+        read falls back to the previous pure-plan form: full postings
+        scan joined against the broadcast probe frame, zero driver
+        materialization.
 
         Reads validate the frozen-artifact marker first: a search-only
         maintainer constructed with the ORIGINAL centroids after a
@@ -310,25 +320,32 @@ class IvfIndexMaintainer(ManifestSwapTable):
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
-        pair_schema = probes.select("query_id", "cid").schema
-        rows = probes.select(
-            "query_id", "cid", self.shard_of(F.col("cid")).alias("s")
-        ).collect()
-        assigned = (
-            self._read_sub(
-                spark, "assigned", shards=sorted({r.s for r in rows})
+        if queries.count() * nprobe > max_probe_collect:
+            # offline regime: the probe list stays a plan, the postings
+            # scan goes unpruned (with this many probes it would touch
+            # ~every shard anyway)
+            assigned = self._read_sub(spark, "assigned")
+            pairs = probes.select("query_id", "cid")
+        else:
+            pair_schema = probes.select("query_id", "cid").schema
+            rows = probes.select(
+                "query_id", "cid", self.shard_of(F.col("cid")).alias("s")
+            ).collect()
+            assigned = (
+                self._read_sub(
+                    spark, "assigned", shards=sorted({r.s for r in rows})
+                )
+                if rows
+                else None
             )
-            if rows
-            else None
-        )
-        if assigned is None:
-            # probed shards hold no fragments ⇒ the probed cells are
-            # empty ⇒ no candidates; the zero-row full read keeps the
-            # schema exact for any id type
-            assigned = self._read_sub(spark, "assigned").limit(0)
-        pairs = spark.createDataFrame(
-            [(r.query_id, r.cid) for r in rows], pair_schema
-        )
+            if assigned is None:
+                # probed shards hold no fragments ⇒ the probed cells are
+                # empty ⇒ no candidates; the zero-row full read keeps the
+                # schema exact for any id type
+                assigned = self._read_sub(spark, "assigned").limit(0)
+            pairs = spark.createDataFrame(
+                [(r.query_id, r.cid) for r in rows], pair_schema
+            )
         qv = queries.select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.vec_col).alias("query_vec"),
@@ -573,8 +590,12 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # this process's attrs update) restarted with the ORIGINAL
         # artifact paths fails validation explicitly — never a silent
         # mix of index generations.
+        # re-record the newest applied batch so the rebuild cannot
+        # regress the ledger; an EMPTY ledger stays empty (None) — a
+        # fabricated batch id 0 would make a stream started after the
+        # rebuild skip its first real micro-batch as a replay
         self.commit_delta(
-            max(applied) if applied else 0,
+            max(applied) if applied else None,
             full=frames,
             sharded_appends=sharded,
             drop=stale,

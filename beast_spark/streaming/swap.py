@@ -329,11 +329,33 @@ class ManifestSwapTable:
     compaction (``streaming/maintenance.py``).
 
     Single-writer per state directory, like every maintainer here (one
-    streaming query owns one checkpoint owns one state dir)."""
+    streaming query owns one checkpoint owns one state dir). Readers:
+    within the writer's process, a read plan built from one manifest
+    load is self-consistent — the flip is atomic and fragments are
+    immutable. A reader in ANOTHER process (e.g. a serving search that
+    loaded the previous manifest) can lose a superseded leaf to the
+    post-flip GC between its manifest load and its Spark action when a
+    shard replacement / compaction lands in between; either quiesce
+    readers across those operations or construct the table with
+    ``gc_grace_gens > 0``, which retains superseded leaves for that
+    many further generations before deleting them (the
+    retain-N-snapshots discipline every table format with concurrent
+    readers uses).
 
-    def __init__(self, path: str, n_shards: int = 16) -> None:
+    Durability model: PROCESS-crash safe as described above. For
+    MACHINE-crash (power-loss) durability the manifest tmp file is
+    fsynced and the rename is fsynced via the state directory fd, but
+    fragment parquet DATA files are written by Spark without an
+    explicit fsync — on power loss a surviving manifest may reference
+    fragment bytes the page cache never flushed. At warehouse scale the
+    fragments live on object storage / a journaled DFS where visibility
+    implies durability; on a bare local disk, power-loss recovery is
+    rebuild-from-checkpoint."""
+
+    def __init__(self, path: str, n_shards: int = 16, gc_grace_gens: int = 0) -> None:
         self.path = path
         self.n_shards = n_shards
+        self.gc_grace_gens = gc_grace_gens
 
     # -- manifest io --------------------------------------------------------
 
@@ -472,15 +494,22 @@ class ManifestSwapTable:
 
     # -- commit ---------------------------------------------------------------
 
-    def _gc(self, manifest: dict) -> None:
-        """Delete every on-disk leaf the manifest does not reference —
-        orphans from a crashed commit (written, never flipped live) and
-        leaves superseded by a shard replacement or compaction."""
-        referenced = {
+    @staticmethod
+    def _referenced(manifest: dict) -> set[str]:
+        return {
             rel
             for frags in manifest["subs"].values()
             for frag in frags
             for rel in frag.values()
+        }
+
+    def _gc(self, manifest: dict) -> None:
+        """Delete every on-disk leaf the manifest neither references nor
+        retains for grace (``retired``) — orphans from a crashed commit
+        (written, never flipped live) and leaves superseded by a shard
+        replacement or compaction whose grace has lapsed."""
+        referenced = self._referenced(manifest) | {
+            p for entry in manifest.get("retired", []) for p in entry["paths"]
         }
         if not os.path.isdir(self.path):
             return
@@ -523,20 +552,48 @@ class ManifestSwapTable:
 
     def _flip(self, manifest: dict) -> None:
         """Atomically install ``manifest`` as the live one (write tmp,
-        fsync, rename — THE commit point), then GC superseded leaves.
-        The single copy of the flip protocol, shared by commit_delta
-        and compact."""
+        fsync, rename, fsync the directory — THE commit point), then GC
+        leaves that are neither referenced nor inside the
+        ``gc_grace_gens`` retention window. The single copy of the flip
+        protocol, shared by commit_delta and compact."""
+        prev = self._load_manifest()
+        if self.gc_grace_gens > 0:
+            # newly superseded leaves enter the retention list stamped
+            # with the generation that retired them; entries older than
+            # the grace window fall out and _gc below deletes them
+            retired = list((prev or {}).get("retired", []))
+            superseded = sorted(
+                (self._referenced(prev) if prev else set())
+                - self._referenced(manifest)
+            )
+            if superseded:
+                retired.append({"gen": manifest["gen"], "paths": superseded})
+            cutoff = manifest["gen"] - self.gc_grace_gens
+            manifest["retired"] = [e for e in retired if e["gen"] > cutoff]
+        else:
+            # grace switched off: previously retained leaves expire now
+            # (compact() passes the loaded manifest through by mutation,
+            # which would otherwise carry a stale retention list forever)
+            manifest.pop("retired", None)
         tmp = self._manifest_file() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, self._manifest_file())  # <- the commit point
+        # fsync the containing directory so the rename itself survives
+        # power loss (see the class docstring for the fragment-data
+        # durability assumption)
+        dirfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         self._gc(manifest)
 
     def commit_delta(
         self,
-        batch_id: int,
+        batch_id: int | None,
         appends: dict[str, DataFrame] | None = None,
         sharded_appends: dict[str, DataFrame] | None = None,
         shard_replacements: dict[str, tuple[DataFrame, list[int]]] | None = None,
@@ -565,7 +622,13 @@ class ManifestSwapTable:
         ``drop`` removes whole sub-tables from the manifest (their
         leaves GC after the flip) — how a rebuild retires a tier it no
         longer derives; leaving the entries in place would silently
-        serve index rows encoded under retired artifacts."""
+        serve index rows encoded under retired artifacts.
+
+        ``batch_id=None`` commits WITHOUT touching the applied-batch
+        ledger — for out-of-band maintenance (an offline rebuild on an
+        empty ledger) that must not fabricate a batch id: recording 0
+        there would make a stream started afterwards silently skip its
+        real batch 0 as a replay."""
         manifest = self._manifest()
         self._gc(manifest)  # orphans from a crashed previous commit
         gen = manifest["gen"] + 1
@@ -596,6 +659,18 @@ class ManifestSwapTable:
             dest = os.path.join(self.path, name, f"g{gen}")
             leaves = self._write_sharded(df, dest)
             touched_keys = {str(s) for s in touched}
+            extra = set(leaves) - touched_keys
+            if extra:
+                # a replacement frame carrying shards outside the
+                # declared touched list would silently DUPLICATE those
+                # shards' rows (old leaf kept AND new leaf added) — a
+                # caller bug this commit must refuse, not corrupt reads
+                raise ValueError(
+                    f"ManifestSwapTable: shard replacement for {name!r} "
+                    f"wrote shard(s) {sorted(extra)} outside the declared "
+                    f"touched set {sorted(touched_keys)} — the frame's "
+                    "_shard values must be a subset of `touched`."
+                )
             kept = [
                 {k: v for k, v in frag.items() if k not in touched_keys}
                 for frag in old
@@ -606,9 +681,12 @@ class ManifestSwapTable:
             df.write.parquet(dest)
             subs[name] = [{"_": f"{name}/g{gen}"}]
 
+        applied = self.applied_batches()
         new_manifest = {
             "gen": gen,
-            "applied_batches": sorted(self.applied_batches() | {batch_id}),
+            "applied_batches": sorted(
+                applied if batch_id is None else applied | {batch_id}
+            ),
             "subs": subs,
             "n_shards": self.n_shards,
         }

@@ -506,3 +506,112 @@ def test_manifest_protocol_matches_python_model(spark, tmp_path_factory, ops):
         assert got == model, f"after {op}"
     # crashes leave no ghost rows behind even at the end
     shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_shard_replacement_rejects_undeclared_shards(spark, tmp_path):
+    """Round-9 ADVICE: a replacement frame whose _shard values stray
+    outside the declared touched list would silently DUPLICATE those
+    shards' rows (old leaf kept AND new leaf written) — must refuse."""
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=4)
+    df0 = spark.range(20).withColumn("_shard", F.pmod(F.hash("id"), F.lit(4)))
+    t.commit_delta(0, shard_replacements={"tab": (df0, [0, 1, 2, 3])})
+    with pytest.raises(ValueError, match="outside the declared"):
+        t.commit_delta(1, shard_replacements={"tab": (df0, [0])})
+    # the refused commit is invisible: content + ledger unchanged, and
+    # its orphan leaves are GC'd by the next successful commit
+    assert t.applied_batches() == {0}
+    assert t._read_sub(spark, "tab").count() == 20
+    one = df0.filter(F.col("_shard") == 0)
+    t.commit_delta(1, shard_replacements={"tab": (one, [0])})
+    assert t._read_sub(spark, "tab").count() == one.count() + df0.filter(
+        F.col("_shard") != 0
+    ).count()
+
+
+def test_gc_grace_retains_superseded_leaves(spark, tmp_path):
+    """gc_grace_gens=N keeps superseded leaves on disk for N further
+    generations — the concurrent-reader window the round-9 ADVICE
+    flagged — then deletes them."""
+    path = str(tmp_path / "state")
+    t = ManifestSwapTable(path, n_shards=2, gc_grace_gens=1)
+    df0 = spark.range(10).withColumn("_shard", F.pmod(F.hash("id"), F.lit(2)))
+    t.commit_delta(0, shard_replacements={"tab": (df0, [0, 1])})
+    gen1_leaves = set(t.sub_leaves("tab"))
+
+    t.commit_delta(1, shard_replacements={"tab": (df0, [0, 1])})
+    # superseded gen-1 leaves survive on disk (a reader holding the old
+    # manifest can still finish its scan) and are listed as retired
+    for leaf in gen1_leaves:
+        assert os.path.exists(leaf), f"superseded leaf deleted inside grace: {leaf}"
+    manifest = json.load(open(os.path.join(path, "MANIFEST.json")))
+    retired = {p for e in manifest["retired"] for p in e["paths"]}
+    assert retired  # non-empty retention list
+
+    t.commit_delta(2, shard_replacements={"tab": (df0, [0, 1])})
+    # grace lapsed: gen-1 leaves are gone, gen-2's are now the retained set
+    for leaf in gen1_leaves:
+        assert not os.path.exists(leaf), f"leaf outlived its grace: {leaf}"
+    # content always correct regardless of retention
+    assert t._read_sub(spark, "tab").count() == 10
+
+
+def test_commit_without_batch_id_leaves_ledger_alone(spark, tmp_path):
+    t = ManifestSwapTable(str(tmp_path / "state"))
+    t.commit_delta(None, appends={"tab": spark.range(5)})
+    assert t.applied_batches() == set()
+    t.commit_delta(0, appends={"tab": spark.range(5)})
+    assert t.applied_batches() == {0}
+
+
+def test_ivf_rebuild_on_empty_ledger_does_not_swallow_batch_zero(spark, tmp_path):
+    """Round-9 ADVICE: rebuild() on a never-streamed maintainer used to
+    record batch id 0, so the stream's FIRST micro-batch was silently
+    skipped as a replay."""
+    from beast_spark.operators.similarity import ivf_assign
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    cent = str(tmp_path / "cent")
+    spark.createDataFrame(_rows(4), DDL).write.parquet(cent)
+    m = IvfIndexMaintainer(str(tmp_path / "state"), cent)
+    # a bulk-loaded (never-streamed) state dir: vectors + assignments
+    # committed out-of-band, ledger EMPTY — the scenario the advice
+    # found rebuild() fabricating batch id 0 in
+    vecs = spark.createDataFrame(_rows(30), DDL)
+    m.commit_delta(
+        None,
+        sharded_appends={
+            "assigned": ivf_assign(vecs, spark.read.parquet(cent))
+            .select("vec_id", "cid")
+            .withColumn("_shard", m.shard_of(F.col("cid"))),
+            "vectors": vecs.withColumn("_shard", m.shard_of(F.col("vec_id"))),
+        },
+        user_meta=m._meta_for(cent, None, None),
+    )
+    m.rebuild(spark, cent)
+    assert m.applied_batches() == set()
+    m.apply_batch(spark.createDataFrame(_rows(10, base=100), DDL), 0)
+    assert 0 in m.applied_batches()
+    # batch 0's vectors actually landed (not skipped as a replay)
+    ids = {r.vec_id for r in m.read_vectors(spark).collect()}
+    assert {100 + i for i in range(10)} <= ids
+
+
+def test_ivf_candidates_offline_fallback_matches_pruned_path(spark, tmp_path):
+    """Round-9 ADVICE: past the max_probe_collect ceiling, candidates()
+    must switch to the zero-collect broadcast-plan form and return the
+    same rows."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    spark.createDataFrame(_rows(8), DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    m.apply_batch(spark.createDataFrame(_rows(60), DDL), 0)
+    qs = spark.createDataFrame(_rows(5), DDL)
+    pruned = {
+        (r.query_id, r.vec_id)
+        for r in m.candidates(spark, qs, nprobe=2).collect()
+    }
+    offline = {
+        (r.query_id, r.vec_id)
+        for r in m.candidates(spark, qs, nprobe=2, max_probe_collect=0).collect()
+    }
+    assert offline == pruned and pruned
