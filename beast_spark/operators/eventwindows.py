@@ -58,7 +58,10 @@ def hourly_user_partials(events: DataFrame) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("value").alias("n_value"),
-        F.coalesce(F.sum(cents(F.col("value"))), F.lit(0)).cast("long").alias("sum_cents"),
+        # no coalesce-to-0: an all-NULL group must stay NULL so the
+        # finalizer's sums (which skip NULL partials, like SQL's) agree
+        # with a direct sum over the events — total_value NULL, not 0.00
+        F.sum(cents(F.col("value"))).cast("long").alias("sum_cents"),
     )
 
 

@@ -380,30 +380,34 @@ def _capped_incremental_gate(
     existing_side: DataFrame,
     keys: list[str],
     max_bucket: int,
+    new_id: str,
+    ex_id: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared degenerate-bucket gate for the INCREMENTAL pair forms:
-    drops every bucket whose COMBINED occupancy (increment rows +
-    probed existing rows) exceeds ``max_bucket`` — the same bucket a
-    full batch rebuild over everything-so-far would drop, so capping
-    stays consistent with the batch form's semantics (exact
-    incremental == batch equivalence holds only while no bucket
-    crosses the cap; capping is inherently non-monotone — see the
-    callers' docstrings).
+    drops every bucket whose COMBINED occupancy (DISTINCT ids across
+    increment rows + probed existing rows — distinct, so an id present
+    on both sides, the overlapping re-append the pair joins already
+    guard against, counts once) exceeds ``max_bucket`` — exactly the
+    bucket a full batch rebuild over everything-so-far would drop
+    (``capped_bucket_pairs`` sizes by collect_set), so capping stays
+    consistent with the batch form's semantics (exact incremental ==
+    batch equivalence holds only while no bucket crosses the cap;
+    capping is inherently non-monotone — see the callers' docstrings).
 
     Returns (gated_new, gated_existing, dropped) where dropped is
-    (``*keys``, bucket_size) with combined sizes. Both count aggs run
-    over slim already-pruned frames; the gate itself is a broadcast
-    anti-join (degenerate buckets are few by construction — each holds
-    > max_bucket rows), so the existing side's Exchange-free probe
-    shape survives.
+    (``*keys``, bucket_size). The occupancy agg runs over the slim
+    already-pruned union; the gate itself is a broadcast anti-join
+    (degenerate buckets are few by construction — each holds >
+    max_bucket rows), so the existing side's Exchange-free probe shape
+    survives.
     """
-    ncnt = new_side.groupBy(*keys).agg(F.count("*").alias("_n_new"))
-    ecnt = existing_side.groupBy(*keys).agg(F.count("*").alias("_n_exist"))
-    sizes = ncnt.join(ecnt, keys, "left").select(
-        *keys,
-        (F.col("_n_new") + F.coalesce(F.col("_n_exist"), F.lit(0))).alias("bucket_size"),
+    occupancy = (
+        new_side.select(*keys, F.col(new_id).alias("_gid"))
+        .unionByName(existing_side.select(*keys, F.col(ex_id).alias("_gid")))
+        .groupBy(*keys)
+        .agg(F.countDistinct("_gid").alias("bucket_size"))
     )
-    dropped = sizes.filter(F.col("bucket_size") > max_bucket)
+    dropped = occupancy.filter(F.col("bucket_size") > max_bucket)
     gate = F.broadcast(dropped.select(*keys))
     return (
         new_side.join(gate, keys, "left_anti"),
@@ -544,7 +548,9 @@ def incremental_lsh_neardup_pairs_indexed(
     )
     touched = a.select("bucket").distinct()
     ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
-    a, ex, dropped = _capped_incremental_gate(a, ex, ["bucket"], max_bucket)
+    a, ex, dropped = _capped_incremental_gate(
+        a, ex, ["bucket"], max_bucket, "nid", id_col
+    )
     b = a.select(
         "bucket",
         F.col("nid").alias("vec2"),
@@ -966,7 +972,7 @@ def incremental_multitable_neardup_pairs(
     touched = new_post.select("t", "bucket").distinct()
     ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
     gated_post, ex, dropped = _capped_incremental_gate(
-        new_post, ex, ["t", "bucket"], max_bucket
+        new_post, ex, ["t", "bucket"], max_bucket, id_col, id_col
     )
 
     # new × new: self-join the increment postings per (t, bucket)
@@ -1282,7 +1288,9 @@ def incremental_lsh_neardup_pairs_quantized(
     )
     touched = a.select("bucket").distinct()
     ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
-    a, ex, dropped = _capped_incremental_gate(a, ex, ["bucket"], max_bucket)
+    a, ex, dropped = _capped_incremental_gate(
+        a, ex, ["bucket"], max_bucket, "nid", id_col
+    )
     b = a.select(
         "bucket",
         F.col("nid").alias("vec2"),

@@ -6234,24 +6234,38 @@ _TEXT_MT_SQL = f""",
     "the 0.7 boundary (1-(1-0.747^12)^100). "
     "Scale shape: shingles explode map-side, one shuffle on "
     "(doc, bucket), per-doc map assembly, vectors materialized ONCE to "
-    "scratch parquet (the miner reads them three times), bucketing is "
-    "one Arrow-batched BLAS matmul, the pair join runs on slim "
-    "(t, bucket, id) postings with id-pair dedup BEFORE vectors are "
-    "touched — never a cartesian; zero-norm vectors (all buckets "
-    "cancelled) are dropped explicitly so no NaN cosine reaches the "
-    "threshold (NaN orders ABOVE all values in both engines).",
+    "a scratch table BUCKETED BY doc_id (q98's discipline — the miner "
+    "scores pairs through two doc_id-keyed vector joins, and the "
+    "bucketed scan's hash partitioning survives the projection "
+    "aliases, so NEITHER vector join shuffles the vectors side at any "
+    "scale; round-8 verdict #5 — plan-asserted in "
+    "test_plan_quality.py), bucketing is one Arrow-batched BLAS "
+    "matmul, the pair join runs on slim (t, bucket, id) postings with "
+    "id-pair dedup BEFORE vectors are touched — never a cartesian; "
+    "zero-norm vectors (all buckets cancelled) are dropped explicitly "
+    "so no NaN cosine reaches the threshold (NaN orders ABOVE all "
+    "values in both engines).",
 )
 def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.functions.vectors import dot
     from beast_spark.operators.dedup import hashed_doc_vectors
     from beast_spark.operators.similarity import lsh_multitable_neardup_pairs
+    from beast_spark.queries._util import scratch_table
+    from beast_spark.sources.bucketing import write_bucketed
 
     d = load_table(spark, sf_dir, "documents")
     base = scratch_dir("beast_q185_")
-    hashed_doc_vectors(d, dims=64, n=3).filter(
-        dot(F.col("embedding"), F.col("embedding")) > 0
-    ).write.parquet(f"{base}/vecs")
-    vecs = spark.read.parquet(f"{base}/vecs")
+    tab = scratch_table(spark, "beast_q185_vecs")
+    write_bucketed(
+        hashed_doc_vectors(d, dims=64, n=3).filter(
+            dot(F.col("embedding"), F.col("embedding")) > 0
+        ),
+        tab,
+        ["doc_id"],
+        n_buckets=8,
+        path=f"{base}/vecs",
+    )
+    vecs = spark.table(tab)
     return lsh_multitable_neardup_pairs(
         vecs,
         dims=64,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from beast_spark.queries import register
-from beast_spark.queries._util import cents, exact_avg, rnd
+from beast_spark.queries._util import rnd
 from beast_spark.sources.tables import load_table
 
 

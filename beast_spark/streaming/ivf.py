@@ -320,7 +320,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
-        if queries.count() * nprobe > max_probe_collect:
+        # bounded regime probe: count at most ceiling+1 query rows (a
+        # full count of a derived query frame could cost as much as the
+        # search itself — the serving path must not pay it)
+        q_ceiling = max_probe_collect // max(nprobe, 1)
+        if queries.limit(q_ceiling + 1).count() > q_ceiling:
             # offline regime: the probe list stays a plan, the postings
             # scan goes unpruned (with this many probes it would touch
             # ~every shard anyway)

@@ -556,11 +556,13 @@ class ManifestSwapTable:
         leaves that are neither referenced nor inside the
         ``gc_grace_gens`` retention window. The single copy of the flip
         protocol, shared by commit_delta and compact."""
-        prev = self._load_manifest()
         if self.gc_grace_gens > 0:
             # newly superseded leaves enter the retention list stamped
             # with the generation that retired them; entries older than
             # the grace window fall out and _gc below deletes them
+            # (prev is loaded only on this branch — the default
+            # immediate-GC path pays no extra manifest read)
+            prev = self._load_manifest()
             retired = list((prev or {}).get("retired", []))
             superseded = sorted(
                 (self._referenced(prev) if prev else set())
@@ -681,7 +683,7 @@ class ManifestSwapTable:
             df.write.parquet(dest)
             subs[name] = [{"_": f"{name}/g{gen}"}]
 
-        applied = self.applied_batches()
+        applied = set(manifest["applied_batches"])  # already loaded above
         new_manifest = {
             "gen": gen,
             "applied_batches": sorted(

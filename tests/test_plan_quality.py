@@ -398,3 +398,76 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(query_dfs):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unpartitioned windows over unbounded inputs: {offenders}"
+
+
+def test_q185_vector_joins_never_shuffle_bucketed_vectors(spark, sf_dir, tmp_path):
+    """Round-8 verdict #5: q185's pair-scoring vector joins relied on
+    AQE broadcast at test scale. The scratch vectors are now a
+    doc_id-bucketed table; with broadcast forced OFF (the 100-TB
+    regime, where the vectors side cannot broadcast), the sort-merge
+    joins must read the bucketed scans WITHOUT an Exchange on the
+    vectors side — only the slim candidate-pair side shuffles."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.functions.vectors import dot, norm
+    from beast_spark.operators.dedup import hashed_doc_vectors
+    from beast_spark.sources.bucketing import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    spark.sql("DROP TABLE IF EXISTS beast_test_q185_vecs")
+    write_bucketed(
+        hashed_doc_vectors(d, dims=64, n=3).filter(
+            dot(F.col("embedding"), F.col("embedding")) > 0
+        ),
+        "beast_test_q185_vecs",
+        ["doc_id"],
+        n_buckets=8,
+        path=str(tmp_path / "q185_vecs"),
+    )
+    vecs = spark.table("beast_test_q185_vecs")
+    # the miner's exact vector-join subplan (lsh_multitable_neardup_pairs
+    # after the postings stage): slim distinct id pairs, then one join
+    # per pair side
+    cand = (
+        vecs.select(F.col("doc_id").alias("vec1"))
+        .join(vecs.select(F.col("doc_id").alias("vec2")), F.col("vec1") < F.col("vec2"))
+        .limit(100)
+    )
+    v = vecs.select(
+        F.col("doc_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        norm(F.col("embedding")).alias("_n"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    old_aqe = spark.conf.get(aqe_key, None)  # None ⇒ was unset: restore by unsetting
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(aqe_key, "-1")
+    try:
+        j = (
+            cand.join(
+                v.select(F.col("_id").alias("vec1"), F.col("_v").alias("v1"), F.col("_n").alias("n1")),
+                "vec1",
+            )
+            .join(
+                v.select(F.col("_id").alias("vec2"), F.col("_v").alias("v2"), F.col("_n").alias("n2")),
+                "vec2",
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset(aqe_key)
+        else:
+            spark.conf.set(aqe_key, old_aqe)
+    scans = [ln for ln in plan.splitlines() if "beast_test_q185_vecs" in ln]
+    vec_side = [ln for ln in scans if "Bucketed: true" in ln]
+    # both pair-side vector scans ride the bucketed layout (the cand
+    # subplan's own scans may or may not — it shuffles regardless)
+    assert len(vec_side) >= 2, plan
+    # and the shuffles that DO exist belong to the candidate side: with
+    # 2 joins over an 8-bucket table, the vectors contribute zero
+    # Exchange, the cand side at most one per join
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    spark.sql("DROP TABLE IF EXISTS beast_test_q185_vecs")
