@@ -266,9 +266,7 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "cos_sim", "rank")
 
 
-@register(
-    "q69_sliding_window_batch",
-    oracle="""
+_Q69_ORACLE = """
     WITH w AS (
       SELECT unnest([date_trunc('hour', ts),
                      date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
@@ -280,7 +278,12 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM w
     GROUP BY wstart
-    """,
+    """
+
+
+@register(
+    "q69_sliding_window_batch",
+    oracle=_Q69_ORACLE,
     doc="Sliding event-time windows on the batch face (2h window, 1h "
     "slide — every event lands in exactly two windows; the oracle "
     "replicates Spark's epoch-aligned window assignment via unnest of "
@@ -544,3 +547,28 @@ def q146_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", arr.alias("arr")).select(
         "doc_id", F.posexplode_outer("arr").alias("pos", "long_word")
     )
+
+
+@register(
+    "q206_streaming_sliding_window",
+    oracle=_Q69_ORACLE,
+    doc="q69's sliding 2h/1h windows served from q200's MAINTAINED "
+    "hourly partials — one streamed state, many window geometries: an "
+    "epoch-aligned sliding window with hour-multiple width and slide "
+    "is an exact sum of the maintained hourly buckets, so the read "
+    "explodes each hour into its covering window starts and re-sums — "
+    "no second maintainer, no re-read of the event stream. Batches "
+    "split by event_id % 3 (time-interleaved); shares q69's oracle "
+    "VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the window-agg plan is benched as q69's batch form",
+)
+def q206_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import HourlyWindowStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = HourlyWindowStatsMaintainer(scratch_dir("beast_q206_") + "/state")
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_sliding(spark, window_hours=2, slide_hours=1)

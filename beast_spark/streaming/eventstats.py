@@ -155,6 +155,49 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
         """q23's output over everything ingested so far."""
         return hourly_window_stats(self._read_state(spark))
 
+    def read_sliding(
+        self, spark: SparkSession, window_hours: int = 2, slide_hours: int = 1
+    ) -> DataFrame:
+        """q69's sliding-window stats served from the SAME maintained
+        hourly partials — one state, many window geometries: a sliding
+        (W, S) window with hour-multiple W and S is an exact sum of the
+        base hourly buckets (epoch-aligned, like ``F.window``), so each
+        hour explodes into its W/S covering window starts and re-sums.
+        No second maintainer, no re-read of the events."""
+        if window_hours % slide_hours:
+            raise ValueError("window_hours must be a multiple of slide_hours")
+        hourly = (
+            self._read_state(spark)
+            .groupBy("window_start")
+            .agg(
+                F.sum("n_events").alias("_n"),
+                F.sum("sum_cents").alias("_s"),
+            )
+        )
+        k = window_hours // slide_hours
+        starts = F.array(
+            *[
+                F.col("window_start") - F.expr(f"INTERVAL {i * slide_hours} HOURS")
+                for i in range(k)
+            ]
+        )
+        return (
+            hourly.withColumn("wstart", F.explode(starts))
+            .groupBy("wstart")
+            .agg(
+                F.sum("_n").alias("n_events"),
+                F.sum("_s").alias("sum_value_cents"),
+            )
+            .select(
+                "wstart",
+                (F.col("wstart") + F.expr(f"INTERVAL {window_hours} HOURS")).alias(
+                    "wend"
+                ),
+                "n_events",
+                "sum_value_cents",
+            )
+        )
+
 
 class SessionStatsMaintainer(_ShardedMergeMaintainer):
     """q24's sessions maintained live: merged per-user session
