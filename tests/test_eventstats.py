@@ -124,3 +124,35 @@ def test_session_maintainer_empty_batch_is_committed(spark, tmp_path):
     m.apply_batch(spark.createDataFrame([], EVENTS_DDL), 1)
     assert 1 in m.applied_batches()
     assert m.read_sessions(spark).count() == 1
+
+
+def test_session_merge_random_events_random_splits(spark):
+    """Hypothesis-style randomized check of the merge algebra (fixed
+    seeds — each case is a Spark job, so the example count is bounded):
+    random event times per user, random batch assignment, sessions of
+    the union must equal the interval re-merge fold in every case."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(3, 30)
+        rows = [
+            _ev(i, rng.randint(1, 3), rng.randint(0, 300), value=1.0)
+            for i in range(n)
+        ]
+        n_batches = rng.randint(2, 4)
+        parts = [[] for _ in range(n_batches)]
+        for r in rows:
+            parts[rng.randrange(n_batches)].append(r)
+        full = spark.createDataFrame(rows, EVENTS_DDL)
+        expected = _sessions_set(numbered_sessions(session_intervals(full)))
+        merged = None
+        for part in parts:
+            if not part:
+                continue
+            inc = session_intervals(spark.createDataFrame(part, EVENTS_DDL))
+            merged = inc if merged is None else merge_session_intervals(
+                merged.unionByName(inc)
+            )
+        got = _sessions_set(numbered_sessions(merged))
+        assert got == expected, f"seed={seed}"
