@@ -540,17 +540,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.35,
     max_bucket: int = 1000,
     hash_family: str = "xxh",
-) -> DataFrame:
+    with_dropped: bool = False,
+):
     """Near-dup candidate pairs via LSH banding over MinHash signatures.
 
     bands × rows = k; a pair collides in ≥1 band ⟹ candidate; the
     estimated Jaccard (fraction of equal signature positions) is then
     computed exactly from the signatures and filtered by ``threshold``.
     ``max_bucket`` drops degenerate buckets (all-identical corpora)
-    before the quadratic pair expansion. ``hash_family="md5"`` makes the
-    whole pipeline engine-replayable (see :func:`minhash_signatures`);
-    its band bucket is then the md5 hex of the band's signature slice
-    instead of an xxhash64.
+    before the quadratic pair expansion; ``with_dropped=True``
+    additionally returns the (band, bucket, bucket_size) accounting
+    frame of capped buckets — no silent caps, same contract as the
+    embedding family's :func:`~beast_spark.operators.similarity.capped_bucket_pairs`.
+    ``hash_family="md5"`` makes the whole pipeline engine-replayable
+    (see :func:`minhash_signatures`); its band bucket is then the md5
+    hex of the band's signature slice instead of an xxhash64.
     """
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
@@ -565,10 +569,12 @@ def minhash_lsh_pairs(
     # the groupBy, pair expansion stays in codegen (array lambdas), and
     # the max_bucket guard is a size filter on the collected set — no
     # separate bucket-count join, no quadratic self-join shuffle.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    )
+    buckets = grouped.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    dropped = grouped.filter(F.size("docs") > max_bucket).select(
+        "band", "bucket", F.size("docs").alias("bucket_size")
     )
     pairs = buckets.select(
         F.explode(
@@ -604,7 +610,7 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc1", "doc2", "est_jaccard")
     )
-    return est
+    return (est, dropped) if with_dropped else est
 
 
 def simhash_signatures(

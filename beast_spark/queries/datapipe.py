@@ -7526,3 +7526,132 @@ def q205_text_lsh_candidate_accounting(spark: SparkSession, sf_dir: str) -> Data
             "n_pairs",
         )
     )
+
+
+_ADV_DOC_TEXT = "the quick brown fox jumps over the lazy dog"
+
+_MINHASH_CAP_ORACLE = f"""
+    WITH adv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN '{_ADV_DOC_TEXT}' ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM adv
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ),
+    base AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> ('0x'||substr(md5(s),1,15))::BIGINT % {MINHASH_P}) AS h
+      FROM sh WHERE len(shingles) >= 1
+    ),
+    sigs AS (
+      SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sig FROM base
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(concat_ws('|', sig[2*b.band + 1], sig[2*b.band + 2])) AS bucket
+      FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+    ),
+    bsz AS (
+      SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+    ),
+    kept AS (SELECT * FROM bsz WHERE n BETWEEN 2 AND 100),
+    dropped AS (SELECT * FROM bsz WHERE n > 100),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+      FROM banded x
+      JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      JOIN kept k ON k.band = x.band AND k.bucket = x.bucket
+    ),
+    pairs AS (
+      SELECT doc1 FROM cand
+      JOIN sigs s1 ON s1.doc_id = cand.doc1
+      JOIN sigs s2 ON s2.doc_id = cand.doc2
+      WHERE list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.35
+    )
+    SELECT
+      (SELECT count(*) FROM sigs) AS n_sigs,
+      (SELECT count(*) FROM bsz) AS n_buckets,
+      (SELECT count(*) FROM dropped) AS n_dropped_buckets,
+      CAST((SELECT coalesce(sum(n), 0) FROM dropped) AS BIGINT) AS dropped_rows,
+      CAST((SELECT coalesce(sum(n * (n - 1) // 2), 0) FROM dropped) AS BIGINT)
+        AS avoided_candidates,
+      (SELECT count(*) FROM cand) AS n_candidates,
+      (SELECT count(*) FROM pairs) AS n_pairs
+"""
+
+
+@register(
+    "q207_minhash_capped_accounting",
+    oracle=_MINHASH_CAP_ORACLE,
+    doc="The MinHash side of the no-silent-caps contract: "
+    "minhash_lsh_pairs has had the max_bucket degenerate-bucket guard "
+    "since round 3, but until round 9 it dropped buckets SILENTLY — "
+    "the accounting the embedding family gained (q199) now exists "
+    "here too (with_dropped=True). Adversarial fixture: every 4th "
+    "document's text is replaced by one fixed sentence, so a quarter "
+    "of the corpus shares one MinHash signature and lands in the same "
+    "bucket in EVERY band; with max_bucket=100 all 8 of those "
+    "per-band buckets are dropped AND reported (8 dropped buckets, "
+    "~125 rows each at sf0.01 — ~8·7.7k avoided candidate pairs; "
+    "~1250 rows and ~8·780k avoided at sf0.1), while the surviving "
+    "buckets' candidates and est-Jaccard pairs are untouched. The "
+    "md5 hash family replays the ENTIRE pipeline in DuckDB — "
+    "signatures, banding, bucket sizes, the cap, the estimate filter.",
+    bench=False,
+    bench_reason="accounting twin over q36's benched minhash plan (same signatures, same banding)",
+)
+def q207_minhash_capped_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import band_signatures, minhash_signatures
+    from beast_spark.operators.similarity import capped_bucket_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    adv = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_ADV_DOC_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs, dropped = minhash_lsh_pairs(
+        adv, "doc_id", "text", k=16, bands=8, threshold=0.35,
+        max_bucket=100, hash_family="md5", with_dropped=True,
+    )
+    sigs = minhash_signatures(adv, "doc_id", "text", k=16, hash_family="md5")
+    banded = band_signatures(sigs, k=16, bands=8, hash_family="md5")
+    cand, _ = capped_bucket_pairs(banded, ["band", "bucket"], "doc_id", 100,
+                                  out1="doc1", out2="doc2")
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    s_agg = sigs.agg(F.count("*").alias("n_sigs"))
+    b_agg = sizes.agg(F.count("*").alias("n_buckets"))
+    d_agg = dropped.agg(
+        F.count("*").alias("n_dropped_buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.coalesce(F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("avoided_candidates"),
+    )
+    c_agg = cand.distinct().agg(F.count("*").alias("n_candidates"))
+    p_agg = pairs.agg(F.count("*").alias("n_pairs"))
+    return (
+        s_agg.crossJoin(b_agg)
+        .crossJoin(d_agg)
+        .crossJoin(c_agg)
+        .crossJoin(p_agg)
+        .select(
+            "n_sigs",
+            "n_buckets",
+            "n_dropped_buckets",
+            "dropped_rows",
+            "avoided_candidates",
+            "n_candidates",
+            "n_pairs",
+        )
+    )

@@ -223,3 +223,35 @@ def test_maintainer_records_capped_buckets(spark, tmp_path):
     assert m.read_pairs(spark).count() >= healthy_pairs
     b1_id = F.col("vec1").between(50, 57) | F.col("vec2").between(50, 57)
     assert m.read_pairs(spark).filter(b1_id).count() == 0
+
+
+def test_minhash_with_dropped_reports_capped_bands(spark):
+    """The MinHash family's cap gains the same accounting contract
+    (round-9 symmetry with the embedding family): an all-duplicates
+    corpus drops one bucket PER BAND, each reported with its exact
+    size; pairs among the duplicates vanish, distinct docs unaffected."""
+    from beast_spark.operators.dedup import minhash_lsh_pairs
+
+    fixed = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [(i, fixed) for i in range(30)] + [
+        (100 + i, f"unique text number {i} with words w{i} x{i} y{i} z{i}")
+        for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, dropped = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.0,
+        max_bucket=20, hash_family="md5", with_dropped=True,
+    )
+    drops = dropped.collect()
+    assert len(drops) == 8  # the duplicates' bucket in every band
+    assert sorted(r.band for r in drops) == list(range(8))
+    assert all(r.bucket_size == 30 for r in drops)
+    pair_ids = {r.doc1 for r in pairs.collect()} | {r.doc2 for r in pairs.collect()}
+    assert not any(i < 100 for i in pair_ids)
+    # a cap above the corpus is the identity, and dropped is empty
+    wide, wide_drop = minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, threshold=0.0,
+        max_bucket=1000, hash_family="md5", with_dropped=True,
+    )
+    assert wide_drop.count() == 0
+    assert wide.filter((F.col("doc1") < 100) & (F.col("doc2") < 100)).count() > 0
