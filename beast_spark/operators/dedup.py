@@ -663,13 +663,27 @@ def simhash_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     hash_family: str = "xxh",
-) -> DataFrame:
+    max_bucket: int = 1000,
+    with_dropped: bool = False,
+):
     """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
 
     Candidate generation: 4 × (bits/4)-wide band join (a pair within
     Hamming distance 3 must agree on ≥1 band; wider distances may miss —
     standard SimHash banding tradeoff), then exact popcount(xor) filter.
+
+    ``max_bucket`` is the degenerate-chunk guard (round-9 symmetry with
+    the MinHash/embedding families): an all-identical corpus puts every
+    document in ONE (band, chunk) cell, and the candidate expansion
+    would go quadratic with no bound. Over-cap cells are dropped before
+    expansion; ``with_dropped=True`` additionally returns the (band,
+    chunk, bucket_size) accounting frame — no silent caps. Candidates
+    expand in codegen from the capped groupBy (the former band
+    self-join, one shuffle less); pairs colliding in several bands
+    still dedup once.
     """
+    from beast_spark.operators.similarity import capped_bucket_pairs
+
     if bits % 4 != 0:
         raise ValueError(f"bits={bits} must be divisible by the 4 bands")
     w = bits // 4
@@ -677,7 +691,6 @@ def simhash_pairs(
     sigs = simhash_signatures(df, id_col, text_col, bits=bits, hash_family=hash_family)
     banded = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -691,28 +704,27 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc1"),
-            F.col("y.doc_id").alias("doc2"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
-        )
-        # Filter BEFORE the distinct: hamming is a pure function of the
-        # pair, so the result set is identical, but the cheap codegen'd
-        # filter drops far-apart pairs before the dedup shuffle instead
-        # of shuffling every band collision.
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    ).select("doc_id", "bb.band", "bb.chunk")
+    cand, dropped_frame = capped_bucket_pairs(
+        banded, ["band", "chunk"], "doc_id", max_bucket, out1="doc1", out2="doc2"
     )
+    dropped = dropped_frame.select(
+        "band", F.col("chunk"), F.col("bucket_size")
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    pairs = (
+        cand.distinct()
+        .join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (pairs, dropped) if with_dropped else pairs
 
 
 def dedup_clusters_minlabel(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

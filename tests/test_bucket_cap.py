@@ -255,3 +255,34 @@ def test_minhash_with_dropped_reports_capped_bands(spark):
     )
     assert wide_drop.count() == 0
     assert wide.filter((F.col("doc1") < 100) & (F.col("doc2") < 100)).count() > 0
+
+
+def test_simhash_pairs_all_duplicates_capped(spark):
+    """SimHash joins on (band, chunk) — the same degenerate-cell hazard:
+    an all-identical corpus collapses into one chunk per band. The cap
+    drops and reports those cells; distinct documents are untouched."""
+    from beast_spark.operators.dedup import simhash_pairs
+
+    fixed = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, fixed) for i in range(25)] + [
+        (100 + i, f"some other document {i} talking about q{i} r{i} s{i}")
+        for i in range(4)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, dropped = simhash_pairs(
+        d, "doc_id", "text", max_hamming=64, hash_family="md5",
+        max_bucket=20, with_dropped=True,
+    )
+    drops = dropped.collect()
+    # identical docs share all 4 band chunks → 4 dropped cells of 25
+    assert sorted(r.band for r in drops) == [0, 1, 2, 3]
+    assert all(r.bucket_size == 25 for r in drops)
+    pair_ids = {r.doc1 for r in pairs.collect()} | {r.doc2 for r in pairs.collect()}
+    assert not any(i < 100 for i in pair_ids)
+    # wide cap = identity with empty accounting
+    wide, wide_drop = simhash_pairs(
+        d, "doc_id", "text", max_hamming=64, hash_family="md5",
+        max_bucket=1000, with_dropped=True,
+    )
+    assert wide_drop.count() == 0
+    assert wide.filter((F.col("doc1") < 100) & (F.col("doc2") < 100)).count() > 0
