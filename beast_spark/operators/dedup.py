@@ -541,6 +541,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     hash_family: str = "xxh",
     with_dropped: bool = False,
+    sigs: DataFrame | None = None,
 ):
     """Near-dup candidate pairs via LSH banding over MinHash signatures.
 
@@ -551,45 +552,40 @@ def minhash_lsh_pairs(
     before the quadratic pair expansion; ``with_dropped=True``
     additionally returns the (band, bucket, bucket_size) accounting
     frame of capped buckets — no silent caps, same contract as the
-    embedding family's :func:`~beast_spark.operators.similarity.capped_bucket_pairs`.
+    embedding family's :func:`~beast_spark.operators.similarity.capped_bucket_pairs`
+    (which is also the single shared implementation of the cap).
     ``hash_family="md5"`` makes the whole pipeline engine-replayable
     (see :func:`minhash_signatures`); its band bucket is then the md5
     hex of the band's signature slice instead of an xxhash64.
+
+    ``sigs`` (a :func:`minhash_signatures` frame) skips the internal
+    signature build AND its persist — for callers that consume the
+    signatures themselves and want the corpus shingled exactly once
+    (they own the frame's caching/lifetime).
     """
+    from beast_spark.operators.similarity import capped_bucket_pairs
+
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
-    # Signatures are consumed three times (banding + both estimate-join
-    # sides) but are tiny (one row of k longs per doc) while their
-    # subtree — shingle + hash the whole corpus — is the expensive part.
-    # Persist the signatures so the corpus is shingled exactly once; at
-    # warehouse scale the equivalent is materializing sigs to a table.
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, hash_family=hash_family).persist()
+    if sigs is None:
+        # Signatures are consumed three times (banding + both estimate-
+        # join sides) but are tiny (one row of k longs per doc) while
+        # their subtree — shingle + hash the whole corpus — is the
+        # expensive part. Persist so the corpus is shingled exactly
+        # once; at warehouse scale the equivalent is materializing sigs
+        # to a table.
+        sigs = minhash_signatures(
+            df, id_col, text_col, k=k, n=n, hash_family=hash_family
+        ).persist()
     banded = band_signatures(sigs, k=k, bands=bands, hash_family=hash_family)
-    # Candidate pairs straight from the bucket contents: one shuffle for
-    # the groupBy, pair expansion stays in codegen (array lambdas), and
-    # the max_bucket guard is a size filter on the collected set — no
-    # separate bucket-count join, no quadratic self-join shuffle.
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    # Candidate pairs straight from the bucket contents via the shared
+    # capped expansion: one shuffle for the groupBy, pair expansion in
+    # codegen, over-cap buckets dropped and reported — no separate
+    # bucket-count join, no quadratic self-join shuffle.
+    raw, dropped = capped_bucket_pairs(
+        banded, ["band", "bucket"], "doc_id", max_bucket, out1="doc1", out2="doc2"
     )
-    buckets = grouped.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-    dropped = grouped.filter(F.size("docs") > max_bucket).select(
-        "band", "bucket", F.size("docs").alias("bucket_size")
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "docs",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size("docs")),
-                        lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    cand = pairs.select("p.doc1", "p.doc2").distinct()
+    cand = raw.distinct()
     s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))
     est = (
@@ -688,7 +684,12 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} must be divisible by the 4 bands")
     w = bits // 4
     mask = (1 << w) - 1
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits, hash_family=hash_family)
+    # sigs feed three subtrees (banding + both hamming-join sides) and
+    # their build — explode every token, 60+ bit-sum aggregates — is the
+    # expensive part; persist so it runs once (minhash discipline)
+    sigs = simhash_signatures(
+        df, id_col, text_col, bits=bits, hash_family=hash_family
+    ).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -705,11 +706,8 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.chunk")
-    cand, dropped_frame = capped_bucket_pairs(
+    cand, dropped = capped_bucket_pairs(
         banded, ["band", "chunk"], "doc_id", max_bucket, out1="doc1", out2="doc2"
-    )
-    dropped = dropped_frame.select(
-        "band", F.col("chunk"), F.col("bucket_size")
     )
     s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
     s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))

@@ -838,6 +838,7 @@ def lsh_multitable_neardup_pairs(
     tables: list[list[list[float]]] | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     with_dropped: bool = False,
+    postings: DataFrame | None = None,
 ):
     """Embedding near-dup PAIRS over the multi-table index — the
     OR-amplified recall upgrade of :func:`lsh_neardup_pairs`: a pair is
@@ -853,11 +854,21 @@ def lsh_multitable_neardup_pairs(
     cos_sim) with vec1 < vec2, floor-rounded, filtered to
     ``threshold``; ``with_dropped=True`` adds the (t, bucket,
     bucket_size) accounting frame.
+
+    ``postings`` (a :func:`embedding_multitable_postings` frame for the
+    SAME data and tables) skips the internal L×P bucketing matmul — for
+    callers that consume the postings themselves and materialized them
+    once (scratch parquet / bucketed table).
     """
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
-    budf = lsh_multitable_bucket_udf(tables)
-    post = data.select(F.col(id_col), F.posexplode(budf(vec_col)).alias("t", "bucket"))
+    if postings is None:
+        budf = lsh_multitable_bucket_udf(tables)
+        post = data.select(
+            F.col(id_col), F.posexplode(budf(vec_col)).alias("t", "bucket")
+        )
+    else:
+        post = postings
     raw_cand, dropped = capped_bucket_pairs(
         post, ["t", "bucket"], id_col, max_bucket
     )

@@ -418,12 +418,17 @@ _SIMHASH_ORACLE = f"""
     banded AS (
       SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS chunk
       FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    csz AS (
+      SELECT band, chunk, count(*) AS n FROM banded GROUP BY band, chunk
     )
     SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
     FROM banded x
     JOIN banded y ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-    WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+    JOIN csz ON csz.band = x.band AND csz.chunk = x.chunk
+    WHERE csz.n BETWEEN 2 AND 1000
+      AND bit_count(xor(x.simhash, y.simhash)) <= 8
 """
 
 
@@ -431,7 +436,12 @@ _SIMHASH_ORACLE = f"""
     "q37_simhash_pairs",
     oracle=_SIMHASH_ORACLE,
     doc="SimHash-60 near-dup pairs within Hamming distance 8 via 15-bit "
-    "band join — md5 hash family, replayed end-to-end by the DuckDB oracle.",
+    "band join — md5 hash family, replayed end-to-end by the DuckDB "
+    "oracle INCLUDING the max_bucket=1000 degenerate-chunk cap (the "
+    "csz window, q36's discipline): simhash chunks are vocabulary-"
+    "correlated — the largest (band, chunk) cell already holds ~5.4% "
+    "of the sf0.1 corpus — so at larger corpora the cap legitimately "
+    "fires and the oracle must model it, not diverge.",
 )
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -7438,17 +7448,36 @@ def q204_streaming_ivf_compact_then_serve(spark: SparkSession, sf_dir: str) -> D
     + _TEXT_MT_SQL
     + """,
     tsizes AS (SELECT t, bucket, count(*) AS s FROM tbuckets GROUP BY t, bucket),
+    tkept AS (SELECT t, bucket FROM tsizes WHERE s BETWEEN 2 AND 10000),
+    -- cap-faithful candidate set (q36's discipline): a pair is kept iff
+    -- it shares at least one UNDER-CAP cell, exactly what the Spark
+    -- side's capped expansion emits (identical to tcm while no cell
+    -- exceeds the cap, and still hash-exact the day one does)
+    ccand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM tbuckets a
+      JOIN tkept k ON k.t = a.t AND k.bucket = a.bucket
+      JOIN tbuckets b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    cpairs AS (
+      SELECT d1 FROM ccand
+      JOIN nz x ON x.doc_id = ccand.d1 JOIN nz y ON y.doc_id = ccand.d2
+      WHERE floor((list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))))
+                  * 1000000 + 0.5) / 1000000 >= 0.7
+    ),
     nn AS (SELECT count(*) AS n FROM nz)
     SELECT
       (SELECT n FROM nn) AS n_docs,
       (SELECT count(*) FROM tbuckets) AS n_postings,
       CAST((SELECT max(s) FROM tsizes) AS BIGINT) AS max_bucket_size,
       (SELECT count(*) FROM tsizes WHERE s > 10000) AS n_dropped_buckets,
-      (SELECT count(*) FROM tcm) AS n_candidates,
-      floor((SELECT count(*) FROM tcm)
+      (SELECT count(*) FROM ccand) AS n_candidates,
+      floor((SELECT count(*) FROM ccand)
             / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2.0)
             * 1000000 + 0.5) / 1000000 AS cand_fraction,
-      (SELECT count(*) FROM tpairs WHERE cos_sim >= 0.7) AS n_pairs
+      (SELECT count(*) FROM cpairs) AS n_pairs
     """,
     doc="The q185 text operating point's candidate-volume claims under "
     "the driver gate: round 8 MEASURED the 12-plane × 100-table config "
@@ -7484,7 +7513,13 @@ def q205_text_lsh_candidate_accounting(spark: SparkSession, sf_dir: str) -> Data
     ).write.parquet(f"{base}/vecs")
     vecs = spark.read.parquet(f"{base}/vecs")
     tables = multitable_planes(64, _TEXT_LSH_PLANES, _TEXT_LSH_TABLES)
-    post = embedding_multitable_postings(vecs, tables, id_col="doc_id")
+    # the L×P bucketing matmul runs ONCE: postings materialize to
+    # scratch and every consumer (sizes, candidate expansion, the
+    # miner) reads the parquet
+    embedding_multitable_postings(vecs, tables, id_col="doc_id").write.parquet(
+        f"{base}/postings"
+    )
+    post = spark.read.parquet(f"{base}/postings")
     cand, _ = capped_bucket_pairs(post, ["t", "bucket"], "doc_id", 10_000)
     pairs, dropped = lsh_multitable_neardup_pairs(
         vecs,
@@ -7494,6 +7529,7 @@ def q205_text_lsh_candidate_accounting(spark: SparkSession, sf_dir: str) -> Data
         tables=tables,
         max_bucket=10_000,
         with_dropped=True,
+        postings=post,
     )
     sizes = post.groupBy("t", "bucket").agg(F.count("*").alias("s"))
     n_agg = vecs.agg(F.count("*").alias("n_docs"))
@@ -7620,11 +7656,15 @@ def q207_minhash_capped_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # ONE shingle pass: the signatures are computed and persisted here,
+    # and the miner consumes the SAME frame (its internal build+persist
+    # skipped via the sigs param) — without this, the final crossJoin
+    # plan re-shingles the corpus once per accounting subtree
+    sigs = minhash_signatures(adv, "doc_id", "text", k=16, hash_family="md5").persist()
     pairs, dropped = minhash_lsh_pairs(
         adv, "doc_id", "text", k=16, bands=8, threshold=0.35,
-        max_bucket=100, hash_family="md5", with_dropped=True,
+        max_bucket=100, hash_family="md5", with_dropped=True, sigs=sigs,
     )
-    sigs = minhash_signatures(adv, "doc_id", "text", k=16, hash_family="md5")
     banded = band_signatures(sigs, k=16, bands=8, hash_family="md5")
     cand, _ = capped_bucket_pairs(banded, ["band", "bucket"], "doc_id", 100,
                                   out1="doc1", out2="doc2")

@@ -175,11 +175,17 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
             )
         )
         k = window_hours // slide_hours
+        # the covering window starts are epoch-aligned MULTIPLES OF THE
+        # SLIDE (exactly F.window's grid): snap the hour down to the
+        # slide grid first, then step back — exploding from the raw
+        # hour would emit misaligned starts whenever slide_hours > 1
+        slide_s = slide_hours * 3600
+        base = F.timestamp_seconds(
+            F.floor(F.unix_timestamp("window_start") / F.lit(slide_s)).cast("long")
+            * slide_s
+        )
         starts = F.array(
-            *[
-                F.col("window_start") - F.expr(f"INTERVAL {i * slide_hours} HOURS")
-                for i in range(k)
-            ]
+            *[base - F.expr(f"INTERVAL {i * slide_hours} HOURS") for i in range(k)]
         )
         return (
             hourly.withColumn("wstart", F.explode(starts))

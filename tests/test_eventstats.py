@@ -156,3 +156,31 @@ def test_session_merge_random_events_random_splits(spark):
             )
         got = _sessions_set(numbered_sessions(merged))
         assert got == expected, f"seed={seed}"
+
+
+def test_read_sliding_matches_spark_window_for_slide_gt_one(spark, tmp_path):
+    """read_sliding must reproduce F.window's epoch-aligned grid for
+    slide_hours > 1 (review finding: exploding from the raw hour emits
+    misaligned starts — odd-hour buckets must snap DOWN to the slide
+    grid first)."""
+    rows = [_ev(i, 1, m, value=float(i)) for i, m in enumerate([0, 30, 90, 150, 210, 400])]
+    e = spark.createDataFrame(rows, EVENTS_DDL)
+    m = HourlyWindowStatsMaintainer(str(tmp_path / "state"))
+    m.apply_batch(e, 0)
+    got = {
+        (r.wstart, r.wend, r.n_events, r.sum_value_cents)
+        for r in m.read_sliding(spark, window_hours=4, slide_hours=2).collect()
+    }
+    from beast_spark.queries._util import cents
+
+    expected = {
+        tuple(r)
+        for r in e.groupBy(F.window("ts", "4 hours", "2 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("s"),
+        )
+        .select(F.col("w.start"), F.col("w.end"), "n", "s")
+        .collect()
+    }
+    assert got == expected
