@@ -572,3 +572,43 @@ def q206_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame
     for batch in range(3):
         m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
     return m.read_sliding(spark, window_hours=2, slide_hours=1)
+
+
+@register(
+    "q208_streaming_sliding_window_4h2h",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200)
+                  AS TIMESTAMP) AS grid,
+             value
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([grid, grid - INTERVAL 2 HOUR]) AS wstart, value FROM g
+    )
+    SELECT wstart, wstart + INTERVAL 4 HOUR AS wend,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM w
+    GROUP BY wstart
+    """,
+    doc="Sliding 4h/2h windows from the SAME maintained hourly state as "
+    "q200/q206 — the slide>1 leg, under the gate because a round-9 "
+    "review pass caught exactly this case going wrong (window starts "
+    "stepped back from the raw hour instead of snapping to the "
+    "epoch-aligned slide grid; every odd-hour bucket landed in "
+    "misaligned windows). The oracle builds F.window's grid "
+    "explicitly: snap each event's hour to the 2h epoch grid, explode "
+    "into the 2 covering 4h-window starts, aggregate.",
+    bench=False,
+    bench_reason="maintainer composition; the window-agg plan is benched as q69's batch form",
+)
+def q208_streaming_sliding_window_4h2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import HourlyWindowStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = HourlyWindowStatsMaintainer(scratch_dir("beast_q208_") + "/state")
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_sliding(spark, window_hours=4, slide_hours=2)
