@@ -324,9 +324,13 @@ def incremental_minhash_pairs(
     threshold: float = 0.35,
     max_bucket: int = 1000,
     hash_family: str = "xxh",
-) -> tuple[DataFrame, DataFrame]:
+    with_dropped: bool = False,
+):
     """Dedup an INCREMENT against an already-deduped corpus without
-    recomputing it: returns ``(new_sigs, pairs)`` where pairs involve at
+    recomputing it: returns ``(new_sigs, pairs)`` — plus the (band,
+    bucket, bucket_size) accounting frame of cap-dropped
+    increment-touched buckets when ``with_dropped=True`` — where pairs
+    involve at
     least one new document (new-vs-new and new-vs-existing; the
     existing-vs-existing pairs were found when the corpus was built).
 
@@ -353,20 +357,22 @@ def incremental_minhash_pairs(
         banded.doc_id == F.col("_nid"),
         "left",
     ).select("doc_id", "band", "bucket", F.coalesce("_is_new", F.lit(False)).alias("is_new"))
-    buckets = (
-        tagged.groupBy("band", "bucket")
-        .agg(
-            F.array_sort(F.collect_set("doc_id")).alias("docs"),
-            F.array_sort(F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))).alias(
-                "new_docs"
-            ),
-        )
-        # only buckets a NEW doc touches can yield new pairs; the cap
-        # guards the same degenerate buckets as the full pass
-        .filter(
-            (F.size("new_docs") >= 1) & (F.size("docs") >= 2) & (F.size("docs") <= max_bucket)
-        )
+    grouped = tagged.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs"),
+        F.array_sort(F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))).alias(
+            "new_docs"
+        ),
     )
+    # only buckets a NEW doc touches can yield new pairs; the cap
+    # guards the same degenerate buckets as the full pass, and — no
+    # silent caps — dropped reports the increment-touched buckets the
+    # cap removed (with_dropped=True)
+    buckets = grouped.filter(
+        (F.size("new_docs") >= 1) & (F.size("docs") >= 2) & (F.size("docs") <= max_bucket)
+    )
+    dropped = grouped.filter(
+        (F.size("new_docs") >= 1) & (F.size("docs") > max_bucket)
+    ).select("band", "bucket", F.size("docs").alias("bucket_size"))
     pairs = buckets.select(
         F.col("new_docs"),
         F.explode(
@@ -405,7 +411,7 @@ def incremental_minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc1", "doc2", "est_jaccard")
     )
-    return new_sigs, est
+    return (new_sigs, est, dropped) if with_dropped else (new_sigs, est)
 
 
 def existing_bucket_docs(existing_index: DataFrame, touched: DataFrame) -> DataFrame:
@@ -440,9 +446,13 @@ def incremental_minhash_pairs_indexed(
     threshold: float = 0.35,
     max_bucket: int = 1000,
     hash_family: str = "xxh",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    with_dropped: bool = False,
+):
     """Dedup an increment against a PERSISTED band/bucket index: returns
-    ``(new_sigs, new_bands, pairs)``.
+    ``(new_sigs, new_bands, pairs)`` — plus the (band, bucket,
+    bucket_size) frame of cap-dropped touched buckets (union sizes)
+    when ``with_dropped=True``, the family-wide no-silent-caps
+    contract.
 
     :func:`incremental_minhash_pairs` avoids re-shingling the corpus but
     still re-bands and re-shuffles every existing signature per
@@ -473,12 +483,17 @@ def incremental_minhash_pairs_indexed(
     # Both sides are O(touched buckets) now; the corpus never reaches
     # this join. ex is broadcast so the plan stays shuffle-free even
     # when new_buckets rides an earlier partitioning.
-    buckets = (
+    joined = (
         new_buckets.join(F.broadcast(ex), ["band", "bucket"], "left")
         # typed empty array of the id type: a zero-length slice of new_docs
         .withColumn("ex_nn", F.coalesce("ex_docs", F.slice("new_docs", 1, 0)))
         .withColumn("n_union", F.size("new_docs") + F.size("ex_nn"))
-        .filter((F.col("n_union") >= 2) & (F.col("n_union") <= max_bucket))
+    )
+    buckets = joined.filter(
+        (F.col("n_union") >= 2) & (F.col("n_union") <= max_bucket)
+    )
+    dropped = joined.filter(F.col("n_union") > max_bucket).select(
+        "band", "bucket", F.col("n_union").alias("bucket_size")
     )
     new_new = F.flatten(
         F.transform(
@@ -527,6 +542,8 @@ def incremental_minhash_pairs_indexed(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc1", "doc2", "est_jaccard")
     )
+    if with_dropped:
+        return new_sigs, new_bands, est, dropped
     return new_sigs, new_bands, est
 
 

@@ -286,3 +286,52 @@ def test_simhash_pairs_all_duplicates_capped(spark):
     )
     assert wide_drop.count() == 0
     assert wide.filter((F.col("doc1") < 100) & (F.col("doc2") < 100)).count() > 0
+
+
+def test_incremental_minhash_with_dropped_reports_union_size(spark):
+    """Both incremental MinHash forms cap on the UNION bucket size;
+    with_dropped must report exactly the increment-touched buckets the
+    cap removed."""
+    from beast_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_indexed,
+        minhash_signatures,
+    )
+
+    fixed = "alpha beta gamma delta epsilon zeta eta theta iota"
+    old_rows = [(i, fixed) for i in range(15)] + [
+        (200 + i, f"old distinct {i} doc about topic t{i} u{i} v{i}") for i in range(3)
+    ]
+    new_rows = [(50 + i, fixed) for i in range(10)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+
+    # union size 25 > cap 20 in every band → 8 dropped, no new pairs
+    _, pairs, dropped = incremental_minhash_pairs(
+        old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.0,
+        max_bucket=20, hash_family="md5", with_dropped=True,
+    )
+    drops = dropped.collect()
+    assert sorted(r.band for r in drops) == list(range(8))
+    assert all(r.bucket_size == 25 for r in drops)
+    assert pairs.count() == 0  # the duplicates were the only new docs
+
+    # the indexed form reports the same accounting from the persisted index
+    index = band_signatures(old_sigs, k=16, bands=8, hash_family="md5")
+    _, _, ipairs, idropped = incremental_minhash_pairs_indexed(
+        index, old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.0,
+        max_bucket=20, hash_family="md5", with_dropped=True,
+    )
+    idrops = idropped.collect()
+    assert sorted(r.band for r in idrops) == list(range(8))
+    assert all(r.bucket_size == 25 for r in idrops)
+    assert ipairs.count() == 0
+
+    # wide cap: pairs appear, accounting empty — both forms
+    _, wide, wd = incremental_minhash_pairs(
+        old_sigs, new, "doc_id", "text", k=16, bands=8, threshold=0.0,
+        max_bucket=1000, hash_family="md5", with_dropped=True,
+    )
+    assert wd.count() == 0 and wide.count() > 0
