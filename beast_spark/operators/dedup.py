@@ -357,22 +357,33 @@ def incremental_minhash_pairs(
         banded.doc_id == F.col("_nid"),
         "left",
     ).select("doc_id", "band", "bucket", F.coalesce("_is_new", F.lit(False)).alias("is_new"))
-    grouped = tagged.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("docs"),
-        F.array_sort(F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))).alias(
-            "new_docs"
-        ),
+    # Two-pass cap (the capped_bucket_pairs discipline): size every
+    # bucket with cheap countDistinct longs FIRST, anti-join the
+    # over-cap buckets out, and only then collect_set — so no reducer
+    # ever buffers a degenerate bucket's full id array. Only buckets a
+    # NEW doc touches can yield new pairs; the cap guards the same
+    # degenerate buckets as the full pass, and — no silent caps —
+    # dropped reports the increment-touched buckets the cap removed
+    # (with_dropped=True).
+    occ = tagged.groupBy("band", "bucket").agg(
+        F.countDistinct("doc_id").alias("bucket_size"),
+        F.max("is_new").alias("_any_new"),
     )
-    # only buckets a NEW doc touches can yield new pairs; the cap
-    # guards the same degenerate buckets as the full pass, and — no
-    # silent caps — dropped reports the increment-touched buckets the
-    # cap removed (with_dropped=True)
-    buckets = grouped.filter(
-        (F.size("new_docs") >= 1) & (F.size("docs") >= 2) & (F.size("docs") <= max_bucket)
+    over = occ.filter(F.col("bucket_size") > max_bucket)
+    dropped = over.filter(F.col("_any_new")).select(
+        "band", "bucket", "bucket_size"
     )
-    dropped = grouped.filter(
-        (F.size("new_docs") >= 1) & (F.size("docs") > max_bucket)
-    ).select("band", "bucket", F.size("docs").alias("bucket_size"))
+    grouped = (
+        tagged.join(F.broadcast(over.select("band", "bucket")), ["band", "bucket"], "left_anti")
+        .groupBy("band", "bucket")
+        .agg(
+            F.array_sort(F.collect_set("doc_id")).alias("docs"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))
+            ).alias("new_docs"),
+        )
+    )
+    buckets = grouped.filter((F.size("new_docs") >= 1) & (F.size("docs") >= 2))
     pairs = buckets.select(
         F.col("new_docs"),
         F.explode(
@@ -415,8 +426,10 @@ def incremental_minhash_pairs(
 
 
 def existing_bucket_docs(existing_index: DataFrame, touched: DataFrame) -> DataFrame:
-    """Existing docs per touched (band, bucket): the ONLY read of the
-    persisted corpus-side state an indexed increment performs.
+    """Existing docs per touched (band, bucket) — the probe-shape
+    building block (:func:`incremental_minhash_pairs_indexed` now
+    routes through the shared two-pass cap gate instead, which applies
+    the same semi-join probe BEFORE any collect_set).
 
     ``existing_index`` is the materialized (doc_id, band, bucket) band
     table; ``touched`` the (band, bucket) set the increment lands in —
@@ -447,12 +460,25 @@ def incremental_minhash_pairs_indexed(
     max_bucket: int = 1000,
     hash_family: str = "xxh",
     with_dropped: bool = False,
+    existing_occupancy: DataFrame | None = None,
+    with_occupancy: bool = False,
 ):
     """Dedup an increment against a PERSISTED band/bucket index: returns
     ``(new_sigs, new_bands, pairs)`` — plus the (band, bucket,
-    bucket_size) frame of cap-dropped touched buckets (union sizes)
-    when ``with_dropped=True``, the family-wide no-silent-caps
-    contract.
+    bucket_size) frame of cap-dropped touched buckets (DISTINCT union
+    sizes — an id present on both sides counts once, matching a capped
+    batch rebuild) when ``with_dropped=True``, the family-wide
+    no-silent-caps contract; plus the combined (band, bucket,
+    bucket_size) occupancy frame for EVERY touched bucket when
+    ``with_occupancy=True`` (appended last — a maintainer commits it
+    back as the new stored occupancy, since the index appends ungated).
+
+    ``existing_occupancy`` (a (band, bucket, n_exist) frame of the
+    persisted index's per-bucket distinct-doc counts, shard-pruned by
+    the caller to the touched shards) lets the cap gate read stored
+    counts instead of re-aggregating the probed index rows per call —
+    see ``operators/similarity.py::_capped_incremental_gate``, the
+    single shared implementation of the incremental cap.
 
     :func:`incremental_minhash_pairs` avoids re-shingling the corpus but
     still re-bands and re-shuffles every existing signature per
@@ -468,18 +494,35 @@ def incremental_minhash_pairs_indexed(
 
     Exactness: same pair set as :func:`incremental_minhash_pairs` (and
     therefore pairs(full) == pairs(existing) ∪ pairs(increment)) —
-    property-tested. ``max_bucket`` is evaluated on the union bucket
-    size, consistent with the full recompute. Pair generation is
+    property-tested. ``max_bucket`` is evaluated on the DISTINCT union
+    bucket size, consistent with the full recompute. Pair generation is
     new×new + new×existing per bucket — never the existing×existing
     quadratic term a full-bucket expansion would pay."""
+    from beast_spark.operators.similarity import _capped_incremental_gate
+
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
     ).persist()
     new_bands = band_signatures(new_sigs, k=k, bands=bands, hash_family=hash_family)
-    new_buckets = new_bands.groupBy("band", "bucket").agg(
+    touched = new_bands.select("band", "bucket").distinct()
+    ex_post = existing_index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+    # Two-pass cap through the shared gate: over-cap buckets (combined
+    # DISTINCT occupancy) are anti-joined out of BOTH slim posting sides
+    # BEFORE any collect_set, so no reducer buffers a degenerate
+    # bucket's id array. The broadcast anti-join preserves the index
+    # scan's bucketed distribution, so the per-bucket aggregation below
+    # still rides the table's own bucketing (zero corpus-side Exchange,
+    # test-asserted).
+    new_bands_g, ex_g, dropped, occupancy = _capped_incremental_gate(
+        new_bands, ex_post, ["band", "bucket"], max_bucket, "doc_id", "doc_id",
+        existing_occupancy=existing_occupancy,
+    )
+    new_buckets = new_bands_g.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_set("doc_id")).alias("new_docs")
     )
-    ex = existing_bucket_docs(existing_index, new_buckets.select("band", "bucket"))
+    ex = ex_g.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ex_docs")
+    )
     # Both sides are O(touched buckets) now; the corpus never reaches
     # this join. ex is broadcast so the plan stays shuffle-free even
     # when new_buckets rides an earlier partitioning.
@@ -487,14 +530,8 @@ def incremental_minhash_pairs_indexed(
         new_buckets.join(F.broadcast(ex), ["band", "bucket"], "left")
         # typed empty array of the id type: a zero-length slice of new_docs
         .withColumn("ex_nn", F.coalesce("ex_docs", F.slice("new_docs", 1, 0)))
-        .withColumn("n_union", F.size("new_docs") + F.size("ex_nn"))
     )
-    buckets = joined.filter(
-        (F.col("n_union") >= 2) & (F.col("n_union") <= max_bucket)
-    )
-    dropped = joined.filter(F.col("n_union") > max_bucket).select(
-        "band", "bucket", F.col("n_union").alias("bucket_size")
-    )
+    buckets = joined.filter(F.size(F.array_union("new_docs", "ex_nn")) >= 2)
     new_new = F.flatten(
         F.transform(
             "new_docs",
@@ -515,7 +552,12 @@ def incremental_minhash_pairs_indexed(
             ),
         )
     )
-    pairs = buckets.select(F.explode(F.concat(new_new, new_existing)).alias("p"))
+    # the self-pair guard: an id on BOTH sides of a bucket (overlapping
+    # re-append) would emit (x, x) with est_jaccard 1.0, a pair no batch
+    # rebuild generates (its i<j expansion never self-pairs)
+    pairs = buckets.select(
+        F.explode(F.concat(new_new, new_existing)).alias("p")
+    ).filter(F.col("p.doc1") != F.col("p.doc2"))
     cand = pairs.select("p.doc1", "p.doc2").distinct()
     all_sigs = existing_sigs.select("doc_id", "signature").unionByName(
         new_sigs.select("doc_id", "signature")
@@ -542,9 +584,12 @@ def incremental_minhash_pairs_indexed(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc1", "doc2", "est_jaccard")
     )
+    out = (new_sigs, new_bands, est)
     if with_dropped:
-        return new_sigs, new_bands, est, dropped
-    return new_sigs, new_bands, est
+        out += (dropped,)
+    if with_occupancy:
+        out += (occupancy,)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -678,6 +723,7 @@ def simhash_pairs(
     hash_family: str = "xxh",
     max_bucket: int = 1000,
     with_dropped: bool = False,
+    sigs: DataFrame | None = None,
 ):
     """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
 
@@ -694,6 +740,14 @@ def simhash_pairs(
     expand in codegen from the capped groupBy (the former band
     self-join, one shuffle less); pairs colliding in several bands
     still dedup once.
+
+    ``sigs`` (a :func:`simhash_signatures` frame for the same corpus)
+    skips the internal signature build AND its persist — for callers
+    that consume the signatures themselves and own the frame's
+    caching/lifetime (the ``minhash_lsh_pairs`` contract). With
+    ``sigs=None`` the signatures are persisted internally and stay
+    cached for the session — a long-lived process calling this
+    repeatedly should pass its own ``sigs`` and unpersist them.
     """
     from beast_spark.operators.similarity import capped_bucket_pairs
 
@@ -701,12 +755,13 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} must be divisible by the 4 bands")
     w = bits // 4
     mask = (1 << w) - 1
-    # sigs feed three subtrees (banding + both hamming-join sides) and
-    # their build — explode every token, 60+ bit-sum aggregates — is the
-    # expensive part; persist so it runs once (minhash discipline)
-    sigs = simhash_signatures(
-        df, id_col, text_col, bits=bits, hash_family=hash_family
-    ).persist()
+    if sigs is None:
+        # sigs feed three subtrees (banding + both hamming-join sides) and
+        # their build — explode every token, 60+ bit-sum aggregates — is the
+        # expensive part; persist so it runs once (minhash discipline)
+        sigs = simhash_signatures(
+            df, id_col, text_col, bits=bits, hash_family=hash_family
+        ).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(

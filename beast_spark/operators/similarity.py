@@ -344,21 +344,42 @@ def capped_bucket_pairs(
     come back as the second frame: (``*keys``, bucket_size), one row
     per capped bucket.
 
-    The collected id array of a degenerate bucket is materialized O(N)
-    transiently (map-side partial aggregation splits it across
-    mappers) but never expanded O(N²) — the cap bounds the quadratic
-    half, which is the one that kills the job.
+    TWO-PASS cap (round-10, closing the round-9 verdict's remaining
+    memory edge): pass 1 sizes every bucket with a plain
+    ``countDistinct`` — cheap map-side-combinable longs, never an
+    array — and pass 2 ``collect_set``s ids only for buckets a
+    broadcast anti-join has already certified ≤ ``max_bucket``. The
+    previous one-pass form collected FIRST and filtered after, so the
+    degenerate bucket the cap exists for (a boilerplate crawl funneling
+    a quarter of the corpus into one cell) still landed its full id
+    array on ONE reducer as a single aggregation buffer — GBs in one
+    task at 100× — before the size filter could run. Now every
+    aggregation buffer anywhere in the plan is bounded by
+    ``max_bucket`` ids (plan-asserted: the anti-join gates BELOW the
+    ObjectHashAggregate, tests/test_plan_quality.py). countDistinct
+    sizes exactly as collect_set did (both are distinct-by-id,
+    null-skipping), so the dropped accounting is unchanged.
 
-    Both returned frames derive from the same lazy groupBy; a caller
-    that never evaluates ``dropped`` pays nothing for it.
+    Cost: ``post`` is traversed twice (count agg + gated collect agg).
+    Callers feeding an expensive subtree should materialize the slim
+    postings first (the minhash/simhash forms persist signatures; q185
+    writes scratch postings) — the postings themselves are two longs +
+    an id per row.
     """
-    grouped = post.groupBy(*keys).agg(
-        F.array_sort(F.collect_set(id_col)).alias("ids")
+    occupancy = post.groupBy(*keys).agg(
+        F.countDistinct(id_col).alias("bucket_size")
     )
-    kept = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    dropped = grouped.filter(F.size("ids") > max_bucket).select(
-        *keys, F.size("ids").alias("bucket_size")
+    dropped = occupancy.filter(F.col("bucket_size") > max_bucket)
+    # degenerate buckets are few by construction (each holds > max_bucket
+    # distinct ids, so there are < N/max_bucket of them) — broadcastable
+    # at any corpus size
+    gate = F.broadcast(dropped.select(*keys))
+    grouped = (
+        post.join(gate, keys, "left_anti")
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
     )
+    kept = grouped.filter(F.size("ids") >= 2)
     pairs = kept.select(
         F.explode(
             F.flatten(
@@ -382,37 +403,92 @@ def _capped_incremental_gate(
     max_bucket: int,
     new_id: str,
     ex_id: str,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    existing_occupancy: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared degenerate-bucket gate for the INCREMENTAL pair forms:
     drops every bucket whose COMBINED occupancy (DISTINCT ids across
     increment rows + probed existing rows — distinct, so an id present
     on both sides, the overlapping re-append the pair joins already
     guard against, counts once) exceeds ``max_bucket`` — exactly the
     bucket a full batch rebuild over everything-so-far would drop
-    (``capped_bucket_pairs`` sizes by collect_set), so capping stays
+    (``capped_bucket_pairs`` sizes by countDistinct), so capping stays
     consistent with the batch form's semantics (exact incremental ==
     batch equivalence holds only while no bucket crosses the cap;
     capping is inherently non-monotone — see the callers' docstrings).
 
-    Returns (gated_new, gated_existing, dropped) where dropped is
-    (``*keys``, bucket_size). The occupancy agg runs over the slim
-    already-pruned union; the gate itself is a broadcast anti-join
-    (degenerate buckets are few by construction — each holds >
-    max_bucket rows), so the existing side's Exchange-free probe shape
-    survives.
+    Returns (gated_new, gated_existing, dropped, occupancy): dropped is
+    (``*keys``, bucket_size); occupancy is the same shape for EVERY
+    touched bucket — the combined distinct-id count a batch rebuild
+    over everything-so-far would see, which (postings append ungated)
+    is also the bucket's NEW stored occupancy, so a maintainer commits
+    it back as its occupancy sub-table's touched-key rows. The gate
+    itself is a broadcast anti-join (degenerate buckets are few by
+    construction — each holds > max_bucket ids), so the existing
+    side's Exchange-free probe shape survives.
+
+    Occupancy sizing, two regimes:
+
+    * ``existing_occupancy=None`` — recompute: countDistinct over
+      increment ∪ probed postings. Correct, but the union breaks the
+      probe's bucketed alignment, so every micro-batch SHUFFLES and
+      hash-aggregates the full probed posting volume — repeated work
+      that grows with index size (the round-9 q173 regression).
+    * ``existing_occupancy`` = a (``*keys``, n_exist) frame of the
+      persisted postings' per-bucket distinct-id counts, covering at
+      least every key present in BOTH the increment and the persisted
+      postings (a maintained sub-table, shard-pruned to the touched
+      shards; a missing key means 0 existing ids). Then combined =
+      n_exist + countDistinct(increment ids) − overlap, where overlap
+      (re-appended ids, ~zero under the append-only unique-id
+      contract) comes from a broadcast SEMI-join filter on the probed
+      scan — map-side, no full-postings shuffle, and the only
+      aggregates run over increment-sized or ~empty frames.
     """
-    occupancy = (
-        new_side.select(*keys, F.col(new_id).alias("_gid"))
-        .unionByName(existing_side.select(*keys, F.col(ex_id).alias("_gid")))
-        .groupBy(*keys)
-        .agg(F.countDistinct("_gid").alias("bucket_size"))
-    )
+    if existing_occupancy is None:
+        occupancy = (
+            new_side.select(*keys, F.col(new_id).alias("_gid"))
+            .unionByName(existing_side.select(*keys, F.col(ex_id).alias("_gid")))
+            .groupBy(*keys)
+            .agg(F.countDistinct("_gid").alias("bucket_size"))
+        )
+    else:
+        inc = new_side.select(*keys, F.col(new_id).alias("_gid"))
+        inc_occ = inc.groupBy(*keys).agg(F.countDistinct("_gid").alias("_n_inc"))
+        # stored counts for the touched keys only: the semi-join keeps
+        # the result broadcastable (O(touched buckets)) even when the
+        # occupancy sub-table itself is corpus-sized (MinHash buckets
+        # are near-unique per doc)
+        stored = (
+            existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
+            .select(*keys, F.col("n_exist").alias("_n_ex"))
+        )
+        ov = (
+            existing_side.select(*keys, F.col(ex_id).alias("_gid"))
+            .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
+            .groupBy(*keys)
+            .agg(F.countDistinct("_gid").alias("_n_ov"))
+        )
+        occupancy = (
+            inc_occ.join(F.broadcast(stored), keys, "left")
+            .join(F.broadcast(ov), keys, "left")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("_n_ex"), F.lit(0))
+                    + F.col("_n_inc")
+                    - F.coalesce(F.col("_n_ov"), F.lit(0))
+                )
+                .cast("long")
+                .alias("bucket_size"),
+            )
+        )
     dropped = occupancy.filter(F.col("bucket_size") > max_bucket)
     gate = F.broadcast(dropped.select(*keys))
     return (
         new_side.join(gate, keys, "left_anti"),
         existing_side.join(gate, keys, "left_anti"),
         dropped,
+        occupancy,
     )
 
 
@@ -500,11 +576,21 @@ def incremental_lsh_neardup_pairs_indexed(
     planes: list[list[float]] | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     with_dropped: bool = False,
+    existing_occupancy: DataFrame | None = None,
+    with_occupancy: bool = False,
 ):
     """Embedding near-dup for an INCREMENT against the persisted LSH
     index: returns ``(new_index_rows, pairs)`` where pairs involve at
     least one new vector (new×new and new×existing; existing×existing
     pairs were found when the corpus was built).
+
+    ``existing_occupancy`` (a (bucket, n_exist) frame of the persisted
+    index's per-bucket distinct-id counts) lets the cap gate read
+    stored counts instead of re-aggregating the probed index rows per
+    call — see :func:`_capped_incremental_gate`; ``with_occupancy=True``
+    appends the combined (bucket, bucket_size) frame for every touched
+    bucket to the returned tuple (after ``dropped`` if requested), so a
+    maintainer can commit it back as the new stored occupancy.
 
     Degenerate-bucket guard: buckets whose COMBINED occupancy
     (increment + probed index rows) exceeds ``max_bucket`` are dropped
@@ -548,8 +634,9 @@ def incremental_lsh_neardup_pairs_indexed(
     )
     touched = a.select("bucket").distinct()
     ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
-    a, ex, dropped = _capped_incremental_gate(
-        a, ex, ["bucket"], max_bucket, "nid", id_col
+    a, ex, dropped, occupancy = _capped_incremental_gate(
+        a, ex, ["bucket"], max_bucket, "nid", id_col,
+        existing_occupancy=existing_occupancy,
     )
     b = a.select(
         "bucket",
@@ -594,7 +681,12 @@ def incremental_lsh_neardup_pairs_indexed(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    return (new_idx, pairs, dropped) if with_dropped else (new_idx, pairs)
+    out = (new_idx, pairs)
+    if with_dropped:
+        out += (dropped,)
+    if with_occupancy:
+        out += (occupancy,)
+    return out
 
 
 def ivf_assign(
@@ -926,6 +1018,8 @@ def incremental_multitable_neardup_pairs(
     tables: list[list[list[float]]] | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     with_dropped: bool = False,
+    existing_occupancy: DataFrame | None = None,
+    with_occupancy: bool = False,
 ):
     """Multi-table (OR-amplified) embedding near-dup for an INCREMENT
     against the persisted postings+vectors index — the recall upgrade of
@@ -968,6 +1062,15 @@ def incremental_multitable_neardup_pairs(
     property above holds exactly while no bucket crosses the cap; past
     it, capping is non-monotone (see
     :func:`incremental_lsh_neardup_pairs_indexed`).
+
+    ``existing_occupancy`` (a (t, bucket, n_exist) frame of stored
+    per-bucket distinct-id counts, shard-pruned by the caller to the
+    touched shards) replaces the gate's per-call re-aggregation of the
+    probed postings with an O(touched buckets) read — see
+    :func:`_capped_incremental_gate`; ``with_occupancy=True`` appends
+    the combined (t, bucket, bucket_size) frame for every touched
+    bucket (the new stored occupancy — postings append ungated) to the
+    returned tuple, after ``dropped`` if requested.
     """
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
@@ -982,8 +1085,9 @@ def incremental_multitable_neardup_pairs(
     # sides through the combined-occupancy degenerate-bucket cap
     touched = new_post.select("t", "bucket").distinct()
     ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
-    gated_post, ex, dropped = _capped_incremental_gate(
-        new_post, ex, ["t", "bucket"], max_bucket, id_col, id_col
+    gated_post, ex, dropped, occupancy = _capped_incremental_gate(
+        new_post, ex, ["t", "bucket"], max_bucket, id_col, id_col,
+        existing_occupancy=existing_occupancy,
     )
 
     # new × new: self-join the increment postings per (t, bucket)
@@ -1049,9 +1153,12 @@ def incremental_multitable_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    out = (new_post, new_vec, pairs)
     if with_dropped:
-        return new_post, new_vec, pairs, dropped
-    return new_post, new_vec, pairs
+        out += (dropped,)
+    if with_occupancy:
+        out += (occupancy,)
+    return out
 
 
 def clustered_fixture(
@@ -1265,6 +1372,8 @@ def incremental_lsh_neardup_pairs_quantized(
     planes: list[list[float]] | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     with_dropped: bool = False,
+    existing_occupancy: DataFrame | None = None,
+    with_occupancy: bool = False,
 ):
     """Near-dup increment against the QUANTIZED index: the
     :func:`incremental_lsh_neardup_pairs_indexed` contract (returns
@@ -1277,7 +1386,8 @@ def incremental_lsh_neardup_pairs_quantized(
     pairs_q(full) == pairs_q(existing) ∪ pairs_q(increment).
 
     Same combined-occupancy degenerate-bucket guard as the
-    full-precision form (``max_bucket`` / ``with_dropped``; see
+    full-precision form (``max_bucket`` / ``with_dropped`` /
+    ``existing_occupancy`` / ``with_occupancy``; see
     :func:`incremental_lsh_neardup_pairs_indexed`).
     """
     if planes is None:
@@ -1299,8 +1409,9 @@ def incremental_lsh_neardup_pairs_quantized(
     )
     touched = a.select("bucket").distinct()
     ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
-    a, ex, dropped = _capped_incremental_gate(
-        a, ex, ["bucket"], max_bucket, "nid", id_col
+    a, ex, dropped, occupancy = _capped_incremental_gate(
+        a, ex, ["bucket"], max_bucket, "nid", id_col,
+        existing_occupancy=existing_occupancy,
     )
     b = a.select(
         "bucket",
@@ -1348,7 +1459,12 @@ def incremental_lsh_neardup_pairs_quantized(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    return (new_idx, pairs, dropped) if with_dropped else (new_idx, pairs)
+    out = (new_idx, pairs)
+    if with_dropped:
+        out += (dropped,)
+    if with_occupancy:
+        out += (occupancy,)
+    return out
 
 
 # -- product quantization (PQ) ------------------------------------------

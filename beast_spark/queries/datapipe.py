@@ -1425,6 +1425,14 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         n_buckets=16,
         path=f"{base}/index",
     )
+    # the maintained occupancy sidecar (round-10): per-bucket distinct
+    # counts derived ONCE at index-build time — the groupBy rides the
+    # just-written table's bucketing, shuffle-free — so the increment's
+    # cap gate reads stored counts instead of re-aggregating the probed
+    # index rows per run
+    spark.table(index_table).groupBy("band", "bucket").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_exist")
+    ).write.parquet(f"{base}/occ")
     new_sigs, _bands, pairs = incremental_minhash_pairs_indexed(
         spark.table(index_table),
         ex_sigs,
@@ -1435,6 +1443,7 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         bands=8,
         threshold=0.35,
         hash_family="md5",
+        existing_occupancy=spark.read.parquet(f"{base}/occ"),
     )
     # One-shot query path: the returned signature/band frames exist for
     # the maintainer's append-commit; here nothing appends, so release
@@ -4782,6 +4791,13 @@ def q173_incremental_multitable_neardup(
         n_buckets=8,
         path=f"{base}/vectors",
     )
+    # maintained occupancy sidecar (round-10): per-bucket distinct
+    # counts built once from the bucketed postings (shuffle-free
+    # groupBy) so the cap gate stops re-shuffling every probed posting
+    # row per increment — the round-9 q173 regression
+    spark.table(postings_table).groupBy("t", "bucket").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_exist")
+    ).write.parquet(f"{base}/occ")
     new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
         spark.table(postings_table),
         spark.table(vectors_table),
@@ -4789,6 +4805,7 @@ def q173_incremental_multitable_neardup(
         dims=64,
         threshold=0.42,
         tables=tables,
+        existing_occupancy=spark.read.parquet(f"{base}/occ"),
     )
     # one-shot path, nothing appends: honour the operator's documented
     # "caller must unpersist" contract before any action caches blocks

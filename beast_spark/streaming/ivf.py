@@ -329,6 +329,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
             # scan goes unpruned (with this many probes it would touch
             # ~every shard anyway)
             assigned = self._read_sub(spark, "assigned")
+            if assigned is None:
+                # unreachable while the sub_leaves guard above holds
+                # (same manifest source), but a None here must raise the
+                # explicit error, never an AttributeError off the join
+                raise ValueError("IvfIndexMaintainer: no state ingested yet")
             pairs = probes.select("query_id", "cid")
         else:
             pair_schema = probes.select("query_id", "cid").schema

@@ -89,6 +89,17 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         silent caps, but also no empty-fragment churn per trigger."""
         return self._read_sub(spark, "capped")
 
+    def read_occupancy(self, spark: SparkSession) -> DataFrame | None:
+        """(t, bucket, n_exist): maintained per-bucket distinct-id
+        counts over ALL committed postings — what the degenerate-bucket
+        gate reads instead of re-aggregating the probed posting volume
+        every micro-batch (the round-9 recompute form shuffled every
+        probed posting row per trigger; this read is O(touched
+        buckets), hash-shard replaced in the same manifest flip as the
+        postings it counts). Bounded by the bucket-space size
+        (≤ 2^P × L rows for P planes × L tables), not the corpus."""
+        return self._read_sub(spark, "occupancy")
+
     # -- the foreachBatch body -------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -111,6 +122,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         spark = batch_df.sparkSession
         postings = self.read_postings(spark)
         vectors = self.read_vectors(spark)
+        have_postings = postings is not None
         if postings is None:
             postings = spark.createDataFrame(
                 [], f"t int, bucket long, {self.id_col} long"
@@ -118,22 +130,43 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             vectors = spark.createDataFrame(
                 [], f"{self.id_col} long, {self.vec_col} array<double>, nrm double"
             )
+        # stored per-bucket distinct-id counts for the cap gate (see
+        # read_occupancy). Bootstrap: a pre-round-10 state dir carries
+        # postings but no occupancy sub — rebuild the counts ONCE from
+        # the postings (one O(index) aggregation, amortized over the
+        # stream's lifetime) and commit them with this batch's delta.
+        stored_occ = self.read_occupancy(spark)
+        bootstrap = stored_occ is None and have_postings
+        if bootstrap:
+            stored_occ = postings.groupBy("t", "bucket").agg(
+                F.countDistinct(self.id_col).cast("long").alias("n_exist")
+            )
+        elif stored_occ is None:
+            stored_occ = spark.createDataFrame([], "t int, bucket long, n_exist long")
         inc = batch_df.select(
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
-        new_post, new_vec, new_pairs, dropped = incremental_multitable_neardup_pairs(
-            postings,
-            vectors,
-            inc,
-            dims=self.dims,
-            id_col=self.id_col,
-            vec_col=self.vec_col,
-            threshold=self.threshold,
-            tables=self.tables,
-            max_bucket=self.max_bucket,
-            with_dropped=True,
+        new_post, new_vec, new_pairs, dropped, occupancy = (
+            incremental_multitable_neardup_pairs(
+                postings,
+                vectors,
+                inc,
+                dims=self.dims,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                threshold=self.threshold,
+                tables=self.tables,
+                max_bucket=self.max_bucket,
+                with_dropped=True,
+                existing_occupancy=stored_occ,
+                with_occupancy=True,
+            )
         )
+        # the combined occupancy frame feeds the pair gate (via dropped),
+        # the shard probe, AND the merge write — persist for the batch so
+        # its overlap semi-join against the probed postings runs once
+        occupancy = occupancy.persist()
         try:
             # append-only sub-tables: commit ONLY this batch's rows as
             # one new fragment each — O(increment) bytes, never O(index)
@@ -150,9 +183,44 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             capped = dropped.withColumn("batch_id", F.lit(batch_id))
             if not dropped.isEmpty():
                 appends["capped"] = capped
-            self.commit_delta(batch_id, appends=appends)
+            # occupancy merge: combined counts replace the touched keys,
+            # untouched keys in the touched shards carry over — the
+            # whcounts discipline (corpus_v3). Postings append UNGATED,
+            # so the operator's combined frame IS the new stored count
+            # even for capped buckets. On bootstrap the whole rebuilt
+            # set commits (no occupancy fragments exist yet, so every
+            # shard is declared touched).
+            touched_keys = occupancy.select("t", "bucket")
+            new_rows = occupancy.select(
+                "t", "bucket", F.col("bucket_size").cast("long").alias("n_exist")
+            )
+            if bootstrap:
+                occ_shards = list(range(self.n_shards))
+                old_occ = stored_occ
+            else:
+                occ_shards = self.touched_shards(occupancy, "t", "bucket")
+                old_occ = self._read_sub(spark, "occupancy", shards=occ_shards)
+            if old_occ is None:
+                merged = new_rows
+            else:
+                merged = old_occ.join(
+                    F.broadcast(touched_keys), ["t", "bucket"], "left_anti"
+                ).unionByName(new_rows)
+            self.commit_delta(
+                batch_id,
+                appends=appends,
+                shard_replacements={
+                    "occupancy": (
+                        merged.withColumn(
+                            "_shard", self.shard_of(F.col("t"), F.col("bucket"))
+                        ),
+                        occ_shards,
+                    )
+                },
+            )
             # amortized fragment fold (small-file control; see
-            # ManifestSwapTable.maybe_compact)
+            # ManifestSwapTable.maybe_compact — occupancy is a
+            # replacement sub, self-bound at n_shards fragments)
             for sub in ("postings", "vectors", "pairs", "capped"):
                 self.maybe_compact(spark, sub)
         finally:
@@ -161,6 +229,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             # stream's lifetime (one leak per micro-batch)
             new_post.unpersist()
             new_vec.unpersist()
+            occupancy.unpersist()
 
 
     # -- wiring ----------------------------------------------------------

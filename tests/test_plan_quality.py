@@ -471,3 +471,84 @@ def test_q185_vector_joins_never_shuffle_bucketed_vectors(spark, sf_dir, tmp_pat
     # Exchange, the cand side at most one per join
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     spark.sql("DROP TABLE IF EXISTS beast_test_q185_vecs")
+
+
+def _jvm_children(node):
+    out = []
+    it = node.children().iterator()
+    while it.hasNext():
+        out.append(it.next())
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        out.append(node.initialPlan())
+    if name == "ShuffleQueryStageExec":
+        out.append(node.plan())
+    return out
+
+
+def test_bucket_cap_gates_before_any_collect_set(spark):
+    """Round-9 verdict #1 (round-10 close): the shared degenerate-bucket
+    cap must be TWO-PASS — size every bucket with countDistinct longs
+    and broadcast-anti-join the over-cap buckets out BEFORE collect_set
+    runs — so no aggregation buffer anywhere in the plan can exceed
+    max_bucket ids, even on the adversarial corpus the cap exists for
+    (a quarter of a 100× crawl in one bucket previously landed its full
+    id array on ONE reducer before the size filter). Asserted across
+    the whole cap family: every ObjectHashAggregate (the collect_set
+    node, partial AND final) must sit ABOVE a broadcast LEFT ANTI
+    join."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_indexed,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from beast_spark.operators.similarity import capped_bucket_pairs
+
+    def anti_below(node):
+        name = node.getClass().getSimpleName()
+        if name == "BroadcastHashJoinExec" and "Anti" in node.joinType().toString():
+            return True
+        return any(anti_below(c) for c in _jvm_children(node))
+
+    def offending_collects(df):
+        bad = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "ObjectHashAggregateExec":
+                if not anti_below(node):
+                    bad.append(node.nodeName())
+            for c in _jvm_children(node):
+                walk(c)
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return bad
+
+    post = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "bucket long, id long"
+    )
+    pairs, _ = capped_bucket_pairs(post, ["bucket"], "id", max_bucket=10)
+    assert not offending_collects(pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 5} x{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    assert not offending_collects(
+        minhash_lsh_pairs(docs, "doc_id", "text", k=16, hash_family="md5")
+    )
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    _, inc_pairs = incremental_minhash_pairs(
+        old_sigs, new, "doc_id", "text", k=16, hash_family="md5"
+    )
+    assert not offending_collects(inc_pairs)
+    index = band_signatures(old_sigs, k=16, bands=8, hash_family="md5")
+    _, _, idx_pairs = incremental_minhash_pairs_indexed(
+        index, old_sigs, new, "doc_id", "text", k=16, bands=8, hash_family="md5"
+    )
+    assert not offending_collects(idx_pairs)
