@@ -45,14 +45,28 @@ __all__ = [
 SESSION_GAP_MS = 1_800_000  # q24's 30-minute gap
 
 
-def hourly_user_partials(events: DataFrame) -> DataFrame:
-    """Per-(hour window, event_type, user) additive partials: n_events,
+def hourly_user_partials(events: DataFrame, grain_minutes: int = 60) -> DataFrame:
+    """Per-(grain window, event_type, user) additive partials: n_events,
     n_value (non-null count, the avg denominator) and sum_cents (exact
     integer value mass — see ``_util.cents`` for why cents, not
     doubles). One row per distinct key ⟹ ``count(*)`` downstream IS
-    ``count(DISTINCT user_id)``."""
+    ``count(DISTINCT user_id)``.
+
+    ``grain_minutes`` is the partials' bucket width (default the
+    original hourly grain): a finer grain is what lets one maintained
+    state serve SUB-hour sliding geometries exactly (a sliding window
+    whose slide is a multiple of the grain is a sum of grain buckets —
+    ``HourlyWindowStatsMaintainer.read_sliding_minutes``). The bucket
+    start is epoch-aligned, exactly ``F.window``'s grid."""
+    if grain_minutes == 60:
+        window_start = F.date_trunc("hour", F.col("ts"))
+    else:
+        g = grain_minutes * 60
+        window_start = F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / F.lit(g)).cast("long") * g)
+        )
     return events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        window_start.alias("window_start"),
         "event_type",
         "user_id",
     ).agg(

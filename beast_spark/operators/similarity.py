@@ -404,6 +404,7 @@ def _capped_incremental_gate(
     new_id: str,
     ex_id: str,
     existing_occupancy: DataFrame | None = None,
+    overlap: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared degenerate-bucket gate for the INCREMENTAL pair forms:
     drops every bucket whose COMBINED occupancy (DISTINCT ids across
@@ -443,6 +444,16 @@ def _capped_incremental_gate(
       contract) comes from a broadcast SEMI-join filter on the probed
       scan — map-side, no full-postings shuffle, and the only
       aggregates run over increment-sized or ~empty frames.
+
+    ``overlap`` (only with ``existing_occupancy``): a precomputed
+    (``*keys``, n_overlap) frame of the re-appended-id counts. Callers
+    whose index carries an id-keyed side table (the multitable form's
+    vectors, the MinHash form's signatures) derive it there — re-sent
+    ids are the only overlap source and bucketing is deterministic
+    under frozen planes/hashes, so old postings of the handful of
+    re-sent ids can be re-derived from their stored rows — and then
+    the gate touches the POSTINGS side zero times: the whole increment
+    path scans the probed postings exactly once (the pair join).
     """
     if existing_occupancy is None:
         occupancy = (
@@ -462,12 +473,15 @@ def _capped_incremental_gate(
             existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
             .select(*keys, F.col("n_exist").alias("_n_ex"))
         )
-        ov = (
-            existing_side.select(*keys, F.col(ex_id).alias("_gid"))
-            .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
-            .groupBy(*keys)
-            .agg(F.countDistinct("_gid").alias("_n_ov"))
-        )
+        if overlap is not None:
+            ov = overlap.select(*keys, F.col("n_overlap").alias("_n_ov"))
+        else:
+            ov = (
+                existing_side.select(*keys, F.col(ex_id).alias("_gid"))
+                .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
+                .groupBy(*keys)
+                .agg(F.countDistinct("_gid").alias("_n_ov"))
+            )
         occupancy = (
             inc_occ.join(F.broadcast(stored), keys, "left")
             .join(F.broadcast(ov), keys, "left")
@@ -1085,9 +1099,36 @@ def incremental_multitable_neardup_pairs(
     # sides through the combined-occupancy degenerate-bucket cap
     touched = new_post.select("t", "bucket").distinct()
     ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
+    overlap = None
+    if existing_occupancy is not None:
+        # Re-appended ids are the only overlap between increment and
+        # stored postings, and bucketing is deterministic under the
+        # frozen tables, so their OLD postings re-derive from their
+        # stored vector rows — an id-keyed lookup on the (much smaller)
+        # vectors table instead of any pass over the postings. With
+        # this, the gate touches the postings side zero times and the
+        # whole increment path scans the probed postings exactly once
+        # (the pair join). Under the append-only unique-id contract the
+        # re-sent set is empty and every frame here is ~zero rows.
+        re_sent = existing_vectors.join(
+            F.broadcast(new_vec.select(id_col)), id_col, "left_semi"
+        )
+        old_post_resent = embedding_multitable_postings(
+            re_sent, tables, id_col, vec_col
+        )
+        overlap = (
+            new_post.join(
+                F.broadcast(old_post_resent.select("t", "bucket", id_col)),
+                ["t", "bucket", id_col],
+                "left_semi",
+            )
+            .groupBy("t", "bucket")
+            .agg(F.countDistinct(id_col).alias("n_overlap"))
+        )
     gated_post, ex, dropped, occupancy = _capped_incremental_gate(
         new_post, ex, ["t", "bucket"], max_bucket, id_col, id_col,
         existing_occupancy=existing_occupancy,
+        overlap=overlap,
     )
 
     # new × new: self-join the increment postings per (t, bucket)

@@ -230,9 +230,9 @@ def q43_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q44_earliest_event_dedup",
-    oracle="""
+# shared with q210 (the dropDuplicatesWithinWatermark streamed twin in
+# queries/events.py) — the streamed-twin pattern's verbatim-oracle rule
+_Q44_ORACLE = """
     SELECT user_id, event_type, event_id, ts
     FROM (
       SELECT user_id, event_type, event_id, ts,
@@ -240,7 +240,12 @@ def q43_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "q44_earliest_event_dedup",
+    oracle=_Q44_ORACLE,
     doc="Deterministic dropDuplicates: keep the earliest event per "
     "(user, type) via window rank (order-stable, unlike raw dropDuplicates).",
 )

@@ -612,3 +612,49 @@ def q208_streaming_sliding_window_4h2h(spark: SparkSession, sf_dir: str) -> Data
     for batch in range(3):
         m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
     return m.read_sliding(spark, window_hours=4, slide_hours=2)
+
+
+@register(
+    "q211_streaming_sliding_60m30m",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                  AS TIMESTAMP) AS grid,
+             value
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([grid, grid - INTERVAL 30 MINUTE]) AS wstart, value FROM g
+    )
+    SELECT wstart, wstart + INTERVAL 60 MINUTE AS wend,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM w
+    GROUP BY wstart
+    """,
+    doc="SUB-hour sliding windows (60-min window, 30-min slide) served "
+    "from a maintainer built at the matching 30-min partials grain "
+    "(HourlyWindowStatsMaintainer(grain_minutes=30), round-10 close of "
+    "the round-9 verdict's geometry gap: read_sliding previously "
+    "raised on non-hour-multiple slides). The grain is meta-guarded "
+    "like the session gap; a slide that is not a multiple of the "
+    "maintained grain still raises — the grid is exact or it refuses. "
+    "Oracle is q208's explicit-grid discipline at the 1800s grid: snap "
+    "each event to the 30-min epoch grid, explode into the 2 covering "
+    "60-min window starts, aggregate. Batches split by event_id % 3 "
+    "(time-interleaved — the partials merge is additive and "
+    "order-free).",
+    bench=False,
+    bench_reason="maintainer composition; the window-agg plan is benched as q69's batch form",
+)
+def q211_streaming_sliding_60m30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import HourlyWindowStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = HourlyWindowStatsMaintainer(
+        scratch_dir("beast_q211_") + "/state", grain_minutes=30
+    )
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_sliding_minutes(spark, window_minutes=60, slide_minutes=30)

@@ -1084,3 +1084,210 @@ def q202_orc_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("ts").alias("first_ts"),
     )
+
+
+def _timed_event_batches(
+    e: DataFrame, base: str, sort: bool = False
+) -> tuple[str, "object"]:
+    """Write the events table as three TIME-ORDERED micro-batch files
+    under ``base``/src — the file-source feed for the REAL Structured
+    Streaming twins (q209/q210). Contiguous time ranges (not the
+    event_id interleave the maintainer twins use) because watermark
+    semantics are the thing under test: stream-stream join state
+    eviction and dedup-state expiry assume bounded disorder, and a
+    time-interleaved split would legitimately DROP late rows — correct
+    streaming behavior, but then no batch oracle can match. Files are
+    written sequentially so the file source's modified-time order is
+    the time order. ``sort=True`` additionally writes each batch as ONE
+    file sorted by (ts, event_id), making arrival order deterministic
+    for first-arrival-keyed state ops."""
+    bounds = [
+        ("2024-01-01", "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", "2024-02-01"),
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        b = e.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).repartition(1)
+        if sort:
+            b = b.sortWithinPartitions("ts", "event_id")
+        b.write.parquet(f"{base}/src/b{i}")
+    schema = e.sparkSession.read.parquet(f"{base}/src/b0").schema
+    return f"{base}/src/*", schema
+
+
+def _run_to_parquet(joined: DataFrame, base: str) -> None:
+    """Drive an availableNow streaming query to a parquet sink and wait
+    for it — the registered-query harness for the real-stream twins."""
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming twin did not finish within 600s")
+
+
+@register(
+    "q209_stream_stream_interval_join",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS click_id,
+           b.event_id AS buy_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="REAL stream-stream interval join under the driver gate (the "
+    "last §2.B streaming leg that was equivalence-tested only): two "
+    "file-source streams over the same three time-ordered micro-batch "
+    "files — clicks joined to purchases per user within [0, 30 min] "
+    "via streaming/windows.py::interval_join (watermarks on both "
+    "sides, StreamingSymmetricHashJoin state bounded by watermark + "
+    "interval). Watermark (1h) > interval upper bound (30m) and the "
+    "batches are contiguous time ranges, so no true match's partner "
+    "can be evicted or late-dropped — the streamed result equals the "
+    "batch range join, which is the oracle. Exactly-once to a parquet "
+    "sink; the result is read back from the sink files.",
+    bench=False,
+    bench_reason="real micro-batch streaming run (sink+checkpoint I/O dominates); the range-join plan is benched as q29's batch form",
+)
+def q209_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.windows import interval_join
+
+    base = scratch_dir("beast_q209_")
+    e = load_table(spark, sf_dir, "events")
+    glob, schema = _timed_event_batches(e, base)
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+
+    clicks = src().filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "ts AS click_ts", "user_id"
+    )
+    buys = src().filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS buy_id", "ts AS buy_ts", "user_id"
+    )
+    joined = interval_join(
+        clicks,
+        buys,
+        ["user_id"],
+        "click_ts",
+        "buy_ts",
+        watermark="1 hour",
+        lower="0 seconds",
+        upper="30 minutes",
+    ).select(F.col("l.user_id").alias("user_id"), "click_id", "buy_id")
+    _run_to_parquet(joined, base)
+    return spark.read.parquet(f"{base}/out")
+
+
+from beast_spark.queries.advanced import _Q44_ORACLE  # noqa: E402 — q44's oracle, shared verbatim
+
+
+@register(
+    "q210_streaming_watermark_dedup",
+    oracle=_Q44_ORACLE,
+    doc="dropDuplicatesWithinWatermark under the driver gate — q44's "
+    "earliest-event dedup as a REAL stream "
+    "(streaming/windows.py::dedup_within_watermark): three "
+    "time-ordered micro-batch files, each written as ONE file sorted "
+    "by (ts, event_id) so arrival order IS event-time order and the "
+    "operator's keep-first-arrived semantics coincide with q44's "
+    "keep-earliest; the watermark delay (35 days) exceeds the "
+    "fixture's 30-day span, so no dedup state expires mid-run and the "
+    "stream performs an exact global first-per-(user, type) — the "
+    "bounded-lateness operator driven at its global-dedup limit, "
+    "sharing q44's oracle VERBATIM. (With a shorter delay the operator "
+    "correctly re-admits keys after expiry — bounded state, the whole "
+    "point at 100 TB — which no batch oracle can express; q44 remains "
+    "the batch face.)",
+    bench=False,
+    bench_reason="real micro-batch streaming run (sink+checkpoint I/O dominates); the dedup plan is benched as q44's batch form",
+)
+def q210_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.windows import dedup_within_watermark
+
+    base = scratch_dir("beast_q210_")
+    e = load_table(spark, sf_dir, "events")
+    glob, schema = _timed_event_batches(e, base, sort=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "35 days"
+    ).select("user_id", "event_type", "event_id", "ts")
+    _run_to_parquet(deduped, base)
+    return spark.read.parquet(f"{base}/out")
+
+
+@register(
+    "q212_session_serving_read",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id % 7 = 3
+    ),
+    g AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+    FROM g
+    GROUP BY user_id, session_id
+    """,
+    doc="The session maintainer's SERVING read — \"these users' "
+    "sessions now\" (streaming/eventstats.py::read_user_sessions, "
+    "round-10 close of the round-9 verdict's serving-path ask): the "
+    "state scan prunes to the probed users' hash shards (the IVF "
+    "posting-read discipline) instead of touching all user shards, "
+    "then semi-joins the exact user set; ordinal session ids are "
+    "per-user, so pruning cannot change them. Probed set: users with "
+    "user_id % 7 = 3 (a fixed serving-sized slice). Oracle: q24's "
+    "gaps-and-islands sessionization restricted to the same users. "
+    "State built from 3 event_id%3-interleaved batches, so every "
+    "served session was stitched across batches. The touched-shard "
+    "containment of the pruned read is test-asserted via inputFiles "
+    "(tests/test_eventstats.py).",
+    bench=False,
+    bench_reason="maintainer composition; the gaps-and-islands plan is benched as q24's batch form",
+)
+def q212_session_serving_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import SessionStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = SessionStatsMaintainer(scratch_dir("beast_q212_") + "/state")
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    users = e.select("user_id").filter(F.col("user_id") % 7 == 3).distinct()
+    return m.read_user_sessions(spark, users).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end", "duration_ms"
+    )

@@ -128,16 +128,36 @@ class _ShardedMergeMaintainer(ManifestSwapTable):
 
 class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
     """q23's tumbling hourly stats maintained live: additive partials
-    keyed (window_start, event_type, user_id), finalized on read."""
+    keyed (window_start, event_type, user_id), finalized on read.
+
+    ``grain_minutes`` (default 60, the original hourly grain; meta-
+    guarded like the session gap) sets the partials' bucket width — a
+    finer grain serves SUB-hour sliding geometries from the same state
+    (:meth:`read_sliding_minutes`) at proportionally more state rows.
+    ``read_stats`` finalizes q23's shape only at the default grain."""
 
     _SUB = "partials"
     _KEYS = ["window_start", "event_type", "user_id"]
 
+    def __init__(self, path: str, grain_minutes: int = 60, n_shards: int = 16):
+        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+        if grain_minutes <= 0 or 1440 % grain_minutes:
+            # the grid must tile days or epoch alignment drifts across
+            # DST-free UTC days and windows stop being bucket unions
+            raise ValueError(
+                f"grain_minutes must divide 1440, got {grain_minutes}"
+            )
+        self.grain_minutes = grain_minutes
+
     def _meta(self) -> dict:
-        return {"window": "1 hour"}
+        # the historical marker for the hourly default — existing state
+        # dirs were committed with it and must keep validating
+        if self.grain_minutes == 60:
+            return {"window": "1 hour"}
+        return {"window": f"{self.grain_minutes} minutes"}
 
     def _batch_rows(self, batch_df: DataFrame) -> DataFrame:
-        return hourly_user_partials(batch_df)
+        return hourly_user_partials(batch_df, grain_minutes=self.grain_minutes)
 
     def _merge(self, existing: DataFrame, inc: DataFrame) -> DataFrame:
         return (
@@ -152,21 +172,43 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
         )
 
     def read_stats(self, spark: SparkSession) -> DataFrame:
-        """q23's output over everything ingested so far."""
+        """q23's output over everything ingested so far (meaningful at
+        the default hourly grain; a finer grain finalizes the same
+        shape over finer tumbling buckets)."""
         return hourly_window_stats(self._read_state(spark))
 
     def read_sliding(
         self, spark: SparkSession, window_hours: int = 2, slide_hours: int = 1
     ) -> DataFrame:
         """q69's sliding-window stats served from the SAME maintained
-        hourly partials — one state, many window geometries: a sliding
-        (W, S) window with hour-multiple W and S is an exact sum of the
-        base hourly buckets (epoch-aligned, like ``F.window``), so each
-        hour explodes into its W/S covering window starts and re-sums.
-        No second maintainer, no re-read of the events."""
-        if window_hours % slide_hours:
-            raise ValueError("window_hours must be a multiple of slide_hours")
-        hourly = (
+        partials — see :meth:`read_sliding_minutes` (this is the
+        hour-multiple convenience form)."""
+        return self.read_sliding_minutes(
+            spark, window_hours * 60, slide_hours * 60
+        )
+
+    def read_sliding_minutes(
+        self, spark: SparkSession, window_minutes: int, slide_minutes: int
+    ) -> DataFrame:
+        """Sliding-window stats served from the maintained partials —
+        one state, many window geometries: a sliding (W, S) window
+        whose slide S is a multiple of the partials' grain (and W a
+        multiple of S) is an exact sum of the base grain buckets
+        (epoch-aligned, like ``F.window``), so each bucket explodes
+        into its W/S covering window starts and re-sums. No second
+        maintainer, no re-read of the events. Sub-hour geometries
+        (e.g. 60/30) need a maintainer built with the matching
+        ``grain_minutes`` — the grid mismatch raises, it never
+        approximates."""
+        if window_minutes % slide_minutes:
+            raise ValueError("window_minutes must be a multiple of slide_minutes")
+        if slide_minutes % self.grain_minutes:
+            raise ValueError(
+                f"slide_minutes={slide_minutes} is not a multiple of this "
+                f"maintainer's grain_minutes={self.grain_minutes} — the "
+                "window grid would not be a union of maintained buckets"
+            )
+        buckets = (
             self._read_state(spark)
             .groupBy("window_start")
             .agg(
@@ -174,21 +216,21 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
                 F.sum("sum_cents").alias("_s"),
             )
         )
-        k = window_hours // slide_hours
+        k = window_minutes // slide_minutes
         # the covering window starts are epoch-aligned MULTIPLES OF THE
-        # SLIDE (exactly F.window's grid): snap the hour down to the
+        # SLIDE (exactly F.window's grid): snap the bucket down to the
         # slide grid first, then step back — exploding from the raw
-        # hour would emit misaligned starts whenever slide_hours > 1
-        slide_s = slide_hours * 3600
+        # bucket would emit misaligned starts whenever slide > grain
+        slide_s = slide_minutes * 60
         base = F.timestamp_seconds(
             F.floor(F.unix_timestamp("window_start") / F.lit(slide_s)).cast("long")
             * slide_s
         )
         starts = F.array(
-            *[base - F.expr(f"INTERVAL {i * slide_hours} HOURS") for i in range(k)]
+            *[base - F.expr(f"INTERVAL {i * slide_minutes} MINUTES") for i in range(k)]
         )
         return (
-            hourly.withColumn("wstart", F.explode(starts))
+            buckets.withColumn("wstart", F.explode(starts))
             .groupBy("wstart")
             .agg(
                 F.sum("_n").alias("n_events"),
@@ -196,7 +238,7 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
             )
             .select(
                 "wstart",
-                (F.col("wstart") + F.expr(f"INTERVAL {window_hours} HOURS")).alias(
+                (F.col("wstart") + F.expr(f"INTERVAL {window_minutes} MINUTES")).alias(
                     "wend"
                 ),
                 "n_events",
@@ -231,3 +273,27 @@ class SessionStatsMaintainer(_ShardedMergeMaintainer):
     def read_sessions(self, spark: SparkSession) -> DataFrame:
         """q24's output over everything ingested so far."""
         return numbered_sessions(self._read_state(spark))
+
+    def read_user_sessions(self, spark: SparkSession, users: DataFrame) -> DataFrame:
+        """Serving read — "these users' sessions now": prunes the state
+        scan to the probed users' hash shards (the IVF posting-read
+        discipline, ``streaming/ivf.py::candidates``) instead of
+        touching every user shard, then semi-joins to the exact user
+        set. ``users`` is a serving-sized (user_id) frame; output ==
+        :meth:`read_sessions` restricted to the same users (ordinal ids
+        are per-user, so pruning cannot change them). The shard probe
+        is one O(n_shards) driver-side action."""
+        self._guard()
+        if not self.sub_leaves(self._SUB):
+            raise ValueError(f"{type(self).__name__}: nothing ingested yet")
+        shards = self.touched_shards(users, "user_id")
+        state = self._read_sub(spark, self._SUB, shards=shards)
+        if state is None:
+            # state exists but the probed shards hold no fragments ⇒
+            # none of these users has ever been seen; keep the schema
+            # exact with a zero-row full read
+            state = self._read_sub(spark, self._SUB).limit(0)
+        pruned = state.join(
+            F.broadcast(users.select("user_id").distinct()), "user_id", "left_semi"
+        )
+        return numbered_sessions(pruned)

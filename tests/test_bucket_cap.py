@@ -335,3 +335,60 @@ def test_incremental_minhash_with_dropped_reports_union_size(spark):
         max_bucket=1000, hash_family="md5", with_dropped=True,
     )
     assert wd.count() == 0 and wide.count() > 0
+
+
+def test_incremental_multitable_occupancy_path_matches_recompute(spark):
+    """The maintained-occupancy gate (round-10) must size buckets
+    EXACTLY like the recompute gate — including the overlapping
+    re-append case, where the overlap count is re-derived from the
+    id-keyed vectors table instead of any pass over the postings. A
+    re-sent id counts once (batch collect_set semantics)."""
+    from pyspark.sql import functions as F2
+
+    tables = multitable_planes(DIMS, 3, 3)
+    old = spark.createDataFrame(_corpus(15, 6), DDL)
+    # increment: 9 fresh duplicates + id 0 RE-SENT (overlap)
+    inc = spark.createDataFrame(
+        [(0, _dup_vec())] + [(50 + i, _dup_vec()) for i in range(9)], DDL
+    )
+    postings = embedding_multitable_postings(old, tables)
+    vectors = old.select("vec_id", "embedding").withColumn(
+        "nrm",
+        F2.sqrt(F2.aggregate("embedding", F2.lit(0.0), lambda a, x: a + x * x)),
+    )
+    occ = postings.groupBy("t", "bucket").agg(
+        F2.countDistinct("vec_id").cast("long").alias("n_exist")
+    )
+
+    def run(**kw):
+        np_, nv_, pairs, dropped = incremental_multitable_neardup_pairs(
+            postings, vectors, inc, dims=DIMS, threshold=0.0, tables=tables,
+            max_bucket=20, with_dropped=True, **kw,
+        )
+        try:
+            return (
+                {(r.t, r.bucket, r.bucket_size) for r in dropped.collect()},
+                _pairset(pairs),
+            )
+        finally:
+            np_.unpersist()
+            nv_.unpersist()
+
+    d_occ, p_occ = run(existing_occupancy=occ)
+    d_rec, p_rec = run()
+    assert d_occ == d_rec and p_occ == p_rec
+    # distinct union: 15 old dups + 9 fresh + re-sent id 0 counted ONCE
+    # = 24 (+ any co-bucketed distinct vectors), in every table
+    assert sorted(t for t, _, _ in d_occ) == [0, 1, 2]
+    assert all(s >= 24 for _, _, s in d_occ)
+    batch_sizes = {
+        (r.t, r.bucket): r.bucket_size
+        for r in embedding_multitable_postings(
+            old.unionByName(inc).distinct(), tables
+        )
+        .groupBy("t", "bucket")
+        .agg(F2.countDistinct("vec_id").alias("bucket_size"))
+        .collect()
+    }
+    for t, b, s in d_occ:
+        assert batch_sizes[(t, b)] == s  # exactly what a rebuild would see

@@ -184,3 +184,78 @@ def test_read_sliding_matches_spark_window_for_slide_gt_one(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_read_sliding_minutes_subhour_matches_spark_window(spark, tmp_path):
+    """Round-10: a maintainer built at a 30-min partials grain serves a
+    60m/30m sliding geometry exactly (F.window's epoch grid), and the
+    grid refuses what it cannot serve exactly — a slide that is not a
+    multiple of the grain, and an hourly-grain maintainer asked for a
+    sub-hour slide."""
+    rows = [
+        _ev(i, 1, m, value=float(i))
+        for i, m in enumerate([0, 10, 29, 30, 31, 75, 140, 400])
+    ]
+    e = spark.createDataFrame(rows, EVENTS_DDL)
+    m = HourlyWindowStatsMaintainer(str(tmp_path / "state"), grain_minutes=30)
+    m.apply_batch(e, 0)
+    got = {
+        (r.wstart, r.wend, r.n_events, r.sum_value_cents)
+        for r in m.read_sliding_minutes(spark, 60, 30).collect()
+    }
+    from beast_spark.queries._util import cents
+
+    expected = {
+        tuple(r)
+        for r in e.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("s"))
+        .select(F.col("w.start"), F.col("w.end"), "n", "s")
+        .collect()
+    }
+    assert got == expected
+    with pytest.raises(ValueError, match="multiple of this"):
+        m.read_sliding_minutes(spark, 90, 45)  # 45 % 30 != 0
+    hourly = HourlyWindowStatsMaintainer(str(tmp_path / "state_h"))
+    hourly.apply_batch(e, 0)
+    with pytest.raises(ValueError, match="grain_minutes=60"):
+        hourly.read_sliding_minutes(spark, 60, 30)
+    # the grain is part of the state's meaning: reopening a 30-min state
+    # dir with the hourly default must refuse (meta guard)
+    with pytest.raises(ValueError, match="mixed-config"):
+        HourlyWindowStatsMaintainer(str(tmp_path / "state")).apply_batch(e, 1)
+    with pytest.raises(ValueError, match="divide 1440"):
+        HourlyWindowStatsMaintainer(str(tmp_path / "x"), grain_minutes=7)
+
+
+def test_read_user_sessions_prunes_to_probed_shards(spark, tmp_path):
+    """The serving read returns exactly read_sessions restricted to the
+    probed users AND reads only their hash shards (inputFiles ⊆ the
+    touched shards' leaves)."""
+    rows = [_ev(i, i % 11, i * 3) for i in range(120)]
+    m = SessionStatsMaintainer(str(tmp_path / "state"))
+    for b in range(3):
+        m.apply_batch(
+            spark.createDataFrame([r for r in rows if r[0] % 3 == b], EVENTS_DDL), b
+        )
+    users = spark.createDataFrame([(3,), (7,)], "user_id long")
+    got = m.read_user_sessions(spark, users)
+    want = (
+        m.read_sessions(spark)
+        .filter(F.col("user_id").isin(3, 7))
+        .collect()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+    touched = m.touched_shards(users, "user_id")
+    allowed = set()
+    for leaf in m.sub_leaves("sessions", shards=touched):
+        allowed.add(leaf.rstrip("/"))
+    for f in got.inputFiles():
+        assert any(a in f for a in allowed), f
+    # users never seen: empty result with the full schema, no raise
+    ghost = spark.createDataFrame([(10_000,)], "user_id long")
+    empty = m.read_user_sessions(spark, ghost)
+    assert empty.count() == 0
+    assert empty.columns == got.columns
+    fresh = SessionStatsMaintainer(str(tmp_path / "none"))
+    with pytest.raises(ValueError, match="nothing ingested"):
+        fresh.read_user_sessions(spark, users)

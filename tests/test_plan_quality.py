@@ -552,3 +552,71 @@ def test_bucket_cap_gates_before_any_collect_set(spark):
         index, old_sigs, new, "doc_id", "text", k=16, bands=8, hash_family="md5"
     )
     assert not offending_collects(idx_pairs)
+
+
+def test_occupancy_gate_scans_postings_exactly_once(spark, tmp_path):
+    """Round-9 verdict #2 (round-10 close): with a maintained occupancy
+    table, the incremental pair path must read the probed postings
+    EXACTLY once (the pair join) — the cap gate sizes buckets from
+    stored counts plus an id-keyed vectors lookup, never from a second
+    postings pass (the recompute gate's full-postings shuffle was the
+    q173 regression). Counted at the FileScan level."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        incremental_multitable_neardup_pairs,
+        multitable_planes,
+    )
+
+    tables = multitable_planes(8, 3, 4)
+    rows = [(i, [float((i * 3 + d) % 5 - 2) for d in range(8)]) for i in range(60)]
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = data.filter(F.col("vec_id") % 5 != 0)
+    new = data.filter(F.col("vec_id") % 5 == 0)
+    post_path = str(tmp_path / "postings")
+    vec_path = str(tmp_path / "vectors")
+    occ_path = str(tmp_path / "occ")
+    embedding_multitable_postings(old, tables).write.parquet(post_path)
+    old.select("vec_id", "embedding").withColumn(
+        "nrm", F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    ).write.parquet(vec_path)
+    spark.read.parquet(post_path).groupBy("t", "bucket").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_exist")
+    ).write.parquet(occ_path)
+
+    def postings_scans(pairs):
+        hits = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "FileSourceScanExec":
+                roots = node.relation().location().rootPaths()
+                it = roots.iterator()
+                while it.hasNext():
+                    if "postings" in it.next().toString():
+                        hits.append(1)
+            for c in _jvm_children(node):
+                walk(c)
+
+        walk(pairs._jdf.queryExecution().executedPlan())
+        return len(hits)
+
+    np1, nv1, with_occ = incremental_multitable_neardup_pairs(
+        spark.read.parquet(post_path), spark.read.parquet(vec_path), new,
+        dims=8, threshold=0.0, tables=tables,
+        existing_occupancy=spark.read.parquet(occ_path),
+    )
+    np2, nv2, recompute = incremental_multitable_neardup_pairs(
+        spark.read.parquet(post_path), spark.read.parquet(vec_path), new,
+        dims=8, threshold=0.0, tables=tables,
+    )
+    try:
+        assert postings_scans(with_occ) == 1
+        # the recompute fallback's gate re-reads the postings (the tree
+        # shows the occupancy subtree duplicated under both gate
+        # broadcasts; execution reuses the exchange but still pays the
+        # extra pass) — the contrast that keeps this test honest if
+        # scan counting ever changes
+        assert postings_scans(recompute) > 1
+    finally:
+        np1.unpersist(); nv1.unpersist(); np2.unpersist(); nv2.unpersist()
