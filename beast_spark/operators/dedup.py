@@ -345,11 +345,30 @@ def incremental_minhash_pairs(
     that crosses the cap only once the increment lands is dropped here
     exactly as a full recompute would drop it — the two sides stay
     consistent, but a cap-crossing bucket's older pairs remain from the
-    earlier run (dedup keeps found pairs; it never un-finds them)."""
+    earlier run (dedup keeps found pairs; it never un-finds them).
+
+    Cost note: the two-pass cap (size-gate before collect_set) makes
+    this form traverse the corpus banding twice per increment — a
+    deliberate trade of a 2× constant on the NON-scale variant (this
+    function re-bands every existing signature per increment by
+    design; that is why it exists next to the indexed form) for the
+    bounded-reducer-memory guarantee. The production path,
+    :func:`incremental_minhash_pairs_indexed`, pays zero extra: its
+    gate reads stored occupancy and never touches the index twice."""
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
     ).persist()
-    all_sigs = existing_sigs.select("doc_id", "signature").unionByName(new_sigs)
+    # upsert semantics (review finding): a re-sent doc's stored
+    # signature is superseded by the increment's — without the
+    # anti-join, the doc carries TWO signature rows through banding and
+    # the estimate join, duplicating its pairs and scoring one copy
+    # against the stale signature. No-op under the append-only
+    # unique-id contract.
+    all_sigs = (
+        existing_sigs.select("doc_id", "signature")
+        .join(F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(new_sigs.select("doc_id", "signature"))
+    )
     banded = band_signatures(all_sigs, k=k, bands=bands, hash_family=hash_family)
     new_ids = new_sigs.select(F.col("doc_id").alias("_nid"))
     tagged = banded.join(
@@ -506,6 +525,14 @@ def incremental_minhash_pairs_indexed(
     new_bands = band_signatures(new_sigs, k=k, bands=bands, hash_family=hash_family)
     touched = new_bands.select("band", "bucket").distinct()
     ex_post = existing_index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+    # upsert semantics for a re-sent doc (review finding): its stored
+    # band rows are superseded — drop them from the probe so its pairs
+    # come from the new×new leg only, and its estimates score against
+    # the NEW signature (all_sigs below applies the same rule). No-op
+    # under the append-only unique-id contract.
+    ex_post = ex_post.join(
+        F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
+    )
     overlap = None
     if existing_occupancy is not None:
         # re-appended docs are the only overlap source, and banding is
@@ -583,8 +610,13 @@ def incremental_minhash_pairs_indexed(
         F.explode(F.concat(new_new, new_existing)).alias("p")
     ).filter(F.col("p.doc1") != F.col("p.doc2"))
     cand = pairs.select("p.doc1", "p.doc2").distinct()
-    all_sigs = existing_sigs.select("doc_id", "signature").unionByName(
-        new_sigs.select("doc_id", "signature")
+    # upsert semantics: the estimate must score a re-sent doc against
+    # its NEW signature only (one sig row per doc — same rule as
+    # incremental_minhash_pairs' all_sigs)
+    all_sigs = (
+        existing_sigs.select("doc_id", "signature")
+        .join(F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(new_sigs.select("doc_id", "signature"))
     )
     s1 = all_sigs.select(F.col("doc_id").alias("doc1"), F.col("signature").alias("sig1"))
     s2 = all_sigs.select(F.col("doc_id").alias("doc2"), F.col("signature").alias("sig2"))

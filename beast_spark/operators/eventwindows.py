@@ -57,14 +57,15 @@ def hourly_user_partials(events: DataFrame, grain_minutes: int = 60) -> DataFram
     state serve SUB-hour sliding geometries exactly (a sliding window
     whose slide is a multiple of the grain is a sum of grain buckets —
     ``HourlyWindowStatsMaintainer.read_sliding_minutes``). The bucket
-    start is epoch-aligned, exactly ``F.window``'s grid."""
-    if grain_minutes == 60:
-        window_start = F.date_trunc("hour", F.col("ts"))
-    else:
-        g = grain_minutes * 60
-        window_start = F.timestamp_seconds(
-            (F.floor(F.unix_timestamp("ts") / F.lit(g)).cast("long") * g)
-        )
+    start is the UTC-epoch floor for EVERY grain — exactly
+    ``F.window``'s absolute grid, and the grid ``read_sliding_minutes``
+    snaps to. (One grid, one branch: a ``date_trunc('hour')`` default
+    would be session-timezone-dependent and drift off the epoch grid
+    in non-whole-hour-offset zones — review finding.)"""
+    g = grain_minutes * 60
+    window_start = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / F.lit(g)).cast("long") * g
+    )
     return events.groupBy(
         window_start.alias("window_start"),
         "event_type",

@@ -427,13 +427,14 @@ def _capped_incremental_gate(
     construction — each holds > max_bucket ids), so the existing
     side's Exchange-free probe shape survives.
 
-    Occupancy sizing, two regimes:
+    Occupancy sizing, two regimes (both via the exact identity
+    |stored ∪ inc| = |stored| + |inc| − |overlap| per bucket):
 
-    * ``existing_occupancy=None`` — recompute: countDistinct over
-      increment ∪ probed postings. Correct, but the union breaks the
-      probe's bucketed alignment, so every micro-batch SHUFFLES and
-      hash-aggregates the full probed posting volume — repeated work
-      that grows with index size (the round-9 q173 regression).
+    * ``existing_occupancy=None`` — recompute: the stored term is a
+      per-bucket countDistinct over the probed rows ALONE, so the
+      aggregation rides the index table's bucketed distribution
+      (never the union-with-increment shuffle of the round-9 form);
+      still a per-call re-aggregation of the probed volume.
     * ``existing_occupancy`` = a (``*keys``, n_exist) frame of the
       persisted postings' per-bucket distinct-id counts, covering at
       least every key present in BOTH the increment and the persisted
@@ -455,47 +456,53 @@ def _capped_incremental_gate(
     the gate touches the POSTINGS side zero times: the whole increment
     path scans the probed postings exactly once (the pair join).
     """
+    inc = new_side.select(*keys, F.col(new_id).alias("_gid"))
+    inc_occ = inc.groupBy(*keys).agg(F.countDistinct("_gid").alias("_n_inc"))
     if existing_occupancy is None:
-        occupancy = (
-            new_side.select(*keys, F.col(new_id).alias("_gid"))
-            .unionByName(existing_side.select(*keys, F.col(ex_id).alias("_gid")))
-            .groupBy(*keys)
-            .agg(F.countDistinct("_gid").alias("bucket_size"))
+        # per-bucket distinct counts over the probed rows alone —
+        # grouped WITHOUT unioning the increment in, so the aggregation
+        # rides the index table's bucketed distribution (zero
+        # corpus-side Exchange; the earlier union form re-shuffled
+        # every probed posting row per call — review finding)
+        n_ex = existing_side.groupBy(*keys).agg(
+            F.countDistinct(ex_id).alias("_n_ex")
         )
     else:
-        inc = new_side.select(*keys, F.col(new_id).alias("_gid"))
-        inc_occ = inc.groupBy(*keys).agg(F.countDistinct("_gid").alias("_n_inc"))
         # stored counts for the touched keys only: the semi-join keeps
         # the result broadcastable (O(touched buckets)) even when the
         # occupancy sub-table itself is corpus-sized (MinHash buckets
         # are near-unique per doc)
-        stored = (
+        n_ex = (
             existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
             .select(*keys, F.col("n_exist").alias("_n_ex"))
         )
-        if overlap is not None:
-            ov = overlap.select(*keys, F.col("n_overlap").alias("_n_ov"))
-        else:
-            ov = (
-                existing_side.select(*keys, F.col(ex_id).alias("_gid"))
-                .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
-                .groupBy(*keys)
-                .agg(F.countDistinct("_gid").alias("_n_ov"))
-            )
-        occupancy = (
-            inc_occ.join(F.broadcast(stored), keys, "left")
-            .join(F.broadcast(ov), keys, "left")
-            .select(
-                *keys,
-                (
-                    F.coalesce(F.col("_n_ex"), F.lit(0))
-                    + F.col("_n_inc")
-                    - F.coalesce(F.col("_n_ov"), F.lit(0))
-                )
-                .cast("long")
-                .alias("bucket_size"),
-            )
+    if overlap is not None:
+        ov = overlap.select(*keys, F.col("n_overlap").alias("_n_ov"))
+    else:
+        ov = (
+            existing_side.select(*keys, F.col(ex_id).alias("_gid"))
+            .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
+            .groupBy(*keys)
+            .agg(F.countDistinct("_gid").alias("_n_ov"))
         )
+    # |stored ∪ increment| = |stored| + |increment| − |overlap|, per
+    # bucket — exact for every regime, including the callers that
+    # pre-drop a re-sent id's superseded stored rows (their n_ex and
+    # overlap shrink by the same rows)
+    occupancy = (
+        inc_occ.join(F.broadcast(n_ex), keys, "left")
+        .join(F.broadcast(ov), keys, "left")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("_n_ex"), F.lit(0))
+                + F.col("_n_inc")
+                - F.coalesce(F.col("_n_ov"), F.lit(0))
+            )
+            .cast("long")
+            .alias("bucket_size"),
+        )
+    )
     dropped = occupancy.filter(F.col("bucket_size") > max_bucket)
     gate = F.broadcast(dropped.select(*keys))
     return (
@@ -648,6 +655,12 @@ def incremental_lsh_neardup_pairs_indexed(
     )
     touched = a.select("bucket").distinct()
     ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
+    # upsert semantics: a re-sent id's stored index rows are superseded
+    # by the increment (see the multitable form) — no-op under the
+    # append-only unique-id contract
+    ex = ex.join(
+        F.broadcast(a.select(F.col("nid").alias(id_col))), id_col, "left_anti"
+    )
     a, ex, dropped, occupancy = _capped_incremental_gate(
         a, ex, ["bucket"], max_bucket, "nid", id_col,
         existing_occupancy=existing_occupancy,
@@ -1099,6 +1112,14 @@ def incremental_multitable_neardup_pairs(
     # sides through the combined-occupancy degenerate-bucket cap
     touched = new_post.select("t", "bucket").distinct()
     ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
+    # Upsert semantics for a re-sent id (review finding): its STORED
+    # rows are superseded — drop them from the probe so its pairs come
+    # from the nn leg only, scored against the NEW vector. Otherwise
+    # the old posting row pairs the same partners again through the ne
+    # leg: a duplicate row, against the stale vector. A no-op (zero
+    # rows removed) under the documented append-only unique-id
+    # contract.
+    ex = ex.join(F.broadcast(new_vec.select(id_col)), id_col, "left_anti")
     overlap = None
     if existing_occupancy is not None:
         # Re-appended ids are the only overlap between increment and
@@ -1450,6 +1471,12 @@ def incremental_lsh_neardup_pairs_quantized(
     )
     touched = a.select("bucket").distinct()
     ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
+    # upsert semantics: a re-sent id's stored index rows are superseded
+    # by the increment (see the multitable form) — no-op under the
+    # append-only unique-id contract
+    ex = ex.join(
+        F.broadcast(a.select(F.col("nid").alias(id_col))), id_col, "left_anti"
+    )
     a, ex, dropped, occupancy = _capped_incremental_gate(
         a, ex, ["bucket"], max_bucket, "nid", id_col,
         existing_occupancy=existing_occupancy,

@@ -1113,8 +1113,30 @@ def _timed_event_batches(
         ).repartition(1)
         if sort:
             b = b.sortWithinPartitions("ts", "event_id")
-        b.write.parquet(f"{base}/src/b{i}")
-    schema = e.sparkSession.read.parquet(f"{base}/src/b0").schema
+        # one ROW GROUP per batch file (block size ≫ file size): a
+        # parquet scan emits a row group's rows from the single split
+        # holding its start offset, so each batch reaches the stateful
+        # operator as ONE ordered task even under a small
+        # maxPartitionBytes — the property q210's first-arrived ==
+        # earliest premise stands on
+        b.write.option("parquet.block.size", str(1 << 30)).parquet(
+            f"{base}/src/b{i}"
+        )
+    spark = e.sparkSession
+    # the fixed bounds must COVER the fixture: a regenerated dataset
+    # spilling outside [2024-01-01, 2024-02-01) would silently feed the
+    # stream a subset while the oracle reads the full table — fail here
+    # with the real cause instead (review finding)
+    written = spark.read.parquet(f"{base}/src/*").count()
+    total = e.count()
+    if written != total:
+        raise ValueError(
+            f"_timed_event_batches: batch bounds cover {written} of "
+            f"{total} events — the fixture's time range moved outside "
+            "[2024-01-01, 2024-02-01); update the bounds (and q210's "
+            "35-day watermark premise)."
+        )
+    schema = spark.read.parquet(f"{base}/src/b0").schema
     return f"{base}/src/*", schema
 
 

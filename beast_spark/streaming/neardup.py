@@ -138,9 +138,13 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         stored_occ = self.read_occupancy(spark)
         bootstrap = stored_occ is None and have_postings
         if bootstrap:
+            # persisted for the batch: the rebuilt counts feed both the
+            # gate and the merge write below — without the persist the
+            # O(index) aggregation would run twice in the one batch
+            # that pays it
             stored_occ = postings.groupBy("t", "bucket").agg(
                 F.countDistinct(self.id_col).cast("long").alias("n_exist")
-            )
+            ).persist()
         elif stored_occ is None:
             stored_occ = spark.createDataFrame([], "t int, bucket long, n_exist long")
         inc = batch_df.select(
@@ -230,6 +234,8 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             new_post.unpersist()
             new_vec.unpersist()
             occupancy.unpersist()
+            if bootstrap:
+                stored_occ.unpersist()
 
 
     # -- wiring ----------------------------------------------------------

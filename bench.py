@@ -121,15 +121,24 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         try:
             df = spec.fn(spark, sf_dir)
+            # One UNTIMED warmup execution first (round-9 verdict #6):
+            # the recorded variance proved first-run warmup dominates
+            # per-query spread (q19 at 1954%, q115 at 404% on unchanged
+            # code — JIT compilation, code cache, first-touch of the
+            # input files), which buried real regressions like q173's
+            # under noise. The warmup run absorbs the one-time costs so
+            # the measured runs are steady-state and spread_pct is a
+            # regression signal, not a warmup artifact.
+            df.write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
-            # Run-to-run noise (JIT warmth, GC timing, residual machine
-            # load) distorts everything above the trivial tier — re-measure
-            # up to twice, keeping the best run, and stop early once a
-            # repeat lands within 20% of the best (converged). Sub-0.2s
-            # queries stay single-run: their absolute jitter is in the
-            # noise floor either way. EVERY run is recorded to
+            # Residual run-to-run noise (GC timing, machine load) still
+            # distorts the upper tier — re-measure up to twice, keeping
+            # the best run, and stop early once a repeat lands within
+            # 20% of the best (converged). Sub-0.2s queries stay
+            # single-run: their absolute jitter is in the noise floor
+            # either way. EVERY measured run is recorded to
             # BENCH_LOCAL.json (per-query best + spread) so a judge can
             # tell measurement noise from a real regression without
             # re-running the bench (round-8 verdict #4).
@@ -173,7 +182,7 @@ def main() -> None:
         "sf": sf,
         "excluded_n": len(excluded),
         "detail": "BENCH_LOCAL.json",
-        "conv": "best<=3,stop@20%; runs+spread in detail",
+        "conv": "warmup+best<=3,stop@20%; runs+spread in detail",
     }
     # Single-node ingest throughput: the proto roundtrip query pushes every
     # events row through encode → decode → map → metadata (the reference's
@@ -238,8 +247,9 @@ def main() -> None:
     # round-over-round delta is noise, not regression (the ANN family
     # has measured ±30-50% here).
     full["convergence_rule"] = (
-        "per query: best of <=3 noop-sink runs, early-stop once a repeat "
-        "is within 20% of the best; sub-0.2s queries run once"
+        "per query: one UNTIMED warmup run, then best of <=3 noop-sink "
+        "runs, early-stop once a repeat is within 20% of the best; "
+        "sub-0.2s queries measure once after warmup"
     )
     full["variance"] = {
         name.split("_", 1)[0]: {

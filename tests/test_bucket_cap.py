@@ -392,3 +392,66 @@ def test_incremental_multitable_occupancy_path_matches_recompute(spark):
     }
     for t, b, s in d_occ:
         assert batch_sizes[(t, b)] == s  # exactly what a rebuild would see
+
+
+def test_multitable_resend_emits_each_pair_once_new_vector_wins(spark):
+    """Upsert semantics for a re-sent id (round-10 review finding): its
+    stored rows are superseded, so each of its pairs appears EXACTLY
+    once (the old posting row used to duplicate them through the
+    new×existing leg)."""
+    tables = multitable_planes(DIMS, 3, 3)
+    old = spark.createDataFrame(
+        [(0, _dup_vec()), (1, _dup_vec()), (100, _distinct_vec(1))], DDL
+    )
+    inc = spark.createDataFrame([(0, _dup_vec()), (51, _dup_vec())], DDL)
+    postings = embedding_multitable_postings(old, tables)
+    vectors = old.select("vec_id", "embedding").withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    np_, nv_, pairs = incremental_multitable_neardup_pairs(
+        postings, vectors, inc, dims=DIMS, threshold=0.0, tables=tables
+    )
+    try:
+        rows = [(r.vec1, r.vec2) for r in pairs.collect()]
+    finally:
+        np_.unpersist()
+        nv_.unpersist()
+    assert sorted(rows) == [(0, 1), (0, 51), (1, 51)]  # once each, no dups
+
+
+def test_minhash_indexed_resend_scores_against_new_signature(spark):
+    """A re-sent doc with CHANGED text must score against its NEW
+    signature only — one row per pair, equal to a batch run over the
+    UPSERTED corpus (restricted to pairs touching the increment)."""
+    from beast_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs_indexed,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    tA = "alpha beta gamma delta epsilon zeta eta theta"
+    tB = "alpha beta gamma delta epsilon zeta eta CHANGED"
+    old = spark.createDataFrame([(7, tA), (8, tA)], "doc_id long, text string")
+    inc = spark.createDataFrame([(7, tB), (9, tA)], "doc_id long, text string")
+    old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
+    index = band_signatures(old_sigs, k=16, bands=8, hash_family="md5")
+    _, _, est = incremental_minhash_pairs_indexed(
+        index, old_sigs, inc, "doc_id", "text", k=16, bands=8,
+        threshold=0.0, hash_family="md5",
+    )
+    got = sorted((r.doc1, r.doc2, r.est_jaccard) for r in est.collect())
+    assert len(got) == len({(a, b) for a, b, _ in got})  # no duplicate rows
+    upserted = spark.createDataFrame(
+        [(7, tB), (8, tA), (9, tA)], "doc_id long, text string"
+    )
+    batch = minhash_lsh_pairs(
+        upserted, "doc_id", "text", k=16, bands=8, threshold=0.0, hash_family="md5"
+    )
+    want = sorted(
+        (r.doc1, r.doc2, r.est_jaccard)
+        for r in batch.collect()
+        if 7 in (r.doc1, r.doc2) or 9 in (r.doc1, r.doc2)
+    )
+    assert got == want
