@@ -1313,3 +1313,151 @@ def q212_session_serving_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_user_sessions(spark, users).select(
         "user_id", "session_id", "n_events", "session_start", "session_end", "duration_ms"
     )
+
+
+def _run_outer_join_stream(spark, base: str, glob: str, schema, how: str) -> DataFrame:
+    """Drive an OUTER stream-stream interval join to a parquet sink.
+
+    Outer null-extension is watermark-driven: an unmatched row emits
+    only once the engine can PROVE no partner can still arrive, i.e.
+    in a micro-batch that runs with the watermark already past its
+    join window. The feed therefore ends with a heartbeat batch (one
+    far-future row per side, ids -1/-2, users -1/-2 — never joinable,
+    never expired, so never emitted) that pushes the watermark past
+    every real window, and the availableNow query is re-run on the
+    same checkpoint until the sink stops growing: the run AFTER the
+    heartbeat batch flushes the expired state (exactly-once across the
+    restarts — the checkpoint dedupes replays)."""
+    from beast_spark.streaming.windows import interval_join
+
+    def run_once():
+        clicks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+            .filter(F.col("event_type") == "click")
+            .selectExpr("event_id AS click_id", "ts AS click_ts", "user_id")
+        )
+        buys = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+            .filter(F.col("event_type") == "purchase")
+            .selectExpr("event_id AS buy_id", "ts AS buy_ts", "user_id")
+        )
+        joined = interval_join(
+            clicks, buys, ["user_id"], "click_ts", "buy_ts",
+            watermark="1 hour", lower="0 seconds", upper="30 minutes", how=how,
+        ).select(
+            F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+            "click_id",
+            "buy_id",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("outer-join streaming twin did not finish within 600s")
+
+    import glob as globmod
+
+    def sink_count() -> int:
+        if not globmod.glob(f"{base}/out/*.parquet"):
+            return -1
+        return spark.read.parquet(f"{base}/out").count()
+
+    prev = -2
+    for _ in range(5):
+        run_once()
+        cur = sink_count()
+        if cur == prev:
+            break
+        prev = cur
+    return spark.read.parquet(f"{base}/out")
+
+
+def _outer_join_feed(spark, sf_dir: str, base: str):
+    """The q209 time-ordered batch feed plus the heartbeat batch."""
+    e = load_table(spark, sf_dir, "events")
+    glob, schema = _timed_event_batches(e, base)
+    hb = spark.createDataFrame(
+        [
+            (-1, dt_parse("2024-03-01 00:00:00"), -1, "click", 0.0, None),
+            (-2, dt_parse("2024-03-01 00:00:00"), -2, "purchase", 0.0, None),
+        ],
+        schema,
+    )
+    hb.repartition(1).write.parquet(f"{base}/src/b_hb")
+    return glob, schema
+
+
+def dt_parse(s: str):
+    import datetime as _dt
+
+    return _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+_OUTER_JOIN_ORACLE = """
+    WITH c AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT {coal} AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS buy_id
+    FROM c {how} JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """
+
+
+@register(
+    "q213_stream_stream_left_outer_join",
+    oracle=_OUTER_JOIN_ORACLE.format(how="LEFT", coal="c.user_id"),
+    doc="LEFT OUTER stream-stream interval join under the driver gate — "
+    "the semantics users get wrong most: an unmatched left row must "
+    "emit null-extended only AFTER the watermark passes its join "
+    "window (it sits in StreamingSymmetricHashJoin state until the "
+    "engine can prove no partner can arrive). The feed is q209's "
+    "time-ordered batches plus a far-future heartbeat batch (one row "
+    "per side, never joinable, never expired, so never emitted) that "
+    "releases every real window; the availableNow query re-runs on "
+    "the shared checkpoint until the sink stabilizes — the post-"
+    "heartbeat batch flushes the expired state exactly once. Result "
+    "== the batch LEFT range join over the full events table.",
+    bench=False,
+    bench_reason="real micro-batch streaming run with restart loop; the range-join plan is benched as q29's batch form",
+)
+def q213_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+
+    base = scratch_dir("beast_q213_")
+    glob, schema = _outer_join_feed(spark, sf_dir, base)
+    return _run_outer_join_stream(spark, base, glob, schema, "left")
+
+
+@register(
+    "q214_stream_stream_full_outer_join",
+    oracle=_OUTER_JOIN_ORACLE.format(how="FULL", coal="coalesce(c.user_id, p.user_id)"),
+    doc="FULL OUTER stream-stream interval join under the driver gate: "
+    "unmatched rows on BOTH sides emit null-extended once the "
+    "watermark passes their windows — same heartbeat-flush discipline "
+    "as q213 (the right heartbeat's own window never expires, so it "
+    "never leaks into the sink). Result == the batch FULL range join "
+    "over the full events table.",
+    bench=False,
+    bench_reason="real micro-batch streaming run with restart loop; the range-join plan is benched as q29's batch form",
+)
+def q214_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+
+    base = scratch_dir("beast_q214_")
+    glob, schema = _outer_join_feed(spark, sf_dir, base)
+    return _run_outer_join_stream(spark, base, glob, schema, "full")
