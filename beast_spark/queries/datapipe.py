@@ -6293,13 +6293,34 @@ def q185_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         path=f"{base}/vecs",
     )
     vecs = spark.table(tab)
+    # The slim (t, bucket, id) postings are materialized ONCE, bucketed
+    # by (t, bucket): the two-pass cap traverses the postings twice
+    # (countDistinct size gate, then the gated collect), and without
+    # this the L×P Arrow-BLAS bucketing matmul — the expensive subtree —
+    # would run twice; bucketed storage additionally makes both cap
+    # aggregations Exchange-free (the capped_bucket_pairs docstring's
+    # materialize-first rule).
+    from beast_spark.operators.similarity import (
+        embedding_multitable_postings,
+        multitable_planes,
+    )
+
+    tables = multitable_planes(64, _TEXT_LSH_PLANES, _TEXT_LSH_TABLES)
+    post_tab = scratch_table(spark, "beast_q185_postings")
+    write_bucketed(
+        embedding_multitable_postings(vecs, tables, id_col="doc_id"),
+        post_tab,
+        ["t", "bucket"],
+        n_buckets=8,
+        path=f"{base}/postings",
+    )
     return lsh_multitable_neardup_pairs(
         vecs,
         dims=64,
         id_col="doc_id",
         threshold=0.7,
-        n_planes=_TEXT_LSH_PLANES,
-        n_tables=_TEXT_LSH_TABLES,
+        tables=tables,
+        postings=spark.table(post_tab),
     ).select(
         F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"), "cos_sim"
     )
