@@ -1461,3 +1461,146 @@ def q214_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> Data
     base = scratch_dir("beast_q214_")
     glob, schema = _outer_join_feed(spark, sf_dir, base)
     return _run_outer_join_stream(spark, base, glob, schema, "full")
+
+
+@register(
+    "q215_session_time_travel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE event_id % 3 <> 2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="TIME TRAVEL on the streamed session state (round-10: "
+    "ManifestSwapTable embeds a generation history inside the "
+    "atomically-flipped manifest whenever gc_grace_gens retains the "
+    "superseded leaves — snapshot and flip are ONE rename, and a "
+    "retained generation is always fully readable because the history "
+    "cutoff equals the leaf-retention cutoff by construction). The "
+    "maintainer ingests three time-interleaved batches, the LIVE "
+    "state advances to generation 3, and the query reads generation 2 "
+    "— the oracle is q24's sessionization over exactly the first two "
+    "batches' events (event_id % 3 <> 2), proving the as-of read "
+    "serves the superseded fragment set, not the live one. The "
+    "pointer-table-format read path (snapshot isolation / time "
+    "travel) the reference's BQ sink delegates to the warehouse.",
+    bench=False,
+    bench_reason="maintainer composition; the gaps-and-islands plan is benched as q24's batch form",
+)
+def q215_session_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.eventstats import SessionStatsMaintainer
+
+    e = load_table(spark, sf_dir, "events")
+    m = SessionStatsMaintainer(
+        scratch_dir("beast_q215_") + "/state", gc_grace_gens=4
+    )
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("event_id") % 3 == batch), batch)
+    return m.read_sessions(spark, as_of_gen=2).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end", "duration_ms"
+    )
+
+
+@register(
+    "q216_bounded_dedup_invariants",
+    oracle="""
+    SELECT TRUE AS kept_subset,
+           TRUE AS gaps_exceed_delay,
+           TRUE AS earliest_kept,
+           TRUE AS readmission_observed,
+           count(DISTINCT (user_id, event_type)) AS n_keys
+    FROM events
+    """,
+    doc="dropDuplicatesWithinWatermark in its BOUNDED-delay regime — "
+    "the semantics q210 cannot cover (q210 drives the global-dedup "
+    "limit; with a 2-day delay the operator correctly RE-ADMITS a key "
+    "after its state expires, which no batch query can replay because "
+    "the kept set depends on micro-batch watermark progression). "
+    "q49-style invariant oracle: the Spark side PROVES four "
+    "engine-behavior booleans over its own streamed output — every "
+    "kept row exists in the input; consecutive kept rows of one "
+    "(user, type) are separated by MORE than the delay (eviction "
+    "requires the watermark past kept_ts+delay, and a surviving later "
+    "row's ts is at least that watermark); the per-key earliest row "
+    "is always kept (first arrival meets empty state under the "
+    "time-ordered, per-file-sorted feed); and at least one key was "
+    "kept twice, so the bounded regime is actually exercised, not "
+    "vacuously green. n_keys pins the key cardinality exactly.",
+    bench=False,
+    bench_reason="real micro-batch streaming run (sink+checkpoint I/O dominates); the dedup plan is benched as q44's batch form",
+)
+def q216_bounded_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.windows import dedup_within_watermark
+
+    delay_ms = 2 * 24 * 3600 * 1000  # "2 days"
+    base = scratch_dir("beast_q216_")
+    e = load_table(spark, sf_dir, "events")
+    glob, schema = _timed_event_batches(e, base, sort=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "2 days"
+    ).select("user_id", "event_type", "event_id", "ts")
+    _run_to_parquet(deduped, base)
+    kept = spark.read.parquet(f"{base}/out")
+
+    cols = ["user_id", "event_type", "event_id", "ts"]
+    ev = e.select(*cols)
+    subset_ok = kept.join(ev, cols, "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("kept_subset")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.expr("unix_millis(ts)") - F.expr("unix_millis(prev)")
+    gap_ok = (
+        kept.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .agg(
+            F.coalesce(F.min(gap) > F.lit(delay_ms), F.lit(True)).alias(
+                "gaps_exceed_delay"
+            )
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("user_id", "event_type").orderBy("ts", "event_id"))
+    earliest = ev.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    earliest_ok = earliest.join(kept, cols, "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("earliest_kept")
+    )
+    readm = (
+        kept.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg((F.max("n") >= 2).alias("readmission_observed"))
+    )
+    n_keys = e.agg(
+        F.countDistinct("user_id", "event_type").alias("n_keys")
+    )
+    return (
+        subset_ok.crossJoin(gap_ok)
+        .crossJoin(earliest_ok)
+        .crossJoin(readm)
+        .crossJoin(n_keys)
+    )

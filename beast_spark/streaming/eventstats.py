@@ -109,9 +109,14 @@ class _ShardedMergeMaintainer(ManifestSwapTable):
         finally:
             inc.unpersist()
 
-    def _read_state(self, spark: SparkSession) -> DataFrame:
+    def _read_state(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
+        # the live-marker guard is sound for time-travel reads too:
+        # these maintainers' meta is the (immutable) window/gap config,
+        # never a per-generation artifact
         self._guard()
-        state = self._read_sub(spark, self._SUB)
+        state = self._read_sub(spark, self._SUB, as_of_gen=as_of_gen)
         if state is None:
             raise ValueError(f"{type(self).__name__}: nothing ingested yet")
         return state
@@ -139,8 +144,16 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
     _SUB = "partials"
     _KEYS = ["window_start", "event_type", "user_id"]
 
-    def __init__(self, path: str, grain_minutes: int = 60, n_shards: int = 16):
-        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+    def __init__(
+        self,
+        path: str,
+        grain_minutes: int = 60,
+        n_shards: int = 16,
+        gc_grace_gens: int = 0,
+    ):
+        ManifestSwapTable.__init__(
+            self, path, n_shards=n_shards, gc_grace_gens=gc_grace_gens
+        )
         if grain_minutes <= 0 or 1440 % grain_minutes:
             # the grid must tile days or epoch alignment drifts across
             # DST-free UTC days and windows stop being bucket unions
@@ -171,11 +184,15 @@ class HourlyWindowStatsMaintainer(_ShardedMergeMaintainer):
             )
         )
 
-    def read_stats(self, spark: SparkSession) -> DataFrame:
+    def read_stats(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """q23's output over everything ingested so far (meaningful at
         the default hourly grain; a finer grain finalizes the same
-        shape over finer tumbling buckets)."""
-        return hourly_window_stats(self._read_state(spark))
+        shape over finer tumbling buckets). ``as_of_gen`` reads a
+        retained earlier generation's snapshot (see
+        ``SessionStatsMaintainer.read_sessions``)."""
+        return hourly_window_stats(self._read_state(spark, as_of_gen=as_of_gen))
 
     def read_sliding(
         self, spark: SparkSession, window_hours: int = 2, slide_hours: int = 1
@@ -255,8 +272,16 @@ class SessionStatsMaintainer(_ShardedMergeMaintainer):
     _SUB = "sessions"
     _KEYS = ["user_id"]
 
-    def __init__(self, path: str, gap_ms: int = SESSION_GAP_MS, n_shards: int = 16):
-        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+    def __init__(
+        self,
+        path: str,
+        gap_ms: int = SESSION_GAP_MS,
+        n_shards: int = 16,
+        gc_grace_gens: int = 0,
+    ):
+        ManifestSwapTable.__init__(
+            self, path, n_shards=n_shards, gc_grace_gens=gc_grace_gens
+        )
         self.gap_ms = gap_ms
 
     def _meta(self) -> dict:
@@ -270,9 +295,16 @@ class SessionStatsMaintainer(_ShardedMergeMaintainer):
             existing.select(inc.columns).unionByName(inc), gap_ms=self.gap_ms
         )
 
-    def read_sessions(self, spark: SparkSession) -> DataFrame:
-        """q24's output over everything ingested so far."""
-        return numbered_sessions(self._read_state(spark))
+    def read_sessions(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
+        """q24's output over everything ingested so far — or, with
+        ``as_of_gen`` (and ``gc_grace_gens > 0``), over everything
+        ingested as of a RETAINED earlier generation: the manifest's
+        embedded history resolves that generation's immutable fragment
+        set, so the read is a consistent snapshot no concurrent commit
+        can tear (time travel, the pointer-table-format discipline)."""
+        return numbered_sessions(self._read_state(spark, as_of_gen=as_of_gen))
 
     def read_user_sessions(self, spark: SparkSession, users: DataFrame) -> DataFrame:
         """Serving read — "these users' sessions now": prunes the state

@@ -433,13 +433,60 @@ class ManifestSwapTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def sub_leaves(self, name: str, shards: list[int] | None = None) -> list[str]:
-        """Absolute paths of the live fragment leaves for one sub-table,
-        optionally restricted to a shard list (unsharded fragments are
-        always included — they may hold any key)."""
+    def manifest_as_of(self, gen: int) -> dict:
+        """The fragment map (+ user_meta) of generation ``gen`` — the
+        live one, or a superseded one still inside the
+        ``gc_grace_gens`` retention window (whose leaves the retention
+        list keeps on disk by the same cutoff, so a retained
+        generation is always fully readable). This is the snapshot-
+        isolation / time-travel read every pointer-table format offers:
+        one immutable fragment set per generation, resolved through
+        the atomically-flipped manifest. Raises for a generation the
+        grace window no longer retains (or never existed)."""
         m = self._load_manifest()
         if not m:
-            return []
+            raise ValueError(
+                f"ManifestSwapTable: no state at {self.path!r} — nothing committed yet"
+            )
+        if gen == m["gen"]:
+            return m
+        snap = m.get("history", {}).get(str(gen))
+        if snap is None:
+            raise ValueError(
+                f"ManifestSwapTable: generation {gen} is not retained at "
+                f"{self.path!r} (live gen {m['gen']}, grace "
+                f"{self.gc_grace_gens} — construct the maintainer with "
+                "gc_grace_gens > 0 to retain readable generations)"
+            )
+        view = {"gen": gen, "subs": snap["subs"], "n_shards": m["n_shards"]}
+        if "user_meta" in snap:
+            view["user_meta"] = snap["user_meta"]
+        return view
+
+    def user_meta_as_of(self, gen: int) -> dict | None:
+        """The caller marker as it stood at generation ``gen`` —
+        maintainers whose marker changes across rebuilds (frozen
+        artifacts) must validate time-travel reads against THIS, not
+        the live marker, or a read spanning a rebuild would mix
+        generations silently."""
+        return self.manifest_as_of(gen).get("user_meta")
+
+    def sub_leaves(
+        self,
+        name: str,
+        shards: list[int] | None = None,
+        as_of_gen: int | None = None,
+    ) -> list[str]:
+        """Absolute paths of one sub-table's fragment leaves — the live
+        generation's, or a retained generation's via ``as_of_gen`` —
+        optionally restricted to a shard list (unsharded fragments are
+        always included — they may hold any key)."""
+        if as_of_gen is None:
+            m = self._load_manifest()
+            if not m:
+                return []
+        else:
+            m = self.manifest_as_of(as_of_gen)
         want = None if shards is None else {str(s) for s in shards}
         leaves = []
         for frag in m["subs"].get(name, []):
@@ -449,9 +496,13 @@ class ManifestSwapTable:
         return leaves
 
     def _read_sub(
-        self, spark: SparkSession, name: str, shards: list[int] | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        shards: list[int] | None = None,
+        as_of_gen: int | None = None,
     ) -> DataFrame | None:
-        leaves = self.sub_leaves(name, shards)
+        leaves = self.sub_leaves(name, shards, as_of_gen=as_of_gen)
         if not leaves:
             # distinguish "sub-table exists but the requested shards are
             # empty" (empty frame of unknown schema is unbuildable here —
@@ -572,11 +623,37 @@ class ManifestSwapTable:
                 retired.append({"gen": manifest["gen"], "paths": superseded})
             cutoff = manifest["gen"] - self.gc_grace_gens
             manifest["retired"] = [e for e in retired if e["gen"] > cutoff]
+            # Generation HISTORY for time-travel reads, embedded in the
+            # SAME manifest so snapshot and flip are one atomic rename
+            # (a side history file would reopen the crash window the
+            # in-manifest user_meta marker closed): the outgoing
+            # generation's fragment map + marker become readable via
+            # as_of_gen for as long as the grace window retains their
+            # superseded leaves — the same cutoff by construction, so a
+            # retained generation is always fully readable. Assigned,
+            # never merged: compact() passes the loaded manifest
+            # through by mutation and would otherwise carry stale
+            # entries.
+            history = dict((prev or {}).get("history", {}))
+            if prev is not None:
+                snap = {"subs": prev["subs"]}
+                if prev.get("user_meta") is not None:
+                    snap["user_meta"] = prev["user_meta"]
+                history[str(prev["gen"])] = snap
+            # a generation at exactly the cutoff is still fully
+            # readable: any leaf it references that was later
+            # superseded has a retire-gen ≥ cutoff+1, inside the leaf
+            # retention above — so >= cutoff is the maximal safe window
+            # (grace N ⇒ the N generations before live stay readable)
+            manifest["history"] = {
+                g: s for g, s in history.items() if int(g) >= cutoff
+            }
         else:
             # grace switched off: previously retained leaves expire now
             # (compact() passes the loaded manifest through by mutation,
             # which would otherwise carry a stale retention list forever)
             manifest.pop("retired", None)
+            manifest.pop("history", None)
         tmp = self._manifest_file() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)

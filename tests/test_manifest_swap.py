@@ -615,3 +615,93 @@ def test_ivf_candidates_offline_fallback_matches_pruned_path(spark, tmp_path):
         for r in m.candidates(spark, qs, nprobe=2, max_probe_collect=0).collect()
     }
     assert offline == pruned and pruned
+
+
+def test_time_travel_reads_retained_generations(spark, tmp_path):
+    """Round-10: with gc_grace_gens > 0 every flip embeds the outgoing
+    generation's fragment map (+ user_meta) in the manifest's history,
+    so as-of reads serve each retained generation's exact snapshot —
+    across appends, shard replacements AND a compaction — while a
+    generation past the grace window (or with grace off) raises."""
+    t = ManifestSwapTable(str(tmp_path / "state"), n_shards=4, gc_grace_gens=2)
+    seen = {}
+    for gen, batch in enumerate(range(3), start=1):
+        df = spark.createDataFrame(
+            [(batch * 10 + i, batch) for i in range(5)], "k long, b long"
+        )
+        merged_src = (
+            t._read_sub(spark, "tbl")
+            if t.sub_leaves("tbl")
+            else None
+        )
+        merged = df if merged_src is None else merged_src.unionByName(df)
+        t.commit_delta(
+            batch,
+            shard_replacements={
+                "tbl": (
+                    merged.withColumn("_shard", t.shard_of(F.col("k"))),
+                    list(range(4)),
+                )
+            },
+            user_meta={"upto": batch},
+        )
+        seen[gen] = {(r.k, r.b) for r in t._read_sub(spark, "tbl").collect()}
+
+    # live + the two retained predecessors read back exactly
+    for gen in (3, 2, 1):
+        got = {(r.k, r.b) for r in t._read_sub(spark, "tbl", as_of_gen=gen).collect()}
+        assert got == seen[gen], gen
+        assert t.user_meta_as_of(gen) == {"upto": gen - 1}
+
+    # compaction is a generation too: gen 4 == gen 3's content, and
+    # gen 2 is still inside the (live−2) window
+    t.compact(spark, "tbl", shard_col="k")
+    assert {
+        (r.k, r.b) for r in t._read_sub(spark, "tbl", as_of_gen=4).collect()
+    } == seen[3]
+    assert {
+        (r.k, r.b) for r in t._read_sub(spark, "tbl", as_of_gen=3).collect()
+    } == seen[3]
+    assert {
+        (r.k, r.b) for r in t._read_sub(spark, "tbl", as_of_gen=2).collect()
+    } == seen[2]
+    # gen 1 fell out of the window: explicit error, not a wrong read
+    with pytest.raises(ValueError, match="not retained"):
+        t.sub_leaves("tbl", as_of_gen=1)
+    # grace off: no history is kept at all
+    t0 = ManifestSwapTable(str(tmp_path / "state0"), n_shards=4)
+    t0.commit_delta(0, appends={"a": spark.createDataFrame([(1,)], "x long")})
+    t0.commit_delta(1, appends={"a": spark.createDataFrame([(2,)], "x long")})
+    with pytest.raises(ValueError, match="not retained"):
+        t0.sub_leaves("a", as_of_gen=1)
+
+
+def test_session_time_travel_matches_prefix_rebuild(spark, tmp_path):
+    """SessionStatsMaintainer.read_sessions(as_of_gen=k) == a fresh
+    rebuild over the first k batches — on adversarially interleaved
+    splits, so the travelled-to state contains cross-batch-stitched
+    sessions."""
+    import datetime as dt
+
+    from beast_spark.streaming.eventstats import SessionStatsMaintainer
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 5, base + dt.timedelta(minutes=i * 7), "click", 1.0)
+        for i in range(60)
+    ]
+    ddl = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    m = SessionStatsMaintainer(str(tmp_path / "tt"), gc_grace_gens=3)
+    for b in range(3):
+        m.apply_batch(
+            spark.createDataFrame([r for r in rows if r[0] % 3 == b], ddl), b
+        )
+    for k in (1, 2, 3):
+        ref = SessionStatsMaintainer(str(tmp_path / f"ref{k}"))
+        for b in range(k):
+            ref.apply_batch(
+                spark.createDataFrame([r for r in rows if r[0] % 3 == b], ddl), b
+            )
+        got = sorted(map(tuple, m.read_sessions(spark, as_of_gen=k).collect()))
+        want = sorted(map(tuple, ref.read_sessions(spark).collect()))
+        assert got == want, k
