@@ -525,48 +525,34 @@ def incremental_minhash_pairs_indexed(
     new_bands = band_signatures(new_sigs, k=k, bands=bands, hash_family=hash_family)
     touched = new_bands.select("band", "bucket").distinct()
     ex_post = existing_index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
-    # upsert semantics for a re-sent doc (review finding): its stored
-    # band rows are superseded — drop them from the probe so its pairs
-    # come from the new×new leg only, and its estimates score against
-    # the NEW signature (all_sigs below applies the same rule). No-op
-    # under the append-only unique-id contract.
-    ex_post = ex_post.join(
-        F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
-    )
-    overlap = None
+    resent_old = None
     if existing_occupancy is not None:
-        # re-appended docs are the only overlap source, and banding is
-        # deterministic under the frozen hash family — their OLD bucket
-        # rows re-derive from the stored signature table (id-keyed, and
-        # scanned by the estimate join anyway) instead of any extra
-        # pass over the band index; ~zero rows under the append-only
-        # unique-id contract
+        # Re-sent docs' OLD band rows, re-derived from the stored
+        # signature table (id-keyed, scanned by the estimate join
+        # anyway; banding is deterministic under the frozen hash
+        # family) — so the gate's post-upsert occupancy term never
+        # aggregates the band index. ~Zero rows under the append-only
+        # unique-id contract.
         re_sent = existing_sigs.join(
             F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_semi"
         )
-        old_bands_resent = band_signatures(
+        resent_old = band_signatures(
             re_sent, k=k, bands=bands, hash_family=hash_family
         )
-        overlap = (
-            new_bands.join(
-                F.broadcast(old_bands_resent.select("band", "bucket", "doc_id")),
-                ["band", "bucket", "doc_id"],
-                "left_semi",
-            )
-            .groupBy("band", "bucket")
-            .agg(F.countDistinct("doc_id").alias("n_overlap"))
-        )
-    # Two-pass cap through the shared gate: over-cap buckets (combined
-    # DISTINCT occupancy) are anti-joined out of BOTH slim posting sides
-    # BEFORE any collect_set, so no reducer buffers a degenerate
-    # bucket's id array. The broadcast anti-join preserves the index
-    # scan's bucketed distribution, so the per-bucket aggregation below
-    # still rides the table's own bucketing (zero corpus-side Exchange,
+    # Two-pass cap through the shared gate, which also owns the upsert
+    # rule (a re-sent doc's stored band rows are superseded — its pairs
+    # come from the new×new leg, and all_sigs below scores against the
+    # NEW signature): over-cap buckets (post-upsert DISTINCT occupancy)
+    # are anti-joined out of BOTH slim posting sides BEFORE any
+    # collect_set, so no reducer buffers a degenerate bucket's id
+    # array. The broadcast anti-joins preserve the index scan's
+    # bucketed distribution, so the per-bucket aggregation below still
+    # rides the table's own bucketing (zero corpus-side Exchange,
     # test-asserted).
     new_bands_g, ex_g, dropped, occupancy = _capped_incremental_gate(
         new_bands, ex_post, ["band", "bucket"], max_bucket, "doc_id", "doc_id",
         existing_occupancy=existing_occupancy,
-        overlap=overlap,
+        resent_old=resent_old,
     )
     new_buckets = new_bands_g.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_set("doc_id")).alias("new_docs")

@@ -404,69 +404,82 @@ def _capped_incremental_gate(
     new_id: str,
     ex_id: str,
     existing_occupancy: DataFrame | None = None,
-    overlap: DataFrame | None = None,
+    resent_old: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Shared degenerate-bucket gate for the INCREMENTAL pair forms:
-    drops every bucket whose COMBINED occupancy (DISTINCT ids across
-    increment rows + probed existing rows — distinct, so an id present
-    on both sides, the overlapping re-append the pair joins already
-    guard against, counts once) exceeds ``max_bucket`` — exactly the
-    bucket a full batch rebuild over everything-so-far would drop
-    (``capped_bucket_pairs`` sizes by countDistinct), so capping stays
-    consistent with the batch form's semantics (exact incremental ==
-    batch equivalence holds only while no bucket crosses the cap;
-    capping is inherently non-monotone — see the callers' docstrings).
+    """Shared degenerate-bucket gate for the INCREMENTAL pair forms,
+    and the single home of TWO distinct rules the round-10 reviews
+    teased apart:
 
-    Returns (gated_new, gated_existing, dropped, occupancy): dropped is
-    (``*keys``, bucket_size); occupancy is the same shape for EVERY
-    touched bucket — the combined distinct-id count a batch rebuild
-    over everything-so-far would see, which (postings append ungated)
-    is also the bucket's NEW stored occupancy, so a maintainer commits
-    it back as its occupancy sub-table's touched-key rows. The gate
-    itself is a broadcast anti-join (degenerate buckets are few by
-    construction — each holds > max_bucket ids), so the existing
-    side's Exchange-free probe shape survives.
+    * **Occupancy is ON-DISK distinct**: every touched bucket is sized
 
-    Occupancy sizing, two regimes (both via the exact identity
-    |stored ∪ inc| = |stored| + |inc| − |overlap| per bucket):
+          bucket_size = |ids(stored rows at b) ∪ ids(increment at b)|
+                      = n_exist + n_inc − |ids(stored b) ∩ ids(inc b)|
 
-    * ``existing_occupancy=None`` — recompute: the stored term is a
-      per-bucket countDistinct over the probed rows ALONE, so the
-      aggregation rides the index table's bucketed distribution
-      (never the union-with-increment shuffle of the round-9 form);
-      still a per-call re-aggregation of the probed volume.
-    * ``existing_occupancy`` = a (``*keys``, n_exist) frame of the
-      persisted postings' per-bucket distinct-id counts, covering at
-      least every key present in BOTH the increment and the persisted
-      postings (a maintained sub-table, shard-pruned to the touched
-      shards; a missing key means 0 existing ids). Then combined =
-      n_exist + countDistinct(increment ids) − overlap, where overlap
-      (re-appended ids, ~zero under the append-only unique-id
-      contract) comes from a broadcast SEMI-join filter on the probed
-      scan — map-side, no full-postings shuffle, and the only
-      aggregates run over increment-sized or ~empty frames.
+      — exactly what a capped batch rebuild over everything appended
+      so far (``capped_bucket_pairs`` sizes by countDistinct) would
+      see, so capped-incremental == capped-batch stays exact, the
+      committed counts agree with the postings a maintainer actually
+      stores (appends are physical; a re-send does NOT delete the old
+      row), and a later recompute over the same disk state reproduces
+      them. The intersection term is nonzero only for re-sent ids
+      posting to a bucket their old rows already occupy — zero under
+      the documented append-only unique-id contract.
+    * **Pair legs are UPSERT**: the returned ``gated_existing``
+      additionally anti-joins out the stored rows of re-sent ids, so
+      this batch's pairs score against the NEW vector/signature only
+      and never duplicate through the stale row. (Cross-batch
+      re-sends remain out of contract — the stale row stays on disk;
+      dedupe upstream.)
 
-    ``overlap`` (only with ``existing_occupancy``): a precomputed
-    (``*keys``, n_overlap) frame of the re-appended-id counts. Callers
-    whose index carries an id-keyed side table (the multitable form's
-    vectors, the MinHash form's signatures) derive it there — re-sent
-    ids are the only overlap source and bucketing is deterministic
-    under frozen planes/hashes, so old postings of the handful of
-    re-sent ids can be re-derived from their stored rows — and then
-    the gate touches the POSTINGS side zero times: the whole increment
-    path scans the probed postings exactly once (the pair join).
+    Returns (gated_new, gated_existing, dropped, occupancy): dropped
+    is (``*keys``, bucket_size); occupancy is the same shape for
+    EVERY touched bucket — the bucket's new on-disk count, which
+    maintainers commit back as their occupancy sub-table's
+    touched-key rows. Over-cap buckets are dropped from BOTH returned
+    sides via a broadcast anti-join (degenerate buckets are few by
+    construction), preserving the existing side's Exchange-free probe
+    shape.
+
+    Occupancy regimes:
+
+    * ``existing_occupancy=None`` — recompute: n_exist and the
+      intersection come from ONE per-bucket aggregation over the
+      probed rows (a broadcast membership tag, then two
+      countDistincts), riding the index table's bucketed distribution
+      (zero corpus-side Exchange; never the union-with-increment
+      shuffle of the round-9 form) — still a per-call re-aggregation
+      of the probed volume.
+    * ``existing_occupancy`` = a (``*keys``, n_exist) frame of stored
+      per-bucket distinct counts (maintained sub-table, shard-pruned
+      by the caller; a missing key means 0). The intersection then
+      comes from ``resent_old`` — a (``*keys``, ``ex_id``) frame of
+      the re-sent ids' OLD posting rows, which callers with an
+      id-keyed side table derive THERE (the multitable form
+      re-buckets the re-sent ids' stored vectors, the MinHash form
+      re-bands their stored signatures — deterministic under the
+      frozen planes/hashes) — so the gate never aggregates the
+      postings side: the increment path's only postings work is the
+      map-side supersede filter fused into the pair scan. Without
+      ``resent_old`` the gate falls back to a broadcast-semi map-side
+      pass over the probed rows (~empty output).
     """
+    inc_ids = new_side.select(F.col(new_id).alias(ex_id)).distinct()
     inc = new_side.select(*keys, F.col(new_id).alias("_gid"))
     inc_occ = inc.groupBy(*keys).agg(F.countDistinct("_gid").alias("_n_inc"))
     if existing_occupancy is None:
-        # per-bucket distinct counts over the probed rows alone —
-        # grouped WITHOUT unioning the increment in, so the aggregation
-        # rides the index table's bucketed distribution (zero
-        # corpus-side Exchange; the earlier union form re-shuffled
-        # every probed posting row per call — review finding)
-        n_ex = existing_side.groupBy(*keys).agg(
-            F.countDistinct(ex_id).alias("_n_ex")
+        # ONE pass over the probed rows: tag each with (bucket, id)
+        # increment membership, then count total distinct ids and
+        # intersecting distinct ids per bucket together
+        tagged = existing_side.select(*keys, F.col(ex_id).alias("_gid")).join(
+            F.broadcast(inc.distinct().withColumn("_hit", F.lit(1))),
+            [*keys, "_gid"],
+            "left",
         )
+        stats = tagged.groupBy(*keys).agg(
+            F.countDistinct("_gid").alias("_n_ex"),
+            F.countDistinct(F.when(F.col("_hit") == 1, F.col("_gid"))).alias("_n_ov"),
+        )
+        occupancy = inc_occ.join(F.broadcast(stats), keys, "left")
     else:
         # stored counts for the touched keys only: the semi-join keeps
         # the result broadcastable (O(touched buckets)) even when the
@@ -476,38 +489,44 @@ def _capped_incremental_gate(
             existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
             .select(*keys, F.col("n_exist").alias("_n_ex"))
         )
-    if overlap is not None:
-        ov = overlap.select(*keys, F.col("n_overlap").alias("_n_ov"))
-    else:
+        ov_src = (
+            resent_old.select(*keys, F.col(ex_id).alias("_gid"))
+            if resent_old is not None
+            else existing_side.select(*keys, F.col(ex_id).alias("_gid")).join(
+                F.broadcast(inc_ids.select(F.col(ex_id).alias("_gid"))), "_gid", "left_semi"
+            )
+        )
+        # |stored ∩ inc| per bucket: old rows of re-sent ids, kept only
+        # where the increment posts the SAME id to the SAME bucket
         ov = (
-            existing_side.select(*keys, F.col(ex_id).alias("_gid"))
-            .join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
+            ov_src.join(F.broadcast(inc.distinct()), [*keys, "_gid"], "left_semi")
             .groupBy(*keys)
             .agg(F.countDistinct("_gid").alias("_n_ov"))
         )
-    # |stored ∪ increment| = |stored| + |increment| − |overlap|, per
-    # bucket — exact for every regime, including the callers that
-    # pre-drop a re-sent id's superseded stored rows (their n_ex and
-    # overlap shrink by the same rows)
-    occupancy = (
-        inc_occ.join(F.broadcast(n_ex), keys, "left")
-        .join(F.broadcast(ov), keys, "left")
-        .select(
-            *keys,
-            (
-                F.coalesce(F.col("_n_ex"), F.lit(0))
-                + F.col("_n_inc")
-                - F.coalesce(F.col("_n_ov"), F.lit(0))
-            )
-            .cast("long")
-            .alias("bucket_size"),
+        occupancy = inc_occ.join(F.broadcast(n_ex), keys, "left").join(
+            F.broadcast(ov), keys, "left"
         )
+    occupancy = occupancy.select(
+        *keys,
+        (
+            F.coalesce(F.col("_n_ex"), F.lit(0))
+            + F.col("_n_inc")
+            - F.coalesce(F.col("_n_ov"), F.lit(0))
+        )
+        .cast("long")
+        .alias("bucket_size"),
     )
     dropped = occupancy.filter(F.col("bucket_size") > max_bucket)
     gate = F.broadcast(dropped.select(*keys))
+    # the upsert filter for the PAIR legs: map-side broadcast anti,
+    # fused into whatever stage scans the probe — removes zero rows
+    # under the unique-id contract
+    gated_existing = existing_side.join(F.broadcast(inc_ids), ex_id, "left_anti").join(
+        gate, keys, "left_anti"
+    )
     return (
         new_side.join(gate, keys, "left_anti"),
-        existing_side.join(gate, keys, "left_anti"),
+        gated_existing,
         dropped,
         occupancy,
     )
@@ -655,12 +674,8 @@ def incremental_lsh_neardup_pairs_indexed(
     )
     touched = a.select("bucket").distinct()
     ex = existing_index.join(F.broadcast(touched), "bucket", "left_semi")
-    # upsert semantics: a re-sent id's stored index rows are superseded
-    # by the increment (see the multitable form) — no-op under the
-    # append-only unique-id contract
-    ex = ex.join(
-        F.broadcast(a.select(F.col("nid").alias(id_col))), id_col, "left_anti"
-    )
+    # the gate owns the upsert rule (a re-sent id's stored rows are
+    # superseded — anti-joined out of ex) and the post-upsert occupancy
     a, ex, dropped, occupancy = _capped_incremental_gate(
         a, ex, ["bucket"], max_bucket, "nid", id_col,
         existing_occupancy=existing_occupancy,
@@ -1112,44 +1127,27 @@ def incremental_multitable_neardup_pairs(
     # sides through the combined-occupancy degenerate-bucket cap
     touched = new_post.select("t", "bucket").distinct()
     ex = existing_postings.join(F.broadcast(touched), ["t", "bucket"], "left_semi")
-    # Upsert semantics for a re-sent id (review finding): its STORED
-    # rows are superseded — drop them from the probe so its pairs come
-    # from the nn leg only, scored against the NEW vector. Otherwise
-    # the old posting row pairs the same partners again through the ne
-    # leg: a duplicate row, against the stale vector. A no-op (zero
-    # rows removed) under the documented append-only unique-id
-    # contract.
-    ex = ex.join(F.broadcast(new_vec.select(id_col)), id_col, "left_anti")
-    overlap = None
+    resent_old = None
     if existing_occupancy is not None:
-        # Re-appended ids are the only overlap between increment and
-        # stored postings, and bucketing is deterministic under the
-        # frozen tables, so their OLD postings re-derive from their
-        # stored vector rows — an id-keyed lookup on the (much smaller)
-        # vectors table instead of any pass over the postings. With
-        # this, the gate touches the postings side zero times and the
-        # whole increment path scans the probed postings exactly once
-        # (the pair join). Under the append-only unique-id contract the
-        # re-sent set is empty and every frame here is ~zero rows.
+        # Re-sent ids' OLD posting rows, re-derived from their stored
+        # VECTOR rows (deterministic bucketing under the frozen tables)
+        # — an id-keyed lookup on the much smaller vectors table, so
+        # the gate's post-upsert occupancy term never aggregates the
+        # postings: the increment path aggregates probed postings zero
+        # times. ~Zero rows under the append-only unique-id contract.
         re_sent = existing_vectors.join(
             F.broadcast(new_vec.select(id_col)), id_col, "left_semi"
         )
-        old_post_resent = embedding_multitable_postings(
+        resent_old = embedding_multitable_postings(
             re_sent, tables, id_col, vec_col
         )
-        overlap = (
-            new_post.join(
-                F.broadcast(old_post_resent.select("t", "bucket", id_col)),
-                ["t", "bucket", id_col],
-                "left_semi",
-            )
-            .groupBy("t", "bucket")
-            .agg(F.countDistinct(id_col).alias("n_overlap"))
-        )
+    # the gate owns the upsert rule: re-sent ids' stored rows are
+    # anti-joined out of ex (their pairs come from the nn leg, scored
+    # against the NEW vector) and buckets are sized post-upsert
     gated_post, ex, dropped, occupancy = _capped_incremental_gate(
         new_post, ex, ["t", "bucket"], max_bucket, id_col, id_col,
         existing_occupancy=existing_occupancy,
-        overlap=overlap,
+        resent_old=resent_old,
     )
 
     # new × new: self-join the increment postings per (t, bucket)
@@ -1471,12 +1469,8 @@ def incremental_lsh_neardup_pairs_quantized(
     )
     touched = a.select("bucket").distinct()
     ex = existing_qindex.join(F.broadcast(touched), "bucket", "left_semi")
-    # upsert semantics: a re-sent id's stored index rows are superseded
-    # by the increment (see the multitable form) — no-op under the
-    # append-only unique-id contract
-    ex = ex.join(
-        F.broadcast(a.select(F.col("nid").alias(id_col))), id_col, "left_anti"
-    )
+    # the gate owns the upsert rule (re-sent ids' stored rows
+    # superseded) and the post-upsert occupancy
     a, ex, dropped, occupancy = _capped_incremental_gate(
         a, ex, ["bucket"], max_bucket, "nid", id_col,
         existing_occupancy=existing_occupancy,

@@ -1379,28 +1379,34 @@ def _run_outer_join_stream(spark, base: str, glob: str, schema, how: str) -> Dat
         if cur == prev:
             break
         prev = cur
+    else:
+        # still growing after 5 runs: return nothing rather than a
+        # silently truncated sink (the oracle diff would otherwise look
+        # like a join-semantics bug instead of an unflushed state)
+        raise RuntimeError(
+            "outer-join streaming twin did not stabilize within 5 "
+            "availableNow runs — null-extended rows are still held in "
+            "join state"
+        )
     return spark.read.parquet(f"{base}/out")
 
 
 def _outer_join_feed(spark, sf_dir: str, base: str):
     """The q209 time-ordered batch feed plus the heartbeat batch."""
+    import datetime as _dt
+
     e = load_table(spark, sf_dir, "events")
     glob, schema = _timed_event_batches(e, base)
+    far_future = _dt.datetime(2024, 3, 1)
     hb = spark.createDataFrame(
         [
-            (-1, dt_parse("2024-03-01 00:00:00"), -1, "click", 0.0, None),
-            (-2, dt_parse("2024-03-01 00:00:00"), -2, "purchase", 0.0, None),
+            (-1, far_future, -1, "click", 0.0, None),
+            (-2, far_future, -2, "purchase", 0.0, None),
         ],
         schema,
     )
     hb.repartition(1).write.parquet(f"{base}/src/b_hb")
     return glob, schema
-
-
-def dt_parse(s: str):
-    import datetime as _dt
-
-    return _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
 
 
 _OUTER_JOIN_ORACLE = """

@@ -455,3 +455,68 @@ def test_minhash_indexed_resend_scores_against_new_signature(spark):
         if 7 in (r.doc1, r.doc2) or 9 in (r.doc1, r.doc2)
     )
     assert got == want
+
+
+def test_single_table_occupancy_resend_does_not_overcount(spark):
+    """Second-review regression: the occupancy-regime gate must count a
+    re-sent id ONCE (on-disk distinct), not n_exist + n_inc — the
+    overcount would drop a bucket sitting exactly at the cap and
+    silently lose every pair the increment has there."""
+    planes = hyperplanes_md5(DIMS, 4)
+    old = spark.createDataFrame([(i, _dup_vec()) for i in range(20)], DDL)
+    index = embedding_lsh_index(old, planes)
+    occ = index.groupBy("bucket").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_exist")
+    )
+    inc = spark.createDataFrame([(0, _dup_vec())], DDL)  # pure re-send
+    new_idx, pairs, dropped = incremental_lsh_neardup_pairs_indexed(
+        index, inc, dims=DIMS, threshold=0.0, planes=planes,
+        max_bucket=20, with_dropped=True, existing_occupancy=occ,
+    )
+    try:
+        # 20 stored + 1 increment − 1 intersection = 20 ≤ cap: kept
+        assert dropped.count() == 0
+        rows = [(r.vec1, r.vec2) for r in pairs.collect()]
+    finally:
+        new_idx.unpersist()
+    # upsert pair legs: (0, j) once each against the NEW vector — the
+    # stale stored row neither duplicates nor self-pairs
+    assert sorted(rows) == [(0, j) for j in range(1, 20)]
+
+
+def test_multitable_occupancy_parity_changed_vector_resend(spark):
+    """Occupancy is ON-DISK distinct in both regimes: a re-send with a
+    CHANGED vector keeps the old row's bucket membership in the counts
+    (the row physically remains in the appended postings), and the
+    maintained-occupancy path must agree with the recompute path
+    bucket-for-bucket."""
+    from pyspark.sql import functions as F2
+
+    tables = multitable_planes(DIMS, 3, 3)
+    old = spark.createDataFrame(_corpus(15, 6), DDL)
+    inc = spark.createDataFrame(
+        [(0, _distinct_vec(9))] + [(50 + i, _dup_vec()) for i in range(9)], DDL
+    )
+    postings = embedding_multitable_postings(old, tables)
+    vectors = old.select("vec_id", "embedding").withColumn(
+        "nrm",
+        F2.sqrt(F2.aggregate("embedding", F2.lit(0.0), lambda a, x: a + x * x)),
+    )
+    occ = postings.groupBy("t", "bucket").agg(
+        F2.countDistinct("vec_id").cast("long").alias("n_exist")
+    )
+
+    def occ_rows(**kw):
+        np_, nv_, _, dropped, occupancy = incremental_multitable_neardup_pairs(
+            postings, vectors, inc, dims=DIMS, threshold=0.0, tables=tables,
+            max_bucket=20, with_dropped=True, with_occupancy=True, **kw,
+        )
+        try:
+            return {
+                (r.t, r.bucket): r.bucket_size for r in occupancy.collect()
+            }
+        finally:
+            np_.unpersist()
+            nv_.unpersist()
+
+    assert occ_rows(existing_occupancy=occ) == occ_rows()
