@@ -7733,3 +7733,79 @@ def q207_minhash_capped_accounting(spark: SparkSession, sf_dir: str) -> DataFram
             "n_pairs",
         )
     )
+
+
+_STREAM_IVF_ASOF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    eidx AS (SELECT * FROM e WHERE vec_id % 3 <> 2),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_STREAM_IVF_COS.format(a='s.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM eidx s, cents c) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='c.cv')} DESC, c.cid) AS rn
+        FROM qv q, cents c) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN asg a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(r AS BIGINT) AS rank FROM (
+      SELECT c.query_id, c.vec_id,
+             {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} AS cos_sim,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_STREAM_IVF_COS.format(a='q.qvec', b='s.v')} DESC, c.vec_id) AS r
+      FROM cand c
+      JOIN eidx s ON s.vec_id = c.vec_id
+      JOIN qv q ON q.query_id = c.query_id
+    ) WHERE r <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q217_ivf_search_time_travel",
+    oracle=_STREAM_IVF_ASOF_ORACLE,
+    doc="'Reproduce yesterday's retrieval': ANN search over a RETAINED "
+    "earlier generation of the streamed IVF index "
+    "(streaming/ivf.py::search(as_of_gen=...), riding round-10's "
+    "in-manifest generation history — snapshot and flip are one "
+    "atomic rename, and the history cutoff equals the leaf-retention "
+    "cutoff so a retained generation is always fully readable). Three "
+    "event_id%3-interleaved micro-batches advance the live index to "
+    "generation 3; the query searches generation 2 and must match the "
+    "oracle's full replay over exactly the first two batches' vectors "
+    "(probes/centroids/queries from the full fixture — artifacts are "
+    "generation-independent here, and the as-of read validates the "
+    "marker against THAT generation's stored fingerprints, so a "
+    "rebuild in between is refused rather than silently mixed; "
+    "tests/test_streaming_ivf.py covers the rebuild boundary).",
+    bench=False,
+    bench_reason="maintainer composition; the search plan is benched as q178/q174's batch forms",
+)
+def q217_ivf_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q217_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(f"{base}/state", f"{base}/centroids", gc_grace_gens=4)
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("vec_id") % 3 == batch), batch)
+    qs = e.filter(F.col("vec_id") < 20)
+    return (
+        m.search(spark, qs, nprobe=2, k=10, as_of_gen=2)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

@@ -105,8 +105,9 @@ class IvfIndexMaintainer(ManifestSwapTable):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         fingerprint=None,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path, gc_grace_gens=gc_grace_gens)
         self.centroids_path = centroids_path
         self.codebook_path = codebook_path
         self.pq_codebooks_path = pq_codebooks_path
@@ -178,17 +179,21 @@ class IvfIndexMaintainer(ManifestSwapTable):
             self.centroids_path, self.codebook_path, self.pq_codebooks_path
         )
 
-    def _validate_meta(self, meta: dict) -> None:
+    def _validate_meta(self, meta: dict, stored: dict | None = None) -> None:
         import json
 
-        stored = self.user_meta()
+        if stored is None:
+            stored = self.user_meta()
         if stored != json.loads(json.dumps(meta)):
             raise ValueError(
                 f"IvfIndexMaintainer (state at {self.path}): existing state "
                 f"was built with {stored}, this maintainer wants {meta} — "
                 "the frozen artifacts or config changed. For retrained "
                 "artifacts call rebuild(); otherwise rebuild the state from "
-                "the source stream (fresh state dir + checkpoint)."
+                "the source stream (fresh state dir + checkpoint). For an "
+                "as-of read across a rebuild, construct a maintainer "
+                "pointed at the artifacts THAT generation was built under "
+                "(the historic marker pins their fingerprints)."
             )
 
     # -- the foreachBatch body -------------------------------------------
@@ -287,6 +292,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         queries: DataFrame,
         nprobe: int = 2,
         max_probe_collect: int = 100_000,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """(query_id, query_vec, vec_id): the probed cells' members per
         query, self-matches excluded — the maintained-state twin of
@@ -313,10 +319,19 @@ class IvfIndexMaintainer(ManifestSwapTable):
         maintainer constructed with the ORIGINAL centroids after a
         rebuild would otherwise hash stale probe cells against
         new-generation assignments — silently wrong candidates, the
-        generation-mixing hazard the marker exists to catch."""
-        if not self.sub_leaves("assigned"):
+        generation-mixing hazard the marker exists to catch.
+
+        ``as_of_gen`` (state built with ``gc_grace_gens > 0``) searches
+        a RETAINED earlier generation's snapshot — "reproduce
+        yesterday's retrieval" — with the marker validated against
+        THAT generation's stored fingerprints, so a rebuild in between
+        is refused unless this maintainer points at the artifacts the
+        travelled-to state was built under (time-travel inverts the
+        generation-mixing guard, it never bypasses it)."""
+        if not self.sub_leaves("assigned", as_of_gen=as_of_gen):
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
-        self._validate_meta(self._meta())
+        stored = None if as_of_gen is None else self.user_meta_as_of(as_of_gen)
+        self._validate_meta(self._meta(), stored=stored)
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
@@ -328,7 +343,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
             # offline regime: the probe list stays a plan, the postings
             # scan goes unpruned (with this many probes it would touch
             # ~every shard anyway)
-            assigned = self._read_sub(spark, "assigned")
+            assigned = self._read_sub(spark, "assigned", as_of_gen=as_of_gen)
             if assigned is None:
                 # unreachable while the sub_leaves guard above holds
                 # (same manifest source), but a None here must raise the
@@ -342,7 +357,10 @@ class IvfIndexMaintainer(ManifestSwapTable):
             ).collect()
             assigned = (
                 self._read_sub(
-                    spark, "assigned", shards=sorted({r.s for r in rows})
+                    spark,
+                    "assigned",
+                    shards=sorted({r.s for r in rows}),
+                    as_of_gen=as_of_gen,
                 )
                 if rows
                 else None
@@ -351,7 +369,9 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 # probed shards hold no fragments ⇒ the probed cells are
                 # empty ⇒ no candidates; the zero-row full read keeps the
                 # schema exact for any id type
-                assigned = self._read_sub(spark, "assigned").limit(0)
+                assigned = self._read_sub(
+                    spark, "assigned", as_of_gen=as_of_gen
+                ).limit(0)
             pairs = spark.createDataFrame(
                 [(r.query_id, r.cid) for r in rows], pair_schema
             )
@@ -373,6 +393,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         nprobe: int = 2,
         k: int = 10,
         shortlist: int | None = None,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """Top-k ANN over the maintained index: (query_id, vec_id,
         cos_sim, rank).
@@ -384,9 +405,10 @@ class IvfIndexMaintainer(ManifestSwapTable):
         kept, exact re-rank of only those rows — q176's composition,
         8× less memory traffic per candidate. Both paths: the probe
         list broadcasts onto the postings, the corpus side never
-        shuffles below the join."""
-        cand = self.candidates(spark, queries, nprobe)
-        vectors = self.read_vectors(spark)
+        shuffles below the join. ``as_of_gen`` searches a retained
+        earlier generation's snapshot (see :meth:`candidates`)."""
+        cand = self.candidates(spark, queries, nprobe, as_of_gen=as_of_gen)
+        vectors = self._read_sub(spark, "vectors", as_of_gen=as_of_gen)
         wq = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col(self.id_col)
         )
@@ -404,7 +426,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 .select("query_id", self.id_col, "cos_sim", "rank")
             )
         n_short = shortlist if shortlist is not None else 3 * k
-        codes = self.read_codes(spark)
+        codes = self._read_sub(spark, "codes", as_of_gen=as_of_gen)
         if codes is None:
             raise ValueError(
                 "IvfIndexMaintainer: codebook_path is set but the state "

@@ -411,3 +411,59 @@ def test_rebuild_works_over_legacy_unsharded_layout(spark, sf_dir, tmp_path):
         .collect()
     }
     assert {(r.vec_id, r.cid) for r in m.read_assigned(spark).collect()} == want
+
+
+def test_search_as_of_across_rebuild_boundary(spark, tmp_path):
+    """Time-travel search validates against the TRAVELLED-TO
+    generation's artifact fingerprints: after a rebuild with retrained
+    centroids, the new-artifact maintainer is refused for a
+    pre-rebuild generation (it would hash probe cells against the
+    wrong centroids), while a maintainer pointed at the ORIGINAL
+    artifacts reproduces the pre-rebuild search exactly."""
+    import pytest as _pytest
+
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    rows = [(i, [float((i * 3 + d) % 7 - 3) for d in range(8)]) for i in range(200)]
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    data.filter(F.col("vec_id") < 8).write.parquet(str(tmp_path / "cents_v1"))
+    # retrained centroids: a different deterministic slice
+    data.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        (F.col("vec_id") - 8).alias("vec_id"), "embedding"
+    ).write.parquet(str(tmp_path / "cents_v2"))
+
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cents_v1"), dims=8,
+        gc_grace_gens=4,
+    )
+    m.apply_batch(data.filter(F.col("vec_id") % 2 == 0), 0)
+    m.apply_batch(data.filter(F.col("vec_id") % 2 == 1), 1)
+    qs = data.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, m.search(spark, qs, nprobe=2, k=5).collect()))
+
+    m.rebuild(spark, str(tmp_path / "cents_v2"))
+    # live search now runs under v2; the pre-rebuild generation was
+    # built under v1 — the new-artifact maintainer must refuse it
+    with _pytest.raises(ValueError, match="as-of read across a rebuild"):
+        m.search(spark, qs, nprobe=2, k=5, as_of_gen=2)
+    # a maintainer pointed at the ORIGINAL artifacts reproduces it
+    old = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cents_v1"), dims=8,
+        gc_grace_gens=4,
+    )
+    again = sorted(
+        map(tuple, old.search(spark, qs, nprobe=2, k=5, as_of_gen=2).collect())
+    )
+    assert again == before
+    # and the travelled read is a strict snapshot: a post-rebuild
+    # append is invisible at generation 2
+    m.apply_batch(
+        spark.createDataFrame(
+            [(500, [1.0] * 8)], "vec_id long, embedding array<double>"
+        ),
+        2,
+    )
+    still = sorted(
+        map(tuple, old.search(spark, qs, nprobe=2, k=5, as_of_gen=2).collect())
+    )
+    assert still == before
