@@ -489,12 +489,12 @@ def _capped_incremental_gate(
             existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
             .select(*keys, F.col("n_exist").alias("_n_ex"))
         )
+        # (no id-only pre-filter here: the (keys, id) semi below subsumes
+        # it — one broadcast build instead of two)
         ov_src = (
             resent_old.select(*keys, F.col(ex_id).alias("_gid"))
             if resent_old is not None
-            else existing_side.select(*keys, F.col(ex_id).alias("_gid")).join(
-                F.broadcast(inc_ids.select(F.col(ex_id).alias("_gid"))), "_gid", "left_semi"
-            )
+            else existing_side.select(*keys, F.col(ex_id).alias("_gid"))
         )
         # |stored ∩ inc| per bucket: old rows of re-sent ids, kept only
         # where the increment posts the SAME id to the SAME bucket
