@@ -7809,3 +7809,49 @@ def q217_ivf_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q218_streaming_dedup_clusters",
+    oracle="WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS_ORACLE + """),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="q73's dedup CLUSTERS maintained LIVE over a near-dup pair "
+    "stream (streaming/components.py::ComponentsMaintainer — the last "
+    "gap of the streamed dedup pipeline: pair maintainers existed, but "
+    "keep-one clustering still needed a batch pass over all pairs). "
+    "Components are mergeable, so each micro-batch contracts only its "
+    "QUOTIENT graph (batch edges with endpoints mapped to current "
+    "labels — batch-sized, never corpus-sized) and commits O(batch) "
+    "member appends plus touched-shard alias re-parents in one atomic "
+    "manifest flip; the depth-1 alias invariant keeps the serving read "
+    "at ONE join. Canonical labels are min-node-id by induction, "
+    "bit-for-bit the batch operator's cluster_id. The exact-Jaccard "
+    "pair set arrives in three hash-interleaved micro-batches — every "
+    "multi-pair cluster is stitched across batches. Shares q73's "
+    "oracle VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the contraction plan is benched via q73's batch form's constituents",
+)
+def q218_streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.components import ComponentsMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+    m = ComponentsMaintainer(scratch_dir("beast_q218_") + "/state")
+    for batch in range(3):
+        m.apply_batch(
+            pairs.filter(F.pmod(F.hash("doc1", "doc2"), F.lit(3)) == batch), batch
+        )
+    return m.read_components(spark)
