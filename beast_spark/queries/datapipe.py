@@ -7848,8 +7848,15 @@ def q218_streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     from beast_spark.streaming.components import ComponentsMaintainer
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
-    m = ComponentsMaintainer(scratch_dir("beast_q218_") + "/state")
+    base = scratch_dir("beast_q218_")
+    # materialize the (quadratic-lineage) exact-Jaccard pair set once:
+    # each batch filter reads the parquet instead of re-running the
+    # shingle self-join per batch
+    jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4).write.parquet(
+        f"{base}/pairs"
+    )
+    pairs = spark.read.parquet(f"{base}/pairs")
+    m = ComponentsMaintainer(f"{base}/state")
     for batch in range(3):
         m.apply_batch(
             pairs.filter(F.pmod(F.hash("doc1", "doc2"), F.lit(3)) == batch), batch

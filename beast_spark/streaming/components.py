@@ -17,10 +17,15 @@ batch-sized, never corpus-sized. State:
   trigger.
 * ``aliases`` — (comp, into): the merge log, maintained at the
   DEPTH-1 invariant — ``into`` is always a CURRENT canonical label —
-  so read-side resolution is ONE join, never an iterative chase. The
-  invariant is preserved per batch by re-parenting the alias rows
-  whose target itself merged (into-hash sharded, touched-shard
-  rewrites: O(this batch's merges), never O(merge history)).
+  so read-side resolution is ONE join, never an iterative chase. Only
+  labels some PERSISTED row can still reference get an alias (a fresh
+  node's members row is written with its post-merge canonical
+  directly), so the table grows with merged pre-existing labels, not
+  with the corpus. The invariant is preserved per batch by
+  re-parenting the alias rows whose target itself merged (into-hash
+  sharded, touched-shard rewrites — each touched shard's current
+  rows, O(aliases / n_shards) per shard, with the touched set sized
+  by this batch's merges).
 
 Canonical labels are MIN-label by induction: a fresh node's comp is
 its own id, and every merge keeps the minimum label of the merged
@@ -64,7 +69,12 @@ class ComponentsMaintainer(ManifestSwapTable):
         table (an unaliased comp IS canonical)."""
         members = self._read_sub(spark, "members", as_of_gen=as_of_gen)
         if members is None:
-            raise ValueError("ComponentsMaintainer: nothing ingested yet")
+            if as_of_gen is None and not self.applied_batches():
+                raise ValueError("ComponentsMaintainer: nothing ingested yet")
+            # batches committed but every one was empty (or the
+            # travelled-to generation predates the first pair): the
+            # batch operator returns zero rows here, so must we
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
         aliases = self._read_sub(spark, "aliases", as_of_gen=as_of_gen)
         if aliases is None:
             return members.select(
@@ -97,6 +107,12 @@ class ComponentsMaintainer(ManifestSwapTable):
             .persist()
         )
         try:
+            if pairs.isEmpty():
+                # quiet trigger: record the batch, touch nothing else —
+                # no empty fragments, no generation churn beyond the
+                # ledger flip
+                self.commit_delta(batch_id)
+                return
             self._apply(spark, pairs, batch_id)
         finally:
             pairs.unpersist()
@@ -157,24 +173,29 @@ class ComponentsMaintainer(ManifestSwapTable):
                     .join(F.broadcast(new_aliases), "comp", "left")
                     .select("node", F.coalesce("into", "comp").alias("comp"))
                 )
-                # aliases: new merge rows + re-parent every existing
-                # alias whose target itself merged (depth-1 invariant).
-                # Touched shards: targets of re-parented rows move from
-                # shard(old into) to shard(new into) — both in the
-                # merge map — plus fresh alias rows land at shard(new
-                # into).
-                merged_olds = new_aliases.select(F.col("comp").alias("into"))
-                alias_shards = sorted(
-                    set(
-                        self.touched_shards(
-                            new_aliases.select(F.col("comp").alias("x")), "x"
-                        )
-                    )
-                    | set(
-                        self.touched_shards(
-                            new_aliases.select(F.col("into").alias("x")), "x"
-                        )
-                    )
+                # Alias rows are inserted ONLY for merged labels some
+                # persisted row can still reference — i.e. resolved
+                # labels of KNOWN nodes (a merged fresh self-label is
+                # unreferenced by construction: its members rows are
+                # written post-merge, and no existing alias can target
+                # a never-seen id). Every referenced label that merges
+                # this batch is a known node's resolved comp, so this
+                # filter loses nothing — and it is what keeps the alias
+                # table proportional to merged pre-existing labels
+                # instead of the corpus (review finding: the unfiltered
+                # form left one dead row per merged fresh node).
+                insert_aliases = new_aliases.join(
+                    F.broadcast(known.select("comp").distinct()), "comp", "left_semi"
+                )
+                # re-parent every existing alias whose target itself
+                # merged (depth-1 invariant). Touched shards — ONE
+                # probe: old targets (rows removed), new targets (rows
+                # land), insert sources.
+                alias_shards = self.touched_shards(
+                    new_aliases.select(F.col("comp").alias("x")).unionByName(
+                        new_aliases.select(F.col("into").alias("x"))
+                    ),
+                    "x",
                 )
                 old_alias_rows = self._read_sub(spark, "aliases", shards=alias_shards)
                 reparent = (
@@ -189,13 +210,13 @@ class ComponentsMaintainer(ManifestSwapTable):
                         F.broadcast(reparent), "into", "left"
                     ).select("comp", F.coalesce("_new", "into").alias("into"))
                 alias_content = kept_rows.unionByName(
-                    new_aliases.select("comp", "into")
+                    insert_aliases.select("comp", "into")
                 )
                 # rows whose re-parented target hashes OUTSIDE the read
                 # shards would be silently duplicated by the shard
                 # replacement — both old and new shards are in
                 # alias_shards by construction (old into ∈ merged comps,
-                # new into ∈ merge targets), asserted cheap here
+                # new into ∈ merge targets)
                 self.commit_delta(
                     batch_id,
                     sharded_appends={

@@ -76,3 +76,23 @@ def test_streamed_components_replay_and_empty_batch(spark, tmp_path):
     fresh = ComponentsMaintainer(str(tmp_path / "none"))
     with pytest.raises(ValueError, match="nothing ingested"):
         fresh.read_components(spark)
+
+
+def test_alias_table_holds_only_referenced_labels(spark, tmp_path):
+    """Fourth-review finding: a merged FRESH node's self-label must not
+    leave a dead alias row (members are written post-merge) — the
+    alias table grows with merged pre-existing labels only, and an
+    all-empty-batch state serves an empty read instead of raising."""
+    m = ComponentsMaintainer(str(tmp_path / "s"))
+    m.apply_batch(spark.createDataFrame([], PAIRS_DDL), 0)
+    assert m.read_components(spark).count() == 0  # committed-but-empty
+    m.apply_batch(spark.createDataFrame([(1, 2), (3, 4)], PAIRS_DDL), 1)
+    # batch 1 merged only fresh labels: zero alias rows
+    assert m._read_sub(spark, "aliases") is None
+    # batch 2 merges the EXISTING label 3 into 1: exactly one alias row
+    m.apply_batch(spark.createDataFrame([(2, 3)], PAIRS_DDL), 2)
+    aliases = m._read_sub(spark, "aliases")
+    assert [(r.comp, r.into) for r in aliases.collect()] == [(3, 1)]
+    assert _cc_set(m.read_components(spark)) == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+    }
