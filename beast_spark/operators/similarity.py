@@ -747,12 +747,23 @@ def ivf_assign(
     (score, -cid) struct ordering. Similarities are rounded before the
     argmax so float summation order cannot flip an assignment.
     """
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    scored = data.join(F.broadcast(c)).select(
+    # norms once per VECTOR and per CENTROID, below the C-fold join fan-out
+    # (same float expression dot/(n_a·n_b) as cosine(), so rounded scores —
+    # and every oracle replaying them — are bit-identical)
+    c = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    d = data.select(id_col, vec_col, norm(F.col(vec_col)).alias("_dn"))
+    scored = d.join(F.broadcast(c)).select(
         id_col,
         vec_col,
         F.col("cid"),
-        F.round(cosine(F.col(vec_col), F.col("cvec")), round_digits).alias("cscore"),
+        F.round(
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("_dn") * F.col("_cn")),
+            round_digits,
+        ).alias("cscore"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("cscore"), (-F.col("cid")).alias("ncid"))).alias("best"),
@@ -833,6 +844,113 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SemDeDup — semantic (embedding-space) deduplication via k-means
+    cells (Abbas et al., *SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication*, 2023): cluster the corpus, compare
+    pairs only WITHIN a cluster, and drop every vector that duplicates
+    an earlier one. Complements the LSH family above: LSH buckets catch
+    near-IDENTICAL vectors (same sign pattern), SemDeDup's trained cells
+    catch semantic redundancy at lower thresholds because the
+    partitioning follows the data's own density, not random planes.
+
+    Deterministic drop policy (exactly replayable by any engine): a
+    vector x is dropped iff some y < x (by id) in the SAME cluster has
+    ``round(cos(x, y), round_digits) >= tau`` — the earlier vector
+    witnesses the drop whether or not y itself survives, i.e. the
+    streaming "reject anything similar to something already seen" rule
+    scanned in id order. (The paper keeps one representative per
+    duplicate-graph component; min-id-witness is its single-pass,
+    shuffle-free relaxation — chains longer than one hop can drop every
+    member but the first, which for training-data curation errs toward
+    MORE dedup, never less.)
+
+    Scale shape: assignment is one broadcast map stage
+    (:func:`ivf_assign`); within-cluster candidate pairs come from the
+    slim (cid, id) postings via :func:`capped_bucket_pairs` — bounded
+    aggregation buffers, pair expansion in codegen, and a cluster
+    whose occupancy exceeds ``max_bucket`` (k-means collapsing on a
+    boilerplate mode) is dropped AND reported instead of going
+    quadratic. Wide vectors join back once per pair side.
+
+    ``centroids`` is any small (id, vector) frame — :func:`kmeans_lite`
+    output at production scale, or a deterministic stand-in (q68's
+    first-k-by-id discipline) where independent replay matters.
+
+    Returns (kept, dropped, capped): ``kept`` = surviving rows of
+    ``vectors``; ``dropped`` = (id, cid, replaced_by, cos_sim) one row
+    per dropped vector with its MINIMUM-id witness and the similarity
+    to that witness; ``capped`` = (cid, bucket_size) accounting of
+    over-cap clusters — no silent caps.
+    """
+    # slim (id, cid) pinned: it feeds the two cap passes AND the
+    # dropped-row cid join, and unpinned each consumer replays the full
+    # broadcast-assignment scoring (the q112 count-table discipline;
+    # two longs per row, process-scoped lifetime like the scratch
+    # indexes)
+    assigned = (
+        ivf_assign(vectors, centroids, id_col, vec_col, round_digits)
+        .select("cid", id_col)
+        .persist()
+    )
+    pairs, capped = capped_bucket_pairs(
+        assigned, ["cid"], id_col, max_bucket,
+        out1="keep_id", out2="dup_id",
+    )
+    # capped_bucket_pairs emits ids in sorted order, so keep_id < dup_id:
+    # the left column is always the earlier (witness-eligible) vector.
+    # Norms are computed once per VECTOR in the side frames, never per
+    # pair (lsh_neardup_pairs' discipline) — per-pair work is a single
+    # dot product.
+    d = vectors.select(id_col, vec_col).withColumn("_n", norm(F.col(vec_col)))
+    v1 = d.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("_v1"),
+        F.col("_n").alias("_n1"),
+    )
+    v2 = d.select(
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_n").alias("_n2"),
+    )
+    cos = dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+    dup_pairs = (
+        pairs.join(v1, "keep_id")
+        .join(v2, "dup_id")
+        .select(
+            "keep_id",
+            "dup_id",
+            # floor-form rounding (queries/_util.rnd discipline), NOT
+            # F.round: engine tie-breaking differs on exact .5 ulp ties
+            (F.floor(cos * 10**round_digits + F.lit(0.5)) / 10**round_digits).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    dropped = (
+        dup_pairs.groupBy("dup_id")
+        .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
+        .join(assigned.select(F.col(id_col).alias("dup_id"), "cid"), "dup_id")
+        .select(
+            F.col("dup_id").alias(id_col),
+            "cid",
+            F.col("w.keep_id").alias("replaced_by"),
+            F.col("w.cos_sim").alias("cos_sim"),
+        )
+    )
+    kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
+    return kept, dropped, capped
 
 
 def kmeans_lite(

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import registers; keep lazy to avoid import cycles.
     import beast_spark.queries.advanced  # noqa: F401
     import beast_spark.queries.analytic  # noqa: F401
+    import beast_spark.queries.curation  # noqa: F401
     import beast_spark.queries.datapipe  # noqa: F401
     import beast_spark.queries.events  # noqa: F401
     import beast_spark.queries.relational  # noqa: F401

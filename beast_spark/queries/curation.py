@@ -1,0 +1,276 @@
+"""Corpus-curation queries: importance-based data selection, semantic
+dedup, lexical retrieval. Round-10 additions extending the
+training-data-pipeline family in ``queries/datapipe.py`` with the three
+selection methods it did not yet cover: DSIR importance resampling
+(distribution matching), SemDeDup (embedding-space redundancy), and
+BM25 (targeted lexical mining). All three use the md5 hash family /
+deterministic stand-in centroids so every result is hash-exactly
+replayable by DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from beast_spark.queries import register
+from beast_spark.sources.tables import load_table
+
+#: Shared constants so the Spark query and its oracle cannot drift.
+_DSIR_BUCKETS = 512
+_DSIR_TOP_N = 100
+_SEMDEDUP_TAU = 0.25
+_SEMDEDUP_CENTROIDS = 8
+_BM25_TERMS = ("dup", "spark", "window")
+_BM25_TOP_N = 50
+
+
+# Shared by q219 (batch) and q222 (its streamed-model twin over
+# ImportanceModelMaintainer) so the featurization/model spec cannot
+# drift between them.
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT doc_id, 'u:' || unnest(t) AS feature FROM toks
+    ), bi AS (
+      SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS feature
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(feature), 1, 15))::BIGINT % {_DSIR_BUCKETS}
+               AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), fx AS (
+      SELECT f.doc_id, f.bucket, d.lang = 'en' AS is_t
+      FROM feats f JOIN documents d USING (doc_id)
+    ), counts AS (
+      SELECT bucket, count(*) AS raw_c,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c
+      FROM fx GROUP BY bucket
+    ), tot AS (
+      SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM counts
+    ), model AS (
+      SELECT bucket,
+             ln((tgt_c + 1.0) / (tgt_n + {_DSIR_BUCKETS}.0))
+               - ln((raw_c + 1.0) / (raw_n + {_DSIR_BUCKETS}.0)) AS log_ratio
+      FROM counts, tot
+    ), w AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+             floor(sum(log_ratio) / count(*) * 10000 + 0.5) / 10000 AS weight
+      FROM fx JOIN model USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
+             AS sel_rank
+    FROM w
+    QUALIFY sel_rank <= {_DSIR_TOP_N}
+    """
+
+
+@register(
+    "q219_dsir_selection",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR importance resampling (Xie et al., NeurIPS 2023) — select "
+    "the raw-corpus documents closest to a trusted target distribution "
+    "(here the 'en' slice): hashed unigram+bigram features into "
+    f"{_DSIR_BUCKETS} buckets, add-1-smoothed target/raw bucket models, "
+    "per-doc mean log importance ratio, deterministic top-"
+    f"{_DSIR_TOP_N} cut. Scale: feature explode map-side, the fitted "
+    "model is a B-row broadcast, selection is TakeOrdered — no shuffle "
+    "grows with the vocabulary. md5 hash family: bit-replayable.",
+)
+def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.importance import (
+        importance_select,
+        ngram_importance_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = ngram_importance_weights(
+        d,
+        is_target=F.col("lang") == "en",
+        n_buckets=_DSIR_BUCKETS,
+        hash_family="md5",
+    )
+    return importance_select(w, _DSIR_TOP_N)
+
+
+@register(
+    "q220_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+      FROM e, c
+    ), assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ), p AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, b.cid,
+             floor(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT dup_id AS vec_id, cid, keep_id AS replaced_by, cos_sim
+    FROM (
+      SELECT dup_id, cid, keep_id, cos_sim,
+             row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
+      FROM p WHERE cos_sim >= {_SEMDEDUP_TAU}
+    ) WHERE rn = 1
+    """,
+    doc="SemDeDup (Abbas et al. 2023) — embedding-space dedup: assign "
+    f"every vector to its nearest of {_SEMDEDUP_CENTROIDS} cells "
+    "(deterministic first-k-by-id stand-in centroids, q68's discipline; "
+    "kmeans_lite is the production trainer), compare pairs only within "
+    f"a cell, drop anything with cos >= {_SEMDEDUP_TAU} to an earlier "
+    "id. Output is the ACTION table (q157's pattern): one row per "
+    "dropped vector with its min-id witness. Scale: broadcast "
+    "assignment, capped in-cell pair expansion in codegen "
+    "(capped_bucket_pairs — over-cap cells dropped AND reported).",
+)
+def q220_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).select(
+        "vec_id", "embedding"
+    )
+    _kept, dropped, _capped = semantic_dedup(
+        e.select("vec_id", "embedding"), centroids, tau=_SEMDEDUP_TAU
+    )
+    return dropped.select("vec_id", "cid", "replaced_by", "cos_sim")
+
+
+# Shared by q221 (batch) and q223 (its streamed-index twin over
+# LexicalIndexMaintainer) so the statistics/formula spec cannot drift.
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, len(t) AS dl FROM toks
+    ), consts AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      WHERE w IN ('dup', 'spark', 'window')
+      GROUP BY doc_id, w
+    ), dfs AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+             total_dl::DOUBLE / n_docs AS avgdl
+      FROM dfs, consts
+    ), s AS (
+      SELECT tf.doc_id,
+             idf.idf * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / idf.avgdl))
+               AS t_score
+      FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             floor(sum(t_score) * 10000 + 0.5) / 10000 AS score
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rank
+    FROM agg
+    QUALIFY rank <= {_BM25_TOP_N}
+    """
+
+
+@register(
+    "q221_bm25_retrieval",
+    oracle=_BM25_ORACLE,
+    doc="BM25 lexical retrieval (Robertson & Zaragoza 2009, Lucene idf "
+    "form) — rank the corpus against a term set; the mining/expansion "
+    "probe a curation pipeline runs to pull benchmark-like or "
+    "topic-targeted documents. Terms mix one rare discriminator "
+    "('dup', df~5%) with two common ones so idf does real work. Scale: "
+    "token stream isin-pruned BEFORE the tf shuffle, |terms|-row "
+    "statistics broadcast, top-k is TakeOrdered.",
+)
+def q221_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.retrieval import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, list(_BM25_TERMS))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOP_N)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "q222_dsir_streamed_model",
+    oracle=_DSIR_ORACLE,
+    doc="q219's importance selection served from a STREAM-MAINTAINED "
+    "model (streaming/importance.py::ImportanceModelMaintainer): the "
+    "hashed-n-gram target/raw bucket counts are additive under the "
+    "frozen featurization, so three interleaved micro-batches merge "
+    "O(B) longs each and the fitted model equals the batch fit "
+    "exactly — shares q219's oracle VERBATIM. Serving scores the "
+    "corpus against the maintained B-row model (broadcast, map-side). "
+    "State is B rows regardless of corpus size.",
+    bench=False,
+    bench_reason="maintainer composition; the featurize+score plan is benched as q219's batch form",
+)
+def q222_dsir_streamed_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.importance import importance_select
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = ImportanceModelMaintainer(
+        scratch_dir("beast_q222_") + "/state",
+        target_predicate="lang = 'en'",
+        n_buckets=_DSIR_BUCKETS,
+        hash_family="md5",
+    )
+    for batch in range(3):
+        m.apply_batch(d.filter(F.col("doc_id") % 3 == batch), batch)
+    return importance_select(m.score(d), _DSIR_TOP_N)
+
+
+@register(
+    "q223_bm25_streamed_index",
+    oracle=_BM25_ORACLE,
+    doc="q221's BM25 ranking served from a STREAM-MAINTAINED inverted "
+    "index (streaming/lexical.py::LexicalIndexMaintainer): postings "
+    "(term-sharded), doc lengths (doc-sharded) and corpus constants "
+    "are append/add-only under the frozen tokenization, so three "
+    "interleaved micro-batches commit O(batch) fragment rows each in "
+    "one manifest flip, and the serving read prunes to the probed "
+    "terms' and hit docs' hash shards — shares q221's oracle "
+    "VERBATIM. The top-k cut reuses the batch query's TakeOrdered "
+    "discipline.",
+    bench=False,
+    bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
+)
+def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = LexicalIndexMaintainer(scratch_dir("beast_q223_") + "/state")
+    for batch in range(3):
+        m.apply_batch(d.filter(F.col("doc_id") % 3 == batch), batch)
+    scored = m.bm25(spark, list(_BM25_TERMS))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOP_N)
+    return top.withColumn("rank", F.row_number().over(w))

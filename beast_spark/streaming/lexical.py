@@ -1,0 +1,179 @@
+"""Streaming inverted-index maintenance: the full-corpus lexical index
+behind BM25 retrieval kept live over the document stream.
+
+BM25's sufficient statistics are all append/add-only under the frozen
+whitespace tokenization: the postings rows (term, doc, tf) and per-doc
+lengths (doc, dl) of a new document never change existing rows, and the
+corpus constants (N, Σdl) merge by addition — so each micro-batch runs
+the batch operator's OWN statistics builder
+(``operators/retrieval.py::doc_term_stats`` — shared so the streamed
+index and the batch query cannot drift) over its own documents and
+commits O(batch) rows. served-BM25(prefix) == batch-BM25(prefix)
+exactly; the registered q223 shares q221's oracle VERBATIM.
+
+Commit protocol is the shared manifest flip
+(``streaming/swap.py::ManifestSwapTable``): postings fragments are
+written ``partitionBy(_shard(term))`` and doc lengths
+``partitionBy(_shard(doc))`` (``sharded_appends``), so a query's
+serving read prunes BOTH sides — postings to the probed terms' hash
+shards, lengths to the hit documents' shards (a bounded ≤ n_shards
+driver probe, the IVF posting-read discipline) — and the one-row
+constants sub-table is a single-shard replacement. Bytes written per
+trigger are O(batch); bytes read per query are O(postings of the
+probed terms' shards + lengths of the hit docs' shards), never
+O(corpus).
+
+Contract: document ids arrive once (append-only unique ids, the
+neardup maintainer's contract) — a re-sent id would double-count its
+tokens; dedupe upstream (q44 / dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beast_spark.operators.retrieval import bm25_from_stats, doc_term_stats
+from beast_spark.streaming.swap import ManifestSwapTable
+
+__all__ = ["LexicalIndexMaintainer"]
+
+
+class LexicalIndexMaintainer(ManifestSwapTable):
+    """Owns one manifest-committed state directory
+    (postings + doclen + consts)."""
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_shards: int = 16,
+    ) -> None:
+        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _marker(self) -> dict:
+        return {"text_col": self.text_col, "id_col": self.id_col}
+
+    def _check_marker(self) -> None:
+        stored = self.user_meta()
+        if stored is not None and stored != self._marker():
+            raise ValueError(
+                "LexicalIndexMaintainer: state was built under column "
+                f"config {stored}, this maintainer has {self._marker()} — "
+                "statistics across configs are meaningless; rebuild the "
+                "state (fresh dir + checkpoint) or reopen with the "
+                "original config."
+            )
+
+    # -- reads -----------------------------------------------------------
+
+    def read_postings(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "postings")
+
+    def read_doclen(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "doclen")
+
+    def read_consts(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "consts", shards=[0])
+
+    # -- the foreachBatch body --------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        self._check_marker()
+        spark = batch_df.sparkSession
+        postings, lens = doc_term_stats(batch_df, self.text_col, self.id_col)
+        batch_consts = lens.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        stored = self.read_consts(spark)
+        merged = (
+            batch_consts
+            if stored is None
+            else stored.select("n_docs", "total_dl")
+            .unionByName(batch_consts)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_dl").cast("long").alias("total_dl"),
+            )
+        )
+        self.commit_delta(
+            batch_id,
+            sharded_appends={
+                "postings": postings.withColumn(
+                    "_shard", self.shard_of(F.col("term"))
+                ),
+                "doclen": lens.withColumn(
+                    "_shard", self.shard_of(F.col(self.id_col))
+                ),
+            },
+            shard_replacements={
+                "consts": (merged.withColumn("_shard", F.lit(0)), [0])
+            },
+            user_meta=self._marker(),
+        )
+        # amortized fragment fold (small-file control) — shard_col keeps
+        # the pruned-read layout through the fold
+        self.maybe_compact(spark, "postings", shard_col="term")
+        self.maybe_compact(spark, "doclen", shard_col=self.id_col)
+
+    # -- serving -----------------------------------------------------------
+
+    def bm25(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        k1: float = 1.2,
+        b: float = 0.75,
+        round_digits: int = 4,
+    ) -> DataFrame:
+        """(id, n_hits, score) over everything ingested so far — the
+        batch ``bm25_scores`` result served from maintained state.
+        Reads prune to the probed terms' postings shards and the hit
+        documents' length shards; each shard probe is one bounded
+        driver action (≤ n_shards scalars)."""
+        self._recover()
+        self._check_marker()
+        consts = self.read_consts(spark)
+        if consts is None:
+            raise ValueError("LexicalIndexMaintainer: no documents ingested yet")
+        empty = spark.createDataFrame(
+            [], f"{self.id_col} long, n_hits long, score double"
+        )
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        tshards = self.touched_shards(tdf, "term")
+        # None here means the probed shards hold no postings (the sub-table
+        # itself exists once consts does): no term hits, not an empty state
+        post = self._read_sub(spark, "postings", shards=tshards)
+        if post is None:
+            return empty
+        tf = post.filter(F.col("term").isin(list(terms))).select(
+            self.id_col, "term", "tf"
+        )
+        hit_shards = self.touched_shards(tf, self.id_col)
+        if not hit_shards:
+            return empty
+        lens = self._read_sub(spark, "doclen", shards=hit_shards).select(
+            self.id_col, "dl"
+        )
+        return bm25_from_stats(
+            tf, lens, consts.select("n_docs", "total_dl"),
+            self.id_col, k1, b, round_digits,
+        )
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, docs: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

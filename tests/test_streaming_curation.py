@@ -1,0 +1,180 @@
+"""Streamed curation maintainers: the DSIR importance model and the
+BM25 inverted index must equal their batch builders after every prefix
+of micro-batches, replays must be no-ops, frozen-config drift must
+raise, and the lexical serving read must prune to the probed shards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beast_spark.operators.importance import ngram_importance_weights
+from beast_spark.operators.retrieval import bm25_scores
+
+DOC_DDL = "doc_id long, text string, lang string"
+
+ROWS = [
+    (1, "tgt alpha beta tok", "en"),
+    (2, "raw gamma delta tok", "fr"),
+    (3, "tgt tgt alpha", "en"),
+    (4, "gamma beta raw", "de"),
+    (5, "alpha delta tgt beta", "en"),
+    (6, "raw raw gamma", "fr"),
+    (7, "tok tok tgt", "en"),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_DDL)
+
+
+def _weights_set(df):
+    return {(r["doc_id"], r["n_features"], r["weight"]) for r in df.collect()}
+
+
+# -------------------------------------------------- DSIR model maintainer
+
+
+def test_streamed_dsir_model_equals_batch_per_prefix(spark, tmp_path):
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    # xxhash64 here, md5 in the registered q222: the equivalence must
+    # hold for BOTH hash families (same additive-count argument)
+    m = ImportanceModelMaintainer(
+        str(tmp_path / "state"),
+        target_predicate="lang = 'en'",
+        n_buckets=256,
+        hash_family="xxhash64",
+    )
+    seen = []
+    for b in range(3):
+        batch = [r for r in ROWS if r[0] % 3 == b]
+        seen += batch
+        m.apply_batch(_docs(spark, batch), b)
+        got = _weights_set(m.score(_docs(spark, seen)))
+        want = _weights_set(
+            ngram_importance_weights(
+                _docs(spark, seen), F.col("lang") == "en", n_buckets=256
+            )
+        )
+        assert got == want and got, f"prefix {b}"
+
+    # replay of an applied batch id: no double counting
+    before = _weights_set(m.score(_docs(spark, seen)))
+    m.apply_batch(_docs(spark, ROWS[:2]), 2)
+    assert _weights_set(m.score(_docs(spark, seen))) == before
+
+
+def test_dsir_changed_featurization_rejected(spark, tmp_path):
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    m = ImportanceModelMaintainer(
+        str(tmp_path / "state"), target_predicate="lang = 'en'"
+    )
+    m.apply_batch(_docs(spark, ROWS[:3]), 0)
+    for other in (
+        ImportanceModelMaintainer(
+            str(tmp_path / "state"), target_predicate="lang = 'fr'"
+        ),
+        ImportanceModelMaintainer(
+            str(tmp_path / "state"), target_predicate="lang = 'en'", n_buckets=64
+        ),
+    ):
+        with pytest.raises(ValueError, match="featurization"):
+            other.apply_batch(_docs(spark, ROWS[3:]), 1)
+        with pytest.raises(ValueError, match="featurization"):
+            other.score(_docs(spark, ROWS))
+
+
+def test_dsir_empty_state_read_raises(spark, tmp_path):
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    m = ImportanceModelMaintainer(
+        str(tmp_path / "state"), target_predicate="lang = 'en'"
+    )
+    with pytest.raises(ValueError, match="no documents ingested"):
+        m.score(_docs(spark, ROWS))
+
+
+# ------------------------------------------------ lexical index maintainer
+
+
+TERMS = ["tgt", "gamma"]
+
+
+def _scores_set(df):
+    return {(r["doc_id"], r["n_hits"], r["score"]) for r in df.collect()}
+
+
+def test_streamed_bm25_equals_batch_per_prefix(spark, tmp_path):
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    seen = []
+    for b in range(3):
+        batch = [r for r in ROWS if r[0] % 3 == b]
+        seen += batch
+        m.apply_batch(_docs(spark, batch), b)
+        got = _scores_set(m.bm25(spark, TERMS))
+        want = _scores_set(bm25_scores(_docs(spark, seen), TERMS))
+        assert got == want and got, f"prefix {b}"
+
+    # replay: no double counting (consts, postings, doclen all stable)
+    before = _scores_set(m.bm25(spark, TERMS))
+    m.apply_batch(_docs(spark, ROWS[:2]), 1)
+    assert _scores_set(m.bm25(spark, TERMS)) == before
+
+
+def test_bm25_serving_read_prunes_to_probed_shards(spark, tmp_path):
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    for b in range(2):
+        m.apply_batch(_docs(spark, [r for r in ROWS if r[0] % 2 == b]), b)
+
+    tdf = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    tshards = set(m.touched_shards(tdf, "term"))
+    res = m.bm25(spark, TERMS)
+    hit_shards = set(
+        m.touched_shards(res.select("doc_id"), "doc_id")
+    )
+    # every file the serving plan reads lies in a probed postings shard,
+    # a hit doclen shard, or the consts sub-table (inputFiles returns
+    # file:// URIs — substring-match the leaf paths, the eventstats
+    # discipline)
+    allowed = {
+        leaf.rstrip("/")
+        for leaf in (
+            m.sub_leaves("postings", sorted(tshards))
+            + m.sub_leaves("doclen", sorted(hit_shards))
+            + m.sub_leaves("consts", [0])
+        )
+    }
+    for f in res.inputFiles():
+        assert any(a in f for a in allowed), f"unpruned read: {f}"
+
+
+def test_bm25_no_hit_terms_returns_empty(spark, tmp_path):
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    m.apply_batch(_docs(spark, ROWS[:4]), 0)
+    res = m.bm25(spark, ["zzz_not_in_corpus"])
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["doc_id", "n_hits", "score"]
+
+
+def test_bm25_empty_state_and_changed_config_raise(spark, tmp_path):
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="no documents ingested"):
+        m.bm25(spark, TERMS)
+    m.apply_batch(_docs(spark, ROWS[:4]), 0)
+    other = LexicalIndexMaintainer(str(tmp_path / "state"), text_col="lang")
+    with pytest.raises(ValueError, match="column "):
+        other.apply_batch(_docs(spark, ROWS[4:]), 1)
+    with pytest.raises(ValueError, match="column "):
+        other.bm25(spark, TERMS)
