@@ -147,11 +147,30 @@ def model_from_counts(
     counts: DataFrame, n_buckets: int, alpha: float = 1.0
 ) -> DataFrame:
     """(bucket, log_ratio): the fitted add-``alpha``-smoothed importance
-    model — B rows, broadcast by consumers."""
+    model — ALWAYS exactly B rows, broadcast by consumers.
+
+    Buckets absent from ``counts`` (never seen during the fit) get the
+    zero-count smoothed ratio — that is the point of the smoothing: a
+    NEW document scored against a maintained model may hash to buckets
+    the fit never saw, and an inner join on a counts-only model would
+    silently drop those features (undercounting n_features and skewing
+    the mean). The full bucket range is generated, not joined from
+    data."""
+    spark = counts.sparkSession
     totals = counts.agg(
         F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("raw_c"), F.lit(0)).alias("raw_c"),
+            F.coalesce(F.col("tgt_c"), F.lit(0)).alias("tgt_c"),
+        )
+    )
+    return full.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
             F.log((F.col("tgt_c") + alpha) / (F.col("tgt_n") + alpha * n_buckets))

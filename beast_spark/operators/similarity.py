@@ -923,6 +923,8 @@ def semantic_dedup(
         F.col(vec_col).alias("_v2"),
         F.col("_n").alias("_n2"),
     )
+    from beast_spark.queries._util import rnd
+
     cos = dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
     dup_pairs = (
         pairs.join(v1, "keep_id")
@@ -930,11 +932,9 @@ def semantic_dedup(
         .select(
             "keep_id",
             "dup_id",
-            # floor-form rounding (queries/_util.rnd discipline), NOT
-            # F.round: engine tie-breaking differs on exact .5 ulp ties
-            (F.floor(cos * 10**round_digits + F.lit(0.5)) / 10**round_digits).alias(
-                "cos_sim"
-            ),
+            # floor-form rounding, NOT F.round: engine tie-breaking
+            # differs on exact .5 ulp ties
+            rnd(cos, round_digits).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
     )

@@ -22,8 +22,22 @@ _DSIR_BUCKETS = 512
 _DSIR_TOP_N = 100
 _SEMDEDUP_TAU = 0.25
 _SEMDEDUP_CENTROIDS = 8
+_SEMDEDUP_MAX_BUCKET = 10_000  # = similarity.DEFAULT_MAX_BUCKET, made explicit
 _BM25_TERMS = ("dup", "spark", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 _BM25_TOP_N = 50
+
+
+def _ranked_topn(
+    scored: DataFrame, n: int, score_col: str = "score", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic (score desc, id) top-``n`` with a ``rank`` column —
+    the one copy of the TakeOrdered-then-rank block q221/q223 share
+    (the ≤n-row unpartitioned window after limit() is the registry-wide
+    sanctioned pattern, constant-size at any scale)."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(n)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # Shared by q219 (batch) and q222 (its streamed-model twin over
@@ -56,10 +70,17 @@ _DSIR_ORACLE = f"""
              ln((tgt_c + 1.0) / (tgt_n + {_DSIR_BUCKETS}.0))
                - ln((raw_c + 1.0) / (raw_n + {_DSIR_BUCKETS}.0)) AS log_ratio
       FROM counts, tot
+    ), db AS (
+      -- per-(doc, bucket) histogram FIRST, then sum(cnt * log_ratio):
+      -- the SAME addend set as the Spark side's score_bucket_counts, so
+      -- the floor-rounded mean cannot flip on a 0.5-ulp boundary from a
+      -- structurally different summation
+      SELECT doc_id, bucket, count(*) AS cnt FROM fx GROUP BY doc_id, bucket
     ), w AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-             floor(sum(log_ratio) / count(*) * 10000 + 0.5) / 10000 AS weight
-      FROM fx JOIN model USING (bucket) GROUP BY doc_id
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+             floor(sum(cnt * log_ratio) / sum(cnt) * 10000 + 0.5) / 10000
+               AS weight
+      FROM db JOIN model USING (bucket) GROUP BY doc_id
     )
     SELECT doc_id, n_features, weight,
            CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
@@ -116,6 +137,13 @@ def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cs DESC, cid) AS rn
         FROM scored) WHERE rn = 1
+    ), ok_cells AS (
+      -- the degenerate-cell cap, replayed: a cell over max_bucket mines
+      -- NO pairs on the Spark side (dropped + reported), so the oracle
+      -- must exclude it too. No-op at the tested SFs (max cell ~ N/8),
+      -- load-bearing the moment a cell passes {_SEMDEDUP_MAX_BUCKET}.
+      SELECT cid FROM assigned GROUP BY cid
+      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
     ), p AS (
       SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, b.cid,
              floor(list_dot_product(a.v, b.v)
@@ -124,6 +152,7 @@ def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * 1000000 + 0.5) / 1000000 AS cos_sim
       FROM assigned a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.cid IN (SELECT cid FROM ok_cells)
     )
     SELECT dup_id AS vec_id, cid, keep_id AS replaced_by, cos_sim
     FROM (
@@ -150,7 +179,10 @@ def q220_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     _kept, dropped, _capped = semantic_dedup(
-        e.select("vec_id", "embedding"), centroids, tau=_SEMDEDUP_TAU
+        e.select("vec_id", "embedding"),
+        centroids,
+        tau=_SEMDEDUP_TAU,
+        max_bucket=_SEMDEDUP_MAX_BUCKET,
     )
     return dropped.select("vec_id", "cid", "replaced_by", "cos_sim")
 
@@ -167,7 +199,7 @@ _BM25_ORACLE = f"""
     ), tf AS (
       SELECT doc_id, w AS term, count(*) AS tf
       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-      WHERE w IN ('dup', 'spark', 'window')
+      WHERE w IN ({_BM25_TERMS_SQL})
       GROUP BY doc_id, w
     ), dfs AS (
       SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -210,10 +242,7 @@ def q221_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.retrieval import bm25_scores
 
     d = load_table(spark, sf_dir, "documents")
-    scored = bm25_scores(d, list(_BM25_TERMS))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOP_N)
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topn(bm25_scores(d, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
 @register(
@@ -270,7 +299,4 @@ def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = LexicalIndexMaintainer(scratch_dir("beast_q223_") + "/state")
     for batch in range(3):
         m.apply_batch(d.filter(F.col("doc_id") % 3 == batch), batch)
-    scored = m.bm25(spark, list(_BM25_TERMS))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOP_N)
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)

@@ -88,36 +88,44 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         self._check_marker()
         spark = batch_df.sparkSession
         postings, lens = doc_term_stats(batch_df, self.text_col, self.id_col)
-        batch_consts = lens.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("dl").cast("long").alias("total_dl"),
-        )
-        stored = self.read_consts(spark)
-        merged = (
-            batch_consts
-            if stored is None
-            else stored.select("n_docs", "total_dl")
-            .unionByName(batch_consts)
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_dl").cast("long").alias("total_dl"),
+        # pinned for the trigger: lens feeds the doclen fragment write AND
+        # the consts aggregate — unpinned, each would re-tokenize the
+        # whole micro-batch (the ingest hot path pays the split/size scan
+        # once, the postings explode being the unavoidable second pass)
+        lens = lens.persist()
+        try:
+            batch_consts = lens.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
             )
-        )
-        self.commit_delta(
-            batch_id,
-            sharded_appends={
-                "postings": postings.withColumn(
-                    "_shard", self.shard_of(F.col("term"))
-                ),
-                "doclen": lens.withColumn(
-                    "_shard", self.shard_of(F.col(self.id_col))
-                ),
-            },
-            shard_replacements={
-                "consts": (merged.withColumn("_shard", F.lit(0)), [0])
-            },
-            user_meta=self._marker(),
-        )
+            stored = self.read_consts(spark)
+            merged = (
+                batch_consts
+                if stored is None
+                else stored.select("n_docs", "total_dl")
+                .unionByName(batch_consts)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_dl").cast("long").alias("total_dl"),
+                )
+            )
+            self.commit_delta(
+                batch_id,
+                sharded_appends={
+                    "postings": postings.withColumn(
+                        "_shard", self.shard_of(F.col("term"))
+                    ),
+                    "doclen": lens.withColumn(
+                        "_shard", self.shard_of(F.col(self.id_col))
+                    ),
+                },
+                shard_replacements={
+                    "consts": (merged.withColumn("_shard", F.lit(0)), [0])
+                },
+                user_meta=self._marker(),
+            )
+        finally:
+            lens.unpersist()
         # amortized fragment fold (small-file control) — shard_col keeps
         # the pruned-read layout through the fold
         self.maybe_compact(spark, "postings", shard_col="term")
@@ -143,8 +151,17 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         consts = self.read_consts(spark)
         if consts is None:
             raise ValueError("LexicalIndexMaintainer: no documents ingested yet")
-        empty = spark.createDataFrame(
-            [], f"{self.id_col} long, n_hits long, score double"
+        # schema-faithful empty frame: the id column's type comes from the
+        # stored doclen sub-table (a non-long id_col must round-trip the
+        # no-hit path with the same schema as the hit path)
+        empty = (
+            self._read_sub(spark, "doclen")
+            .limit(0)
+            .select(
+                self.id_col,
+                F.lit(0).cast("long").alias("n_hits"),
+                F.lit(0.0).alias("score"),
+            )
         )
         tdf = spark.createDataFrame([(t,) for t in terms], "term string")
         tshards = self.touched_shards(tdf, "term")

