@@ -48,6 +48,7 @@ __all__ = [
     "score_bucket_counts",
     "ngram_importance_weights",
     "importance_select",
+    "gumbel_topk_sample",
 ]
 
 
@@ -246,4 +247,44 @@ def importance_select(
 
     w = Window.orderBy(F.col("weight").desc(), F.col(id_col))
     top = weights.orderBy(F.col("weight").desc(), F.col(id_col)).limit(n)
+    return top.withColumn("sel_rank", F.row_number().over(w))
+
+
+#: 2^60: md5_long's value range (15 hex chars), the denominator that maps
+#: a hash to the open unit interval.
+_MD5_SPAN = 1 << 60
+
+
+def gumbel_topk_sample(
+    weights: DataFrame,
+    n: int,
+    temperature: float = 1.0,
+    seed_salt: str = "gumbel:",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seeded Gumbel-top-k importance SAMPLING — the paper's actual
+    resampling step (select with probability ∝ exp(weight / T)), made
+    deterministic: the Gumbel noise ``g = −ln(−ln(u))`` draws its
+    uniform ``u`` from the md5 hash of (salt ‖ id), so any engine
+    replays the exact sample (the Efraimidis–Spirakis/Gumbel-max
+    reduction of weighted sampling-without-replacement to a top-k).
+    ``temperature`` interpolates between greedy top-n (T→0 recovers
+    :func:`importance_select` up to noise scale) and uniform (T→∞).
+
+    Returns the ``n`` sampled rows with ``sample_key`` (rounded
+    floor-form so an engine's 1-ulp ``ln`` difference cannot flip the
+    cut except on a measure-zero boundary) and ``sel_rank``.
+    TakeOrdered-shaped, like the greedy cut."""
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_long(F.concat(F.lit(seed_salt), F.col(id_col).cast("string"))) + 1.0
+    ) / float(_MD5_SPAN + 1)  # in (0, 1): both ln() calls stay finite
+    keyed = weights.withColumn(
+        "sample_key",
+        rnd(F.col("weight") / temperature - F.log(-F.log(u)), round_digits),
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    top = keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(n)
     return top.withColumn("sel_rank", F.row_number().over(w))

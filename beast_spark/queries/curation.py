@@ -40,10 +40,10 @@ def _ranked_topn(
     return top.withColumn("rank", F.row_number().over(w))
 
 
-# Shared by q219 (batch) and q222 (its streamed-model twin over
-# ImportanceModelMaintainer) so the featurization/model spec cannot
-# drift between them.
-_DSIR_ORACLE = f"""
+# Shared by q219 (batch), q222 (its streamed-model twin over
+# ImportanceModelMaintainer) and q225 (the sampled cut over the same
+# weights) so the featurization/model spec cannot drift between them.
+_DSIR_WEIGHTS_CTE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), uni AS (
@@ -81,13 +81,18 @@ _DSIR_ORACLE = f"""
              floor(sum(cnt * log_ratio) / sum(cnt) * 10000 + 0.5) / 10000
                AS weight
       FROM db JOIN model USING (bucket) GROUP BY doc_id
-    )
+    )"""
+
+_DSIR_ORACLE = (
+    _DSIR_WEIGHTS_CTE
+    + f"""
     SELECT doc_id, n_features, weight,
            CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
              AS sel_rank
     FROM w
     QUALIFY sel_rank <= {_DSIR_TOP_N}
     """
+)
 
 
 @register(
@@ -118,9 +123,9 @@ def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_select(w, _DSIR_TOP_N)
 
 
-@register(
-    "q220_semantic_dedup",
-    oracle=f"""
+# Shared by q220 (batch) and q224 (its streamed twin over
+# SemanticDedupMaintainer) so the cell/threshold/cap spec cannot drift.
+_SEMDEDUP_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
@@ -160,7 +165,12 @@ def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
       FROM p WHERE cos_sim >= {_SEMDEDUP_TAU}
     ) WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "q220_semantic_dedup",
+    oracle=_SEMDEDUP_ORACLE,
     doc="SemDeDup (Abbas et al. 2023) — embedding-space dedup: assign "
     f"every vector to its nearest of {_SEMDEDUP_CENTROIDS} cells "
     "(deterministic first-k-by-id stand-in centroids, q68's discipline; "
@@ -300,3 +310,92 @@ def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch in range(3):
         m.apply_batch(d.filter(F.col("doc_id") % 3 == batch), batch)
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
+
+
+_GUMBEL_T = 2.0
+_GUMBEL_SALT = "gumbel:"
+
+
+@register(
+    "q225_gumbel_importance_sample",
+    oracle=_DSIR_WEIGHTS_CTE
+    + f"""
+    , keyed AS (
+      SELECT doc_id, n_features, weight,
+             floor((weight / {_GUMBEL_T}
+                    - ln(-ln((('0x' || substr(md5('{_GUMBEL_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                             / 1152921504606846977.0)))
+                   * 1000000 + 0.5) / 1000000 AS sample_key
+      FROM w
+    )
+    SELECT doc_id, n_features, weight, sample_key,
+           CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT)
+             AS sel_rank
+    FROM keyed
+    QUALIFY sel_rank <= {_DSIR_TOP_N}
+    """,
+    doc="Seeded Gumbel-top-k importance SAMPLING over q219's weights — "
+    "the DSIR paper's actual resampling step (select with probability "
+    f"∝ exp(weight / T), T={_GUMBEL_T}), made deterministic: the "
+    "Gumbel noise draws its uniform from md5(salt ‖ doc_id), so the "
+    "sample is exactly replayable by any engine (Efraimidis–Spirakis / "
+    "Gumbel-max reduction of weighted sampling-without-replacement to "
+    "a top-k). Sampling beats the greedy cut when the selected set "
+    "must preserve diversity instead of concentrating on the mode. "
+    "Scale: one map-side key expression over the weights frame, then "
+    "TakeOrdered.",
+)
+def q225_gumbel_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.importance import (
+        gumbel_topk_sample,
+        ngram_importance_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = ngram_importance_weights(
+        d,
+        is_target=F.col("lang") == "en",
+        n_buckets=_DSIR_BUCKETS,
+        hash_family="md5",
+    )
+    return gumbel_topk_sample(
+        w, _DSIR_TOP_N, temperature=_GUMBEL_T, seed_salt=_GUMBEL_SALT
+    )
+
+
+@register(
+    "q224_semantic_dedup_streamed",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="q220's SemDeDup action table maintained LIVE over the "
+    "embedding stream (streaming/semdedup.py::SemanticDedupMaintainer) "
+    "— under frozen centroids each micro-batch assigns only its own "
+    "vectors, compares them against the touched cells' stored members "
+    "plus each other, and struct-min-merges the per-vector min-witness "
+    "rows (a later batch carrying a LOWER id can newly drop or "
+    "re-witness an already-stored vector — the upsert leg the "
+    "hash-interleaved batches exercise). Shares q220's oracle "
+    "VERBATIM. O(batch) member appends; touched dropped-shards "
+    "rewritten, untouched byte-identical.",
+    bench=False,
+    bench_reason="maintainer composition; the assignment+pair-scoring plan is benched as q220's batch form",
+)
+def q224_semantic_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("beast_q224_")
+    e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).write.parquet(
+        f"{base}/centroids"
+    )
+    m = SemanticDedupMaintainer(
+        f"{base}/state",
+        centroids_path=f"{base}/centroids",
+        tau=_SEMDEDUP_TAU,
+        max_bucket=_SEMDEDUP_MAX_BUCKET,
+    )
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("vec_id") % 3 == batch), batch)
+    return m.read_dropped(spark).select(
+        "vec_id", "cid", "replaced_by", "cos_sim"
+    )

@@ -1,0 +1,313 @@
+"""Streaming semantic dedup: SemDeDup's keep/drop decision
+(``operators/similarity.py::semantic_dedup``) maintained live over an
+embedding stream.
+
+Under FROZEN centroids (the fingerprint-markered artifact, the IVF
+discipline) cell assignment is per-row, so each micro-batch assigns
+only ITS OWN vectors (one broadcast map stage), compares them against
+the stored members of the touched cells plus each other, and commits
+O(batch) member appends — never re-scoring stored-vs-stored pairs.
+
+The subtle leg is the DROPPED action table. Batch semantics: x is
+dropped iff some y < x (by id) in the same cell has cos ≥ τ, reported
+with its MINIMUM-id witness. Id order is not arrival order, so a later
+batch can carry a LOWER id that (a) newly drops an already-stored
+higher id, or (b) improves an existing dropped row's witness. Both are
+a monotone min: each batch's candidate pairs are normalized to
+(lo, hi), reduced to per-``hi`` min-witness structs, and merged into
+the stored action rows by struct-min — touched hash shards rewritten,
+untouched shards byte-identical (``shard_replacements``). By induction
+the table equals the batch operator over everything ingested, which is
+how the registered q224 shares q220's oracle VERBATIM over
+hash-interleaved batches.
+
+The degenerate-cell cap follows the incremental family's combined-
+occupancy gate: per-cell distinct counts (≤ n_centroids rows, a
+``full`` sub-table rewrite) grow additively under the append-only
+unique-id contract; a batch that pushes a cell past ``max_bucket``
+mines no pairs for it and commits the (cid, bucket_size, batch_id)
+accounting row in the same flip — no silent caps. (As in the batch
+form, pairs committed while a cell was still under the cap stay
+committed; the cap stops FUTURE quadratic work.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beast_spark.functions.vectors import dot, norm
+from beast_spark.operators.similarity import DEFAULT_MAX_BUCKET, ivf_assign
+from beast_spark.queries._util import rnd
+from beast_spark.streaming.swap import ManifestSwapTable, artifact_fingerprint
+
+__all__ = ["SemanticDedupMaintainer"]
+
+
+class SemanticDedupMaintainer(ManifestSwapTable):
+    """Owns one manifest-committed state directory
+    (members + dropped + occupancy + capped)."""
+
+    def __init__(
+        self,
+        path: str,
+        centroids_path: str,
+        tau: float,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_bucket: int = DEFAULT_MAX_BUCKET,
+        round_digits: int = 6,
+        fingerprint=None,
+    ) -> None:
+        ManifestSwapTable.__init__(self, path)
+        self.centroids_path = centroids_path
+        self.tau = tau
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.max_bucket = max_bucket
+        self.round_digits = round_digits
+        self.fingerprint = fingerprint or artifact_fingerprint
+
+    def _marker(self) -> dict:
+        return {
+            "centroids": self.fingerprint(self.centroids_path),
+            "tau": self.tau,
+            "max_bucket": self.max_bucket,
+            "round_digits": self.round_digits,
+        }
+
+    def _check_marker(self) -> None:
+        stored = self.user_meta()
+        if stored is not None and stored != self._marker():
+            raise ValueError(
+                "SemanticDedupMaintainer: state was built under config "
+                f"{stored}, this maintainer has {self._marker()} — cell "
+                "assignments/decisions across centroid generations or "
+                "thresholds must not mix; rebuild the state (fresh dir + "
+                "checkpoint) or reopen with the original artifacts."
+            )
+
+    # -- reads -----------------------------------------------------------
+
+    def read_members(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_sub(spark, "members")
+
+    def read_dropped(self, spark: SparkSession) -> DataFrame:
+        """(id, cid, replaced_by, cos_sim) — the live action table
+        (empty-but-typed before any drop is found)."""
+        self._recover()
+        self._check_marker()
+        d = self._read_sub(spark, "dropped")
+        if d is not None:
+            return d.select(
+                F.col("dup_id").alias(self.id_col), "cid", "replaced_by", "cos_sim"
+            )
+        if self._read_sub(spark, "occupancy") is None:
+            raise ValueError(
+                "SemanticDedupMaintainer: no vectors ingested yet"
+            )
+        return spark.createDataFrame(
+            [], f"{self.id_col} long, cid long, replaced_by long, cos_sim double"
+        )
+
+    def read_kept(self, spark: SparkSession) -> DataFrame:
+        """Surviving (id, vector) rows — members minus dropped."""
+        dropped = self.read_dropped(spark)  # runs the guards
+        members = self.read_members(spark)
+        return members.select(self.id_col, self.vec_col).join(
+            dropped.select(self.id_col), self.id_col, "left_anti"
+        )
+
+    def read_capped(self, spark: SparkSession) -> DataFrame | None:
+        """(cid, bucket_size, batch_id) accounting of cap trips — absent
+        until a batch actually trips it (no empty-fragment churn)."""
+        return self._read_sub(spark, "capped")
+
+    # -- the foreachBatch body --------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        self._check_marker()
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(self.centroids_path)
+        inc = (
+            ivf_assign(
+                batch_df.select(
+                    self.id_col,
+                    F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+                ),
+                centroids.select(
+                    self.id_col,
+                    F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+                ),
+                self.id_col,
+                self.vec_col,
+                self.round_digits,
+            )
+            .withColumn("nrm", norm(F.col(self.vec_col)))
+            .persist()  # feeds occupancy, both pair legs, and the member append
+        )
+        try:
+            # combined per-cell occupancy: stored counts are exact distinct
+            # under the append-only unique-id contract, so touched cells
+            # just add the increment's distinct count
+            inc_occ = inc.groupBy("cid").agg(
+                F.countDistinct(self.id_col).cast("long").alias("n_inc")
+            )
+            stored_occ = self._read_sub(spark, "occupancy")
+            if stored_occ is None:
+                stored_occ = spark.createDataFrame([], "cid long, n_exist long")
+            merged_occ = (
+                stored_occ.join(inc_occ, "cid", "full_outer")
+                .select(
+                    "cid",
+                    (
+                        F.coalesce(F.col("n_exist"), F.lit(0))
+                        + F.coalesce(F.col("n_inc"), F.lit(0))
+                    ).alias("n_exist"),
+                )
+            )
+            over = merged_occ.filter(F.col("n_exist") > self.max_bucket)
+            # over-cap cells are few by construction — broadcast anti-join
+            # gates BOTH pair legs before any pair expands
+            gate = F.broadcast(over.select("cid"))
+            g_inc = inc.join(gate, "cid", "left_anti")
+            members = self.read_members(spark)
+            cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            legs = []
+            if members is not None:
+                # prune the member read to the touched cells' shards, then
+                # exact-filter (the IVF candidates discipline)
+                cells = [r.cid for r in g_inc.select("cid").distinct().collect()]
+                if cells:
+                    shards = self.touched_shards(
+                        spark.createDataFrame([(c,) for c in cells], "cid long"),
+                        "cid",
+                    )
+                    mem = self._read_sub(spark, "members", shards=shards)
+                    if mem is not None:
+                        mem = mem.filter(F.col("cid").isin(cells)).join(
+                            gate, "cid", "left_anti"
+                        )
+                        legs.append(
+                            g_inc.select(
+                                "cid",
+                                F.col(self.id_col).alias("_ia"),
+                                F.col(self.vec_col).alias("_va"),
+                                F.col("nrm").alias("_na"),
+                            ).join(
+                                mem.select(
+                                    "cid",
+                                    F.col(self.id_col).alias("_ib"),
+                                    F.col(self.vec_col).alias("_vb"),
+                                    F.col("nrm").alias("_nb"),
+                                ),
+                                "cid",
+                            )
+                        )
+            # new × new within the batch (batch-sized self-join on cid)
+            a = g_inc.select(
+                "cid",
+                F.col(self.id_col).alias("_ia"),
+                F.col(self.vec_col).alias("_va"),
+                F.col("nrm").alias("_na"),
+            )
+            b = g_inc.select(
+                "cid",
+                F.col(self.id_col).alias("_ib"),
+                F.col(self.vec_col).alias("_vb"),
+                F.col("nrm").alias("_nb"),
+            )
+            legs.append(a.join(b, "cid").filter(F.col("_ia") < F.col("_ib")))
+            cand = None
+            for leg in legs:
+                # normalize to (lo, hi): hi is the drop candidate, lo the
+                # witness — covers a later-arriving LOWER id dropping an
+                # already-stored higher id
+                scored = leg.filter(F.col("_ia") != F.col("_ib")).select(
+                    "cid",
+                    F.least("_ia", "_ib").alias("keep_id"),
+                    F.greatest("_ia", "_ib").alias("dup_id"),
+                    rnd(cos, self.round_digits).alias("cos_sim"),
+                ).filter(F.col("cos_sim") >= self.tau)
+                cand = scored if cand is None else cand.unionByName(scored)
+            new_rows = (
+                cand.groupBy("dup_id", "cid")
+                .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
+                .select(
+                    "dup_id",
+                    "cid",
+                    F.col("w.keep_id").alias("replaced_by"),
+                    F.col("w.cos_sim").alias("cos_sim"),
+                )
+                .persist()  # feeds the touched-shard probe AND the merge write
+            )
+            try:
+                touched = self.touched_shards(new_rows, "dup_id")
+                if touched:
+                    old = self._read_sub(spark, "dropped", shards=touched)
+                    if old is None:
+                        merged_rows = new_rows
+                    else:
+                        old = old.select("dup_id", "cid", "replaced_by", "cos_sim")
+                        # struct-min merge: (replaced_by, cos_sim) min is
+                        # min-witness; cid is identical on both sides (one
+                        # cell per id under frozen centroids)
+                        merged_rows = (
+                            old.unionByName(new_rows)
+                            .groupBy("dup_id", "cid")
+                            .agg(F.min(F.struct("replaced_by", "cos_sim")).alias("w"))
+                            .select(
+                                "dup_id",
+                                "cid",
+                                F.col("w.replaced_by").alias("replaced_by"),
+                                F.col("w.cos_sim").alias("cos_sim"),
+                            )
+                        )
+                    replacements = {
+                        "dropped": (
+                            merged_rows.withColumn(
+                                "_shard", self.shard_of(F.col("dup_id"))
+                            ),
+                            touched,
+                        )
+                    }
+                else:
+                    replacements = None
+                appends = {}
+                capped = over.select(
+                    "cid", F.col("n_exist").alias("bucket_size")
+                ).withColumn("batch_id", F.lit(batch_id))
+                if not over.isEmpty():
+                    appends["capped"] = capped
+                self.commit_delta(
+                    batch_id,
+                    appends=appends or None,
+                    sharded_appends={
+                        "members": inc.select(
+                            "cid", self.id_col, self.vec_col, "nrm"
+                        ).withColumn("_shard", self.shard_of(F.col("cid")))
+                    },
+                    shard_replacements=replacements,
+                    full={"occupancy": merged_occ},
+                    user_meta=self._marker(),
+                )
+            finally:
+                new_rows.unpersist()
+            self.maybe_compact(spark, "members", shard_col="cid")
+            self.maybe_compact(spark, "capped")
+        finally:
+            inc.unpersist()
+
+    # -- wiring ----------------------------------------------------------
+
+    def stream_from(self, vectors: DataFrame, checkpoint: str):
+        """Start the maintenance stream (availableNow-compatible)."""
+        return (
+            vectors.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

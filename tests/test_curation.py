@@ -160,3 +160,32 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
     d = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["score"] for r in bm25_scores(d, ["rare", "common"]).collect()}
     assert got[100] > got[101]
+
+
+# ------------------------------------------------------- Gumbel sampling
+
+
+def test_gumbel_sample_deterministic_and_temperature_behavior(spark):
+    from beast_spark.operators.importance import (
+        gumbel_topk_sample,
+        importance_select,
+    )
+
+    # weights strictly distinct: at T -> 0 the greedy equivalence must be
+    # exact (tied weights would be tie-broken by the noise, not doc_id)
+    rows = [(i, 10, i / 10.0 - 3.0) for i in range(200)]
+    w = spark.createDataFrame(rows, "doc_id long, n_features long, weight double")
+    s1 = gumbel_topk_sample(w, 20, temperature=1.0).collect()
+    s2 = gumbel_topk_sample(w, 20, temperature=1.0).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # seeded: replayable
+    assert len(s1) == 20 and [r["sel_rank"] for r in s1] == list(range(1, 21))
+    # a different salt draws a different sample
+    s3 = gumbel_topk_sample(w, 20, temperature=1.0, seed_salt="other:").collect()
+    assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+    # T -> 0 recovers the greedy top-n (noise negligible vs weight/T)
+    cold = gumbel_topk_sample(w, 20, temperature=1e-9).collect()
+    greedy = importance_select(w, 20).collect()
+    assert {r["doc_id"] for r in cold} == {r["doc_id"] for r in greedy}
+    # high T: the sample is noise-driven, not a pure weight cut
+    hot = gumbel_topk_sample(w, 20, temperature=1e9).collect()
+    assert {r["doc_id"] for r in hot} != {r["doc_id"] for r in greedy}

@@ -201,3 +201,132 @@ def test_bm25_empty_state_and_changed_config_raise(spark, tmp_path):
         other.apply_batch(_docs(spark, ROWS[4:]), 1)
     with pytest.raises(ValueError, match="column "):
         other.bm25(spark, TERMS)
+
+
+# -------------------------------------------------- semantic-dedup maintainer
+
+
+import math
+import random
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _unit(theta):
+    return [math.cos(theta), math.sin(theta)]
+
+
+def _semdedup_fixture():
+    """Two well-separated direction families with planted duplicates —
+    ids deliberately NOT in arrival order so cross-batch lower-id
+    arrivals exercise the re-witness merge."""
+    rows = []
+    for i in range(24):
+        base = 0.0 if i % 2 == 0 else 1.5  # two cells
+        rows.append((i, _unit(base + (i % 5) * 0.02)))
+    return rows
+
+
+def _batch_action(spark, rows, cent_rows, tau):
+    from beast_spark.operators.similarity import semantic_dedup
+
+    _k, dropped, _c = semantic_dedup(
+        _vecs(spark, rows), _vecs(spark, cent_rows), tau=tau
+    )
+    return {tuple(r) for r in dropped.select(
+        "vec_id", "cid", "replaced_by", "cos_sim").collect()}
+
+
+def test_streamed_semdedup_equals_batch_per_prefix(spark, tmp_path):
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    rows = _semdedup_fixture()
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.999
+    )
+    rnd_ = random.Random(7)
+    shuffled = rows[:]
+    rnd_.shuffle(shuffled)  # arrival order != id order: re-witness leg live
+    seen = []
+    for b in range(3):
+        batch = shuffled[b * 8 : (b + 1) * 8]
+        seen += batch
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_action(spark, seen, cent, tau=0.999)
+        assert got == want, f"prefix {b}"
+    assert got  # non-vacuous: duplicates were actually found
+    # kept = all minus dropped
+    kept = {r["vec_id"] for r in m.read_kept(spark).collect()}
+    assert kept == {r[0] for r in rows} - {t[0] for t in got}
+    # replay: no-op
+    m.apply_batch(_vecs(spark, shuffled[:8]), 1)
+    assert {tuple(r) for r in m.read_dropped(spark).collect()} == got
+
+
+def test_streamed_semdedup_lower_id_rewitnesses_stored_row(spark, tmp_path):
+    """A later batch carrying a LOWER id must (a) drop an already-stored
+    higher id and (b) improve an existing dropped row's witness."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9
+    )
+    v = _unit(0.01)
+    # batch 0: ids 5 and 9 — 5 witnesses 9
+    m.apply_batch(_vecs(spark, [(5, v), (9, v)]), 0)
+    d0 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d0 == {9: 5}
+    # batch 1: id 2 arrives — drops 5 AND becomes 9's min witness
+    m.apply_batch(_vecs(spark, [(2, v)]), 1)
+    d1 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d1 == {9: 2, 5: 2}
+
+
+def test_streamed_semdedup_cap_gates_and_reports(spark, tmp_path):
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9, max_bucket=3
+    )
+    v = _unit(0.01)
+    m.apply_batch(_vecs(spark, [(i, v) for i in range(3)]), 0)  # at cap: mines
+    n_before = m.read_dropped(spark).count()
+    assert n_before == 2  # 1 and 2 dropped against 0
+    m.apply_batch(_vecs(spark, [(i, v) for i in range(3, 6)]), 1)  # over cap
+    # no new pairs mined; accounting row committed with the combined size
+    assert m.read_dropped(spark).count() == n_before
+    capped = m.read_capped(spark).collect()
+    assert len(capped) == 1 and capped[0]["bucket_size"] == 6
+    assert capped[0]["batch_id"] == 1
+
+
+def test_streamed_semdedup_changed_artifacts_rejected(spark, tmp_path):
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9
+    )
+    m.apply_batch(_vecs(spark, [(1, _unit(0.0))]), 0)
+    other = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.8
+    )
+    with pytest.raises(ValueError, match="must not mix"):
+        other.apply_batch(_vecs(spark, [(2, _unit(0.0))]), 1)
+    with pytest.raises(ValueError, match="must not mix"):
+        other.read_dropped(spark)
+    fresh = SemanticDedupMaintainer(
+        str(tmp_path / "none"), str(tmp_path / "cent"), tau=0.9
+    )
+    with pytest.raises(ValueError, match="no vectors ingested"):
+        fresh.read_dropped(spark)
