@@ -250,9 +250,15 @@ def importance_select(
     return top.withColumn("sel_rank", F.row_number().over(w))
 
 
-#: 2^60: md5_long's value range (15 hex chars), the denominator that maps
-#: a hash to the open unit interval.
-_MD5_SPAN = 1 << 60
+#: 2^52: the Gumbel uniform uses 13 hex chars (52 bits) so every value in
+#: the map to (0, 1) is EXACTLY representable as a double — h + 0.5 at
+#: magnitudes below 2^52 and the division by a power of two are both
+#: exact IEEE-754 ops, so any engine reproduces u bit-identically. (15
+#: chars would round near the top of the range: longs in
+#: [2^60 − 128, 2^60) cast to exactly 2^60 as doubles, collapsing u to
+#: 1.0 and sending ln(−ln u) to NULL in one engine but not another.)
+_GUMBEL_SPAN = 1 << 52
+_GUMBEL_CHARS = 13
 
 
 def gumbel_topk_sample(
@@ -279,8 +285,12 @@ def gumbel_topk_sample(
     from pyspark.sql.window import Window
 
     u = (
-        md5_long(F.concat(F.lit(seed_salt), F.col(id_col).cast("string"))) + 1.0
-    ) / float(_MD5_SPAN + 1)  # in (0, 1): both ln() calls stay finite
+        md5_long(
+            F.concat(F.lit(seed_salt), F.col(id_col).cast("string")),
+            chars=_GUMBEL_CHARS,
+        )
+        + 0.5
+    ) / float(_GUMBEL_SPAN)  # in (0, 1) exactly: both ln() calls stay finite
     keyed = weights.withColumn(
         "sample_key",
         rnd(F.col("weight") / temperature - F.log(-F.log(u)), round_digits),

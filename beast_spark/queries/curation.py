@@ -323,8 +323,8 @@ _GUMBEL_SALT = "gumbel:"
     , keyed AS (
       SELECT doc_id, n_features, weight,
              floor((weight / {_GUMBEL_T}
-                    - ln(-ln((('0x' || substr(md5('{_GUMBEL_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
-                             / 1152921504606846977.0)))
+                    - ln(-ln((('0x' || substr(md5('{_GUMBEL_SALT}' || doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+                             / 4503599627370496.0)))
                    * 1000000 + 0.5) / 1000000 AS sample_key
       FROM w
     )

@@ -25,10 +25,14 @@ The degenerate-cell cap follows the incremental family's combined-
 occupancy gate: per-cell distinct counts (≤ n_centroids rows, a
 ``full`` sub-table rewrite) grow additively under the append-only
 unique-id contract; a batch that pushes a cell past ``max_bucket``
-mines no pairs for it and commits the (cid, bucket_size, batch_id)
-accounting row in the same flip — no silent caps. (As in the batch
-form, pairs committed while a cell was still under the cap stay
-committed; the cap stops FUTURE quadratic work.)
+mines no pairs for it and commits a (cid, bucket_size, batch_id)
+accounting row in the same flip — no silent caps, one row per (capped
+cell, batch that touched it). The batch operator mines NOTHING for an
+over-cap cell (``capped_bucket_pairs`` anti-joins the whole cell out),
+so the batch in which a cell CROSSES the cap also RETRACTS the rows
+that cell mined while under it — a rare O(action-table) rewrite of the
+victims' shards that keeps streamed == batch exact through the
+crossing.
 """
 
 from __future__ import annotations
@@ -170,11 +174,36 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                 )
             )
             over = merged_occ.filter(F.col("n_exist") > self.max_bucket)
-            # over-cap cells are few by construction — broadcast anti-join
-            # gates BOTH pair legs before any pair expands
+            # over-cap cells are few by construction (≤ n_centroids rows
+            # total) — the driver-side lists below are bounded scalars
+            over_rows = {r["cid"]: r["n_exist"] for r in over.collect()}
+            stored_over = {
+                r["cid"]
+                for r in stored_occ.filter(
+                    F.col("n_exist") > self.max_bucket
+                ).collect()
+            }
+            # a cell CROSSING the cap this batch must RETRACT the rows it
+            # mined while under it: the batch operator mines NOTHING for
+            # an over-cap cell (capped_bucket_pairs anti-joins it out
+            # entirely), and streamed == batch is the q224 contract
+            newly_over = sorted(set(over_rows) - stored_over)
+            # accounting: one row per (capped cell, batch that TOUCHED
+            # it) — the EmbeddingNearDupMaintainer discipline; untouched
+            # over-cap cells do not re-report every trigger
+            touched_over = sorted(
+                set(over_rows)
+                & {r["cid"] for r in inc_occ.select("cid").collect()}
+            )
+            # broadcast anti-join gates BOTH pair legs before any pair
+            # expands
             gate = F.broadcast(over.select("cid"))
             g_inc = inc.join(gate, "cid", "left_anti")
-            members = self.read_members(spark)
+            members = (
+                self.read_members(spark)
+                if self.sub_leaves("members")  # manifest lookup, no read
+                else None
+            )
             cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             legs = []
             if members is not None:
@@ -245,27 +274,43 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                 .persist()  # feeds the touched-shard probe AND the merge write
             )
             try:
-                touched = self.touched_shards(new_rows, "dup_id")
+                touched = set(self.touched_shards(new_rows, "dup_id"))
+                if newly_over and self.sub_leaves("dropped"):
+                    # find the crossing cells' victim rows (rare O(trip)
+                    # full scan of the slim action table) so their shards
+                    # join the rewrite
+                    victims = self._read_sub(spark, "dropped").filter(
+                        F.col("cid").isin(newly_over)
+                    )
+                    touched |= set(self.touched_shards(victims, "dup_id"))
+                touched = sorted(touched)
                 if touched:
                     old = self._read_sub(spark, "dropped", shards=touched)
                     if old is None:
-                        merged_rows = new_rows
+                        base = new_rows
                     else:
-                        old = old.select("dup_id", "cid", "replaced_by", "cos_sim")
-                        # struct-min merge: (replaced_by, cos_sim) min is
-                        # min-witness; cid is identical on both sides (one
-                        # cell per id under frozen centroids)
-                        merged_rows = (
-                            old.unionByName(new_rows)
-                            .groupBy("dup_id", "cid")
-                            .agg(F.min(F.struct("replaced_by", "cos_sim")).alias("w"))
-                            .select(
-                                "dup_id",
-                                "cid",
-                                F.col("w.replaced_by").alias("replaced_by"),
-                                F.col("w.cos_sim").alias("cos_sim"),
-                            )
+                        old = old.select(
+                            "dup_id", "cid", "replaced_by", "cos_sim"
                         )
+                        if newly_over:
+                            # the retraction: a cell that crossed the cap
+                            # this batch mines nothing in a batch rebuild,
+                            # so its previously committed rows come out
+                            old = old.filter(~F.col("cid").isin(newly_over))
+                        base = old.unionByName(new_rows)
+                    # struct-min merge: (replaced_by, cos_sim) min is
+                    # min-witness; cid is identical on both sides (one
+                    # cell per id under frozen centroids)
+                    merged_rows = (
+                        base.groupBy("dup_id", "cid")
+                        .agg(F.min(F.struct("replaced_by", "cos_sim")).alias("w"))
+                        .select(
+                            "dup_id",
+                            "cid",
+                            F.col("w.replaced_by").alias("replaced_by"),
+                            F.col("w.cos_sim").alias("cos_sim"),
+                        )
+                    )
                     replacements = {
                         "dropped": (
                             merged_rows.withColumn(
@@ -277,11 +322,14 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                 else:
                     replacements = None
                 appends = {}
-                capped = over.select(
-                    "cid", F.col("n_exist").alias("bucket_size")
-                ).withColumn("batch_id", F.lit(batch_id))
-                if not over.isEmpty():
-                    appends["capped"] = capped
+                if touched_over:
+                    appends["capped"] = spark.createDataFrame(
+                        [
+                            (cid, over_rows[cid], batch_id)
+                            for cid in touched_over
+                        ],
+                        "cid long, bucket_size long, batch_id long",
+                    )
                 self.commit_delta(
                     batch_id,
                     appends=appends or None,

@@ -229,11 +229,11 @@ def _semdedup_fixture():
     return rows
 
 
-def _batch_action(spark, rows, cent_rows, tau):
+def _batch_action(spark, rows, cent_rows, tau, max_bucket=10_000):
     from beast_spark.operators.similarity import semantic_dedup
 
     _k, dropped, _c = semantic_dedup(
-        _vecs(spark, rows), _vecs(spark, cent_rows), tau=tau
+        _vecs(spark, rows), _vecs(spark, cent_rows), tau=tau, max_bucket=max_bucket
     )
     return {tuple(r) for r in dropped.select(
         "vec_id", "cid", "replaced_by", "cos_sim").collect()}
@@ -289,24 +289,43 @@ def test_streamed_semdedup_lower_id_rewitnesses_stored_row(spark, tmp_path):
     assert d1 == {9: 2, 5: 2}
 
 
-def test_streamed_semdedup_cap_gates_and_reports(spark, tmp_path):
+def test_streamed_semdedup_cap_retracts_and_reports_once(spark, tmp_path):
+    """A cell CROSSING the cap retracts the rows it mined while under it
+    (the batch operator mines nothing for an over-cap cell, and
+    streamed == batch is the contract), reports one accounting row per
+    touching batch, and does NOT re-report on batches that leave the
+    cell untouched."""
     from beast_spark.streaming.semdedup import SemanticDedupMaintainer
 
-    cent = [(0, _unit(0.0))]
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
     _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
     m = SemanticDedupMaintainer(
         str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9, max_bucket=3
     )
     v = _unit(0.01)
     m.apply_batch(_vecs(spark, [(i, v) for i in range(3)]), 0)  # at cap: mines
-    n_before = m.read_dropped(spark).count()
-    assert n_before == 2  # 1 and 2 dropped against 0
-    m.apply_batch(_vecs(spark, [(i, v) for i in range(3, 6)]), 1)  # over cap
-    # no new pairs mined; accounting row committed with the combined size
-    assert m.read_dropped(spark).count() == n_before
+    assert m.read_dropped(spark).count() == 2  # 1 and 2 dropped against 0
+    m.apply_batch(_vecs(spark, [(i, v) for i in range(3, 6)]), 1)  # crosses
+    # the crossing retracts batch 0's rows: exactly the batch operator's
+    # result over all six vectors (over-cap cell mines nothing)
+    assert m.read_dropped(spark).count() == 0
+    assert _batch_action(
+        spark, [(i, v) for i in range(6)], cent, tau=0.9, max_bucket=3
+    ) == set()
     capped = m.read_capped(spark).collect()
-    assert len(capped) == 1 and capped[0]["bucket_size"] == 6
-    assert capped[0]["batch_id"] == 1
+    assert len(capped) == 1
+    assert capped[0]["bucket_size"] == 6 and capped[0]["batch_id"] == 1
+    # a batch touching ONLY the other cell: no re-report of cell 0
+    m.apply_batch(_vecs(spark, [(10, _unit(1.5))]), 2)
+    assert m.read_capped(spark).count() == 1
+    # a batch touching the capped cell again: one more accounting row,
+    # still no pairs
+    m.apply_batch(_vecs(spark, [(11, v)]), 3)
+    rows = sorted(
+        (r["batch_id"], r["bucket_size"]) for r in m.read_capped(spark).collect()
+    )
+    assert rows == [(1, 6), (3, 7)]
+    assert m.read_dropped(spark).count() == 0
 
 
 def test_streamed_semdedup_changed_artifacts_rejected(spark, tmp_path):
