@@ -399,3 +399,240 @@ def q224_semantic_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_dropped(spark).select(
         "vec_id", "cid", "replaced_by", "cos_sim"
     )
+
+
+@register(
+    "q226_semdedup_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+      FROM e, c
+    ), assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ), exact AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE floor(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))
+                  * 1000000 + 0.5) / 1000000 >= {_SEMDEDUP_TAU}
+    ), cand AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ), caught AS (
+      SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
+    ), n AS (SELECT count(*) AS n_vecs FROM e)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           floor((SELECT count(*) FROM caught)::DOUBLE
+                 / (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
+             AS recall,
+           floor((SELECT count(*) FROM cand)::DOUBLE
+                 / ((SELECT n_vecs FROM n) * ((SELECT n_vecs FROM n) - 1) / 2)
+                 * 10000 + 0.5) / 10000 AS candidate_fraction
+    """,
+    doc="SemDeDup recall/cost evaluation — the q192 discipline applied "
+    "to the cell-partitioned dedup: exact ground truth is ALL pairs "
+    f"with cos >= {_SEMDEDUP_TAU} (the quadratic baseline), the "
+    "operator's candidates are the within-cell pairs, and the query "
+    "reports pair recall plus the candidate fraction of the full "
+    "quadratic (the work the cells saved). Hash-exact: both engines "
+    "replay the same stand-in cells and floor-rounded similarities. "
+    "The operating point is what the paper trades: fewer cells -> "
+    "higher recall, more pair work.",
+    bench=False,
+    bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
+)
+def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot, norm
+    from beast_spark.operators.similarity import ivf_assign
+    from beast_spark.queries._util import rnd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
+    d = e.withColumn("_n", norm(F.col("embedding")))
+    a = d.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = d.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    exact = (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", rnd(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .select("v1", "v2")
+        .persist()  # consumed by n_true AND the caught intersection
+    )
+    assigned = ivf_assign(e, centroids).select("cid", "vec_id").persist()
+    cand = (
+        assigned.select("cid", F.col("vec_id").alias("v1"))
+        .join(assigned.select("cid", F.col("vec_id").alias("v2")), "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .persist()
+    )
+    caught = exact.intersect(cand)
+    n_vecs = e.count()
+    total_pairs = n_vecs * (n_vecs - 1) / 2.0
+    n_true = exact.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        cand.agg(F.count(F.lit(1)).alias("nc"))
+    ).crossJoin(caught.agg(F.count(F.lit(1)).alias("ng")))
+    return n_true.select(
+        F.col("n").cast("long").alias("n_true"),
+        F.col("ng").cast("long").alias("n_caught"),
+        F.col("nc").cast("long").alias("n_candidates"),
+        rnd(F.col("ng") / F.col("n"), 4).alias("recall"),
+        rnd(F.col("nc") / F.lit(total_pairs), 4).alias("candidate_fraction"),
+    )
+
+
+@register(
+    "q227_semdedup_trained_invariants",
+    oracle="""
+    SELECT TRUE AS partition_ok,
+           TRUE AS witness_valid,
+           TRUE AS kept_clean,
+           TRUE AS nonvacuous,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM embeddings
+    """,
+    doc="SemDeDup on TRAINED centroids (kmeans_lite, 2 Lloyd rounds) — "
+    "the production path q220's stand-in cells defer to. Trained "
+    "assignment is engine-specific, so this is a q216-style invariant "
+    "oracle: the Spark side PROVES four policy invariants over its own "
+    "output — kept + dropped partition the corpus exactly; every "
+    "dropped vector's recorded witness is an EARLIER id in the same "
+    "cell whose recomputed similarity matches the recorded value and "
+    "clears tau; no two kept vectors in one cell are tau-similar (any "
+    "such pair's later member would have been dropped); and at least "
+    "one vector was dropped, so the run is not vacuously green. "
+    "n_total pins the corpus size exactly.",
+    bench=False,
+    bench_reason="evaluation harness (invariant recomputation doubles the pair work); the operator plan is benched as q220",
+)
+def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.functions.vectors import dot, norm
+    from beast_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_lite,
+        semantic_dedup,
+    )
+    from beast_spark.queries._util import rnd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = kmeans_lite(e, k=_SEMDEDUP_CENTROIDS, iters=2).select(
+        F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+    )
+    kept, dropped, _capped = semantic_dedup(e, centroids, tau=_SEMDEDUP_TAU)
+    dropped = dropped.persist()
+    kept_ids = kept.select("vec_id").persist()
+
+    n_total = e.count()
+    partition_ok = (
+        kept_ids.agg(F.count(F.lit(1)).alias("nk"))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("nd")))
+        .select((F.col("nk") + F.col("nd") == n_total).alias("partition_ok"))
+    )
+    # recompute each dropped row's witness similarity from the raw
+    # vectors and check: earlier id, same cell, recorded value, >= tau
+    assigned = ivf_assign(e, centroids).select(
+        "cid", F.col("vec_id").alias("wit_id")
+    ).persist()
+    d = e.withColumn("_n", norm(F.col("embedding")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    checked = (
+        dropped.join(
+            d.select(
+                F.col("vec_id"),
+                F.col("embedding").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "vec_id",
+        )
+        .join(
+            d.select(
+                F.col("vec_id").alias("replaced_by"),
+                F.col("embedding").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "replaced_by",
+        )
+        .join(
+            assigned.withColumnRenamed("wit_id", "replaced_by").withColumnRenamed(
+                "cid", "wit_cid"
+            ),
+            "replaced_by",
+        )
+        .select(
+            (F.col("replaced_by") < F.col("vec_id")).alias("earlier"),
+            (F.col("wit_cid") == F.col("cid")).alias("same_cell"),
+            (rnd(cos, 6) == F.col("cos_sim")).alias("sim_matches"),
+            (F.col("cos_sim") >= _SEMDEDUP_TAU).alias("clears_tau"),
+        )
+    )
+    witness_valid = checked.agg(
+        F.coalesce(
+            F.min(
+                F.col("earlier")
+                & F.col("same_cell")
+                & F.col("sim_matches")
+                & F.col("clears_tau")
+            ),
+            F.lit(False),
+        ).alias("witness_valid")
+    )
+    # no two KEPT vectors in one cell are tau-similar
+    ka = assigned.join(
+        kept_ids.withColumnRenamed("vec_id", "wit_id"), "wit_id"
+    ).join(
+        d.select(
+            F.col("vec_id").alias("wit_id"),
+            F.col("embedding").alias("_va"),
+            F.col("_n").alias("_na"),
+        ),
+        "wit_id",
+    )
+    kb = ka.select(
+        "cid",
+        F.col("wit_id").alias("kb_id"),
+        F.col("_va").alias("_vb"),
+        F.col("_na").alias("_nb"),
+    )
+    kept_pairs = (
+        ka.join(kb, "cid")
+        .filter(F.col("wit_id") < F.col("kb_id"))
+        .select(rnd(cos, 6).alias("s"))
+    )
+    kept_clean = kept_pairs.agg(
+        F.coalesce(F.max(F.col("s") >= _SEMDEDUP_TAU), F.lit(False)).alias("bad")
+    ).select((~F.col("bad")).alias("kept_clean"))
+    nonvacuous = dropped.agg((F.count(F.lit(1)) >= 1).alias("nonvacuous"))
+    return (
+        partition_ok.crossJoin(witness_valid)
+        .crossJoin(kept_clean)
+        .crossJoin(nonvacuous)
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+    )
