@@ -123,9 +123,9 @@ def q219_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_select(w, _DSIR_TOP_N)
 
 
-# Shared by q220 (batch) and q224 (its streamed twin over
-# SemanticDedupMaintainer) so the cell/threshold/cap spec cannot drift.
-_SEMDEDUP_ORACLE = f"""
+# The stand-in cell-assignment prefix shared by every semdedup oracle
+# (q220/q224/q226) so the assignment spec cannot drift between them.
+_SEMDEDUP_ASSIGN_CTE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
@@ -142,7 +142,12 @@ _SEMDEDUP_ORACLE = f"""
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cs DESC, cid) AS rn
         FROM scored) WHERE rn = 1
-    ), ok_cells AS (
+    )"""
+
+# Shared by q220 (batch) and q224 (its streamed twin over
+# SemanticDedupMaintainer) so the cell/threshold/cap spec cannot drift.
+_SEMDEDUP_ORACLE = _SEMDEDUP_ASSIGN_CTE + f"""
+    , ok_cells AS (
       -- the degenerate-cell cap, replayed: a cell over max_bucket mines
       -- NO pairs on the Spark side (dropped + reported), so the oracle
       -- must exclude it too. No-op at the tested SFs (max cell ~ N/8),
@@ -401,36 +406,50 @@ def q224_semantic_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vec_sides(e: DataFrame, id1: str, id2: str) -> tuple[DataFrame, DataFrame, F.Column]:
+    """The pair-scoring side frames + cos expression q226/q227 share:
+    norms computed once per VECTOR (the operator's discipline — the
+    ``sim_matches`` float-equality check in q227 requires the exact
+    dot/(n_a·n_b) expression semantic_dedup evaluates)."""
+    from beast_spark.functions.vectors import dot, norm
+
+    d = e.withColumn("_n", norm(F.col("embedding")))
+    a = d.select(
+        F.col("vec_id").alias(id1),
+        F.col("embedding").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = d.select(
+        F.col("vec_id").alias(id2),
+        F.col("embedding").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return a, b, cos
+
+
 @register(
     "q226_semdedup_recall",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), c AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_CENTROIDS}
-    ), scored AS (
-      SELECT e.vec_id, e.v, c.cid,
-             round(list_dot_product(e.v, c.cv)
-                   / (sqrt(list_dot_product(e.v, e.v))
-                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
-      FROM e, c
-    ), assigned AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT vec_id, v, cid,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cs DESC, cid) AS rn
-        FROM scored) WHERE rn = 1
-    ), exact AS (
+    oracle=_SEMDEDUP_ASSIGN_CTE
+    + f"""
+    , exact AS (
       SELECT a.vec_id AS v1, b.vec_id AS v2
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE floor(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v)))
                   * 1000000 + 0.5) / 1000000 >= {_SEMDEDUP_TAU}
+    ), ok_cells AS (
+      SELECT cid FROM assigned GROUP BY cid
+      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
     ), cand AS (
+      -- the operator's REAL candidate set: within-cell pairs of
+      -- non-capped cells only (recall must describe the operating
+      -- point the operator ships, cap included)
       SELECT a.vec_id AS v1, b.vec_id AS v2
       FROM assigned a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.cid IN (SELECT cid FROM ok_cells)
     ), caught AS (
       SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
     ), n AS (SELECT count(*) AS n_vecs FROM e)
@@ -447,36 +466,25 @@ def q224_semantic_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SemDeDup recall/cost evaluation — the q192 discipline applied "
     "to the cell-partitioned dedup: exact ground truth is ALL pairs "
     f"with cos >= {_SEMDEDUP_TAU} (the quadratic baseline), the "
-    "operator's candidates are the within-cell pairs, and the query "
-    "reports pair recall plus the candidate fraction of the full "
-    "quadratic (the work the cells saved). Hash-exact: both engines "
-    "replay the same stand-in cells and floor-rounded similarities. "
-    "The operating point is what the paper trades: fewer cells -> "
-    "higher recall, more pair work.",
+    "candidates are the operator's OWN capped within-cell pair set "
+    "(capped_bucket_pairs — fidelity by construction, and the oracle "
+    "replays the cap), and the query reports pair recall plus the "
+    "candidate fraction of the full quadratic (the work the cells "
+    "saved). Hash-exact: both engines replay the same stand-in cells "
+    "and floor-rounded similarities. The operating point is what the "
+    "paper trades: fewer cells -> higher recall, more pair work.",
     bench=False,
     bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
 )
 def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.functions.vectors import dot, norm
-    from beast_spark.operators.similarity import ivf_assign
+    from beast_spark.operators.similarity import capped_bucket_pairs, ivf_assign
     from beast_spark.queries._util import rnd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
-    d = e.withColumn("_n", norm(F.col("embedding")))
-    a = d.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = d.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    a, b, cos = _vec_sides(e, "v1", "v2")
     exact = (
         a.join(b, F.col("v1") < F.col("v2"))
         .select("v1", "v2", rnd(cos, 6).alias("cos_sim"))
@@ -485,24 +493,26 @@ def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # consumed by n_true AND the caught intersection
     )
     assigned = ivf_assign(e, centroids).select("cid", "vec_id").persist()
-    cand = (
-        assigned.select("cid", F.col("vec_id").alias("v1"))
-        .join(assigned.select("cid", F.col("vec_id").alias("v2")), "cid")
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
-        .persist()
+    # the operator's own candidate builder: cap semantics included
+    cand, _capped = capped_bucket_pairs(
+        assigned, ["cid"], "vec_id", _SEMDEDUP_MAX_BUCKET, out1="v1", out2="v2"
     )
+    cand = cand.persist()
     caught = exact.intersect(cand)
     n_vecs = e.count()
     total_pairs = n_vecs * (n_vecs - 1) / 2.0
-    n_true = exact.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        cand.agg(F.count(F.lit(1)).alias("nc"))
-    ).crossJoin(caught.agg(F.count(F.lit(1)).alias("ng")))
-    return n_true.select(
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("ng")))
+    )
+    return counts.select(
         F.col("n").cast("long").alias("n_true"),
         F.col("ng").cast("long").alias("n_caught"),
         F.col("nc").cast("long").alias("n_candidates"),
-        rnd(F.col("ng") / F.col("n"), 4).alias("recall"),
+        # NULL (not a crash) when no pair reaches tau: ANSI mode throws
+        # on 0/0 while the oracle's DuckDB division returns NULL
+        F.when(F.col("n") > 0, rnd(F.col("ng") / F.col("n"), 4)).alias("recall"),
         rnd(F.col("nc") / F.lit(total_pairs), 4).alias("candidate_fraction"),
     )
 
@@ -521,18 +531,20 @@ def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the production path q220's stand-in cells defer to. Trained "
     "assignment is engine-specific, so this is a q216-style invariant "
     "oracle: the Spark side PROVES four policy invariants over its own "
-    "output — kept + dropped partition the corpus exactly; every "
-    "dropped vector's recorded witness is an EARLIER id in the same "
-    "cell whose recomputed similarity matches the recorded value and "
-    "clears tau; no two kept vectors in one cell are tau-similar (any "
-    "such pair's later member would have been dropped); and at least "
-    "one vector was dropped, so the run is not vacuously green. "
-    "n_total pins the corpus size exactly.",
+    "output — kept and dropped DISJOINTLY cover the corpus (set checks, "
+    "not a count sum a compensating error could fake); every dropped "
+    "vector's recorded witness is an EARLIER id in the same cell whose "
+    "recomputed similarity matches the recorded value and clears tau; "
+    "no two kept vectors in one NON-CAPPED cell are tau-similar (any "
+    "such pair's later member would have been dropped — a capped cell "
+    "legitimately keeps tau-similar pairs, so the scan excludes it, "
+    "which also keeps this check from going quadratic in the one cell "
+    "the cap protects); and at least one vector was dropped, so the "
+    "run is not vacuously green. n_total pins the corpus size exactly.",
     bench=False,
     bench_reason="evaluation harness (invariant recomputation doubles the pair work); the operator plan is benched as q220",
 )
 def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.functions.vectors import dot, norm
     from beast_spark.operators.similarity import (
         ivf_assign,
         kmeans_lite,
@@ -546,40 +558,31 @@ def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFr
     centroids = kmeans_lite(e, k=_SEMDEDUP_CENTROIDS, iters=2).select(
         F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
     )
-    kept, dropped, _capped = semantic_dedup(e, centroids, tau=_SEMDEDUP_TAU)
+    kept, dropped, capped = semantic_dedup(e, centroids, tau=_SEMDEDUP_TAU)
     dropped = dropped.persist()
     kept_ids = kept.select("vec_id").persist()
 
     n_total = e.count()
-    partition_ok = (
-        kept_ids.agg(F.count(F.lit(1)).alias("nk"))
-        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("nd")))
-        .select((F.col("nk") + F.col("nd") == n_total).alias("partition_ok"))
+    # SET-based partition check: disjoint AND covering (a count sum
+    # could be faked by a compensating error)
+    disjoint = kept_ids.join(dropped.select("vec_id"), "vec_id").agg(
+        (F.count(F.lit(1)) == 0).alias("disjoint")
+    )
+    covering = e.select("vec_id").join(
+        kept_ids.unionByName(dropped.select("vec_id")), "vec_id", "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("covering"))
+    partition_ok = disjoint.crossJoin(covering).select(
+        (F.col("disjoint") & F.col("covering")).alias("partition_ok")
     )
     # recompute each dropped row's witness similarity from the raw
     # vectors and check: earlier id, same cell, recorded value, >= tau
     assigned = ivf_assign(e, centroids).select(
         "cid", F.col("vec_id").alias("wit_id")
     ).persist()
-    d = e.withColumn("_n", norm(F.col("embedding")))
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    va, vb, cos = _vec_sides(e, "vec_id", "replaced_by")
     checked = (
-        dropped.join(
-            d.select(
-                F.col("vec_id"),
-                F.col("embedding").alias("_va"),
-                F.col("_n").alias("_na"),
-            ),
-            "vec_id",
-        )
-        .join(
-            d.select(
-                F.col("vec_id").alias("replaced_by"),
-                F.col("embedding").alias("_vb"),
-                F.col("_n").alias("_nb"),
-            ),
-            "replaced_by",
-        )
+        dropped.join(va, "vec_id")
+        .join(vb, "replaced_by")
         .join(
             assigned.withColumnRenamed("wit_id", "replaced_by").withColumnRenamed(
                 "cid", "wit_cid"
@@ -604,27 +607,29 @@ def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFr
             F.lit(False),
         ).alias("witness_valid")
     )
-    # no two KEPT vectors in one cell are tau-similar
-    ka = assigned.join(
-        kept_ids.withColumnRenamed("vec_id", "wit_id"), "wit_id"
-    ).join(
-        d.select(
-            F.col("vec_id").alias("wit_id"),
-            F.col("embedding").alias("_va"),
-            F.col("_n").alias("_na"),
-        ),
-        "wit_id",
+    # no two KEPT vectors in one NON-CAPPED cell are tau-similar (a
+    # capped cell mined nothing, so tau-similar keeps there are the
+    # documented cap behavior, not a policy violation — and excluding
+    # it keeps this scan bounded by max_bucket per cell)
+    ka_side, kb_side, kcos = _vec_sides(e, "ka_id", "kb_id")
+    ok_cells = assigned.join(
+        F.broadcast(capped.select("cid")), "cid", "left_anti"
     )
-    kb = ka.select(
-        "cid",
-        F.col("wit_id").alias("kb_id"),
-        F.col("_va").alias("_vb"),
-        F.col("_na").alias("_nb"),
+    ka = (
+        ok_cells.withColumnRenamed("wit_id", "ka_id")
+        .join(kept_ids.withColumnRenamed("vec_id", "ka_id"), "ka_id")
+        .join(ka_side, "ka_id")
+    )
+    kb = (
+        ok_cells.withColumnRenamed("wit_id", "kb_id")
+        .join(kept_ids.withColumnRenamed("vec_id", "kb_id"), "kb_id")
+        .join(kb_side.select("kb_id", "_vb", "_nb"), "kb_id")
     )
     kept_pairs = (
-        ka.join(kb, "cid")
-        .filter(F.col("wit_id") < F.col("kb_id"))
-        .select(rnd(cos, 6).alias("s"))
+        ka.select("cid", "ka_id", "_va", "_na")
+        .join(kb.select("cid", "kb_id", "_vb", "_nb"), "cid")
+        .filter(F.col("ka_id") < F.col("kb_id"))
+        .select(rnd(kcos, 6).alias("s"))
     )
     kept_clean = kept_pairs.agg(
         F.coalesce(F.max(F.col("s") >= _SEMDEDUP_TAU), F.lit(False)).alias("bad")
