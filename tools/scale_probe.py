@@ -202,6 +202,53 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # 6) streamed lexical (BM25) index: one 2%-of-corpus document batch
+    # appended to the full-corpus inverted index, then a term-pruned
+    # serving read — the delta-commit + pruned-read contract at the
+    # biggest local corpus
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nd0 = d0.count()
+    docs = (
+        d0.crossJoin(F.broadcast(spark.range(reps).withColumnRenamed("id", "r")))
+        .select((F.col("doc_id") + F.col("r") * nd0).alias("doc_id"), "text")
+    )
+    nd = nd0 * reps
+    cut = int(nd * 0.98)
+    tmp = tempfile.mkdtemp(prefix="scale_lex_")
+    try:
+        m = LexicalIndexMaintainer(f"{tmp}/state")
+        m.apply_batch(docs.filter(F.col("doc_id") < cut), 0)  # bulk load
+        before = _files(f"{tmp}/state")
+        total0 = sum(before.values())
+        t0 = time.perf_counter()
+        m.apply_batch(docs.filter(F.col("doc_id") >= cut), 1)
+        t_batch = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        new_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        t0 = time.perf_counter()
+        res = m.bm25(spark, ["dup", "spark", "window"])
+        nres = res.count()
+        t_s = time.perf_counter() - t0
+        n_read = len(res.inputFiles())
+        n_all = len(
+            m.sub_leaves("postings") + m.sub_leaves("doclen") + m.sub_leaves("consts")
+        )
+        print(
+            f"streamed_lexical: {t_batch:.1f}s to absorb {nd - cut} docs "
+            f"into a {cut}-doc inverted index; bm25 serve {t_s:.1f}s "
+            f"({nres} scored docs), read from {n_read} files across "
+            f"{n_all} live leaves (term+hit-doc shard pruning)"
+        )
+        print(
+            f"lexical_commit: {new_bytes / 1e6:.1f} MB written for the "
+            f"{nd - cut}-doc increment vs {total0 / 1e6:.1f} MB cumulative "
+            f"state ({new_bytes / max(total0, 1):.1%})"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
