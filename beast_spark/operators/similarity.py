@@ -953,6 +953,77 @@ def semantic_dedup(
     return kept, dropped, capped
 
 
+def semantic_dedup_multiprobe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`semantic_dedup` with MULTI-ASSIGNMENT: every vector posts
+    to its ``n_assign`` nearest cells, and a pair is compared when the
+    two vectors share ANY cell — the multi-probe recall lever (the same
+    trade ``lsh_multitable_neardup_pairs`` makes over random planes,
+    here over the data's own cells): a near-dup pair split by one cell
+    boundary is usually joint in the second-nearest cell. Candidate
+    volume rises ~``n_assign``×; recall at a fixed cell count rises
+    with it (q229 measures the operating point against q226's
+    single-assignment run).
+
+    Same deterministic earlier-witness drop rule and per-cell
+    ``max_bucket`` guard (occupancy counts the cell's POSTED vectors —
+    multi-assignment inflates occupancy by design, cap accordingly).
+    Pairs sharing both cells are deduplicated before scoring (the q185
+    pair-dedup-before-vectors discipline). The action table carries no
+    cell column — a pair's witness relationship is no longer unique to
+    one cell.
+
+    Returns (kept, dropped, capped): ``dropped`` =
+    (id, replaced_by, cos_sim); ``capped`` = (cid, bucket_size).
+    """
+    post = ivf_probes(
+        vectors, centroids, n_assign, id_col, vec_col, round_digits
+    ).select("cid", F.col("query_id").alias(id_col))
+    pairs, capped = capped_bucket_pairs(
+        post, ["cid"], id_col, max_bucket, out1="keep_id", out2="dup_id"
+    )
+    from beast_spark.queries._util import rnd
+
+    d = vectors.select(id_col, vec_col).withColumn("_n", norm(F.col(vec_col)))
+    v1 = d.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("_v1"),
+        F.col("_n").alias("_n1"),
+    )
+    v2 = d.select(
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_n").alias("_n2"),
+    )
+    cos = dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+    dup_pairs = (
+        pairs.distinct()  # a pair sharing BOTH cells scores once
+        .join(v1, "keep_id")
+        .join(v2, "dup_id")
+        .select("keep_id", "dup_id", rnd(cos, round_digits).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+    )
+    dropped = (
+        dup_pairs.groupBy("dup_id")
+        .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
+        .select(
+            F.col("dup_id").alias(id_col),
+            F.col("w.keep_id").alias("replaced_by"),
+            F.col("w.cos_sim").alias("cos_sim"),
+        )
+    )
+    kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
+    return kept, dropped, capped
+
+
 def kmeans_lite(
     data: DataFrame,
     k: int = 8,

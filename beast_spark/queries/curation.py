@@ -641,3 +641,149 @@ def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFr
         .crossJoin(nonvacuous)
         .withColumn("n_total", F.lit(n_total).cast("long"))
     )
+
+
+_SEMDEDUP_NPROBE = 2
+
+# The multi-assignment postings prefix shared by q228/q229: every vector
+# posts to its 2 nearest cells (rn <= n over the same rounded scores the
+# single-assignment CTE ranks).
+_SEMDEDUP_PROBES_CTE = (
+    _SEMDEDUP_ASSIGN_CTE
+    + f"""
+    , probes AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM scored) WHERE rn <= {_SEMDEDUP_NPROBE}
+    ), ok_cells AS (
+      SELECT cid FROM probes GROUP BY cid
+      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
+    )"""
+)
+
+
+@register(
+    "q228_semdedup_multiprobe",
+    oracle=_SEMDEDUP_PROBES_CTE
+    + f"""
+    , p AS (
+      SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id,
+             floor(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM probes a JOIN probes b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.cid IN (SELECT cid FROM ok_cells)
+    )
+    SELECT dup_id AS vec_id, keep_id AS replaced_by, cos_sim
+    FROM (
+      SELECT dup_id, keep_id, cos_sim,
+             row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
+      FROM p WHERE cos_sim >= {_SEMDEDUP_TAU}
+    ) WHERE rn = 1
+    """,
+    doc="SemDeDup with MULTI-ASSIGNMENT (semantic_dedup_multiprobe, "
+    f"n_assign={_SEMDEDUP_NPROBE}): every vector posts to its two "
+    "nearest cells and a pair is compared when it shares ANY cell — "
+    "the multi-probe recall lever over the data's own cells (the "
+    "lsh_multitable trade, without random planes). Same earlier-"
+    "witness drop rule and per-cell cap; pairs sharing both cells "
+    "score once. The action table drops the cell column (a witness "
+    "relationship is no longer unique to one cell).",
+    bench=False,
+    bench_reason="operating-point variant; the assignment+capped-pair plan is benched as q220",
+)
+def q228_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import semantic_dedup_multiprobe
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
+    _kept, dropped, _capped = semantic_dedup_multiprobe(
+        e,
+        centroids,
+        tau=_SEMDEDUP_TAU,
+        n_assign=_SEMDEDUP_NPROBE,
+        max_bucket=_SEMDEDUP_MAX_BUCKET,
+    )
+    return dropped.select("vec_id", "replaced_by", "cos_sim")
+
+
+@register(
+    "q229_semdedup_multiprobe_recall",
+    oracle=_SEMDEDUP_PROBES_CTE
+    + f"""
+    , exact AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE floor(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))
+                  * 1000000 + 0.5) / 1000000 >= {_SEMDEDUP_TAU}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM probes a JOIN probes b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.cid IN (SELECT cid FROM ok_cells)
+    ), caught AS (
+      SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
+    ), n AS (SELECT count(*) AS n_vecs FROM e)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           floor((SELECT count(*) FROM caught)::DOUBLE
+                 / (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
+             AS recall,
+           floor((SELECT count(*) FROM cand)::DOUBLE
+                 / ((SELECT n_vecs FROM n) * ((SELECT n_vecs FROM n) - 1) / 2)
+                 * 10000 + 0.5) / 10000 AS candidate_fraction
+    """,
+    doc="The multi-probe operating point measured with q226's exact "
+    "harness: recall and candidate fraction at n_assign=2 over the "
+    "same cells, tau and cap — read beside q226 to see what the "
+    "second assignment buys (at sf0.1: recall 0.229 -> 0.644 for "
+    "candidate fraction 0.126 -> 0.463 of the quadratic, on the "
+    "near-uniform synthetic corpus).",
+    bench=False,
+    bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
+)
+def q229_semdedup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import capped_bucket_pairs, ivf_probes
+    from beast_spark.queries._util import rnd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
+    a, b, cos = _vec_sides(e, "v1", "v2")
+    exact = (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", rnd(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .select("v1", "v2")
+        .persist()
+    )
+    post = ivf_probes(e, centroids, _SEMDEDUP_NPROBE).select(
+        "cid", F.col("query_id").alias("vec_id")
+    ).persist()
+    cand_raw, _capped = capped_bucket_pairs(
+        post, ["cid"], "vec_id", _SEMDEDUP_MAX_BUCKET, out1="v1", out2="v2"
+    )
+    cand = cand_raw.distinct().persist()
+    caught = exact.intersect(cand)
+    n_vecs = e.count()
+    total_pairs = n_vecs * (n_vecs - 1) / 2.0
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("ng")))
+    )
+    return counts.select(
+        F.col("n").cast("long").alias("n_true"),
+        F.col("ng").cast("long").alias("n_caught"),
+        F.col("nc").cast("long").alias("n_candidates"),
+        F.when(F.col("n") > 0, rnd(F.col("ng") / F.col("n"), 4)).alias("recall"),
+        rnd(F.col("nc") / F.lit(total_pairs), 4).alias("candidate_fraction"),
+    )

@@ -189,3 +189,45 @@ def test_gumbel_sample_deterministic_and_temperature_behavior(spark):
     # high T: the sample is noise-driven, not a pure weight cut
     hot = gumbel_topk_sample(w, 20, temperature=1e9).collect()
     assert {r["doc_id"] for r in hot} != {r["doc_id"] for r in greedy}
+
+
+def test_semantic_dedup_multiprobe_catches_boundary_pair(spark):
+    from beast_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_multiprobe,
+    )
+
+    # two centroids at ±20°; a near-dup pair straddles the boundary
+    # (one vector at +2°, one at -2°): single assignment splits them
+    # into different cells and misses the pair, n_assign=2 posts both
+    # to both cells and catches it
+    c0 = [math.cos(0.35), math.sin(0.35)]
+    c1 = [math.cos(-0.35), math.sin(-0.35)]
+    data = _vecs(
+        spark,
+        [(0, [math.cos(0.035), math.sin(0.035)]),
+         (1, [math.cos(-0.035), math.sin(-0.035)])],
+    )
+    centroids = _vecs(spark, [(0, c0), (1, c1)])
+    _k1, d1, _c1 = semantic_dedup(data, centroids, tau=0.99)
+    assert d1.count() == 0  # split by the cell boundary: missed
+    k2, d2, _c2 = semantic_dedup_multiprobe(
+        data, centroids, tau=0.99, n_assign=2
+    )
+    rows = d2.collect()
+    assert [(r["vec_id"], r["replaced_by"]) for r in rows] == [(1, 0)]
+    assert sorted(r["vec_id"] for r in k2.collect()) == [0]
+
+
+def test_semantic_dedup_multiprobe_pair_scored_once(spark):
+    from beast_spark.operators.similarity import semantic_dedup_multiprobe
+
+    # both vectors share BOTH cells; the pair must appear once in the
+    # action table (dedup before scoring), witness = min id
+    data = _vecs(spark, [(3, [1.0, 0.0]), (7, [1.0, 1e-4])])
+    centroids = _vecs(spark, [(0, [1.0, 0.01]), (1, [1.0, -0.01])])
+    _k, dropped, _c = semantic_dedup_multiprobe(
+        data, centroids, tau=0.99, n_assign=2
+    )
+    rows = dropped.collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 7 and rows[0]["replaced_by"] == 3
