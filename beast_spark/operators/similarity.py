@@ -907,11 +907,40 @@ def semantic_dedup(
         assigned, ["cid"], id_col, max_bucket,
         out1="keep_id", out2="dup_id",
     )
-    # capped_bucket_pairs emits ids in sorted order, so keep_id < dup_id:
-    # the left column is always the earlier (witness-eligible) vector.
-    # Norms are computed once per VECTOR in the side frames, never per
-    # pair (lsh_neardup_pairs' discipline) — per-pair work is a single
-    # dot product.
+    dup_pairs = _score_candidate_pairs(
+        pairs, vectors, tau, id_col, vec_col, round_digits
+    )
+    dropped = (
+        _min_witness(dup_pairs)
+        .join(assigned.select(F.col(id_col).alias("dup_id"), "cid"), "dup_id")
+        .select(
+            F.col("dup_id").alias(id_col),
+            "cid",
+            "replaced_by",
+            "cos_sim",
+        )
+    )
+    kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
+    return kept, dropped, capped
+
+
+def _score_candidate_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """(keep_id, dup_id, cos_sim ≥ tau) from candidate id pairs — the
+    ONE scoring block both semantic-dedup forms share: keep_id < dup_id
+    (capped_bucket_pairs' sorted emission — the left column is always
+    the earlier, witness-eligible vector), norms computed once per
+    VECTOR in the side frames (lsh_neardup_pairs' discipline; per-pair
+    work is a single dot product), floor-form rounding (NOT F.round:
+    engine tie-breaking differs on exact .5 ulp ties)."""
+    from beast_spark.queries._util import rnd
+
     d = vectors.select(id_col, vec_col).withColumn("_n", norm(F.col(vec_col)))
     v1 = d.select(
         F.col(id_col).alias("keep_id"),
@@ -923,34 +952,28 @@ def semantic_dedup(
         F.col(vec_col).alias("_v2"),
         F.col("_n").alias("_n2"),
     )
-    from beast_spark.queries._util import rnd
-
     cos = dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
-    dup_pairs = (
+    return (
         pairs.join(v1, "keep_id")
         .join(v2, "dup_id")
-        .select(
-            "keep_id",
-            "dup_id",
-            # floor-form rounding, NOT F.round: engine tie-breaking
-            # differs on exact .5 ulp ties
-            rnd(cos, round_digits).alias("cos_sim"),
-        )
+        .select("keep_id", "dup_id", rnd(cos, round_digits).alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
     )
-    dropped = (
+
+
+def _min_witness(dup_pairs: DataFrame) -> DataFrame:
+    """(dup_id, replaced_by, cos_sim): each drop candidate's MINIMUM-id
+    witness and the similarity to that witness (struct-min is
+    lexicographic: min keep_id first)."""
+    return (
         dup_pairs.groupBy("dup_id")
         .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
-        .join(assigned.select(F.col(id_col).alias("dup_id"), "cid"), "dup_id")
         .select(
-            F.col("dup_id").alias(id_col),
-            "cid",
+            "dup_id",
             F.col("w.keep_id").alias("replaced_by"),
             F.col("w.cos_sim").alias("cos_sim"),
         )
     )
-    kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
-    return kept, dropped, capped
 
 
 def semantic_dedup_multiprobe(
@@ -960,7 +983,7 @@ def semantic_dedup_multiprobe(
     n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
     round_digits: int = 6,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`semantic_dedup` with MULTI-ASSIGNMENT: every vector posts
@@ -974,52 +997,39 @@ def semantic_dedup_multiprobe(
     single-assignment run).
 
     Same deterministic earlier-witness drop rule and per-cell
-    ``max_bucket`` guard (occupancy counts the cell's POSTED vectors —
-    multi-assignment inflates occupancy by design, cap accordingly).
-    Pairs sharing both cells are deduplicated before scoring (the q185
-    pair-dedup-before-vectors discipline). The action table carries no
-    cell column — a pair's witness relationship is no longer unique to
-    one cell.
+    ``max_bucket`` guard. Occupancy counts the cell's POSTED vectors,
+    which multi-assignment inflates ~``n_assign``-fold by design — so
+    the cap DEFAULT scales with it (``n_assign × DEFAULT_MAX_BUCKET``
+    when ``max_bucket`` is None): an unscaled cap would drop a cell
+    here that single-assignment still mines, turning the recall lever
+    into a recall loss exactly at the margin. Pairs sharing both cells
+    are deduplicated before scoring (the q185 pair-dedup-before-vectors
+    discipline). The action table carries no cell column — a pair's
+    witness relationship is no longer unique to one cell.
 
     Returns (kept, dropped, capped): ``dropped`` =
     (id, replaced_by, cos_sim); ``capped`` = (cid, bucket_size).
     """
-    post = ivf_probes(
-        vectors, centroids, n_assign, id_col, vec_col, round_digits
-    ).select("cid", F.col("query_id").alias(id_col))
+    if max_bucket is None:
+        max_bucket = n_assign * DEFAULT_MAX_BUCKET
+    # slim (cid, id) postings pinned: capped_bucket_pairs traverses them
+    # twice (size gate, gated collect), and unpinned each pass replays
+    # the N×C probe scoring + per-vector ranking window (the discipline
+    # semantic_dedup's assigned frame and the capped_bucket_pairs
+    # docstring both state)
+    post = (
+        ivf_probes(vectors, centroids, n_assign, id_col, vec_col, round_digits)
+        .select("cid", F.col("query_id").alias(id_col))
+        .persist()
+    )
     pairs, capped = capped_bucket_pairs(
         post, ["cid"], id_col, max_bucket, out1="keep_id", out2="dup_id"
     )
-    from beast_spark.queries._util import rnd
-
-    d = vectors.select(id_col, vec_col).withColumn("_n", norm(F.col(vec_col)))
-    v1 = d.select(
-        F.col(id_col).alias("keep_id"),
-        F.col(vec_col).alias("_v1"),
-        F.col("_n").alias("_n1"),
+    dup_pairs = _score_candidate_pairs(
+        pairs.distinct(),  # a pair sharing BOTH cells scores once
+        vectors, tau, id_col, vec_col, round_digits,
     )
-    v2 = d.select(
-        F.col(id_col).alias("dup_id"),
-        F.col(vec_col).alias("_v2"),
-        F.col("_n").alias("_n2"),
-    )
-    cos = dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
-    dup_pairs = (
-        pairs.distinct()  # a pair sharing BOTH cells scores once
-        .join(v1, "keep_id")
-        .join(v2, "dup_id")
-        .select("keep_id", "dup_id", rnd(cos, round_digits).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= tau)
-    )
-    dropped = (
-        dup_pairs.groupBy("dup_id")
-        .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
-        .select(
-            F.col("dup_id").alias(id_col),
-            F.col("w.keep_id").alias("replaced_by"),
-            F.col("w.cos_sim").alias("cos_sim"),
-        )
-    )
+    dropped = _min_witness(dup_pairs).withColumnRenamed("dup_id", id_col)
     kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
     return kept, dropped, capped
 

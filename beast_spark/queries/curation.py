@@ -144,33 +144,80 @@ _SEMDEDUP_ASSIGN_CTE = f"""
         FROM scored) WHERE rn = 1
     )"""
 
-# Shared by q220 (batch) and q224 (its streamed twin over
-# SemanticDedupMaintainer) so the cell/threshold/cap spec cannot drift.
-_SEMDEDUP_ORACLE = _SEMDEDUP_ASSIGN_CTE + f"""
-    , ok_cells AS (
-      -- the degenerate-cell cap, replayed: a cell over max_bucket mines
-      -- NO pairs on the Spark side (dropped + reported), so the oracle
-      -- must exclude it too. No-op at the tested SFs (max cell ~ N/8),
-      -- load-bearing the moment a cell passes {_SEMDEDUP_MAX_BUCKET}.
-      SELECT cid FROM assigned GROUP BY cid
-      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
-    ), p AS (
-      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, b.cid,
-             floor(list_dot_product(a.v, b.v)
+#: The floor-rounded pairwise cosine both oracle tails share.
+_PAIR_COS_SQL = """floor(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v)))
-                   * 1000000 + 0.5) / 1000000 AS cos_sim
-      FROM assigned a JOIN assigned b
+                   * 1000000 + 0.5) / 1000000"""
+
+
+def _semdedup_action_sql(src: str, cap: int, with_cid: bool) -> str:
+    """The oracle tail shared by q220/q224 (single assignment, cid kept)
+    and q228 (multi-probe, cid dropped — a witness relationship is not
+    unique to one cell): the degenerate-cell cap replayed (a cell over
+    ``cap`` mines NO pairs on the Spark side — no-op at the tested SFs,
+    load-bearing the moment a cell passes it), DISTINCT pair scoring
+    (collapses a multi-probe pair sharing both cells; no-op for the
+    unique single-assignment pairs), and the min-id-witness cut."""
+    cid_p = "b.cid, " if with_cid else ""
+    cid_out = "cid, " if with_cid else ""
+    return f"""
+    , ok_cells AS (
+      SELECT cid FROM {src} GROUP BY cid
+      HAVING count(*) <= {cap}
+    ), p AS (
+      SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id, {cid_p}
+             {_PAIR_COS_SQL} AS cos_sim
+      FROM {src} a JOIN {src} b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE a.cid IN (SELECT cid FROM ok_cells)
     )
-    SELECT dup_id AS vec_id, cid, keep_id AS replaced_by, cos_sim
+    SELECT dup_id AS vec_id, {cid_out}keep_id AS replaced_by, cos_sim
     FROM (
-      SELECT dup_id, cid, keep_id, cos_sim,
+      SELECT dup_id, {cid_out}keep_id, cos_sim,
              row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
       FROM p WHERE cos_sim >= {_SEMDEDUP_TAU}
     ) WHERE rn = 1
     """
+
+
+def _semdedup_recall_sql(src: str, cap: int) -> str:
+    """The evaluation oracle tail shared by q226 (single assignment) and
+    q229 (multi-probe): exact quadratic ground truth vs the capped
+    within-cell candidate set of ``src``."""
+    return f"""
+    , exact AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_PAIR_COS_SQL} >= {_SEMDEDUP_TAU}
+    ), ok_cells AS (
+      SELECT cid FROM {src} GROUP BY cid
+      HAVING count(*) <= {cap}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM {src} a JOIN {src} b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.cid IN (SELECT cid FROM ok_cells)
+    ), caught AS (
+      SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
+    ), n AS (SELECT count(*) AS n_vecs FROM e)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           floor((SELECT count(*) FROM caught)::DOUBLE
+                 / (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
+             AS recall,
+           floor((SELECT count(*) FROM cand)::DOUBLE
+                 / ((SELECT n_vecs FROM n) * ((SELECT n_vecs FROM n) - 1) / 2)
+                 * 10000 + 0.5) / 10000 AS candidate_fraction
+    """
+
+
+# Shared by q220 (batch) and q224 (its streamed twin over
+# SemanticDedupMaintainer) so the cell/threshold/cap spec cannot drift.
+_SEMDEDUP_ORACLE = _SEMDEDUP_ASSIGN_CTE + _semdedup_action_sql(
+    "assigned", _SEMDEDUP_MAX_BUCKET, with_cid=True
+)
 
 
 @register(
@@ -428,62 +475,16 @@ def _vec_sides(e: DataFrame, id1: str, id2: str) -> tuple[DataFrame, DataFrame, 
     return a, b, cos
 
 
-@register(
-    "q226_semdedup_recall",
-    oracle=_SEMDEDUP_ASSIGN_CTE
-    + f"""
-    , exact AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE floor(list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v)))
-                  * 1000000 + 0.5) / 1000000 >= {_SEMDEDUP_TAU}
-    ), ok_cells AS (
-      SELECT cid FROM assigned GROUP BY cid
-      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
-    ), cand AS (
-      -- the operator's REAL candidate set: within-cell pairs of
-      -- non-capped cells only (recall must describe the operating
-      -- point the operator ships, cap included)
-      SELECT a.vec_id AS v1, b.vec_id AS v2
-      FROM assigned a JOIN assigned b
-        ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE a.cid IN (SELECT cid FROM ok_cells)
-    ), caught AS (
-      SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
-    ), n AS (SELECT count(*) AS n_vecs FROM e)
-    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
-           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
-           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
-           floor((SELECT count(*) FROM caught)::DOUBLE
-                 / (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
-             AS recall,
-           floor((SELECT count(*) FROM cand)::DOUBLE
-                 / ((SELECT n_vecs FROM n) * ((SELECT n_vecs FROM n) - 1) / 2)
-                 * 10000 + 0.5) / 10000 AS candidate_fraction
-    """,
-    doc="SemDeDup recall/cost evaluation — the q192 discipline applied "
-    "to the cell-partitioned dedup: exact ground truth is ALL pairs "
-    f"with cos >= {_SEMDEDUP_TAU} (the quadratic baseline), the "
-    "candidates are the operator's OWN capped within-cell pair set "
-    "(capped_bucket_pairs — fidelity by construction, and the oracle "
-    "replays the cap), and the query reports pair recall plus the "
-    "candidate fraction of the full quadratic (the work the cells "
-    "saved). Hash-exact: both engines replay the same stand-in cells "
-    "and floor-rounded similarities. The operating point is what the "
-    "paper trades: fewer cells -> higher recall, more pair work.",
-    bench=False,
-    bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
-)
-def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.similarity import capped_bucket_pairs, ivf_assign
+def _recall_counts(e: DataFrame, post: DataFrame, cap: int) -> DataFrame:
+    """The shared recall-evaluation harness behind q226 (single
+    assignment) and q229 (multi-probe): exact quadratic ground truth
+    intersected with the operator's OWN capped candidate builder
+    (capped_bucket_pairs over ``post`` — fidelity by construction;
+    distinct() collapses a multi-probe pair sharing two cells, a no-op
+    for unique single-assignment pairs)."""
+    from beast_spark.operators.similarity import capped_bucket_pairs
     from beast_spark.queries._util import rnd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
     a, b, cos = _vec_sides(e, "v1", "v2")
     exact = (
         a.join(b, F.col("v1") < F.col("v2"))
@@ -492,12 +493,10 @@ def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2")
         .persist()  # consumed by n_true AND the caught intersection
     )
-    assigned = ivf_assign(e, centroids).select("cid", "vec_id").persist()
-    # the operator's own candidate builder: cap semantics included
-    cand, _capped = capped_bucket_pairs(
-        assigned, ["cid"], "vec_id", _SEMDEDUP_MAX_BUCKET, out1="v1", out2="v2"
+    cand_raw, _capped = capped_bucket_pairs(
+        post, ["cid"], "vec_id", cap, out1="v1", out2="v2"
     )
-    cand = cand.persist()
+    cand = cand_raw.distinct().persist()
     caught = exact.intersect(cand)
     n_vecs = e.count()
     total_pairs = n_vecs * (n_vecs - 1) / 2.0
@@ -515,6 +514,34 @@ def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 0, rnd(F.col("ng") / F.col("n"), 4)).alias("recall"),
         rnd(F.col("nc") / F.lit(total_pairs), 4).alias("candidate_fraction"),
     )
+
+
+@register(
+    "q226_semdedup_recall",
+    oracle=_SEMDEDUP_ASSIGN_CTE
+    + _semdedup_recall_sql("assigned", _SEMDEDUP_MAX_BUCKET),
+    doc="SemDeDup recall/cost evaluation — the q192 discipline applied "
+    "to the cell-partitioned dedup: exact ground truth is ALL pairs "
+    f"with cos >= {_SEMDEDUP_TAU} (the quadratic baseline), the "
+    "candidates are the operator's OWN capped within-cell pair set "
+    "(capped_bucket_pairs — fidelity by construction, and the oracle "
+    "replays the cap), and the query reports pair recall plus the "
+    "candidate fraction of the full quadratic (the work the cells "
+    "saved). Hash-exact: both engines replay the same stand-in cells "
+    "and floor-rounded similarities. The operating point is what the "
+    "paper trades: fewer cells -> higher recall, more pair work.",
+    bench=False,
+    bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
+)
+def q226_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
+    assigned = ivf_assign(e, centroids).select("cid", "vec_id").persist()
+    return _recall_counts(e, assigned, _SEMDEDUP_MAX_BUCKET)
 
 
 @register(
@@ -648,6 +675,11 @@ _SEMDEDUP_NPROBE = 2
 # The multi-assignment postings prefix shared by q228/q229: every vector
 # posts to its 2 nearest cells (rn <= n over the same rounded scores the
 # single-assignment CTE ranks).
+#: Multi-assignment inflates per-cell occupancy ~n_assign-fold, so the
+#: cap scales with it — an unscaled cap would drop a cell multiprobe
+#: that single-assignment still mines (the operator's None default).
+_SEMDEDUP_MP_CAP = _SEMDEDUP_NPROBE * _SEMDEDUP_MAX_BUCKET
+
 _SEMDEDUP_PROBES_CTE = (
     _SEMDEDUP_ASSIGN_CTE
     + f"""
@@ -657,9 +689,6 @@ _SEMDEDUP_PROBES_CTE = (
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cs DESC, cid) AS rn
         FROM scored) WHERE rn <= {_SEMDEDUP_NPROBE}
-    ), ok_cells AS (
-      SELECT cid FROM probes GROUP BY cid
-      HAVING count(*) <= {_SEMDEDUP_MAX_BUCKET}
     )"""
 )
 
@@ -667,24 +696,7 @@ _SEMDEDUP_PROBES_CTE = (
 @register(
     "q228_semdedup_multiprobe",
     oracle=_SEMDEDUP_PROBES_CTE
-    + f"""
-    , p AS (
-      SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id,
-             floor(list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v)))
-                   * 1000000 + 0.5) / 1000000 AS cos_sim
-      FROM probes a JOIN probes b
-        ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE a.cid IN (SELECT cid FROM ok_cells)
-    )
-    SELECT dup_id AS vec_id, keep_id AS replaced_by, cos_sim
-    FROM (
-      SELECT dup_id, keep_id, cos_sim,
-             row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
-      FROM p WHERE cos_sim >= {_SEMDEDUP_TAU}
-    ) WHERE rn = 1
-    """,
+    + _semdedup_action_sql("probes", _SEMDEDUP_MP_CAP, with_cid=False),
     doc="SemDeDup with MULTI-ASSIGNMENT (semantic_dedup_multiprobe, "
     f"n_assign={_SEMDEDUP_NPROBE}): every vector posts to its two "
     "nearest cells and a pair is compared when it shares ANY cell — "
@@ -706,7 +718,7 @@ def q228_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids,
         tau=_SEMDEDUP_TAU,
         n_assign=_SEMDEDUP_NPROBE,
-        max_bucket=_SEMDEDUP_MAX_BUCKET,
+        max_bucket=_SEMDEDUP_MP_CAP,
     )
     return dropped.select("vec_id", "replaced_by", "cos_sim")
 
@@ -714,32 +726,7 @@ def q228_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q229_semdedup_multiprobe_recall",
     oracle=_SEMDEDUP_PROBES_CTE
-    + f"""
-    , exact AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE floor(list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v)))
-                  * 1000000 + 0.5) / 1000000 >= {_SEMDEDUP_TAU}
-    ), cand AS (
-      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-      FROM probes a JOIN probes b
-        ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE a.cid IN (SELECT cid FROM ok_cells)
-    ), caught AS (
-      SELECT v1, v2 FROM exact INTERSECT SELECT v1, v2 FROM cand
-    ), n AS (SELECT count(*) AS n_vecs FROM e)
-    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
-           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
-           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
-           floor((SELECT count(*) FROM caught)::DOUBLE
-                 / (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
-             AS recall,
-           floor((SELECT count(*) FROM cand)::DOUBLE
-                 / ((SELECT n_vecs FROM n) * ((SELECT n_vecs FROM n) - 1) / 2)
-                 * 10000 + 0.5) / 10000 AS candidate_fraction
-    """,
+    + _semdedup_recall_sql("probes", _SEMDEDUP_MP_CAP),
     doc="The multi-probe operating point measured with q226's exact "
     "harness: recall and candidate fraction at n_assign=2 over the "
     "same cells, tau and cap — read beside q226 to see what the "
@@ -750,40 +737,13 @@ def q228_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_reason="evaluation harness with an intentionally quadratic exact side; the operator plan is benched as q220",
 )
 def q229_semdedup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.similarity import capped_bucket_pairs, ivf_probes
-    from beast_spark.queries._util import rnd
+    from beast_spark.operators.similarity import ivf_probes
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS)
-    a, b, cos = _vec_sides(e, "v1", "v2")
-    exact = (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", rnd(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
-        .select("v1", "v2")
-        .persist()
-    )
     post = ivf_probes(e, centroids, _SEMDEDUP_NPROBE).select(
         "cid", F.col("query_id").alias("vec_id")
     ).persist()
-    cand_raw, _capped = capped_bucket_pairs(
-        post, ["cid"], "vec_id", _SEMDEDUP_MAX_BUCKET, out1="v1", out2="v2"
-    )
-    cand = cand_raw.distinct().persist()
-    caught = exact.intersect(cand)
-    n_vecs = e.count()
-    total_pairs = n_vecs * (n_vecs - 1) / 2.0
-    counts = (
-        exact.agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("nc")))
-        .crossJoin(caught.agg(F.count(F.lit(1)).alias("ng")))
-    )
-    return counts.select(
-        F.col("n").cast("long").alias("n_true"),
-        F.col("ng").cast("long").alias("n_caught"),
-        F.col("nc").cast("long").alias("n_candidates"),
-        F.when(F.col("n") > 0, rnd(F.col("ng") / F.col("n"), 4)).alias("recall"),
-        rnd(F.col("nc") / F.lit(total_pairs), 4).alias("candidate_fraction"),
-    )
+    return _recall_counts(e, post, _SEMDEDUP_MP_CAP)

@@ -220,12 +220,24 @@ def test_semantic_dedup_multiprobe_catches_boundary_pair(spark):
 
 
 def test_semantic_dedup_multiprobe_pair_scored_once(spark):
-    from beast_spark.operators.similarity import semantic_dedup_multiprobe
+    from beast_spark.operators.similarity import (
+        capped_bucket_pairs,
+        ivf_probes,
+        semantic_dedup_multiprobe,
+    )
 
-    # both vectors share BOTH cells; the pair must appear once in the
-    # action table (dedup before scoring), witness = min id
+    # both vectors share BOTH cells
     data = _vecs(spark, [(3, [1.0, 0.0]), (7, [1.0, 1e-4])])
     centroids = _vecs(spark, [(0, [1.0, 0.01]), (1, [1.0, -0.01])])
+    # observe the PRE-aggregation candidate set the operator scores: the
+    # raw per-cell expansion emits the pair once per shared cell, and
+    # the distinct() the operator applies collapses it to one — the
+    # pair-scored-once contract, pinned where it is visible
+    post = ivf_probes(data, centroids, 2).select(
+        "cid", F.col("query_id").alias("vec_id")
+    )
+    raw, _ = capped_bucket_pairs(post, ["cid"], "vec_id", 10_000)
+    assert raw.count() == 2 and raw.distinct().count() == 1
     _k, dropped, _c = semantic_dedup_multiprobe(
         data, centroids, tau=0.99, n_assign=2
     )
