@@ -347,12 +347,12 @@ def incremental_minhash_pairs(
     consistent, but a cap-crossing bucket's older pairs remain from the
     earlier run (dedup keeps found pairs; it never un-finds them).
 
-    Cost note: the two-pass cap (size-gate before collect_set) makes
-    this form traverse the corpus banding twice per increment — a
-    deliberate trade of a 2× constant on the NON-scale variant (this
-    function re-bands every existing signature per increment by
-    design; that is why it exists next to the indexed form) for the
-    bounded-reducer-memory guarantee. The production path,
+    Cost note: the two-pass cap (size-gate before collect_set) needs
+    two aggregations over the banding — but the banding itself is
+    repartitioned and pinned so it computes ONCE per increment and
+    both passes ride the cached distribution (this function still
+    re-bands every existing signature per increment by design; that
+    is why it exists next to the indexed form). The production path,
     :func:`incremental_minhash_pairs_indexed`, pays zero extra: its
     gate reads stored occupancy and never touches the index twice."""
     new_sigs = minhash_signatures(
@@ -383,7 +383,13 @@ def incremental_minhash_pairs(
     # NEW doc touches can yield new pairs; the cap guards the same
     # degenerate buckets as the full pass, and — no silent caps —
     # dropped reports the increment-touched buckets the cap removed
-    # (with_dropped=True).
+    # (with_dropped=True). The tagged postings are repartitioned by
+    # (band, bucket) and pinned so the corpus re-band + tag computes
+    # ONCE and both passes ride the cached hash distribution
+    # (capped_bucket_pairs' materialize discipline; round-10 verdict
+    # #2 — without this the size pass and the collect pass each paid
+    # the banding subtree and its own Exchange).
+    tagged = tagged.repartition("band", "bucket").persist()
     occ = tagged.groupBy("band", "bucket").agg(
         F.countDistinct("doc_id").alias("bucket_size"),
         F.max("is_new").alias("_any_new"),
@@ -481,6 +487,7 @@ def incremental_minhash_pairs_indexed(
     with_dropped: bool = False,
     existing_occupancy: DataFrame | None = None,
     with_occupancy: bool = False,
+    new_sigs: DataFrame | None = None,
 ):
     """Dedup an increment against a PERSISTED band/bucket index: returns
     ``(new_sigs, new_bands, pairs)`` — plus the (band, bucket,
@@ -516,12 +523,26 @@ def incremental_minhash_pairs_indexed(
     property-tested. ``max_bucket`` is evaluated on the DISTINCT union
     bucket size, consistent with the full recompute. Pair generation is
     new×new + new×existing per bucket — never the existing×existing
-    quadratic term a full-bucket expansion would pay."""
+    quadratic term a full-bucket expansion would pay.
+
+    ``new_sigs`` (a :func:`minhash_signatures` frame for ``new_df``,
+    typically read back from the scratch/ingest table a maintainer
+    writes anyway) skips the internal shingle+persist. The increment's
+    signature subtree feeds MANY small broadcast builds (touched
+    buckets, the gate's id sets and counts, the upsert anti-joins,
+    the estimate join), and each broadcast executes as its own job —
+    with an in-line shingle that means re-scanning the raw increment
+    once per broadcast (measured: ~13 scan+shingle stage replays per
+    execution at sf0.1, the round-10 q98 bench regression). Reading a
+    materialized signature table per subtree is O(increment-file)
+    instead, exactly the 'signatures are materialized once' contract
+    the nightly-append story already states."""
     from beast_spark.operators.similarity import _capped_incremental_gate
 
-    new_sigs = minhash_signatures(
-        new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
-    ).persist()
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_df, id_col, text_col, k=k, n=n, hash_family=hash_family
+        ).persist()
     new_bands = band_signatures(new_sigs, k=k, bands=bands, hash_family=hash_family)
     touched = new_bands.select("band", "bucket").distinct()
     ex_post = existing_index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")

@@ -333,6 +333,7 @@ def capped_bucket_pairs(
     max_bucket: int,
     out1: str = "vec1",
     out2: str = "vec2",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate id pairs from slim (``*keys``, id) postings with the
     degenerate-bucket guard — the embedding twin of
@@ -360,12 +361,25 @@ def capped_bucket_pairs(
     sizes exactly as collect_set did (both are distinct-by-id,
     null-skipping), so the dropped accounting is unchanged.
 
-    Cost: ``post`` is traversed twice (count agg + gated collect agg).
-    Callers feeding an expensive subtree should materialize the slim
-    postings first (the minhash/simhash forms persist signatures; q185
-    writes scratch postings) — the postings themselves are two longs +
-    an id per row.
+    Cost: the cap needs two aggregations over ``post`` (count agg +
+    gated collect agg) — that is inherent (Spark has no size-bounded
+    collect buffer). What is NOT inherent is paying the postings
+    SUBTREE and its shuffle twice, which is what the round-10 form did
+    (q36 0.74→1.53s etc., round-10 verdict #2). With ``materialize=True``
+    (default) the slim postings are repartitioned by ``keys`` and
+    persisted, so (a) the upstream compute — shingling, banding,
+    bucket hashing, probe scoring — runs exactly once, and (b) both
+    aggregations ride the cached hash distribution instead of each
+    paying its own Exchange. The cache is two longs + an id per row —
+    at warehouse scale the equivalent is a scratch postings table,
+    which is what the maintainers write anyway. Lifetime is
+    process-scoped (the q112 count-table discipline; bench/sweep
+    sessions clearCache between queries). Pass ``materialize=False``
+    when ``post`` is already pinned or read from a (bucketed) table —
+    then the two passes re-read the caller's materialization.
     """
+    if materialize:
+        post = post.repartition(*keys).persist()
     occupancy = post.groupBy(*keys).agg(
         F.countDistinct(id_col).alias("bucket_size")
     )
@@ -893,11 +907,12 @@ def semantic_dedup(
     to that witness; ``capped`` = (cid, bucket_size) accounting of
     over-cap clusters — no silent caps.
     """
-    # slim (id, cid) pinned: it feeds the two cap passes AND the
+    # slim (id, cid) pinned: it feeds the cap passes AND the
     # dropped-row cid join, and unpinned each consumer replays the full
     # broadcast-assignment scoring (the q112 count-table discipline;
     # two longs per row, process-scoped lifetime like the scratch
-    # indexes)
+    # indexes). materialize=False: this pin IS the materialization —
+    # a second cache inside the cap would hold the same rows twice.
     assigned = (
         ivf_assign(vectors, centroids, id_col, vec_col, round_digits)
         .select("cid", id_col)
@@ -905,7 +920,7 @@ def semantic_dedup(
     )
     pairs, capped = capped_bucket_pairs(
         assigned, ["cid"], id_col, max_bucket,
-        out1="keep_id", out2="dup_id",
+        out1="keep_id", out2="dup_id", materialize=False,
     )
     dup_pairs = _score_candidate_pairs(
         pairs, vectors, tau, id_col, vec_col, round_digits
@@ -1012,15 +1027,12 @@ def semantic_dedup_multiprobe(
     """
     if max_bucket is None:
         max_bucket = n_assign * DEFAULT_MAX_BUCKET
-    # slim (cid, id) postings pinned: capped_bucket_pairs traverses them
-    # twice (size gate, gated collect), and unpinned each pass replays
-    # the N×C probe scoring + per-vector ranking window (the discipline
-    # semantic_dedup's assigned frame and the capped_bucket_pairs
-    # docstring both state)
-    post = (
-        ivf_probes(vectors, centroids, n_assign, id_col, vec_col, round_digits)
-        .select("cid", F.col("query_id").alias(id_col))
-        .persist()
+    # slim (cid, id) postings feed only the cap, whose materialize=True
+    # default pins them once (repartitioned by cid) for both passes —
+    # the N×C probe scoring + per-vector ranking window runs exactly
+    # once, no outer persist needed
+    post = ivf_probes(vectors, centroids, n_assign, id_col, vec_col, round_digits).select(
+        "cid", F.col("query_id").alias(id_col)
     )
     pairs, capped = capped_bucket_pairs(
         post, ["cid"], id_col, max_bucket, out1="keep_id", out2="dup_id"
@@ -1202,8 +1214,10 @@ def lsh_multitable_neardup_pairs(
         )
     else:
         post = postings
+    # caller-supplied postings are already materialized (scratch
+    # parquet / bucketed table) — don't cache a second copy
     raw_cand, dropped = capped_bucket_pairs(
-        post, ["t", "bucket"], id_col, max_bucket
+        post, ["t", "bucket"], id_col, max_bucket, materialize=postings is None
     )
     cand = raw_cand.distinct()
     v = data.select(
@@ -1261,6 +1275,8 @@ def incremental_multitable_neardup_pairs(
     with_dropped: bool = False,
     existing_occupancy: DataFrame | None = None,
     with_occupancy: bool = False,
+    new_postings: DataFrame | None = None,
+    new_vectors: DataFrame | None = None,
 ):
     """Multi-table (OR-amplified) embedding near-dup for an INCREMENT
     against the persisted postings+vectors index — the recall upgrade of
@@ -1315,11 +1331,24 @@ def incremental_multitable_neardup_pairs(
     """
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
-    new_post = embedding_multitable_postings(new_df, tables, id_col, vec_col).persist()
+    # new_postings/new_vectors (pre-materialized increment artifacts —
+    # the ingest side of a nightly append buckets its batch once and
+    # stores both, since it appends them to the index tables anyway)
+    # skip the internal build+persist: both frames feed MANY small
+    # broadcast builds (touched keys, the gate's id sets and counts,
+    # the upsert anti-joins, the scoring joins), each of which executes
+    # as its own job, and an in-line build re-runs the L×P bucketing
+    # matmul once per job (the round-10 q173 bench regression — the
+    # q98/new_sigs discipline applied to the embedding family).
+    new_post = (
+        embedding_multitable_postings(new_df, tables, id_col, vec_col).persist()
+        if new_postings is None
+        else new_postings
+    )
     new_vec = (
-        new_df.select(id_col, vec_col)
-        .withColumn("nrm", norm(F.col(vec_col)))
-        .persist()
+        new_df.select(id_col, vec_col).withColumn("nrm", norm(F.col(vec_col))).persist()
+        if new_vectors is None
+        else new_vectors
     )
 
     # probe the persisted postings on touched keys only, then gate both

@@ -623,16 +623,30 @@ def q227_semdedup_trained_invariants(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("cos_sim") >= _SEMDEDUP_TAU).alias("clears_tau"),
         )
     )
-    witness_valid = checked.agg(
-        F.coalesce(
-            F.min(
-                F.col("earlier")
-                & F.col("same_cell")
-                & F.col("sim_matches")
-                & F.col("clears_tau")
-            ),
-            F.lit(False),
-        ).alias("witness_valid")
+    # checked row-count must equal dropped row-count (round-10 ADVICE):
+    # the three-way inner join silently loses a dropped row whose
+    # witness is unjoinable (dangling replaced_by), and min() over the
+    # survivors would then pass vacuously for that row — an unjoinable
+    # witness must FAIL the invariant, not vanish from it
+    witness_valid = (
+        checked.agg(
+            F.coalesce(
+                F.min(
+                    F.col("earlier")
+                    & F.col("same_cell")
+                    & F.col("sim_matches")
+                    & F.col("clears_tau")
+                ),
+                F.lit(False),
+            ).alias("_all_ok"),
+            F.count(F.lit(1)).alias("_n_checked"),
+        )
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("_n_dropped")))
+        .select(
+            (F.col("_all_ok") & (F.col("_n_checked") == F.col("_n_dropped"))).alias(
+                "witness_valid"
+            )
+        )
     )
     # no two KEPT vectors in one NON-CAPPED cell are tau-similar (a
     # capped cell mined nothing, so tau-similar keeps there are the

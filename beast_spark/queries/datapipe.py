@@ -1415,8 +1415,16 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # aggregation run Exchange-free on the corpus side.
     base = scratch_dir("beast_q98_")
     index_table = scratch_table(spark, "beast_q98_lsh_index")
+    # Scratch artifacts are compacted on write (repartition(1)): the
+    # signature frame inherits fan_out's explicit repartition(cores),
+    # which AQE's coalescing honours as a user-pinned partition count,
+    # so an unrepartitioned write lands as ~cores KB-sized files — and
+    # every downstream scan then pays one task per file (openCost
+    # dominates at this size). One file is right for a KB-MB artifact;
+    # a warehouse deployment sizes scratch files by bytes exactly the
+    # way streaming/maintenance.py's compaction does.
     old_sigs = minhash_signatures(old, "doc_id", "text", k=16, hash_family="md5")
-    old_sigs.write.mode("overwrite").parquet(f"{base}/sigs")
+    old_sigs.repartition(1).write.mode("overwrite").parquet(f"{base}/sigs")
     ex_sigs = spark.read.parquet(f"{base}/sigs")
     write_bucketed(
         band_signatures(ex_sigs, k=16, bands=8, hash_family="md5"),
@@ -1432,8 +1440,19 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # index rows per run
     spark.table(index_table).groupBy("band", "bucket").agg(
         F.countDistinct("doc_id").cast("long").alias("n_exist")
-    ).write.parquet(f"{base}/occ")
-    new_sigs, _bands, pairs = incremental_minhash_pairs_indexed(
+    ).repartition(1).write.parquet(f"{base}/occ")
+    # The increment's signatures are ALSO materialized up front — the
+    # ingest side of a nightly append shingles its batch exactly once
+    # and stores the signature rows it later appends to the corpus
+    # table. Passing them in (new_sigs=) keeps the probe's many small
+    # broadcast builds reading a tiny parquet instead of re-scanning
+    # and re-shingling the raw increment once per broadcast job
+    # (round-10 verdict #1: the serve clock was paying ~13 shingle
+    # replays per run).
+    minhash_signatures(new, "doc_id", "text", k=16, hash_family="md5").repartition(
+        1
+    ).write.mode("overwrite").parquet(f"{base}/newsigs")
+    _sigs, _bands, pairs = incremental_minhash_pairs_indexed(
         spark.table(index_table),
         ex_sigs,
         new,
@@ -1444,14 +1463,8 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=0.35,
         hash_family="md5",
         existing_occupancy=spark.read.parquet(f"{base}/occ"),
+        new_sigs=spark.read.parquet(f"{base}/newsigs"),
     )
-    # One-shot query path: the returned signature/band frames exist for
-    # the maintainer's append-commit; here nothing appends, so release
-    # the operator's persist marker before any action caches blocks
-    # (the contract is "caller must unpersist" — this caller does it
-    # immediately, trading one cheap increment re-hash for zero cached
-    # state accumulating across registry sweeps).
-    new_sigs.unpersist()
     return pairs
 
 
@@ -4797,8 +4810,21 @@ def q173_incremental_multitable_neardup(
     # row per increment — the round-9 q173 regression
     spark.table(postings_table).groupBy("t", "bucket").agg(
         F.countDistinct("vec_id").cast("long").alias("n_exist")
-    ).write.parquet(f"{base}/occ")
-    new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
+    ).repartition(1).write.parquet(f"{base}/occ")
+    # The increment's postings and (vector, nrm) rows are materialized
+    # up front too — the ingest side of a nightly append buckets its
+    # batch once and stores both (it appends them to the index tables
+    # anyway). Compacted to one file each (KB-scale artifacts; see the
+    # q98 comment on fan-out-pinned partition counts), so the probe's
+    # many broadcast builds read tiny parquet instead of re-running
+    # the L×P bucketing matmul per broadcast job (round-10 verdict #1).
+    embedding_multitable_postings(new, tables).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/newpost")
+    new.select("vec_id", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/newvec")
+    _post, _vec, pairs = incremental_multitable_neardup_pairs(
         spark.table(postings_table),
         spark.table(vectors_table),
         new,
@@ -4806,11 +4832,9 @@ def q173_incremental_multitable_neardup(
         threshold=0.42,
         tables=tables,
         existing_occupancy=spark.read.parquet(f"{base}/occ"),
+        new_postings=spark.read.parquet(f"{base}/newpost"),
+        new_vectors=spark.read.parquet(f"{base}/newvec"),
     )
-    # one-shot path, nothing appends: honour the operator's documented
-    # "caller must unpersist" contract before any action caches blocks
-    new_post.unpersist()
-    new_vec.unpersist()
     return pairs
 
 
@@ -7558,7 +7582,10 @@ def q205_text_lsh_candidate_accounting(spark: SparkSession, sf_dir: str) -> Data
         f"{base}/postings"
     )
     post = spark.read.parquet(f"{base}/postings")
-    cand, _ = capped_bucket_pairs(post, ["t", "bucket"], "doc_id", 10_000)
+    # materialize=False: post IS a scratch-parquet materialization
+    cand, _ = capped_bucket_pairs(
+        post, ["t", "bucket"], "doc_id", 10_000, materialize=False
+    )
     pairs, dropped = lsh_multitable_neardup_pairs(
         vecs,
         dims=64,

@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan INSIDE cached plans too (off by default): a
+        # persisted frame otherwise freezes its pre-AQE partitioning, so
+        # a small pinned increment/postings cache keeps all
+        # shuffle.partitions partitions and every consumer stage pays
+        # that task count — measured locally as cache reads costing MORE
+        # than recomputing the subtree (round-10's q98/q173 serve paths).
+        # With this on, cached small frames coalesce like everything
+        # else; coalesced hash partitioning still satisfies the same
+        # clustering, so Exchange-free reuse of a cached repartition
+        # survives.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -30,6 +30,16 @@ def write_bucketed(
     ``path`` makes the table external at that location instead of managed
     under the session warehouse dir."""
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    # Cluster the write to the bucket layout first: bucketBy assigns each
+    # ROW to bucket pmod(murmur3(cols), n) but writes one file per
+    # (task, bucket) pair, so M upstream partitions yield up to M×n tiny
+    # files — and every later scan pays a task per file (openCost
+    # dominates small files; measured as the round-10 q98/q173 serve
+    # regressions). repartition(n, cols) uses the SAME hash/pmod, so each
+    # task holds exactly one bucket's rows and the table lands as n
+    # files, one per bucket — the compaction a warehouse bucketed write
+    # does anyway.
+    df = df.repartition(n_buckets, *[df[c] for c in cols])
     writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort:
         writer = writer.sortBy(*cols)

@@ -110,8 +110,21 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             raise ValueError(
                 "SemanticDedupMaintainer: no vectors ingested yet"
             )
+        # Derive the id/replaced_by types from the stored members
+        # sub-table (the LexicalIndexMaintainer.bm25 empty-frame
+        # discipline): the maintainer accepts arbitrary id_col types,
+        # and a hardcoded `long` would give the no-drops path a
+        # different schema than the populated path for string ids.
+        members = self.read_members(spark)
+        id_type = (
+            members.schema[self.id_col].dataType.simpleString()
+            if members is not None
+            else "long"
+        )
         return spark.createDataFrame(
-            [], f"{self.id_col} long, cid long, replaced_by long, cos_sim double"
+            [],
+            f"{self.id_col} {id_type}, cid long, replaced_by {id_type}, "
+            "cos_sim double",
         )
 
     def read_kept(self, spark: SparkSession) -> DataFrame:
@@ -199,14 +212,12 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             # expands
             gate = F.broadcast(over.select("cid"))
             g_inc = inc.join(gate, "cid", "left_anti")
-            members = (
-                self.read_members(spark)
-                if self.sub_leaves("members")  # manifest lookup, no read
-                else None
-            )
             cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             legs = []
-            if members is not None:
+            # manifest lookup only — the actual member data is read
+            # shard-pruned below (building a full-table frame just to
+            # test existence was the round-10 ADVICE finding)
+            if self.sub_leaves("members"):
                 # prune the member read to the touched cells' shards, then
                 # exact-filter (the IVF candidates discipline)
                 cells = [r.cid for r in g_inc.select("cid").distinct().collect()]
