@@ -761,3 +761,43 @@ def q229_semdedup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFra
         "cid", F.col("query_id").alias("vec_id")
     ).persist()
     return _recall_counts(e, post, _SEMDEDUP_MP_CAP)
+
+
+@register(
+    "q230_semdedup_multiprobe_streamed",
+    oracle=_SEMDEDUP_PROBES_CTE
+    + _semdedup_action_sql("probes", _SEMDEDUP_MP_CAP, with_cid=False),
+    doc="q228's multi-probe SemDeDup action table maintained LIVE "
+    "(streaming/semdedup.py::MultiProbeSemanticDedupMaintainer) — the "
+    "q224 pattern applied to the n_assign=2 posting model: each "
+    "micro-batch posts its vectors to their two nearest frozen cells, "
+    "compares them against the touched cells' stored posting rows plus "
+    "each other, and struct-min-merges per-vector min-witness rows "
+    "keyed by id alone (no cell column — a witness relationship is "
+    "not unique to one cell). A cell crossing the scaled cap "
+    "recomputes its VICTIMS from their other cells instead of "
+    "filtering rows by cell (rows don't name one) — unit-tested; the "
+    "cap never trips at the registered scale. Shares q228's oracle "
+    "VERBATIM over hash-interleaved batches.",
+    bench=False,
+    bench_reason="maintainer composition; the assignment+capped-pair plan is benched as q220",
+)
+def q230_semdedup_multiprobe_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("beast_q230_")
+    e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).write.parquet(
+        f"{base}/centroids"
+    )
+    m = MultiProbeSemanticDedupMaintainer(
+        f"{base}/state",
+        centroids_path=f"{base}/centroids",
+        tau=_SEMDEDUP_TAU,
+        n_assign=_SEMDEDUP_NPROBE,
+        max_bucket=_SEMDEDUP_MP_CAP,
+    )
+    for batch in range(3):
+        m.apply_batch(e.filter(F.col("vec_id") % 3 == batch), batch)
+    return m.read_dropped(spark).select("vec_id", "replaced_by", "cos_sim")

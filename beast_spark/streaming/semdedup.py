@@ -41,11 +41,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beast_spark.functions.vectors import dot, norm
-from beast_spark.operators.similarity import DEFAULT_MAX_BUCKET, ivf_assign
+from beast_spark.operators.similarity import (
+    DEFAULT_MAX_BUCKET,
+    ivf_assign,
+    ivf_probes,
+)
 from beast_spark.queries._util import rnd
 from beast_spark.streaming.swap import ManifestSwapTable, artifact_fingerprint
 
-__all__ = ["SemanticDedupMaintainer"]
+__all__ = ["SemanticDedupMaintainer", "MultiProbeSemanticDedupMaintainer"]
 
 
 class SemanticDedupMaintainer(ManifestSwapTable):
@@ -370,3 +374,386 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             .trigger(availableNow=True)
             .start()
         )
+
+
+class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
+    """The streamed twin of ``semantic_dedup_multiprobe``: every vector
+    posts to its ``n_assign`` nearest cells and a pair is compared when
+    it shares ANY cell — the recall lever q228/q229 measure
+    (pair recall 0.229→0.644 at n_assign=2 on the sf0.1 corpus),
+    maintained live with the same manifest-flip commits as the
+    single-assignment parent.
+
+    Differences from the parent, all forced by multi-assignment:
+
+    * **members** holds one row per (cell, vector) POSTING — n_assign
+      rows (and vector copies) per id. Storage is n_assign×, bought so
+      pair scoring stays cell-local: a touched cell's shard read has
+      the vectors in hand, never an id-keyed fetch per candidate.
+    * **dropped** carries no ``cid`` (a witness relationship is not
+      unique to one cell — the q228 action schema); the merge key is
+      ``dup_id`` alone.
+    * The cap DEFAULT scales to ``n_assign × DEFAULT_MAX_BUCKET``
+      (occupancy counts postings, which multi-assignment inflates
+      ~n_assign-fold by design — the operator's own rule).
+    * **Cap-crossing retraction** cannot filter by cell (rows don't
+      name one). Instead the crossing batch recomputes the VICTIMS —
+      every id posting to a newly-over cell — from scratch: their
+      cells are re-derived from their stored vectors (deterministic
+      under the frozen centroids), over-cap cells excluded, and their
+      action rows REPLACED wholesale (a row whose pair was only
+      supported by the crossing cell disappears; one also supported by
+      another cell survives). Victim recompute is exact because a pair
+      whose ONLY shared cell is X has both ends posting to X — both
+      are victims — so no non-victim row can reference a pair X alone
+      supported. Bounded: victims ≤ the crossing cell's occupancy,
+      each rescored against ≤ n_assign under-cap cells of ≤ max_bucket
+      members.
+
+    Streamed == batch (``semantic_dedup_multiprobe`` over everything
+    ingested) by the same induction as the parent; q230 shares q228's
+    oracle verbatim over hash-interleaved batches.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        centroids_path: str,
+        tau: float,
+        n_assign: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_bucket: int | None = None,
+        round_digits: int = 6,
+        fingerprint=None,
+    ) -> None:
+        if max_bucket is None:
+            max_bucket = n_assign * DEFAULT_MAX_BUCKET
+        SemanticDedupMaintainer.__init__(
+            self,
+            path,
+            centroids_path,
+            tau,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket=max_bucket,
+            round_digits=round_digits,
+            fingerprint=fingerprint,
+        )
+        self.n_assign = n_assign
+
+    def _marker(self) -> dict:
+        m = SemanticDedupMaintainer._marker(self)
+        m["n_assign"] = self.n_assign
+        return m
+
+    # -- reads -----------------------------------------------------------
+
+    def read_dropped(self, spark: SparkSession) -> DataFrame:
+        """(id, replaced_by, cos_sim) — the q228 action schema (no cell
+        column), empty-but-typed before any drop is found."""
+        self._recover()
+        self._check_marker()
+        d = self._read_sub(spark, "dropped")
+        if d is not None:
+            return d.select(
+                F.col("dup_id").alias(self.id_col), "replaced_by", "cos_sim"
+            )
+        if self._read_sub(spark, "occupancy") is None:
+            raise ValueError(
+                "MultiProbeSemanticDedupMaintainer: no vectors ingested yet"
+            )
+        members = self.read_members(spark)
+        id_type = (
+            members.schema[self.id_col].dataType.simpleString()
+            if members is not None
+            else "long"
+        )
+        return spark.createDataFrame(
+            [], f"{self.id_col} {id_type}, replaced_by {id_type}, cos_sim double"
+        )
+
+    def read_kept(self, spark: SparkSession) -> DataFrame:
+        """Surviving (id, vector) rows — members hold one row per
+        posting, so dedupe on id before subtracting the dropped set."""
+        dropped = self.read_dropped(spark)  # runs the guards
+        members = self.read_members(spark)
+        return (
+            members.select(self.id_col, self.vec_col)
+            .dropDuplicates([self.id_col])
+            .join(dropped.select(self.id_col), self.id_col, "left_anti")
+        )
+
+    # -- the foreachBatch body --------------------------------------------
+
+    def _post(self, df: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(cid, id, vec, nrm) — one row per of-the-n_assign-nearest-cells
+        posting, the multi-assignment replacement for ivf_assign."""
+        return (
+            ivf_probes(
+                df.select(
+                    self.id_col,
+                    F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+                ),
+                centroids.select(
+                    self.id_col,
+                    F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+                ),
+                self.n_assign,
+                self.id_col,
+                self.vec_col,
+                self.round_digits,
+            )
+            .select(
+                "cid",
+                F.col("query_id").alias(self.id_col),
+                F.col("query_vec").alias(self.vec_col),
+            )
+            .withColumn("nrm", norm(F.col(self.vec_col)))
+        )
+
+    def _pair_leg(self, a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+        """Join two posting frames on cid and emit the (keep_id, dup_id,
+        cos_sim) candidates ≥ tau, normalized to lo/hi (the parent's
+        rule — a later-arriving LOWER id can drop a stored higher id).
+        A pair sharing several cells scores identically in each; the
+        per-dup min-witness collapse dedupes it."""
+        cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        a = a_side.select(
+            "cid",
+            F.col(self.id_col).alias("_ia"),
+            F.col(self.vec_col).alias("_va"),
+            F.col("nrm").alias("_na"),
+        )
+        b = b_side.select(
+            "cid",
+            F.col(self.id_col).alias("_ib"),
+            F.col(self.vec_col).alias("_vb"),
+            F.col("nrm").alias("_nb"),
+        )
+        return (
+            a.join(b, "cid")
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("keep_id"),
+                F.greatest("_ia", "_ib").alias("dup_id"),
+                rnd(cos, self.round_digits).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= self.tau)
+        )
+
+    @staticmethod
+    def _min_witness_rows(cand: DataFrame) -> DataFrame:
+        return (
+            cand.groupBy("dup_id")
+            .agg(F.min(F.struct("keep_id", "cos_sim")).alias("w"))
+            .select(
+                "dup_id",
+                F.col("w.keep_id").alias("replaced_by"),
+                F.col("w.cos_sim").alias("cos_sim"),
+            )
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied_batches():
+            return  # replay after a post-commit crash: already applied
+        self._recover()
+        self._check_marker()
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(self.centroids_path)
+        inc = self._post(batch_df, centroids).persist()
+        try:
+            inc_occ = inc.groupBy("cid").agg(
+                F.countDistinct(self.id_col).cast("long").alias("n_inc")
+            )
+            stored_occ = self._read_sub(spark, "occupancy")
+            if stored_occ is None:
+                stored_occ = spark.createDataFrame([], "cid long, n_exist long")
+            merged_occ = stored_occ.join(inc_occ, "cid", "full_outer").select(
+                "cid",
+                (
+                    F.coalesce(F.col("n_exist"), F.lit(0))
+                    + F.coalesce(F.col("n_inc"), F.lit(0))
+                ).alias("n_exist"),
+            )
+            over = merged_occ.filter(F.col("n_exist") > self.max_bucket)
+            # over-cap cells are few (≤ n_centroids rows total): bounded
+            # driver-side scalars, the parent's discipline
+            over_rows = {r["cid"]: r["n_exist"] for r in over.collect()}
+            stored_over = {
+                r["cid"]
+                for r in stored_occ.filter(
+                    F.col("n_exist") > self.max_bucket
+                ).collect()
+            }
+            newly_over = sorted(set(over_rows) - stored_over)
+            touched_over = sorted(
+                set(over_rows)
+                & {r["cid"] for r in inc_occ.select("cid").collect()}
+            )
+            gate = F.broadcast(over.select("cid"))
+            g_inc = inc.join(gate, "cid", "left_anti")
+            legs = [self._pair_leg(g_inc, g_inc)]
+            have_members = bool(self.sub_leaves("members"))
+            if have_members:
+                cells = [r.cid for r in g_inc.select("cid").distinct().collect()]
+                if cells:
+                    shards = self.touched_shards(
+                        spark.createDataFrame([(c,) for c in cells], "cid long"),
+                        "cid",
+                    )
+                    mem = self._read_sub(spark, "members", shards=shards)
+                    if mem is not None:
+                        mem = mem.filter(F.col("cid").isin(cells)).join(
+                            gate, "cid", "left_anti"
+                        )
+                        legs.append(self._pair_leg(g_inc, mem))
+            cand = legs[0]
+            for leg in legs[1:]:
+                cand = cand.unionByName(leg)
+            new_rows = self._min_witness_rows(cand)
+
+            # -- cap-crossing retraction: recompute the victims ----------
+            victims = None  # (id) frame of every id posting to a crossing cell
+            vic_rows = None  # their replacement action rows
+            if newly_over:
+                over_list = sorted(over_rows)  # ALL over-cap cells, old + new
+                x_shards = self.touched_shards(
+                    spark.createDataFrame(
+                        [(c,) for c in newly_over], "cid long"
+                    ),
+                    "cid",
+                )
+                stored_x = (
+                    self._read_sub(spark, "members", shards=x_shards)
+                    if have_members
+                    else None
+                )
+                pool_parts = [inc.filter(F.col("cid").isin(newly_over))]
+                if stored_x is not None:
+                    pool_parts.append(
+                        stored_x.filter(F.col("cid").isin(newly_over)).select(
+                            "cid", self.id_col, self.vec_col, "nrm"
+                        )
+                    )
+                x_posts = pool_parts[0]
+                for p in pool_parts[1:]:
+                    x_posts = x_posts.unionByName(p)
+                vic_vecs = (
+                    x_posts.select(self.id_col, self.vec_col)
+                    .dropDuplicates([self.id_col])
+                    .persist()
+                )
+                # the victims' OTHER cells, re-derived (deterministic
+                # under the frozen-centroids marker), over-cap excluded
+                vic_ok = self._post(vic_vecs, centroids).filter(
+                    ~F.col("cid").isin(over_list)
+                )
+                cand_cells = [
+                    r.cid for r in vic_ok.select("cid").distinct().collect()
+                ]
+                if cand_cells:
+                    c_shards = self.touched_shards(
+                        spark.createDataFrame(
+                            [(c,) for c in cand_cells], "cid long"
+                        ),
+                        "cid",
+                    )
+                    pool = inc.filter(F.col("cid").isin(cand_cells))
+                    stored_c = (
+                        self._read_sub(spark, "members", shards=c_shards)
+                        if have_members
+                        else None
+                    )
+                    if stored_c is not None:
+                        pool = pool.unionByName(
+                            stored_c.filter(
+                                F.col("cid").isin(cand_cells)
+                            ).select("cid", self.id_col, self.vec_col, "nrm")
+                        )
+                    scored = self._pair_leg(vic_ok, pool)
+                    vic_rows = self._min_witness_rows(scored).join(
+                        vic_vecs.select(F.col(self.id_col).alias("dup_id")),
+                        "dup_id",
+                        "left_semi",
+                    )
+                else:
+                    vic_rows = spark.createDataFrame(
+                        [], new_rows.schema
+                    )
+                victims = vic_vecs.select(
+                    F.col(self.id_col).alias("dup_id")
+                )
+                # the victims' rows are replaced wholesale: their share
+                # of this batch's normal legs is recomputed above
+                new_rows = new_rows.join(victims, "dup_id", "left_anti")
+
+            new_rows = new_rows.persist()
+            try:
+                touched = set(self.touched_shards(new_rows, "dup_id"))
+                if victims is not None:
+                    touched |= set(self.touched_shards(vic_rows, "dup_id"))
+                    if self.sub_leaves("dropped"):
+                        # old rows of victims must leave their shards
+                        # (rare O(action-table) scan, crossing only)
+                        old_vic = self._read_sub(spark, "dropped").join(
+                            victims, "dup_id", "left_semi"
+                        )
+                        touched |= set(self.touched_shards(old_vic, "dup_id"))
+                touched = sorted(touched)
+                if touched:
+                    old = self._read_sub(spark, "dropped", shards=touched)
+                    if old is None:
+                        base = new_rows
+                    else:
+                        old = old.select("dup_id", "replaced_by", "cos_sim")
+                        if victims is not None:
+                            old = old.join(victims, "dup_id", "left_anti")
+                        base = old.unionByName(new_rows)
+                    merged_rows = (
+                        base.groupBy("dup_id")
+                        .agg(F.min(F.struct("replaced_by", "cos_sim")).alias("w"))
+                        .select(
+                            "dup_id",
+                            F.col("w.replaced_by").alias("replaced_by"),
+                            F.col("w.cos_sim").alias("cos_sim"),
+                        )
+                    )
+                    if vic_rows is not None:
+                        merged_rows = merged_rows.unionByName(vic_rows)
+                    replacements = {
+                        "dropped": (
+                            merged_rows.withColumn(
+                                "_shard", self.shard_of(F.col("dup_id"))
+                            ),
+                            touched,
+                        )
+                    }
+                else:
+                    replacements = None
+                appends = {}
+                if touched_over:
+                    appends["capped"] = spark.createDataFrame(
+                        [(cid, over_rows[cid], batch_id) for cid in touched_over],
+                        "cid long, bucket_size long, batch_id long",
+                    )
+                self.commit_delta(
+                    batch_id,
+                    appends=appends or None,
+                    sharded_appends={
+                        "members": inc.select(
+                            "cid", self.id_col, self.vec_col, "nrm"
+                        ).withColumn("_shard", self.shard_of(F.col("cid")))
+                    },
+                    shard_replacements=replacements,
+                    full={"occupancy": merged_occ},
+                    user_meta=self._marker(),
+                )
+            finally:
+                new_rows.unpersist()
+                if victims is not None:
+                    victims.unpersist()
+            self.maybe_compact(spark, "members", shard_col="cid")
+            self.maybe_compact(spark, "capped")
+        finally:
+            inc.unpersist()

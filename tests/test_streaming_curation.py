@@ -328,6 +328,101 @@ def test_streamed_semdedup_cap_retracts_and_reports_once(spark, tmp_path):
     assert m.read_dropped(spark).count() == 0
 
 
+def _batch_mp_action(spark, rows, cent_rows, tau, n_assign=2, max_bucket=None):
+    from beast_spark.operators.similarity import semantic_dedup_multiprobe
+
+    _k, dropped, _c = semantic_dedup_multiprobe(
+        _vecs(spark, rows),
+        _vecs(spark, cent_rows),
+        tau=tau,
+        n_assign=n_assign,
+        max_bucket=max_bucket,
+    )
+    return {
+        tuple(r)
+        for r in dropped.select("vec_id", "replaced_by", "cos_sim").collect()
+    }
+
+
+def test_streamed_multiprobe_semdedup_equals_batch_per_prefix(spark, tmp_path):
+    """The q230 contract: the multi-probe maintainer over shuffled
+    batches equals semantic_dedup_multiprobe over every prefix."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    rows = _semdedup_fixture()
+    # three cells so "2 nearest of" is a real choice
+    cent = [(0, _unit(0.0)), (1, _unit(0.75)), (2, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.999, n_assign=2
+    )
+    rnd_ = random.Random(11)
+    shuffled = rows[:]
+    rnd_.shuffle(shuffled)
+    seen = []
+    for b in range(3):
+        batch = shuffled[b * 8 : (b + 1) * 8]
+        seen += batch
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_mp_action(spark, seen, cent, tau=0.999)
+        assert got == want, f"prefix {b}"
+    assert got  # non-vacuous
+    kept = {r["vec_id"] for r in m.read_kept(spark).collect()}
+    assert kept == {r[0] for r in rows} - {t[0] for t in got}
+    # replay: no-op
+    m.apply_batch(_vecs(spark, shuffled[:8]), 1)
+    assert {tuple(r) for r in m.read_dropped(spark).collect()} == got
+    # n_assign is part of the state marker
+    other = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.999, n_assign=3
+    )
+    with pytest.raises(ValueError, match="must not mix"):
+        other.read_dropped(spark)
+
+
+def test_streamed_multiprobe_cap_crossing_recomputes_victims(spark, tmp_path):
+    """A cell crossing the cap retracts exactly the rows ONLY it
+    supported: a pair also sharing an under-cap cell survives, and the
+    crossing batch's result equals the batch operator's (which mines
+    nothing for the over-cap cell but everything for the others)."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(0.6)), (2, _unit(1.3))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "cent"),
+        tau=0.75,
+        n_assign=2,
+        max_bucket=2,
+    )
+    # x posts to {c0, c1}; y posts to {c1, c2}; only shared cell is c1,
+    # and cos(x, y) = cos(0.65) ~ 0.796 >= tau
+    x = (1, _unit(0.15))
+    y = (5, _unit(0.80))
+    m.apply_batch(_vecs(spark, [x, y]), 0)
+    d0 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d0 == {5: 1}  # mined via c1 while at cap
+    # z posts to {c1, c2} and is near-identical to y: c1 goes to 3 > 2
+    # (crosses), c2 to 2 (at cap, still mined)
+    z = (7, _unit(0.82))
+    m.apply_batch(_vecs(spark, [z]), 1)
+    d1 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    # (5,1) was supported only by c1 -> retracted; (7,5) survives via c2
+    assert d1 == {7: 5}
+    assert d1 == {
+        t[0]: t[1]
+        for t in _batch_mp_action(
+            spark, [x, y, z], cent, tau=0.75, max_bucket=2
+        )
+    }
+    capped = m.read_capped(spark).collect()
+    assert [(r["cid"], r["bucket_size"], r["batch_id"]) for r in capped] == [
+        (1, 3, 1)
+    ]
+
+
 def test_streamed_semdedup_changed_artifacts_rejected(spark, tmp_path):
     from beast_spark.streaming.semdedup import SemanticDedupMaintainer
 
