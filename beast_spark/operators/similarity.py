@@ -442,8 +442,10 @@ def _capped_incremental_gate(
       additionally anti-joins out the stored rows of re-sent ids, so
       this batch's pairs score against the NEW vector/signature only
       and never duplicate through the stale row. (Cross-batch
-      re-sends remain out of contract — the stale row stays on disk;
-      dedupe upstream.)
+      re-sends are the MAINTAINER's contract, not this gate's:
+      ``streaming/neardup.py`` supersedes-on-read via batch stamps +
+      an id-keyed resent watermark log, and hands this gate a view
+      with the stale rows already removed — q231 gates it.)
 
     Returns (gated_new, gated_existing, dropped, occupancy): dropped
     is (``*keys``, bucket_size); occupancy is the same shape for
@@ -1301,8 +1303,11 @@ def incremental_multitable_neardup_pairs(
 
     Ids must be unique across index ∪ increment (append-only contract,
     same as the single-table form); a re-sent id cannot self-pair (the
-    existing≠new guard) but WILL double-score against third vectors —
-    dedupe upstream. ``new_postings``/``new_vectors`` are persisted
+    existing≠new guard) but WILL double-score against third vectors.
+    Cross-batch re-sends are handled one level up:
+    ``streaming/neardup.py::EmbeddingNearDupMaintainer`` supersedes a
+    re-sent id's stored rows before this operator sees the batch
+    (q231 gates it). ``new_postings``/``new_vectors`` are persisted
     (each is read multiple times here and again by the caller's index
     append); the caller must ``.unpersist()`` both once its append
     commits.

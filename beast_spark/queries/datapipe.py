@@ -4838,6 +4838,63 @@ def q173_incremental_multitable_neardup(
     return pairs
 
 
+@register(
+    "q231_neardup_cross_batch_resend",
+    oracle="WITH " + _MT_BUCKETS_SQL + """,
+    cm AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT cm.v1 AS vec1, cm.v2 AS vec2,
+             floor((list_dot_product(x.v, y.v)
+                    / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM cm JOIN e x ON x.vec_id = cm.v1 JOIN e y ON y.vec_id = cm.v2
+    )
+    SELECT vec1, vec2, cos_sim FROM p WHERE cos_sim >= 0.42
+    """,
+    doc="The CROSS-BATCH RE-SEND contract (round-10 verdict missing #3) "
+    "driver-gated: ids ending in 0 first arrive with a CORRUPTED "
+    "payload (reversed vector), later batches add the rest of the "
+    "corpus, and a final corrective batch re-sends those ids with "
+    "their true embedding. The maintainer "
+    "(streaming/neardup.py::EmbeddingNearDupMaintainer) supersedes on "
+    "read: appended rows carry their batch stamp, an id-keyed resent "
+    "watermark log filters rows predating an endpoint's latest "
+    "re-send, and the corrective batch probes a view with the stale "
+    "rows removed and the occupancy decremented. The oracle is the "
+    "FULL batch rebuild over each id's LATEST payload — the stale "
+    "pairs the wrong payload mined in earlier batches must all be "
+    "gone, and the true payload's pairs all present.",
+    bench=False,
+    bench_reason="maintainer composition; the incremental probe plan is benched as q173",
+)
+def q231_neardup_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    m = EmbeddingNearDupMaintainer(
+        scratch_dir("beast_q231_") + "/state", dims=64, threshold=0.42
+    )
+    wrong = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(
+        wrong.unionByName(e.filter(F.col("vec_id") % 10 == 1)), 0
+    )
+    m.apply_batch(
+        e.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 1)), 1
+    )
+    # the corrective re-send: true payloads for the corrupted ids
+    m.apply_batch(e.filter(F.col("vec_id") % 10 == 0), 2)
+    return m.read_pairs(spark).select("vec1", "vec2", "cos_sim")
+
+
 def _ivf_branch_sql(p: str, src: str) -> str:
     """One IVF evaluation branch (prefix ``p`` over source CTE ``src``):
     assignment, per-query probes, candidates, ANN top-10, exact top-10,

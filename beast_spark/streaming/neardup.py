@@ -10,14 +10,17 @@ matmul), probes the persisted postings for candidate partners, appends
 its postings + vectors, and accumulates the new pairs —
 pairs(after batch k) == pairs(full rebuild over everything ingested
 through batch k), property of the disjoint-union exactness the operator
-tests pin. Exactly-once commit is the shared manifest protocol
-(``streaming/swap.py::ManifestSwapTable``): all three sub-tables are
-APPEND-ONLY, so each micro-batch commits one new fragment per
-sub-table holding only its own rows — bytes written per trigger are
-O(increment), never O(index) — and the new fragments + the ledger flip
-live in ONE atomic manifest rename, so a replayed batch after any
-crash is a no-op and a crash between write and flip never
-double-counts a pair.
+tests pin — where "everything ingested" means each id's LATEST payload:
+an id re-sent in a later batch supersedes its stored rows (the
+batch-stamp + resent-watermark contract documented at the read methods;
+q231 gates it against the batch rebuild). Exactly-once commit is the
+shared manifest protocol (``streaming/swap.py::ManifestSwapTable``):
+the postings/vectors/pairs sub-tables are APPEND-ONLY, so each
+micro-batch commits one new fragment per sub-table holding only its own
+rows — bytes written per trigger are O(increment), never O(index) — and
+the new fragments + the ledger flip live in ONE atomic manifest rename,
+so a replayed batch after any crash is a no-op and a crash between
+write and flip never double-counts a pair.
 
 Operating point: the default is the PRODUCTION multi-table
 configuration (L=75 tables × P=8 planes) — the q172 evaluation
@@ -41,6 +44,7 @@ from pyspark.sql import functions as F
 
 from beast_spark.operators.similarity import (
     DEFAULT_MAX_BUCKET,
+    embedding_multitable_postings,
     incremental_multitable_neardup_pairs,
     multitable_planes,
 )
@@ -73,14 +77,86 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         self.max_bucket = max_bucket
 
 
+    # -- the cross-batch re-send contract ---------------------------------
+    #
+    # A doc re-sent in a LATER batch (retry, late correction) supersedes
+    # its stored payload — the round-10 verdict's last semantic gap. The
+    # mechanism is supersede-on-read keyed by an id-keyed side table:
+    # every appended postings/vectors/pairs row carries the batch stamp
+    # ``_b`` it was written in, and a slim ``resent`` sub-table records
+    # (id, batch_id) whenever an id arrives that the index already
+    # holds. A stored row is LIVE iff its stamp is >= the id's latest
+    # re-send watermark (for a pair: both endpoints). Reads left-join
+    # the broadcast watermark frame (it holds only ever-re-sent ids) —
+    # no rewrite of the append-only fragments, O(re-sends) extra state.
+    # apply_batch additionally hands the OPERATOR the superseded view
+    # with the re-sent ids' rows removed entirely, so from the
+    # operator's perspective every batch is plain append-only
+    # unique-ids, and decrements the re-sent ids' old buckets out of
+    # the stored occupancy (their old postings are re-derived from the
+    # stored vectors — deterministic under the frozen planes).
+    # Invariant (tested): after every batch, the live views equal a
+    # full batch rebuild over each id's LATEST payload.
+    #
+    # Pre-contract state dirs (fragments without ``_b``) keep working
+    # in legacy mode: reads pass through and re-sends remain
+    # out-of-contract there, since stamping new fragments into an
+    # unstamped sub-table would fork its schema.
+
+    def _watermarks(self, spark: SparkSession) -> DataFrame | None:
+        """(id, _wm): each ever-re-sent id's latest re-send batch."""
+        r = self._read_sub(spark, "resent")
+        if r is None:
+            return None
+        return r.groupBy(self.id_col).agg(F.max("batch_id").alias("_wm"))
+
+    def _live(
+        self, df: DataFrame | None, wm: DataFrame | None, cols: list[str]
+    ) -> DataFrame | None:
+        """Drop rows whose stamp predates any endpoint's re-send
+        watermark; strips the internal ``_b`` column."""
+        if df is None:
+            return None
+        if "_b" not in df.columns:
+            return df  # legacy layout: no stamps, no contract
+        out_cols = [c for c in df.columns if c != "_b"]
+        if wm is not None:
+            for c in cols:
+                w = wm.select(
+                    F.col(self.id_col).alias(c), F.col("_wm").alias(f"_wm_{c}")
+                )
+                df = (
+                    df.join(F.broadcast(w), c, "left")
+                    .filter(
+                        F.col(f"_wm_{c}").isNull()
+                        | (F.col("_b") >= F.col(f"_wm_{c}"))
+                    )
+                    .drop(f"_wm_{c}")
+                )
+        # equi-joins hoist their key column first — restore the stored
+        # column order so consumers see a stable schema
+        return df.select(*out_cols)
+
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "postings")
+        return self._live(
+            self._read_sub(spark, "postings"), self._watermarks(spark), [self.id_col]
+        )
 
     def read_vectors(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "vectors")
+        return self._live(
+            self._read_sub(spark, "vectors"), self._watermarks(spark), [self.id_col]
+        )
 
     def read_pairs(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "pairs")
+        """Live pair rows: a pair predating EITHER endpoint's re-send
+        reflects a superseded payload and is filtered."""
+        return self._live(
+            self._read_sub(spark, "pairs"), self._watermarks(spark), ["vec1", "vec2"]
+        )
+
+    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+        """(id, batch_id) re-send log — None until an id is re-sent."""
+        return self._read_sub(spark, "resent")
 
     def read_capped(self, spark: SparkSession) -> DataFrame | None:
         """Degenerate-bucket accounting: (t, bucket, bucket_size,
@@ -120,9 +196,15 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
         spark = batch_df.sparkSession
-        postings = self.read_postings(spark)
-        vectors = self.read_vectors(spark)
-        have_postings = postings is not None
+        raw_postings = self._read_sub(spark, "postings")
+        have_postings = raw_postings is not None
+        # legacy = a pre-contract dir whose fragments carry no batch
+        # stamp; stamping new fragments would fork the sub-table schema,
+        # so such dirs stay append-only-contract (re-sends undefined)
+        legacy = have_postings and "_b" not in raw_postings.columns
+        wm = None if legacy else self._watermarks(spark)
+        postings = self._live(raw_postings, wm, [self.id_col])
+        vectors = self._live(self._read_sub(spark, "vectors"), wm, [self.id_col])
         if postings is None:
             postings = spark.createDataFrame(
                 [], f"t int, bucket long, {self.id_col} long"
@@ -151,6 +233,50 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             self.id_col,
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
+        # Cross-batch re-sends: ids the live index already holds arrive
+        # again with a (possibly new) payload. Their CURRENT stored rows
+        # are superseded: removed from the view the operator probes (so
+        # the batch is plain append-only unique-ids to it) and their
+        # buckets decremented out of the stored occupancy. One isEmpty
+        # probe per batch — a broadcast-semi map-side scan, the price of
+        # the contract.
+        resent_vecs = None
+        old_x = None
+        if not legacy and have_postings:
+            rv = vectors.join(
+                F.broadcast(inc.select(self.id_col).distinct()),
+                self.id_col,
+                "left_semi",
+            ).persist()
+            if rv.isEmpty():
+                rv.unpersist()
+            else:
+                resent_vecs = rv
+        if resent_vecs is not None:
+            resent_ids = resent_vecs.select(self.id_col)
+            postings = postings.join(F.broadcast(resent_ids), self.id_col, "left_anti")
+            vectors = vectors.join(F.broadcast(resent_ids), self.id_col, "left_anti")
+            # the superseded rows' bucket contributions, re-derived from
+            # the stored vectors (deterministic under the frozen planes)
+            old_x = (
+                embedding_multitable_postings(
+                    resent_vecs, self.tables, self.id_col, self.vec_col
+                )
+                .groupBy("t", "bucket")
+                .agg(F.countDistinct(self.id_col).cast("long").alias("_dec"))
+                .persist()
+            )
+            stored_occ = (
+                stored_occ.join(F.broadcast(old_x), ["t", "bucket"], "left")
+                .select(
+                    "t",
+                    "bucket",
+                    (F.col("n_exist") - F.coalesce(F.col("_dec"), F.lit(0)))
+                    .cast("long")
+                    .alias("n_exist"),
+                )
+                .filter(F.col("n_exist") > 0)
+            )
         new_post, new_vec, new_pairs, dropped, occupancy = (
             incremental_multitable_neardup_pairs(
                 postings,
@@ -173,12 +299,24 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         occupancy = occupancy.persist()
         try:
             # append-only sub-tables: commit ONLY this batch's rows as
-            # one new fragment each — O(increment) bytes, never O(index)
+            # one new fragment each — O(increment) bytes, never O(index).
+            # Contract-mode fragments carry the batch stamp the
+            # supersede-on-read filter keys on; a re-send batch also
+            # logs its (id, batch_id) watermark rows.
             appends = {
                 "postings": new_post.select("t", "bucket", self.id_col),
                 "vectors": new_vec.select(self.id_col, self.vec_col, "nrm"),
                 "pairs": new_pairs,
             }
+            if not legacy:
+                appends = {
+                    k: v.withColumn("_b", F.lit(batch_id).cast("long"))
+                    for k, v in appends.items()
+                }
+                if resent_vecs is not None:
+                    appends["resent"] = resent_vecs.select(self.id_col).withColumn(
+                        "batch_id", F.lit(batch_id).cast("long")
+                    )
             # no silent caps: a batch that trips the degenerate-bucket
             # guard commits its accounting rows in the SAME atomic flip
             # as the (capped) pairs it stands for. The isEmpty probe is
@@ -198,11 +336,27 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             new_rows = occupancy.select(
                 "t", "bucket", F.col("bucket_size").cast("long").alias("n_exist")
             )
+            if old_x is not None:
+                # a re-send also touches the superseded rows' buckets:
+                # buckets the increment does not repost to get their
+                # DECREMENTED counts (already computed in the adjusted
+                # stored_occ), and a bucket the re-sent ids fully
+                # vacated simply leaves the occupancy (its key is
+                # touched, no replacement row)
+                dec_only = stored_occ.join(
+                    F.broadcast(old_x.select("t", "bucket")),
+                    ["t", "bucket"],
+                    "left_semi",
+                ).join(F.broadcast(touched_keys), ["t", "bucket"], "left_anti")
+                new_rows = new_rows.unionByName(dec_only)
+                touched_keys = touched_keys.unionByName(
+                    old_x.select("t", "bucket")
+                ).distinct()
             if bootstrap:
                 occ_shards = list(range(self.n_shards))
                 old_occ = stored_occ
             else:
-                occ_shards = self.touched_shards(occupancy, "t", "bucket")
+                occ_shards = self.touched_shards(touched_keys, "t", "bucket")
                 old_occ = self._read_sub(spark, "occupancy", shards=occ_shards)
             if old_occ is None:
                 merged = new_rows
@@ -225,7 +379,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             # amortized fragment fold (small-file control; see
             # ManifestSwapTable.maybe_compact — occupancy is a
             # replacement sub, self-bound at n_shards fragments)
-            for sub in ("postings", "vectors", "pairs", "capped"):
+            for sub in ("postings", "vectors", "pairs", "capped", "resent"):
                 self.maybe_compact(spark, sub)
         finally:
             # the operator persists its two increment frames; release them
@@ -234,6 +388,10 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             new_post.unpersist()
             new_vec.unpersist()
             occupancy.unpersist()
+            if resent_vecs is not None:
+                resent_vecs.unpersist()
+            if old_x is not None:
+                old_x.unpersist()
             if bootstrap:
                 stored_occ.unpersist()
 

@@ -127,3 +127,104 @@ def test_streamed_neardup_rejects_old_single_table_state(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="single-table"):
         m.apply_batch(batch, 1)
+
+
+def test_streamed_neardup_cross_batch_resend_supersedes(spark, tmp_path):
+    """The round-10 verdict's last semantic gap: an id re-sent in a
+    LATER batch with a NEW payload must supersede its stored rows —
+    after the corrective batch, the live postings/vectors/pairs views
+    equal a full batch rebuild over each id's LATEST payload."""
+    from beast_spark.operators.similarity import lsh_multitable_neardup_pairs
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>"
+    thr = 0.9
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    true_rows = [(i, vec(i)) for i in range(30)]
+    # ids 0..9 first arrive with a WRONG payload (reversed vector)
+    wrong = [(i, list(reversed(vec(i)))) for i in range(10)]
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=thr, n_planes=4, n_tables=8
+    )
+    m.apply_batch(spark.createDataFrame(wrong + true_rows[10:20], ddl), 0)
+    m.apply_batch(spark.createDataFrame(true_rows[20:], ddl), 1)
+    # the corrective re-send: ids 0..9 with their true payload
+    m.apply_batch(spark.createDataFrame(true_rows[:10], ddl), 2)
+
+    want_pairs = {
+        tuple(r)
+        for r in lsh_multitable_neardup_pairs(
+            spark.createDataFrame(true_rows, ddl),
+            dims=8,
+            threshold=thr,
+            tables=m.tables,
+        ).collect()
+    }
+    got_pairs = {tuple(r) for r in m.read_pairs(spark).collect()}
+    assert got_pairs == want_pairs
+    # live vectors are the LATEST payloads, one row per id
+    got_vecs = {
+        (r["vec_id"], tuple(r["embedding"])) for r in m.read_vectors(spark).collect()
+    }
+    assert got_vecs == {(i, tuple(v)) for i, v in true_rows}
+    # live postings match a re-bucketing of the latest payloads, and the
+    # maintained occupancy equals a countDistinct over the live postings
+    assert m.read_postings(spark).count() == len(true_rows) * len(m.tables)
+    occ = {
+        (r["t"], r["bucket"]): r["n_exist"]
+        for r in m.read_occupancy(spark).collect()
+    }
+    live = {
+        (r["t"], r["bucket"]): r["n"]
+        for r in m.read_postings(spark)
+        .groupBy("t", "bucket")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == live
+    # the re-send log carries the watermark
+    assert {
+        (r["vec_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
+    } == {(i, 2) for i in range(10)}
+    # replay of the corrective batch after a post-commit crash: no-op
+    m.apply_batch(spark.createDataFrame(true_rows[:10], ddl), 2)
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == want_pairs
+
+
+def test_streamed_neardup_resend_identical_payload_is_stable(spark, tmp_path):
+    """A retry that re-sends an UNCHANGED payload must leave the live
+    views exactly as a rebuild would: same pairs, one live vector row,
+    occupancy unchanged."""
+    from beast_spark.operators.similarity import lsh_multitable_neardup_pairs
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>"
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(8)]) for i in range(20)]
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=0.9, n_planes=4, n_tables=8
+    )
+    m.apply_batch(spark.createDataFrame(rows, ddl), 0)
+    m.apply_batch(spark.createDataFrame(rows[5:8], ddl), 1)  # pure retry
+    want = {
+        tuple(r)
+        for r in lsh_multitable_neardup_pairs(
+            spark.createDataFrame(rows, ddl), dims=8, threshold=0.9, tables=m.tables
+        ).collect()
+    }
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == want
+    assert m.read_vectors(spark).count() == len(rows)
+    occ = {
+        (r["t"], r["bucket"]): r["n_exist"]
+        for r in m.read_occupancy(spark).collect()
+    }
+    live = {
+        (r["t"], r["bucket"]): r["n"]
+        for r in m.read_postings(spark)
+        .groupBy("t", "bucket")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == live
