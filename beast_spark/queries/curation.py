@@ -364,6 +364,51 @@ def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
+@register(
+    "q232_bm25_cross_batch_resend",
+    oracle=_BM25_ORACLE,
+    doc="The CROSS-BATCH RE-SEND contract on the lexical index: docs "
+    "with id % 10 == 0 first arrive with a CORRUPTED text (the word "
+    "'corrupted' repeated), later batches add the rest of the corpus, "
+    "and a final corrective batch re-sends their true text. The "
+    "maintainer supersedes on read (batch-stamped postings/doclen + "
+    "the id-keyed resent watermark log) and corrects the corpus "
+    "constants in the corrective commit (the superseded doc's (1, dl) "
+    "subtracted as its replacement adds) — so the served ranking must "
+    "hash-equal q221's batch oracle over each doc's LATEST text, "
+    "idf/avgdl included.",
+    bench=False,
+    bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
+)
+def q232_bm25_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = LexicalIndexMaintainer(scratch_dir("beast_q232_") + "/state")
+    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(F.lit("corrupted"), 7), " "
+        ).alias("text"),
+    )
+    m.apply_batch(
+        wrong.unionByName(
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+        ),
+        0,
+    )
+    m.apply_batch(
+        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
+            "doc_id", "text"
+        ),
+        1,
+    )
+    # the corrective re-send: true text for the corrupted docs
+    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
+
+
 _GUMBEL_T = 2.0
 _GUMBEL_SALT = "gumbel:"
 

@@ -23,9 +23,17 @@ trigger are O(batch); bytes read per query are O(postings of the
 probed terms' shards + lengths of the hit docs' shards), never
 O(corpus).
 
-Contract: document ids arrive once (append-only unique ids, the
-neardup maintainer's contract) — a re-sent id would double-count its
-tokens; dedupe upstream (q44 / dropDuplicatesWithinWatermark).
+Cross-batch re-sends (round-10 verdict missing #3) follow the neardup
+maintainer's supersede-on-read contract: postings/doclen fragments
+carry the batch stamp ``_b`` they were written in, a slim ``resent``
+sub-table logs (id, batch_id) whenever an arriving id already has a
+live length row, and a stored row is live iff its stamp is >= the id's
+latest re-send watermark. The corpus constants are corrected in the
+same commit (the superseded doc's (1, dl) subtracted before the
+batch's own stats add — an id-keyed shard-pruned doclen lookup, never
+a postings scan). served-BM25 == batch-BM25 over each id's LATEST
+text; q232 gates it. Pre-contract state dirs (unstamped fragments)
+keep working in legacy mode, where re-sends remain out of contract.
 """
 
 from __future__ import annotations
@@ -70,14 +78,46 @@ class LexicalIndexMaintainer(ManifestSwapTable):
 
     # -- reads -----------------------------------------------------------
 
+    def _watermarks(self, spark: SparkSession) -> DataFrame | None:
+        """(id, _wm): each ever-re-sent id's latest re-send batch."""
+        r = self._read_sub(spark, "resent")
+        if r is None:
+            return None
+        return r.groupBy(self.id_col).agg(F.max("batch_id").alias("_wm"))
+
+    def _live(
+        self, df: DataFrame | None, wm: DataFrame | None
+    ) -> DataFrame | None:
+        """Drop rows whose stamp predates the doc's re-send watermark;
+        strips the internal ``_b`` column. Legacy (unstamped) frames
+        pass through."""
+        if df is None or "_b" not in df.columns:
+            return df
+        out_cols = [c for c in df.columns if c != "_b"]
+        if wm is not None:
+            df = (
+                df.join(F.broadcast(wm), self.id_col, "left")
+                .filter(F.col("_wm").isNull() | (F.col("_b") >= F.col("_wm")))
+                .drop("_wm")
+            )
+        return df.select(*out_cols)
+
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "postings")
+        return self._live(
+            self._read_sub(spark, "postings"), self._watermarks(spark)
+        )
 
     def read_doclen(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "doclen")
+        return self._live(
+            self._read_sub(spark, "doclen"), self._watermarks(spark)
+        )
 
     def read_consts(self, spark: SparkSession) -> DataFrame | None:
         return self._read_sub(spark, "consts", shards=[0])
+
+    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+        """(id, batch_id) re-send log — None until an id is re-sent."""
+        return self._read_sub(spark, "resent")
 
     # -- the foreachBatch body --------------------------------------------
 
@@ -87,17 +127,57 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         self._recover()
         self._check_marker()
         spark = batch_df.sparkSession
+        raw_post = self._read_sub(spark, "postings")
+        # legacy = a pre-contract dir whose fragments carry no batch
+        # stamp; stamping new fragments would fork the sub-table schema
+        legacy = raw_post is not None and "_b" not in raw_post.columns
+        wm = None if legacy else self._watermarks(spark)
         postings, lens = doc_term_stats(batch_df, self.text_col, self.id_col)
         # pinned for the trigger: lens feeds the doclen fragment write AND
         # the consts aggregate — unpinned, each would re-tokenize the
         # whole micro-batch (the ingest hot path pays the split/size scan
         # once, the postings explode being the unavoidable second pass)
         lens = lens.persist()
+        resent_old = None
         try:
+            if not legacy and raw_post is not None:
+                # cross-batch re-sends: ids with a LIVE length row — an
+                # id-keyed shard-pruned doclen lookup, never a postings
+                # scan; one isEmpty probe per batch
+                inc_ids = lens.select(self.id_col)
+                stored_lens = self._live(
+                    self._read_sub(
+                        spark,
+                        "doclen",
+                        shards=self.touched_shards(inc_ids, self.id_col),
+                    ),
+                    wm,
+                )
+                if stored_lens is not None:
+                    ro = stored_lens.join(
+                        F.broadcast(inc_ids), self.id_col, "left_semi"
+                    ).persist()
+                    if ro.isEmpty():
+                        ro.unpersist()
+                    else:
+                        resent_old = ro
             batch_consts = lens.agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("dl").cast("long").alias("total_dl"),
             )
+            if resent_old is not None:
+                # the superseded docs leave the corpus constants in the
+                # SAME commit their replacements enter them
+                neg = resent_old.agg(
+                    (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+                    (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias(
+                        "total_dl"
+                    ),
+                )
+                batch_consts = batch_consts.unionByName(neg).agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_dl").cast("long").alias("total_dl"),
+                )
             stored = self.read_consts(spark)
             merged = (
                 batch_consts
@@ -109,13 +189,28 @@ class LexicalIndexMaintainer(ManifestSwapTable):
                     F.sum("total_dl").cast("long").alias("total_dl"),
                 )
             )
+            if not legacy:
+                postings = postings.withColumn(
+                    "_b", F.lit(batch_id).cast("long")
+                )
+                lens_out = lens.withColumn("_b", F.lit(batch_id).cast("long"))
+            else:
+                lens_out = lens
+            appends = None
+            if resent_old is not None:
+                appends = {
+                    "resent": resent_old.select(self.id_col).withColumn(
+                        "batch_id", F.lit(batch_id).cast("long")
+                    )
+                }
             self.commit_delta(
                 batch_id,
+                appends=appends,
                 sharded_appends={
                     "postings": postings.withColumn(
                         "_shard", self.shard_of(F.col("term"))
                     ),
-                    "doclen": lens.withColumn(
+                    "doclen": lens_out.withColumn(
                         "_shard", self.shard_of(F.col(self.id_col))
                     ),
                 },
@@ -126,10 +221,13 @@ class LexicalIndexMaintainer(ManifestSwapTable):
             )
         finally:
             lens.unpersist()
+            if resent_old is not None:
+                resent_old.unpersist()
         # amortized fragment fold (small-file control) — shard_col keeps
         # the pruned-read layout through the fold
         self.maybe_compact(spark, "postings", shard_col="term")
         self.maybe_compact(spark, "doclen", shard_col=self.id_col)
+        self.maybe_compact(spark, "resent")
 
     # -- serving -----------------------------------------------------------
 
@@ -165,9 +263,10 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         )
         tdf = spark.createDataFrame([(t,) for t in terms], "term string")
         tshards = self.touched_shards(tdf, "term")
+        wm = self._watermarks(spark)
         # None here means the probed shards hold no postings (the sub-table
         # itself exists once consts does): no term hits, not an empty state
-        post = self._read_sub(spark, "postings", shards=tshards)
+        post = self._live(self._read_sub(spark, "postings", shards=tshards), wm)
         if post is None:
             return empty
         tf = post.filter(F.col("term").isin(list(terms))).select(
@@ -176,9 +275,9 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         hit_shards = self.touched_shards(tf, self.id_col)
         if not hit_shards:
             return empty
-        lens = self._read_sub(spark, "doclen", shards=hit_shards).select(
-            self.id_col, "dl"
-        )
+        lens = self._live(
+            self._read_sub(spark, "doclen", shards=hit_shards), wm
+        ).select(self.id_col, "dl")
         return bm25_from_stats(
             tf, lens, consts.select("n_docs", "total_dl"),
             self.id_col, k1, b, round_digits,

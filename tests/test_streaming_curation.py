@@ -179,6 +179,40 @@ def test_bm25_serving_read_prunes_to_probed_shards(spark, tmp_path):
         assert any(a in f for a in allowed), f"unpruned read: {f}"
 
 
+def test_bm25_cross_batch_resend_supersedes(spark, tmp_path):
+    """The q232 contract: a doc re-sent in a LATER batch with new text
+    supersedes its postings/length AND leaves the corpus constants
+    (N, avgdl — the idf inputs) exactly as a batch rebuild over the
+    latest texts computes them."""
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    wrong = [(1, "corrupted corrupted corrupted", "en"), (3, "corrupted", "en")]
+    m.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] in (2, 4)]), 0)
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (5, 6, 7)]), 1)
+    # the corrective re-send: true texts for docs 1 and 3
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (1, 3)]), 2)
+    got = _scores_set(m.bm25(spark, TERMS))
+    want = _scores_set(bm25_scores(_docs(spark, ROWS), TERMS))
+    assert got == want and got
+    # consts corrected exactly: N == 7, total_dl == sum of latest dls
+    consts = m.read_consts(spark).collect()[0]
+    assert consts["n_docs"] == len(ROWS)
+    assert consts["total_dl"] == sum(len(r[1].split()) for r in ROWS)
+    # watermark log + replay idempotence
+    assert {
+        (r["doc_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
+    } == {(1, 2), (3, 2)}
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (1, 3)]), 2)
+    assert _scores_set(m.bm25(spark, TERMS)) == got
+    # an identical-payload retry is also stable
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] == 5]), 3)
+    assert _scores_set(m.bm25(spark, TERMS)) == want
+    consts = m.read_consts(spark).collect()[0]
+    assert consts["n_docs"] == len(ROWS)
+    assert consts["total_dl"] == sum(len(r[1].split()) for r in ROWS)
+
+
 def test_bm25_no_hit_terms_returns_empty(spark, tmp_path):
     from beast_spark.streaming.lexical import LexicalIndexMaintainer
 

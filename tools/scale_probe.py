@@ -1,21 +1,30 @@
 #!/usr/bin/env python
-"""One-off scale probe: the ANN/near-dup hot paths at 50x the sf0.1
-corpus (100k vectors), verifying the plans that are Exchange-audited at
-test scale also hold their wall-clock shape when the data outgrows every
-broadcast/local assumption. Results are recorded in COVERAGE.md.
+"""Recorded scale probe: the ANN/near-dup/curation hot paths at ~50x the
+sf0.1 corpus (100k vectors / 100k docs), verifying the plans that are
+Exchange-audited at test scale also hold their wall-clock shape when the
+data outgrows every broadcast/local assumption.
 
-The corpus is the sf0.1 embeddings replicated 50x with one of 50
-md5-Rademacher offset vectors added per replica (broadcast join — no
-per-row hashing), so replicas are NOT exact duplicates and pair mining
-keeps a realistic candidate distribution.
+Since round 11 this is a PER-ROUND ARTIFACT, not an ad-hoc run (round-10
+verdict #5): results print AND land in SCALE.json at the repo root,
+committed each round, so a scale regression is caught by a number even
+when the sf0.1 bench moves for local-only reasons. Round-over-round
+deltas belong in COVERAGE.md.
+
+The corpus is the sf0.1 embeddings replicated ``SCALE_PROBE_REPS`` (50)
+times with one of 50 md5-Rademacher offset vectors added per replica
+(broadcast join — no per-row hashing), so replicas are NOT exact
+duplicates and pair mining keeps a realistic candidate distribution.
 
 Run: python tools/scale_probe.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,10 +41,25 @@ from beast_spark.operators.similarity import (  # noqa: E402
     quantization_params,
     quantize_codes,
 )
-from beast_spark.queries._util import rnd  # noqa: E402
 from beast_spark.functions.vectors import cosine  # noqa: E402
 from beast_spark.session import get_spark  # noqa: E402
 from beast_spark.sources.tables import load_table  # noqa: E402
+
+METRICS: dict = {}
+
+
+def _rec(key: str, **vals) -> None:
+    METRICS[key] = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in vals.items()}
+
+
+def _files(root):
+    return {
+        os.path.relpath(os.path.join(dp, f), root): os.path.getsize(
+            os.path.join(dp, f)
+        )
+        for dp, _dirs, fs in os.walk(root)
+        for f in fs
+    }
 
 
 def main() -> None:
@@ -65,6 +89,7 @@ def main() -> None:
     )
     n = big.count()
     print(f"corpus: {n} vectors ({reps}x sf0.1)")
+    METRICS["corpus"] = {"n_vectors": n, "reps": reps, "sf_dir": sf_dir}
 
     qs = big.filter(F.col("vec_id") < 20)
 
@@ -98,6 +123,13 @@ def main() -> None:
         f"ivf_int8_search: {t_search:.1f}s for 20 queries, "
         f"{nres} results, candidate_frac={ncand / (20.0 * (n - 1)):.4f}"
     )
+    _rec(
+        "ivf_int8_search",
+        seconds=t_search,
+        n_queries=20,
+        n_results=nres,
+        candidate_frac=round(ncand / (20.0 * (n - 1)), 4),
+    )
 
     # 2) multi-table postings build (75x8) at 100k
     tables = multitable_planes(64, 8, 75)
@@ -105,6 +137,7 @@ def main() -> None:
     npost = embedding_multitable_postings(big, tables).count()
     t_post = time.perf_counter() - t0
     print(f"multitable_postings: {t_post:.1f}s for {npost} postings")
+    _rec("multitable_postings_build", seconds=t_post, n_postings=npost)
 
     # 3) incremental multi-table probe: 2k increment vs the 100k corpus
     from beast_spark.functions.vectors import norm as vnorm
@@ -125,6 +158,13 @@ def main() -> None:
     npairs = pairs.count()
     t_inc = time.perf_counter() - t0
     print(f"incremental_multitable: {t_inc:.1f}s for a {n0}-vector increment, {npairs} pairs >= 0.8")
+    _rec(
+        "incremental_multitable_probe",
+        seconds=t_inc,
+        increment=n0,
+        corpus=n - n0,
+        n_pairs=npairs,
+    )
     new_post.unpersist(); new_vec.unpersist()
     ex_post.unpersist(); ex_vec.unpersist()
 
@@ -150,22 +190,12 @@ def main() -> None:
         f"pq_adc_topk: {t_adc:.1f}s for 20 queries over {n} vectors "
         f"({nadc} results) — codes-only scan, 8 B/vector"
     )
+    _rec("pq_encode", seconds=t_enc, n_codes=ncodes)
+    _rec("pq_adc_topk", seconds=t_adc, n_queries=20, n_results=nadc)
     codes.unpersist()
 
     # 5) streamed IVF maintenance: one 2k batch appended to a 98k index
-    import shutil
-    import tempfile
-
     from beast_spark.streaming.ivf import IvfIndexMaintainer
-
-    def _files(root):
-        return {
-            os.path.relpath(os.path.join(dp, f), root): os.path.getsize(
-                os.path.join(dp, f)
-            )
-            for dp, _dirs, fs in os.walk(root)
-            for f in fs
-        }
 
     tmp = tempfile.mkdtemp(prefix="scale_ivf_")
     try:
@@ -199,6 +229,16 @@ def main() -> None:
             f"files rewritten: {len(rewritten)} — only the manifest flips "
             f"(the whole-swap protocol this replaced rewrote every data "
             f"file, every trigger)"
+        )
+        _rec(
+            "streamed_ivf",
+            absorb_seconds=t_batch,
+            search_seconds=t_s,
+            n_search_results=nsearch,
+            commit_mb=round(new_bytes / 1e6, 2),
+            state_mb=round(total0 / 1e6, 2),
+            commit_frac=round(new_bytes / max(total0, 1), 4),
+            prior_files_rewritten=len(rewritten),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -247,8 +287,103 @@ def main() -> None:
             f"{nd - cut}-doc increment vs {total0 / 1e6:.1f} MB cumulative "
             f"state ({new_bytes / max(total0, 1):.1%})"
         )
+        _rec(
+            "streamed_lexical",
+            absorb_seconds=t_batch,
+            serve_seconds=t_s,
+            n_scored=nres,
+            files_read=n_read,
+            live_leaves=n_all,
+            commit_mb=round(new_bytes / 1e6, 2),
+            state_mb=round(total0 / 1e6, 2),
+            commit_frac=round(new_bytes / max(total0, 1), 4),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # 7) streamed SemDeDup: one 2k-vector batch absorbed into a 98k-
+    # member cell state (round-10 verdict #5's missing leg) — the
+    # touched-cell member read + min-witness merge at 50x test scale
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    tmp = tempfile.mkdtemp(prefix="scale_sem_")
+    try:
+        big.filter(F.col("vec_id") < 64).write.parquet(f"{tmp}/centroids")
+        m = SemanticDedupMaintainer(
+            f"{tmp}/state", f"{tmp}/centroids", tau=0.95
+        )
+        m.apply_batch(big.filter(F.col("vec_id") >= n0), 0)  # bulk load
+        before = _files(f"{tmp}/state")
+        total0 = sum(before.values())
+        t0 = time.perf_counter()
+        m.apply_batch(big.filter(F.col("vec_id") < n0), 1)  # the increment
+        t_batch = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        new_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        ndropped = m.read_dropped(spark).count()
+        print(
+            f"streamed_semdedup: {t_batch:.1f}s to absorb a {n0}-vector "
+            f"batch into a {n - n0}-member cell state "
+            f"({ndropped} total dropped); {new_bytes / 1e6:.1f} MB "
+            f"written vs {total0 / 1e6:.1f} MB state "
+            f"({new_bytes / max(total0, 1):.1%})"
+        )
+        _rec(
+            "streamed_semdedup",
+            absorb_seconds=t_batch,
+            n_dropped_total=ndropped,
+            commit_mb=round(new_bytes / 1e6, 2),
+            state_mb=round(total0 / 1e6, 2),
+            commit_frac=round(new_bytes / max(total0, 1), 4),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 8) streamed DSIR importance model: a 2%-doc increment absorbed
+    # into the B-bucket additive model, then a scoring serve (round-10
+    # verdict #6) — state is B rows regardless of corpus size, so the
+    # commit bytes pin the additive-model claim with a number
+    from beast_spark.streaming.importance import ImportanceModelMaintainer
+
+    tmp = tempfile.mkdtemp(prefix="scale_imp_")
+    try:
+        m = ImportanceModelMaintainer(
+            f"{tmp}/state", target_predicate="length(text) > 200"
+        )
+        m.apply_batch(docs.filter(F.col("doc_id") < cut), 0)  # bulk load
+        before = _files(f"{tmp}/state")
+        total0 = sum(before.values())
+        t0 = time.perf_counter()
+        m.apply_batch(docs.filter(F.col("doc_id") >= cut), 1)
+        t_batch = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        new_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        t0 = time.perf_counter()
+        nscored = m.score(docs.filter(F.col("doc_id") >= cut)).count()
+        t_s = time.perf_counter() - t0
+        print(
+            f"streamed_importance: {t_batch:.1f}s to absorb {nd - cut} "
+            f"docs into the {m.n_buckets}-bucket model; score serve "
+            f"{t_s:.1f}s ({nscored} docs); {new_bytes / 1e3:.0f} KB "
+            f"written vs {total0 / 1e3:.0f} KB state"
+        )
+        _rec(
+            "streamed_importance",
+            absorb_seconds=t_batch,
+            serve_seconds=t_s,
+            n_scored=nscored,
+            commit_kb=round(new_bytes / 1e3, 1),
+            state_kb=round(total0 / 1e3, 1),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.json"
+    )
+    with open(out, "w") as fh:
+        json.dump(METRICS, fh, indent=1, sort_keys=True)
+    print(f"wrote {out}")
     spark.stop()
 
 
