@@ -388,7 +388,12 @@ def incremental_minhash_pairs(
     # ONCE and both passes ride the cached hash distribution
     # (capped_bucket_pairs' materialize discipline; round-10 verdict
     # #2 — without this the size pass and the collect pass each paid
-    # the banding subtree and its own Exchange).
+    # the banding subtree and its own Exchange). Lifetime is
+    # process-scoped like capped_bucket_pairs' internal cache (the
+    # q112 count-table discipline): no handle is returned, bench/sweep
+    # sessions clearCache between queries, and a long-lived caller
+    # should prefer the indexed form, which never re-bands the corpus
+    # at all.
     tagged = tagged.repartition("band", "bucket").persist()
     occ = tagged.groupBy("band", "bucket").agg(
         F.countDistinct("doc_id").alias("bucket_size"),

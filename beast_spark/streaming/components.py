@@ -38,6 +38,20 @@ over every pair ingested through batch k.
 Exactly-once: the shared manifest protocol
 (``streaming/swap.py::ManifestSwapTable``) — members append, alias
 shard replacements, and the ledger flip in ONE atomic rename.
+
+Re-send contract (round-11): this maintainer consumes EDGES, not
+documents, and an edge re-sent in any later batch is idempotent by
+construction (CC(G ∪ e) == CC(G) for e ∈ G — the quotient contraction
+of an already-joined pair is a no-op). What is deliberately NOT
+offered is edge REVOCATION — un-sending a pair because a re-sent
+document's new payload no longer matches: removing an edge can split
+a component, and decremental connectivity is fundamentally outside
+the mergeable-CC model this maintainer's O(batch) guarantee rests on.
+The pipeline answer is composition: the upstream pair maintainer
+(``streaming/neardup.py``) is re-send-correct on READ (stale pairs of
+a superseded payload filter out, q231), so a corpus whose documents
+mutate rebuilds its clustering from the LIVE pair view — a batch
+``dedup_clusters`` pass — rather than asking CC to forget edges.
 """
 
 from __future__ import annotations

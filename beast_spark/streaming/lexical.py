@@ -79,28 +79,12 @@ class LexicalIndexMaintainer(ManifestSwapTable):
     # -- reads -----------------------------------------------------------
 
     def _watermarks(self, spark: SparkSession) -> DataFrame | None:
-        """(id, _wm): each ever-re-sent id's latest re-send batch."""
-        r = self._read_sub(spark, "resent")
-        if r is None:
-            return None
-        return r.groupBy(self.id_col).agg(F.max("batch_id").alias("_wm"))
+        return self.resend_watermarks(spark, self.id_col)
 
     def _live(
         self, df: DataFrame | None, wm: DataFrame | None
     ) -> DataFrame | None:
-        """Drop rows whose stamp predates the doc's re-send watermark;
-        strips the internal ``_b`` column. Legacy (unstamped) frames
-        pass through."""
-        if df is None or "_b" not in df.columns:
-            return df
-        out_cols = [c for c in df.columns if c != "_b"]
-        if wm is not None:
-            df = (
-                df.join(F.broadcast(wm), self.id_col, "left")
-                .filter(F.col("_wm").isNull() | (F.col("_b") >= F.col("_wm")))
-                .drop("_wm")
-            )
-        return df.select(*out_cols)
+        return self.live_rows(df, wm, self.id_col, [self.id_col])
 
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
         return self._live(

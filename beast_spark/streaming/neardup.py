@@ -96,7 +96,18 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
     # the stored occupancy (their old postings are re-derived from the
     # stored vectors — deterministic under the frozen planes).
     # Invariant (tested): after every batch, the live views equal a
-    # full batch rebuild over each id's LATEST payload.
+    # full batch rebuild over each id's LATEST payload — while no
+    # bucket has crossed ``max_bucket``. Past a crossing the cap is
+    # inherently non-monotone in BOTH directions (the operator's
+    # documented caveat): pairs a bucket mined before crossing UP are
+    # kept (never un-found), and a bucket brought back UNDER the cap —
+    # which a re-send decrement can do — does not back-fill the
+    # existing×existing pairs it skipped while over (only new
+    # increments mine against it again). Both are the capped batch
+    # rebuild's own behavior class, reported via the ``capped``
+    # accounting rows; a caller needing the exact under-cap pair set
+    # after a crossing re-mines that bucket's members batch-side
+    # (pinned by test_streamed_neardup_resend_under_cap_no_backfill).
     #
     # Pre-contract state dirs (fragments without ``_b``) keep working
     # in legacy mode: reads pass through and re-sends remain
@@ -104,38 +115,12 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
     # unstamped sub-table would fork its schema.
 
     def _watermarks(self, spark: SparkSession) -> DataFrame | None:
-        """(id, _wm): each ever-re-sent id's latest re-send batch."""
-        r = self._read_sub(spark, "resent")
-        if r is None:
-            return None
-        return r.groupBy(self.id_col).agg(F.max("batch_id").alias("_wm"))
+        return self.resend_watermarks(spark, self.id_col)
 
     def _live(
         self, df: DataFrame | None, wm: DataFrame | None, cols: list[str]
     ) -> DataFrame | None:
-        """Drop rows whose stamp predates any endpoint's re-send
-        watermark; strips the internal ``_b`` column."""
-        if df is None:
-            return None
-        if "_b" not in df.columns:
-            return df  # legacy layout: no stamps, no contract
-        out_cols = [c for c in df.columns if c != "_b"]
-        if wm is not None:
-            for c in cols:
-                w = wm.select(
-                    F.col(self.id_col).alias(c), F.col("_wm").alias(f"_wm_{c}")
-                )
-                df = (
-                    df.join(F.broadcast(w), c, "left")
-                    .filter(
-                        F.col(f"_wm_{c}").isNull()
-                        | (F.col("_b") >= F.col(f"_wm_{c}"))
-                    )
-                    .drop(f"_wm_{c}")
-                )
-        # equi-joins hoist their key column first — restore the stored
-        # column order so consumers see a stable schema
-        return df.select(*out_cols)
+        return self.live_rows(df, wm, self.id_col, cols)
 
     def read_postings(self, spark: SparkSession) -> DataFrame | None:
         return self._live(
@@ -237,20 +222,35 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         # again with a (possibly new) payload. Their CURRENT stored rows
         # are superseded: removed from the view the operator probes (so
         # the batch is plain append-only unique-ids to it) and their
-        # buckets decremented out of the stored occupancy. One isEmpty
-        # probe per batch — a broadcast-semi map-side scan, the price of
-        # the contract.
+        # buckets decremented out of the stored occupancy. Detection is
+        # O(increment): the slim id-SHARDED ``ids`` side table is read
+        # at the increment ids' shards only (the lexical maintainer's
+        # doclen-lookup discipline — a review finding killed the first
+        # cut's full vectors scan per trigger); the wide vectors are
+        # only touched on the RARE hit path. One isEmpty probe per
+        # batch.
         resent_vecs = None
         old_x = None
         if not legacy and have_postings:
-            rv = vectors.join(
-                F.broadcast(inc.select(self.id_col).distinct()),
-                self.id_col,
-                "left_semi",
-            ).persist()
-            if rv.isEmpty():
-                rv.unpersist()
+            inc_ids = inc.select(self.id_col).distinct()
+            stored_ids = self._read_sub(
+                spark, "ids", shards=self.touched_shards(inc_ids, self.id_col)
+            )
+            if stored_ids is None and self.sub_leaves("ids"):
+                hit = None  # ids sub exists, probed shards empty: no re-sends
             else:
+                if stored_ids is None:
+                    # stamped dir predating the ids side table: fall back
+                    # to the vectors scan for this batch (the ids rows
+                    # appended from now on make the next one pruned)
+                    stored_ids = vectors.select(self.id_col)
+                hit = stored_ids.select(self.id_col).join(
+                    F.broadcast(inc_ids), self.id_col, "left_semi"
+                )
+            if hit is not None and not hit.isEmpty():
+                rv = vectors.join(
+                    F.broadcast(hit.distinct()), self.id_col, "left_semi"
+                ).persist()
                 resent_vecs = rv
         if resent_vecs is not None:
             resent_ids = resent_vecs.select(self.id_col)
@@ -364,9 +364,19 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
                 merged = old_occ.join(
                     F.broadcast(touched_keys), ["t", "bucket"], "left_anti"
                 ).unionByName(new_rows)
+            # the slim id side table the NEXT batch's re-send detection
+            # shard-prunes against — one long per increment row
+            sharded = None
+            if not legacy:
+                sharded = {
+                    "ids": new_vec.select(self.id_col).withColumn(
+                        "_shard", self.shard_of(F.col(self.id_col))
+                    )
+                }
             self.commit_delta(
                 batch_id,
                 appends=appends,
+                sharded_appends=sharded,
                 shard_replacements={
                     "occupancy": (
                         merged.withColumn(
@@ -381,6 +391,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             # replacement sub, self-bound at n_shards fragments)
             for sub in ("postings", "vectors", "pairs", "capped", "resent"):
                 self.maybe_compact(spark, sub)
+            self.maybe_compact(spark, "ids", shard_col=self.id_col)
         finally:
             # the operator persists its two increment frames; release them
             # once the commit lands or cached blocks accumulate for the

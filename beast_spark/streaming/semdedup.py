@@ -21,6 +21,19 @@ the table equals the batch operator over everything ingested, which is
 how the registered q224 shares q220's oracle VERBATIM over
 hash-interleaved batches.
 
+Re-send contract (round-11): the action table's rows cite one another
+(``replaced_by`` witnesses), so a re-sent vector with a NEW payload
+invalidates not only its own row but every row citing it as witness —
+and can UNDROP a row it alone witnessed. That cascade is a recompute
+of the affected ids from their cells (the multiprobe maintainer's
+cap-crossing victim machinery is the building block), not a row
+filter; it is deliberately NOT implemented here. The supported
+contract: identical-payload retries are safe (the min-witness merge
+is idempotent), and payload-superseding re-sends belong upstream —
+the index maintainers that feed curation (``streaming/neardup.py``,
+``streaming/lexical.py``) are re-send-correct (q231/q232), and a
+mutated corpus re-derives its semdedup actions from the live vectors.
+
 The degenerate-cell cap follows the incremental family's combined-
 occupancy gate: per-cell distinct counts (≤ n_centroids rows, a
 ``full`` sub-table rewrite) grow additively under the append-only
@@ -616,6 +629,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             # -- cap-crossing retraction: recompute the victims ----------
             victims = None  # (id) frame of every id posting to a crossing cell
             vic_rows = None  # their replacement action rows
+            vic_vecs = None  # the PERSISTED handle the finally releases
             if newly_over:
                 over_list = sorted(over_rows)  # ALL over-cap cells, old + new
                 x_shards = self.touched_shards(
@@ -751,8 +765,11 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                 )
             finally:
                 new_rows.unpersist()
-                if victims is not None:
-                    victims.unpersist()
+                # unpersist the PERSISTED frame itself — victims is a
+                # select() projection of it, whose unpersist would be a
+                # no-op and leak the cache every cap-crossing batch
+                if vic_vecs is not None:
+                    vic_vecs.unpersist()
             self.maybe_compact(spark, "members", shard_col="cid")
             self.maybe_compact(spark, "capped")
         finally:

@@ -543,6 +543,63 @@ class ManifestSwapTable:
         m = self._load_manifest()
         return None if m is None else m.get("user_meta")
 
+    # -- the cross-batch re-send contract (shared) ------------------------
+    #
+    # ONE implementation of supersede-on-read for every maintainer that
+    # adopts it (round-11; neardup + lexical today): append-only
+    # fragments carry the batch stamp ``_b`` they were written in, a
+    # slim ``resent`` sub-table logs (id, batch_id) whenever an id
+    # arrives that the state already holds, and a stored row is LIVE
+    # iff its stamp is >= the latest re-send watermark of every id
+    # column it names. Two copies of this rule drifting independently
+    # was a round-11 review finding — maintainers call these, never
+    # reimplement them.
+
+    def resend_watermarks(
+        self, spark: SparkSession, id_col: str
+    ) -> DataFrame | None:
+        """(id_col, _wm): each ever-re-sent id's latest re-send batch,
+        from the ``resent`` sub-table (None before any re-send)."""
+        from pyspark.sql import functions as F
+
+        r = self._read_sub(spark, "resent")
+        if r is None:
+            return None
+        return r.groupBy(id_col).agg(F.max("batch_id").alias("_wm"))
+
+    def live_rows(
+        self,
+        df: DataFrame | None,
+        wm: DataFrame | None,
+        id_col: str,
+        cols: list[str],
+    ) -> DataFrame | None:
+        """Drop rows whose ``_b`` stamp predates any of ``cols``'
+        re-send watermark; strips ``_b``; restores the stored column
+        order (equi-joins hoist their key first). Unstamped (legacy)
+        frames pass through untouched — no stamps, no contract."""
+        from pyspark.sql import functions as F
+
+        if df is None:
+            return None
+        if "_b" not in df.columns:
+            return df
+        out_cols = [c for c in df.columns if c != "_b"]
+        if wm is not None:
+            for c in cols:
+                w = wm.select(
+                    F.col(id_col).alias(c), F.col("_wm").alias(f"_wm_{c}")
+                )
+                df = (
+                    df.join(F.broadcast(w), c, "left")
+                    .filter(
+                        F.col(f"_wm_{c}").isNull()
+                        | (F.col("_b") >= F.col(f"_wm_{c}"))
+                    )
+                    .drop(f"_wm_{c}")
+                )
+        return df.select(*out_cols)
+
     # -- commit ---------------------------------------------------------------
 
     @staticmethod

@@ -228,3 +228,64 @@ def test_streamed_neardup_resend_identical_payload_is_stable(spark, tmp_path):
         .collect()
     }
     assert occ == live
+
+
+def test_streamed_neardup_resend_under_cap_no_backfill(spark, tmp_path):
+    """The documented cap/re-send interaction (round-11 review): a
+    re-send decrement that brings a previously-over bucket back under
+    max_bucket does NOT back-fill the existing-vs-existing pairs the
+    bucket skipped while over (the capped batch rebuild's own
+    non-monotone behavior class) — but later increments DO mine
+    against the now-under-cap bucket again, and the occupancy stays
+    exact."""
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>"
+    # one plane table so every near-identical vector lands in ONE bucket
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=4, threshold=0.9,
+        n_planes=2, n_tables=1, max_bucket=3,
+    )
+    v = [1.0, 0.02, 0.0, 0.0]
+    far = [-1.0, 0.5, 0.3, 0.1]
+    # batch 0: 3 near-identical vectors — at cap, pairs mined
+    m.apply_batch(spark.createDataFrame([(i, v) for i in range(3)], ddl), 0)
+    assert m.read_pairs(spark).count() == 3  # all 3 pairs of {0,1,2}
+    # batch 1: a 4th lands in the same bucket — crosses the cap: no new
+    # pairs, accounting row committed, earlier pairs kept (never un-found)
+    m.apply_batch(spark.createDataFrame([(3, v)], ddl), 1)
+    assert m.read_pairs(spark).count() == 3
+    assert m.read_capped(spark).count() == 1
+    # batch 2: id 1 re-sent with a payload hashing to a DIFFERENT
+    # bucket — the decrement brings the bucket back to 3 (= cap).
+    # Documented: id 3's skipped pairs with {0, 2} are NOT back-filled;
+    # id 1's old pairs (stale payload) are filtered out.
+    m.apply_batch(spark.createDataFrame([(1, far)], ddl), 2)
+    live = {(r["vec1"], r["vec2"]) for r in m.read_pairs(spark).collect()}
+    assert live == {(0, 2)}
+    # occupancy reflects the decrement exactly
+    occ = {
+        (r["t"], r["bucket"]): r["n_exist"]
+        for r in m.read_occupancy(spark).collect()
+    }
+    livepost = {
+        (r["t"], r["bucket"]): r["n"]
+        for r in m.read_postings(spark)
+        .groupBy("t", "bucket")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == livepost
+    # batch 3: re-sending id 3 (unchanged payload) supersedes its old
+    # row and re-probes the now-under-cap bucket {0, 2} — so the pairs
+    # the cap skipped at batch 1 are re-mined THROUGH the re-send, and
+    # the live view converges to exactly the batch rebuild over the
+    # latest payloads (bucket {0,2,3} = 3 <= cap mines all pairs).
+    # back-fill is never automatic, but any re-send of a skipped member
+    # recovers its pairs
+    m.apply_batch(spark.createDataFrame([(3, v)], ddl), 3)
+    assert {(r["vec1"], r["vec2"]) for r in m.read_pairs(spark).collect()} == {
+        (0, 2),
+        (0, 3),
+        (2, 3),
+    }
