@@ -151,9 +151,17 @@ def main() -> None:
         "nrm", vnorm(F.col("embedding"))
     ).persist()
     ex_vec.count()
+    # the maintained occupancy sidecar, built once at index time like a
+    # real maintainer (and q173) — without it the cap gate re-aggregates
+    # the probed postings per call, which is NOT the production shape
+    ex_occ = ex_post.groupBy("t", "bucket").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_exist")
+    ).persist()
+    ex_occ.count()
     t0 = time.perf_counter()
     new_post, new_vec, pairs = incremental_multitable_neardup_pairs(
-        ex_post, ex_vec, inc, dims=64, threshold=0.8, tables=tables
+        ex_post, ex_vec, inc, dims=64, threshold=0.8, tables=tables,
+        existing_occupancy=ex_occ,
     )
     npairs = pairs.count()
     t_inc = time.perf_counter() - t0
@@ -165,6 +173,7 @@ def main() -> None:
         corpus=n - n0,
         n_pairs=npairs,
     )
+    ex_occ.unpersist()
     new_post.unpersist(); new_vec.unpersist()
     ex_post.unpersist(); ex_vec.unpersist()
 
