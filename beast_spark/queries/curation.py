@@ -783,6 +783,49 @@ def q228_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q233_semdedup_cross_batch_resend",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="The CROSS-BATCH RE-SEND contract on the SemDeDup action table "
+    "(the round-10 verdict's last documented-out cascade): vectors "
+    "with id % 3 == 0 first arrive CORRUPTED (reversed embedding — "
+    "different cells, different pairs), later batches add the rest, "
+    "and a final corrective batch re-sends their true embedding. The "
+    "maintainer recomputes the VICTIMS — the re-sent ids plus every "
+    "row citing one as replaced_by witness — from their cells' live "
+    "residents (stale member rows filtered by the shared batch-stamp "
+    "+ resent-watermark contract; occupancy decremented via the "
+    "id-sharded ids lookup), so rows the old payload alone supported "
+    "disappear, undrops land, and the final action table must "
+    "hash-equal q220's batch oracle over each id's LATEST payload.",
+    bench=False,
+    bench_reason="maintainer composition; the assignment+capped-pair plan is benched as q220",
+)
+def q233_semdedup_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("beast_q233_")
+    e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).write.parquet(
+        f"{base}/centroids"
+    )
+    m = SemanticDedupMaintainer(
+        f"{base}/state",
+        centroids_path=f"{base}/centroids",
+        tau=_SEMDEDUP_TAU,
+        max_bucket=_SEMDEDUP_MAX_BUCKET,
+    )
+    wrong = e.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(wrong.unionByName(e.filter(F.col("vec_id") % 3 == 1)), 0)
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 2), 1)
+    # the corrective re-send: true embeddings for the corrupted ids
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 0), 2)
+    return m.read_dropped(spark).select("vec_id", "cid", "replaced_by", "cos_sim")
+
+
+@register(
     "q229_semdedup_multiprobe_recall",
     oracle=_SEMDEDUP_PROBES_CTE
     + _semdedup_recall_sql("probes", _SEMDEDUP_MP_CAP),

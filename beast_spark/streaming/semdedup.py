@@ -21,18 +21,25 @@ the table equals the batch operator over everything ingested, which is
 how the registered q224 shares q220's oracle VERBATIM over
 hash-interleaved batches.
 
-Re-send contract (round-11): the action table's rows cite one another
-(``replaced_by`` witnesses), so a re-sent vector with a NEW payload
-invalidates not only its own row but every row citing it as witness —
-and can UNDROP a row it alone witnessed. That cascade is a recompute
-of the affected ids from their cells (the multiprobe maintainer's
-cap-crossing victim machinery is the building block), not a row
-filter; it is deliberately NOT implemented here. The supported
-contract: identical-payload retries are safe (the min-witness merge
-is idempotent), and payload-superseding re-sends belong upstream —
-the index maintainers that feed curation (``streaming/neardup.py``,
-``streaming/lexical.py``) are re-send-correct (q231/q232), and a
-mutated corpus re-derives its semdedup actions from the live vectors.
+Re-send contract (round-11, single-assignment class): an id re-sent
+in a LATER batch with a NEW payload supersedes its stored state AND
+cascades through the action table — its own row, every row citing it
+as ``replaced_by`` witness, and rows it alone witnessed (which
+UNDROP). Mechanism: members/ids fragments carry the batch stamp
+``_b`` + the shared id-keyed ``resent`` watermark log
+(``ManifestSwapTable.resend_watermarks``/``live_rows``, the
+neardup/lexical contract); detection is an id-sharded lookup on the
+slim ``ids`` sub-table (id → current cell, which also supplies the
+old cell for the occupancy decrement). The VICTIMS — the re-sent ids
+plus every dup id whose row cites one (a rare-path O(action-table)
+scan) — get their rows recomputed wholesale from their cells' live
+residents (the multiprobe cap-crossing machinery's shape): a pair the
+old payload supported disappears, a pair the new payload creates
+appears, and a row with no remaining witness is deleted. q233 gates
+streamed-with-resends == batch rebuild over latest payloads, sharing
+q220's oracle. The multiprobe subclass does NOT yet implement the
+cascade (its dirs stay unstamped → legacy passthrough); its
+identical-payload retries remain safe via the min-witness merge.
 
 The degenerate-cell cap follows the incremental family's combined-
 occupancy gate: per-cell distinct counts (≤ n_centroids rows, a
@@ -111,7 +118,15 @@ class SemanticDedupMaintainer(ManifestSwapTable):
     # -- reads -----------------------------------------------------------
 
     def read_members(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "members")
+        """Live member rows (a re-sent id's superseded rows filtered —
+        the shared watermark contract; unstamped legacy dirs pass
+        through)."""
+        return self.live_rows(
+            self._read_sub(spark, "members"),
+            self.resend_watermarks(spark, self.id_col),
+            self.id_col,
+            [self.id_col],
+        )
 
     def read_dropped(self, spark: SparkSession) -> DataFrame:
         """(id, cid, replaced_by, cos_sim) — the live action table
@@ -183,16 +198,74 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             .withColumn("nrm", norm(F.col(self.vec_col)))
             .persist()  # feeds occupancy, both pair legs, and the member append
         )
+        raw_members = self._read_sub(spark, "members")
+        # legacy = a pre-contract dir whose fragments carry no batch
+        # stamp; re-sends stay out of contract there (the lexical/
+        # neardup rule — stamping into an unstamped sub forks its schema)
+        legacy = raw_members is not None and "_b" not in raw_members.columns
+        wm = None if legacy else self.resend_watermarks(spark, self.id_col)
+        resent_cells = None  # (id, cid): re-sent ids with their OLD cell
         try:
+            if not legacy and self.sub_leaves("ids"):
+                # cross-batch re-send detection: an id-sharded lookup on
+                # the slim ids sub-table; its live row IS the current
+                # assignment, which is also the occupancy decrement's
+                # old cell. One isEmpty probe per batch.
+                inc_ids = inc.select(self.id_col).distinct()
+                stored_ids = self.live_rows(
+                    self._read_sub(
+                        spark,
+                        "ids",
+                        shards=self.touched_shards(inc_ids, self.id_col),
+                    ),
+                    wm,
+                    self.id_col,
+                    [self.id_col],
+                )
+                if stored_ids is not None:
+                    hit = stored_ids.join(
+                        F.broadcast(inc_ids), self.id_col, "left_semi"
+                    ).persist()
+                    if hit.isEmpty():
+                        hit.unpersist()
+                    else:
+                        resent_cells = hit
             # combined per-cell occupancy: stored counts are exact distinct
-            # under the append-only unique-id contract, so touched cells
-            # just add the increment's distinct count
+            # under the unique-live-id contract, so touched cells add the
+            # increment's distinct count — after the re-sent ids' old
+            # cells are decremented out (their superseded rows leave the
+            # live view in this same commit)
             inc_occ = inc.groupBy("cid").agg(
                 F.countDistinct(self.id_col).cast("long").alias("n_inc")
             )
             stored_occ = self._read_sub(spark, "occupancy")
             if stored_occ is None:
                 stored_occ = spark.createDataFrame([], "cid long, n_exist long")
+            # previously-over cells, from the PRE-decrement counts (a
+            # decrement never creates a crossing)
+            stored_over = {
+                r["cid"]
+                for r in stored_occ.filter(
+                    F.col("n_exist") > self.max_bucket
+                ).collect()
+            }
+            if resent_cells is not None:
+                dec = resent_cells.groupBy("cid").agg(
+                    F.count(F.lit(1)).cast("long").alias("_dec")
+                )
+                stored_occ = (
+                    stored_occ.join(F.broadcast(dec), "cid", "full_outer")
+                    .select(
+                        "cid",
+                        (
+                            F.coalesce(F.col("n_exist"), F.lit(0))
+                            - F.coalesce(F.col("_dec"), F.lit(0))
+                        )
+                        .cast("long")
+                        .alias("n_exist"),
+                    )
+                    .filter(F.col("n_exist") > 0)
+                )
             merged_occ = (
                 stored_occ.join(inc_occ, "cid", "full_outer")
                 .select(
@@ -207,12 +280,6 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             # over-cap cells are few by construction (≤ n_centroids rows
             # total) — the driver-side lists below are bounded scalars
             over_rows = {r["cid"]: r["n_exist"] for r in over.collect()}
-            stored_over = {
-                r["cid"]
-                for r in stored_occ.filter(
-                    F.col("n_exist") > self.max_bucket
-                ).collect()
-            }
             # a cell CROSSING the cap this batch must RETRACT the rows it
             # mined while under it: the batch operator mines NOTHING for
             # an over-cap cell (capped_bucket_pairs anti-joins it out
@@ -243,7 +310,21 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                         spark.createDataFrame([(c,) for c in cells], "cid long"),
                         "cid",
                     )
-                    mem = self._read_sub(spark, "members", shards=shards)
+                    mem = self.live_rows(
+                        self._read_sub(spark, "members", shards=shards),
+                        wm,
+                        self.id_col,
+                        [self.id_col],
+                    )
+                    if mem is not None and resent_cells is not None:
+                        # this batch's re-sent ids: their stored rows are
+                        # superseded NOW (the watermark row lands in this
+                        # commit) — pair against the inc payload only
+                        mem = mem.join(
+                            F.broadcast(resent_cells.select(self.id_col)),
+                            self.id_col,
+                            "left_anti",
+                        )
                     if mem is not None:
                         mem = mem.filter(F.col("cid").isin(cells)).join(
                             gate, "cid", "left_anti"
@@ -299,8 +380,134 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                     F.col("w.keep_id").alias("replaced_by"),
                     F.col("w.cos_sim").alias("cos_sim"),
                 )
-                .persist()  # feeds the touched-shard probe AND the merge write
             )
+
+            # -- re-send cascade: recompute the victims -------------------
+            # victims = the re-sent ids themselves + every dup id whose
+            # row cites a re-sent id as witness (rare-path O(action-table)
+            # scan). Their rows are REPLACED wholesale from their cells'
+            # live residents: a pair the old payload supported disappears,
+            # one the new payload creates appears, a row with no remaining
+            # witness is deleted (undrop).
+            rs_vic_all = None  # (dup_id): every re-send victim
+            rs_vic_rows = None  # their replacement rows
+            dropped_all = None
+            if resent_cells is not None:
+                resent_dup = resent_cells.select(
+                    F.col(self.id_col).alias("dup_id")
+                )
+                dropped_all = self._read_sub(spark, "dropped")
+                citing = None
+                if dropped_all is not None:
+                    citing = dropped_all.join(
+                        F.broadcast(
+                            resent_cells.select(
+                                F.col(self.id_col).alias("replaced_by")
+                            )
+                        ),
+                        "replaced_by",
+                        "left_semi",
+                    )
+                # victim cells: a re-sent id sits at its NEW cell (inc);
+                # a citing victim's payload is unchanged — its row's cell
+                vcells = inc.select(
+                    F.col(self.id_col).alias("dup_id"), "cid"
+                ).join(F.broadcast(resent_dup), "dup_id", "left_semi")
+                if citing is not None:
+                    vcells = vcells.unionByName(
+                        citing.select("dup_id", "cid").join(
+                            F.broadcast(resent_dup), "dup_id", "left_anti"
+                        )
+                    ).dropDuplicates(["dup_id"])
+                rs_vic_all = vcells.select("dup_id").persist()
+                # over-cap cells mine nothing — victims there get no row
+                # (their old rows still leave via the wholesale replace)
+                v_ok = vcells.join(gate, "cid", "left_anti")
+                v_cells = [
+                    r.cid for r in v_ok.select("cid").distinct().collect()
+                ]
+                if v_cells:
+                    v_shards = self.touched_shards(
+                        spark.createDataFrame(
+                            [(c,) for c in v_cells], "cid long"
+                        ),
+                        "cid",
+                    )
+                    pool = self.live_rows(
+                        self._read_sub(spark, "members", shards=v_shards),
+                        wm,
+                        self.id_col,
+                        [self.id_col],
+                    )
+                    if pool is not None:
+                        pool = pool.select(
+                            "cid", self.id_col, self.vec_col, "nrm"
+                        ).filter(F.col("cid").isin(v_cells)).join(
+                            F.broadcast(resent_cells.select(self.id_col)),
+                            self.id_col,
+                            "left_anti",
+                        )
+                    inc_pool = inc.select(
+                        "cid", self.id_col, self.vec_col, "nrm"
+                    ).filter(F.col("cid").isin(v_cells))
+                    pool = (
+                        inc_pool
+                        if pool is None
+                        else pool.unionByName(inc_pool)
+                    )
+                    va = pool.join(
+                        F.broadcast(
+                            v_ok.withColumnRenamed("dup_id", self.id_col)
+                        ),
+                        ["cid", self.id_col],
+                        "left_semi",
+                    ).select(
+                        "cid",
+                        F.col(self.id_col).alias("_ia"),
+                        F.col(self.vec_col).alias("_va"),
+                        F.col("nrm").alias("_na"),
+                    )
+                    vb = pool.select(
+                        "cid",
+                        F.col(self.id_col).alias("_ib"),
+                        F.col(self.vec_col).alias("_vb"),
+                        F.col("nrm").alias("_nb"),
+                    )
+                    v_scored = (
+                        va.join(vb, "cid")
+                        .filter(F.col("_ia") != F.col("_ib"))
+                        .select(
+                            "cid",
+                            F.least("_ia", "_ib").alias("keep_id"),
+                            F.greatest("_ia", "_ib").alias("dup_id"),
+                            rnd(cos, self.round_digits).alias("cos_sim"),
+                        )
+                        .filter(F.col("cos_sim") >= self.tau)
+                    )
+                    rs_vic_rows = (
+                        v_scored.groupBy("dup_id", "cid")
+                        .agg(
+                            F.min(F.struct("keep_id", "cos_sim")).alias("w")
+                        )
+                        .select(
+                            "dup_id",
+                            "cid",
+                            F.col("w.keep_id").alias("replaced_by"),
+                            F.col("w.cos_sim").alias("cos_sim"),
+                        )
+                        .join(F.broadcast(rs_vic_all), "dup_id", "left_semi")
+                    )
+                else:
+                    rs_vic_rows = spark.createDataFrame([], new_rows.schema)
+                # the victims' rows are replaced wholesale — their share
+                # of this batch's normal legs is recomputed above (the
+                # victim pool includes the increment's postings)
+                new_rows = new_rows.join(
+                    F.broadcast(rs_vic_all), "dup_id", "left_anti"
+                )
+
+            new_rows = new_rows.persist()
+            # feeds the touched-shard probe AND the merge write
             try:
                 touched = set(self.touched_shards(new_rows, "dup_id"))
                 if newly_over and self.sub_leaves("dropped"):
@@ -311,6 +518,15 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                         F.col("cid").isin(newly_over)
                     )
                     touched |= set(self.touched_shards(victims, "dup_id"))
+                if rs_vic_all is not None:
+                    touched |= set(self.touched_shards(rs_vic_rows, "dup_id"))
+                    if dropped_all is not None:
+                        old_vic = dropped_all.join(
+                            F.broadcast(rs_vic_all), "dup_id", "left_semi"
+                        )
+                        touched |= set(
+                            self.touched_shards(old_vic, "dup_id")
+                        )
                 touched = sorted(touched)
                 if touched:
                     old = self._read_sub(spark, "dropped", shards=touched)
@@ -325,6 +541,11 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                             # this batch mines nothing in a batch rebuild,
                             # so its previously committed rows come out
                             old = old.filter(~F.col("cid").isin(newly_over))
+                        if rs_vic_all is not None:
+                            # victims' rows are replaced wholesale
+                            old = old.join(
+                                F.broadcast(rs_vic_all), "dup_id", "left_anti"
+                            )
                         base = old.unionByName(new_rows)
                     # struct-min merge: (replaced_by, cos_sim) min is
                     # min-witness; cid is identical on both sides (one
@@ -339,6 +560,8 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                             F.col("w.cos_sim").alias("cos_sim"),
                         )
                     )
+                    if rs_vic_rows is not None:
+                        merged_rows = merged_rows.unionByName(rs_vic_rows)
                     replacements = {
                         "dropped": (
                             merged_rows.withColumn(
@@ -358,24 +581,52 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                         ],
                         "cid long, bucket_size long, batch_id long",
                     )
+                if resent_cells is not None:
+                    appends["resent"] = resent_cells.select(
+                        self.id_col
+                    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+                member_rows = inc.select(
+                    "cid", self.id_col, self.vec_col, "nrm"
+                )
+                id_rows = inc.select(self.id_col, "cid")
+                if not legacy:
+                    member_rows = member_rows.withColumn(
+                        "_b", F.lit(batch_id).cast("long")
+                    )
+                    id_rows = id_rows.withColumn(
+                        "_b", F.lit(batch_id).cast("long")
+                    )
+                sharded = {
+                    "members": member_rows.withColumn(
+                        "_shard", self.shard_of(F.col("cid"))
+                    )
+                }
+                if not legacy:
+                    # the slim id→cell lookup re-send detection (and the
+                    # occupancy decrement) shard-prunes against
+                    sharded["ids"] = id_rows.withColumn(
+                        "_shard", self.shard_of(F.col(self.id_col))
+                    )
                 self.commit_delta(
                     batch_id,
                     appends=appends or None,
-                    sharded_appends={
-                        "members": inc.select(
-                            "cid", self.id_col, self.vec_col, "nrm"
-                        ).withColumn("_shard", self.shard_of(F.col("cid")))
-                    },
+                    sharded_appends=sharded,
                     shard_replacements=replacements,
                     full={"occupancy": merged_occ},
                     user_meta=self._marker(),
                 )
             finally:
                 new_rows.unpersist()
+                if rs_vic_all is not None:
+                    rs_vic_all.unpersist()
             self.maybe_compact(spark, "members", shard_col="cid")
+            self.maybe_compact(spark, "ids", shard_col=self.id_col)
             self.maybe_compact(spark, "capped")
+            self.maybe_compact(spark, "resent")
         finally:
             inc.unpersist()
+            if resent_cells is not None:
+                resent_cells.unpersist()
 
     # -- wiring ----------------------------------------------------------
 

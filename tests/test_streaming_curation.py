@@ -457,6 +457,104 @@ def test_streamed_multiprobe_cap_crossing_recomputes_victims(spark, tmp_path):
     ]
 
 
+def test_streamed_semdedup_resend_cascade(spark, tmp_path):
+    """The re-send cascade (round-11): a re-sent vector with a NEW
+    payload invalidates its own row, re-witnesses or UNDROPS rows
+    citing it, and the streamed state equals the batch operator over
+    each id's LATEST payload after every corrective batch."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.99
+    )
+    rows0 = [(2, _unit(0.01)), (5, _unit(0.01)), (9, _unit(0.012))]
+    m.apply_batch(_vecs(spark, rows0), 0)
+    d0 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d0 == {5: 2, 9: 2}
+    # batch 1: id 2 re-sent FAR AWAY (moves to the other cell) — its
+    # witness citations cascade: 5 undrops (9 is not < 5), 9 re-witnesses
+    # to 5, 2 has no row
+    m.apply_batch(_vecs(spark, [(2, _unit(1.49))]), 1)
+    d1 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d1 == {9: 5}
+    latest1 = [(2, _unit(1.49)), (5, _unit(0.01)), (9, _unit(0.012))]
+    assert d1 == {
+        t[0]: t[2] for t in _batch_action(spark, latest1, cent, tau=0.99)
+    }
+    # batch 2: id 9 re-sent NEXT TO id 2's new position — 9's row flips
+    # to the other cell with witness 2; 5 stays undropped
+    m.apply_batch(_vecs(spark, [(9, _unit(1.488))]), 2)
+    d2 = {
+        r["vec_id"]: (r["cid"], r["replaced_by"])
+        for r in m.read_dropped(spark).collect()
+    }
+    latest2 = [(2, _unit(1.49)), (5, _unit(0.01)), (9, _unit(1.488))]
+    assert d2 == {
+        t[0]: (t[1], t[2]) for t in _batch_action(spark, latest2, cent, tau=0.99)
+    }
+    assert set(d2) == {9}
+    # kept = latest payloads minus dropped; occupancy == live members
+    kept = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_kept(spark).collect()
+    }
+    assert kept == {(i, tuple(v)) for i, v in latest2 if i != 9}
+    occ = {r["cid"]: r["n_exist"] for r in (
+        m._read_sub(spark, "occupancy").collect()
+    )}
+    live = {
+        r["cid"]: r["n"]
+        for r in m.read_members(spark)
+        .groupBy("cid")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == live
+    # the watermark log + replay idempotence
+    assert {
+        (r["vec_id"], r["batch_id"]) for r in m._read_sub(spark, "resent").collect()
+    } == {(2, 1), (9, 2)}
+    m.apply_batch(_vecs(spark, [(9, _unit(1.488))]), 2)
+    assert {
+        r["vec_id"]: (r["cid"], r["replaced_by"])
+        for r in m.read_dropped(spark).collect()
+    } == d2
+
+
+def test_streamed_semdedup_resend_equals_batch_per_prefix(spark, tmp_path):
+    """Interleaved corrective re-sends across shuffled batches: after
+    every batch the action table equals the batch operator over each
+    id's LATEST payload so far."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    rows = _semdedup_fixture()
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.999
+    )
+    # ids 0..7 first arrive CORRUPTED (rotated a quarter turn)
+    corrupted = [(i, _unit(0.8 + (i % 5) * 0.02)) for i in range(8)]
+    batches = [
+        corrupted + rows[8:16],   # 0: wrong payloads + clean middle
+        rows[16:24],              # 1: clean tail
+        rows[:8],                 # 2: the corrective re-send
+    ]
+    latest: dict = {}
+    for b, batch in enumerate(batches):
+        for i, v in batch:
+            latest[i] = v
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_action(
+            spark, [(i, v) for i, v in latest.items()], cent, tau=0.999
+        )
+        assert got == want, f"prefix {b}"
+    assert got  # non-vacuous after the corrective batch
+
+
 def test_streamed_semdedup_changed_artifacts_rejected(spark, tmp_path):
     from beast_spark.streaming.semdedup import SemanticDedupMaintainer
 
