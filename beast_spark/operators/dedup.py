@@ -390,11 +390,16 @@ def incremental_minhash_pairs(
     # #2 — without this the size pass and the collect pass each paid
     # the banding subtree and its own Exchange). Lifetime is
     # process-scoped like capped_bucket_pairs' internal cache (the
-    # q112 count-table discipline): no handle is returned, bench/sweep
+    # q112 count-table discipline) but releasable: the handle registers
+    # with operators._cache (release_scratch_caches), bench/sweep
     # sessions clearCache between queries, and a long-lived caller
     # should prefer the indexed form, which never re-bands the corpus
     # at all.
-    tagged = tagged.repartition("band", "bucket").persist()
+    # registered scratch cache (operators._cache): long-lived callers
+    # release via release_scratch_caches after consuming the pairs
+    from beast_spark.operators._cache import pin_scratch
+
+    tagged = pin_scratch(tagged.repartition("band", "bucket"))
     occ = tagged.groupBy("band", "bucket").agg(
         F.countDistinct("doc_id").alias("bucket_size"),
         F.max("is_new").alias("_any_new"),

@@ -373,13 +373,20 @@ def capped_bucket_pairs(
     paying its own Exchange. The cache is two longs + an id per row —
     at warehouse scale the equivalent is a scratch postings table,
     which is what the maintainers write anyway. Lifetime is
-    process-scoped (the q112 count-table discipline; bench/sweep
+    process-scoped but RELEASABLE: the persist registers with
+    ``operators._cache`` so a long-lived library caller frees it via
+    ``release_scratch_caches()`` after consuming the pairs (bench/sweep
     sessions clearCache between queries). Pass ``materialize=False``
     when ``post`` is already pinned or read from a (bucketed) table —
     then the two passes re-read the caller's materialization.
     """
     if materialize:
-        post = post.repartition(*keys).persist()
+        # registered scratch cache: library callers outside the
+        # clearCache-between-queries harnesses release it via
+        # operators._cache.release_scratch_caches (round-11 ADVICE)
+        from beast_spark.operators._cache import pin_scratch
+
+        post = pin_scratch(post.repartition(*keys))
     occupancy = post.groupBy(*keys).agg(
         F.countDistinct(id_col).alias("bucket_size")
     )
