@@ -409,6 +409,96 @@ def q232_bm25_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
+@register(
+    "q235_bm25_resend_compaction",
+    oracle=_BM25_ORACLE,
+    doc="RE-SEND STATE COMPACTION on the lexical index (round-11 "
+    "verdict missing #3 — the one 100 TB scale tax the supersede-on-"
+    "READ contract left): q232's corrupted-then-corrected choreography, "
+    "then ManifestSwapTable.compact_resends folds the superseded "
+    "postings/doclen rows OUT of the disk and truncates the resent "
+    "watermark log in one atomic manifest flip — after which every "
+    "read drops the per-read watermark broadcast join that otherwise "
+    "grows with re-send volume. The served ranking AFTER the fold must "
+    "still hash-equal q221's batch oracle over each doc's LATEST text "
+    "(read-equivalence), and the query itself asserts the watermark "
+    "log is gone so the equivalence cannot pass through the old "
+    "supersede-on-read path.",
+    bench=False,
+    bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
+)
+def q235_bm25_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = LexicalIndexMaintainer(scratch_dir("beast_q235_") + "/state")
+    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.array_repeat(F.lit("corrupted"), 7), " ").alias("text"),
+    )
+    m.apply_batch(
+        wrong.unionByName(
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+        ),
+        0,
+    )
+    m.apply_batch(
+        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
+            "doc_id", "text"
+        ),
+        1,
+    )
+    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    if not m.compact_resends(spark):
+        raise ValueError("q235: choreography logged no re-sends to compact")
+    if m.read_resent(spark) is not None:
+        raise ValueError("q235: resent watermark log survived the fold")
+    return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
+
+
+@register(
+    "q237_semdedup_resend_compaction",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="RE-SEND STATE COMPACTION on the SemDeDup maintainer: q233's "
+    "corrupted-then-corrected choreography, then compact_resends folds "
+    "the superseded member postings and stale id→cell rows out of the "
+    "disk (shard layouts preserved) and truncates the resent watermark "
+    "log in one manifest flip. The action table read AFTER the fold "
+    "must still hash-equal q220's batch oracle over each id's LATEST "
+    "payload; the query asserts the log is gone so equivalence cannot "
+    "pass through the supersede-on-read path.",
+    bench=False,
+    bench_reason="maintainer composition; the assignment+capped-pair plan is benched as q220",
+)
+def q237_semdedup_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("beast_q237_")
+    e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).write.parquet(
+        f"{base}/centroids"
+    )
+    m = SemanticDedupMaintainer(
+        f"{base}/state",
+        centroids_path=f"{base}/centroids",
+        tau=_SEMDEDUP_TAU,
+        max_bucket=_SEMDEDUP_MAX_BUCKET,
+    )
+    wrong = e.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(wrong.unionByName(e.filter(F.col("vec_id") % 3 == 1)), 0)
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 2), 1)
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 0), 2)
+    if not m.compact_resends(spark):
+        raise ValueError("q237: choreography logged no re-sends to compact")
+    if m._read_sub(spark, "resent") is not None:
+        raise ValueError("q237: resent watermark log survived the fold")
+    return m.read_dropped(spark).select("vec_id", "cid", "replaced_by", "cos_sim")
+
+
 _GUMBEL_T = 2.0
 _GUMBEL_SALT = "gumbel:"
 
@@ -888,4 +978,52 @@ def q230_semdedup_multiprobe_streamed(spark: SparkSession, sf_dir: str) -> DataF
     )
     for batch in range(3):
         m.apply_batch(e.filter(F.col("vec_id") % 3 == batch), batch)
+    return m.read_dropped(spark).select("vec_id", "replaced_by", "cos_sim")
+
+
+@register(
+    "q234_semdedup_multiprobe_resend",
+    oracle=_SEMDEDUP_PROBES_CTE
+    + _semdedup_action_sql("probes", _SEMDEDUP_MP_CAP, with_cid=False),
+    doc="The CROSS-BATCH RE-SEND contract on the MULTI-PROBE SemDeDup "
+    "maintainer (round-11 verdict missing #4 — the last streamed leg "
+    "without it): q233's corrupted-then-corrected choreography over "
+    "q230's n_assign=2 posting model. Vectors with id % 3 == 0 first "
+    "arrive CORRUPTED (reversed embedding — different cells, different "
+    "pairs), later batches add the rest, a final corrective batch "
+    "re-sends the true embeddings. The maintainer's victim recompute "
+    "UNIFIES the cascade with its cap-crossing machinery: re-sent ids, "
+    "rows citing one as witness, and crossing-cell ids form ONE pool "
+    "whose cells are re-derived from their latest vectors and rescored "
+    "against live residents (stale postings filtered by the shared "
+    "batch-stamp + resent-watermark contract; occupancy decremented "
+    "per old posting via the id-sharded ids lookup). Must hash-equal "
+    "q228's batch oracle over each id's LATEST payload — shared "
+    "VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the assignment+capped-pair plan is benched as q220",
+)
+def q234_semdedup_multiprobe_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("beast_q234_")
+    e.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS).write.parquet(
+        f"{base}/centroids"
+    )
+    m = MultiProbeSemanticDedupMaintainer(
+        f"{base}/state",
+        centroids_path=f"{base}/centroids",
+        tau=_SEMDEDUP_TAU,
+        n_assign=_SEMDEDUP_NPROBE,
+        max_bucket=_SEMDEDUP_MP_CAP,
+    )
+    wrong = e.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(wrong.unionByName(e.filter(F.col("vec_id") % 3 == 1)), 0)
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 2), 1)
+    # the corrective re-send: true embeddings for the corrupted ids
+    m.apply_batch(e.filter(F.col("vec_id") % 3 == 0), 2)
     return m.read_dropped(spark).select("vec_id", "replaced_by", "cos_sim")

@@ -213,6 +213,29 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         self.maybe_compact(spark, "doclen", shard_col=self.id_col)
         self.maybe_compact(spark, "resent")
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact_resends(self, spark: SparkSession) -> bool:
+        """Fold the re-send contract's accumulated state (the shared
+        :meth:`ManifestSwapTable.compact_resends`): superseded
+        postings/doclen rows leave the disk — shard layouts preserved,
+        so pruned serving reads keep working — and the ``resent``
+        watermark log truncates, dropping the per-read watermark
+        broadcast join. Consts need no rewrite: they were corrected in
+        the re-send commit itself. Run between batches (single-writer
+        discipline); q235 gates read-equivalence on q232's
+        corrupted-then-corrected choreography."""
+        self._check_marker()
+        return ManifestSwapTable.compact_resends(
+            self,
+            spark,
+            self.id_col,
+            {
+                "postings": ([self.id_col], "term", False),
+                "doclen": ([self.id_col], self.id_col, False),
+            },
+        )
+
     # -- serving -----------------------------------------------------------
 
     def bm25(

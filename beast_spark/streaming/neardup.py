@@ -407,6 +407,31 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
                 stored_occ.unpersist()
 
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact_resends(self, spark: SparkSession) -> bool:
+        """Fold the re-send contract's accumulated state (the shared
+        :meth:`ManifestSwapTable.compact_resends`): superseded
+        postings/vectors rows and stale pairs leave the disk, the
+        duplicate id-lookup rows collapse (a re-sent id appended one
+        presence row per send), and the ``resent`` watermark log
+        truncates — after which every read drops its per-read
+        watermark broadcast join. Occupancy needs no rewrite: it was
+        decremented at apply time. Run between batches (single-writer
+        discipline); q236 gates read-equivalence on q231's
+        corrupted-then-corrected choreography."""
+        return ManifestSwapTable.compact_resends(
+            self,
+            spark,
+            self.id_col,
+            {
+                "postings": ([self.id_col], None, False),
+                "vectors": ([self.id_col], None, False),
+                "pairs": (["vec1", "vec2"], None, False),
+                "ids": ([self.id_col], self.id_col, True),
+            },
+        )
+
     # -- wiring ----------------------------------------------------------
 
     def stream_from(self, vectors: DataFrame, checkpoint: str):

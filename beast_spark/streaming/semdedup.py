@@ -37,9 +37,10 @@ residents (the multiprobe cap-crossing machinery's shape): a pair the
 old payload supported disappears, a pair the new payload creates
 appears, and a row with no remaining witness is deleted. q233 gates
 streamed-with-resends == batch rebuild over latest payloads, sharing
-q220's oracle. The multiprobe subclass does NOT yet implement the
-cascade (its dirs stay unstamped → legacy passthrough); its
-identical-payload retries remain safe via the min-witness merge.
+q220's oracle. The multiprobe subclass carries the same contract
+(round-12): its victim recompute UNIFIES the re-send cascade with the
+cap-crossing machinery (one pool, rescored from re-derived cells);
+q234 gates it against q228's oracle.
 
 The degenerate-cell cap follows the incremental family's combined-
 occupancy gate: per-cell distinct counts (≤ n_centroids rows, a
@@ -250,8 +251,13 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                 ).collect()
             }
             if resent_cells is not None:
+                # countDistinct, not count: stored counts are DISTINCT
+                # ids, so a contract-violating batch carrying duplicate
+                # (id, cid) rows must decrement each id once — the
+                # neardup twin's rule (round-11 ADVICE; a plain count
+                # would over-decrement and corrupt the cap gate)
                 dec = resent_cells.groupBy("cid").agg(
-                    F.count(F.lit(1)).cast("long").alias("_dec")
+                    F.countDistinct(self.id_col).cast("long").alias("_dec")
                 )
                 stored_occ = (
                     stored_occ.join(F.broadcast(dec), "cid", "full_outer")
@@ -628,6 +634,32 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             if resent_cells is not None:
                 resent_cells.unpersist()
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact_resends(self, spark: SparkSession) -> bool:
+        """Fold the re-send contract's accumulated state (the shared
+        :meth:`ManifestSwapTable.compact_resends`): superseded member
+        postings and stale id→cell rows leave the disk — shard layouts
+        preserved — and the ``resent`` watermark log truncates,
+        dropping the per-read watermark broadcast join. The dropped
+        action table and occupancy need no rewrite: both are
+        maintained exactly at apply time (the cascade recomputes
+        victims; occupancy is decremented in the re-send commit). Run
+        between batches (single-writer discipline); q237 gates
+        read-equivalence on q233's corrupted-then-corrected
+        choreography. Inherited unchanged by the multi-probe subclass
+        — same sub-table shapes, n_assign rows per id."""
+        self._check_marker()
+        return ManifestSwapTable.compact_resends(
+            self,
+            spark,
+            self.id_col,
+            {
+                "members": ([self.id_col], "cid", False),
+                "ids": ([self.id_col], self.id_col, False),
+            },
+        )
+
     # -- wiring ----------------------------------------------------------
 
     def stream_from(self, vectors: DataFrame, checkpoint: str):
@@ -673,10 +705,24 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
       supported. Bounded: victims ≤ the crossing cell's occupancy,
       each rescored against ≤ n_assign under-cap cells of ≤ max_bucket
       members.
+    * **Re-send cascade (round-12, closing the round-11 verdict's
+      missing #4)**: the parent's contract, adapted to multi-
+      assignment. Members/ids fragments carry ``_b``; the ``ids``
+      side table holds the id's n_assign (id, cid) postings (the
+      occupancy decrement needs ALL of them, not one cell); and the
+      victim set UNIFIES with the cap-crossing machinery — re-sent
+      ids, rows citing one as witness, and crossing-cell ids are ONE
+      recompute pool, rescored from re-derived cells over live
+      residents (re-sent ids contribute their NEW payload from the
+      increment; stale stored rows are anti-joined out everywhere).
+      q234 gates streamed-with-resends == ``semantic_dedup_multiprobe``
+      over latest payloads, sharing q228's oracle verbatim.
 
     Streamed == batch (``semantic_dedup_multiprobe`` over everything
     ingested) by the same induction as the parent; q230 shares q228's
-    oracle verbatim over hash-interleaved batches.
+    oracle verbatim over hash-interleaved batches. Pre-round-12
+    (unstamped) state dirs keep working in legacy mode, where re-sends
+    remain out of contract — the neardup/lexical rule.
     """
 
     def __init__(
@@ -818,6 +864,37 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             )
         )
 
+    def _stored_posts(
+        self,
+        spark: SparkSession,
+        cells: list[int],
+        wm: DataFrame | None,
+        resent_ids: DataFrame | None,
+    ) -> DataFrame | None:
+        """Live stored posting rows of ``cells`` (shard-pruned, exact-
+        filtered), with THIS batch's re-sent ids' rows removed — their
+        watermark lands in this commit, so the view every pair leg and
+        victim pool sees must already exclude them."""
+        if not cells or not self.sub_leaves("members"):
+            return None
+        shards = self.touched_shards(
+            spark.createDataFrame([(c,) for c in cells], "cid long"), "cid"
+        )
+        mem = self.live_rows(
+            self._read_sub(spark, "members", shards=shards),
+            wm,
+            self.id_col,
+            [self.id_col],
+        )
+        if mem is None:
+            return None
+        mem = mem.select("cid", self.id_col, self.vec_col, "nrm").filter(
+            F.col("cid").isin(cells)
+        )
+        if resent_ids is not None:
+            mem = mem.join(F.broadcast(resent_ids), self.id_col, "left_anti")
+        return mem
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied_batches():
             return  # replay after a post-commit crash: already applied
@@ -826,13 +903,74 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(self.centroids_path)
         inc = self._post(batch_df, centroids).persist()
+        raw_members = self._read_sub(spark, "members")
+        # legacy = a pre-round-12 dir whose fragments carry no batch
+        # stamp; re-sends stay out of contract there (stamping into an
+        # unstamped sub forks its schema — the family rule)
+        legacy = raw_members is not None and "_b" not in raw_members.columns
+        wm = None if legacy else self.resend_watermarks(spark, self.id_col)
+        resent_posts = None  # (id, cid): re-sent ids × their OLD postings
+        resent_ids = None  # their distinct (id) projection
         try:
+            if not legacy and self.sub_leaves("ids"):
+                # cross-batch re-send detection: an id-sharded lookup on
+                # the slim ids sub-table; the live rows ARE the id's
+                # current n_assign postings, which the occupancy
+                # decrement needs in full. One isEmpty probe per batch.
+                inc_ids = inc.select(self.id_col).distinct()
+                stored_ids = self.live_rows(
+                    self._read_sub(
+                        spark,
+                        "ids",
+                        shards=self.touched_shards(inc_ids, self.id_col),
+                    ),
+                    wm,
+                    self.id_col,
+                    [self.id_col],
+                )
+                if stored_ids is not None:
+                    hit = stored_ids.join(
+                        F.broadcast(inc_ids), self.id_col, "left_semi"
+                    ).persist()
+                    if hit.isEmpty():
+                        hit.unpersist()
+                    else:
+                        resent_posts = hit
+                        resent_ids = resent_posts.select(self.id_col).distinct()
             inc_occ = inc.groupBy("cid").agg(
                 F.countDistinct(self.id_col).cast("long").alias("n_inc")
             )
             stored_occ = self._read_sub(spark, "occupancy")
             if stored_occ is None:
                 stored_occ = spark.createDataFrame([], "cid long, n_exist long")
+            # previously-over cells from the PRE-decrement counts (a
+            # decrement never creates a crossing — the parent's rule)
+            stored_over = {
+                r["cid"]
+                for r in stored_occ.filter(
+                    F.col("n_exist") > self.max_bucket
+                ).collect()
+            }
+            if resent_posts is not None:
+                # countDistinct per (cell): each re-sent id leaves each
+                # of its old cells exactly once, duplicate rows ignored
+                dec = (
+                    resent_posts.groupBy("cid")
+                    .agg(F.countDistinct(self.id_col).cast("long").alias("_dec"))
+                )
+                stored_occ = (
+                    stored_occ.join(F.broadcast(dec), "cid", "full_outer")
+                    .select(
+                        "cid",
+                        (
+                            F.coalesce(F.col("n_exist"), F.lit(0))
+                            - F.coalesce(F.col("_dec"), F.lit(0))
+                        )
+                        .cast("long")
+                        .alias("n_exist"),
+                    )
+                    .filter(F.col("n_exist") > 0)
+                )
             merged_occ = stored_occ.join(inc_occ, "cid", "full_outer").select(
                 "cid",
                 (
@@ -844,12 +982,6 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             # over-cap cells are few (≤ n_centroids rows total): bounded
             # driver-side scalars, the parent's discipline
             over_rows = {r["cid"]: r["n_exist"] for r in over.collect()}
-            stored_over = {
-                r["cid"]
-                for r in stored_occ.filter(
-                    F.col("n_exist") > self.max_bucket
-                ).collect()
-            }
             newly_over = sorted(set(over_rows) - stored_over)
             touched_over = sorted(
                 set(over_rows)
@@ -861,56 +993,107 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             have_members = bool(self.sub_leaves("members"))
             if have_members:
                 cells = [r.cid for r in g_inc.select("cid").distinct().collect()]
-                if cells:
-                    shards = self.touched_shards(
-                        spark.createDataFrame([(c,) for c in cells], "cid long"),
-                        "cid",
+                mem = self._stored_posts(spark, cells, wm, resent_ids)
+                if mem is not None:
+                    legs.append(
+                        self._pair_leg(g_inc, mem.join(gate, "cid", "left_anti"))
                     )
-                    mem = self._read_sub(spark, "members", shards=shards)
-                    if mem is not None:
-                        mem = mem.filter(F.col("cid").isin(cells)).join(
-                            gate, "cid", "left_anti"
-                        )
-                        legs.append(self._pair_leg(g_inc, mem))
             cand = legs[0]
             for leg in legs[1:]:
                 cand = cand.unionByName(leg)
             new_rows = self._min_witness_rows(cand)
 
-            # -- cap-crossing retraction: recompute the victims ----------
-            victims = None  # (id) frame of every id posting to a crossing cell
+            # -- victim recompute: ONE pool for cap crossings AND the
+            # re-send cascade. Victims = every id posting to a newly-over
+            # cell (crossing retraction) ∪ the re-sent ids (their old
+            # payload's pairs die) ∪ every dup id citing a re-sent id as
+            # witness (rare-path O(action-table) scan). Each victim's
+            # action row is REPLACED wholesale: cells re-derived from its
+            # LATEST vector (deterministic under the frozen centroids),
+            # over-cap cells excluded, rescored against those cells' live
+            # residents + this increment.
+            victims = None  # (dup_id) frame of every victim
             vic_rows = None  # their replacement action rows
             vic_vecs = None  # the PERSISTED handle the finally releases
-            if newly_over:
+            dropped_all = None
+            if resent_posts is not None and self.sub_leaves("dropped"):
+                dropped_all = self._read_sub(spark, "dropped")
+            if newly_over or resent_posts is not None:
                 over_list = sorted(over_rows)  # ALL over-cap cells, old + new
-                x_shards = self.touched_shards(
-                    spark.createDataFrame(
-                        [(c,) for c in newly_over], "cid long"
-                    ),
-                    "cid",
-                )
-                stored_x = (
-                    self._read_sub(spark, "members", shards=x_shards)
-                    if have_members
-                    else None
-                )
-                pool_parts = [inc.filter(F.col("cid").isin(newly_over))]
-                if stored_x is not None:
-                    pool_parts.append(
-                        stored_x.filter(F.col("cid").isin(newly_over)).select(
-                            "cid", self.id_col, self.vec_col, "nrm"
+                vec_parts = []
+                if newly_over:
+                    # ids posting to a crossing cell: stored live rows
+                    # (minus this batch's re-sent — their stored payload
+                    # is superseded) + the increment's own postings there
+                    stored_x = self._stored_posts(
+                        spark, list(newly_over), wm, resent_ids
+                    )
+                    x_posts = inc.filter(F.col("cid").isin(newly_over))
+                    if stored_x is not None:
+                        x_posts = x_posts.unionByName(stored_x)
+                    vec_parts.append(x_posts.select(self.id_col, self.vec_col))
+                if resent_ids is not None:
+                    # re-sent ids: NEW payload, straight from the batch
+                    vec_parts.append(
+                        inc.select(self.id_col, self.vec_col).join(
+                            F.broadcast(resent_ids), self.id_col, "left_semi"
                         )
                     )
-                x_posts = pool_parts[0]
-                for p in pool_parts[1:]:
-                    x_posts = x_posts.unionByName(p)
-                vic_vecs = (
-                    x_posts.select(self.id_col, self.vec_col)
-                    .dropDuplicates([self.id_col])
-                    .persist()
-                )
-                # the victims' OTHER cells, re-derived (deterministic
-                # under the frozen-centroids marker), over-cap excluded
+                    if dropped_all is not None:
+                        # citing victims: rows whose witness was re-sent;
+                        # payload unchanged → vector from live members
+                        # (an id citing a re-sent id that was ALSO re-sent
+                        # itself is covered by the inc leg above)
+                        citing = (
+                            dropped_all.join(
+                                F.broadcast(
+                                    resent_ids.withColumnRenamed(
+                                        self.id_col, "replaced_by"
+                                    )
+                                ),
+                                "replaced_by",
+                                "left_semi",
+                            )
+                            .select(F.col("dup_id").alias(self.id_col))
+                            .join(F.broadcast(resent_ids), self.id_col, "left_anti")
+                            .distinct()
+                        )
+                        cite_shards = self.touched_shards(citing, self.id_col)
+                        cite_cells = self.live_rows(
+                            self._read_sub(spark, "ids", shards=cite_shards),
+                            wm,
+                            self.id_col,
+                            [self.id_col],
+                        )
+                        if cite_cells is not None:
+                            cite_cells = cite_cells.join(
+                                F.broadcast(citing), self.id_col, "left_semi"
+                            )
+                            c_cells = [
+                                r.cid
+                                for r in cite_cells.select("cid")
+                                .distinct()
+                                .collect()
+                            ]
+                            cite_mem = self._stored_posts(
+                                spark, c_cells, wm, resent_ids
+                            )
+                            if cite_mem is not None:
+                                vec_parts.append(
+                                    cite_mem.select(
+                                        self.id_col, self.vec_col
+                                    ).join(
+                                        F.broadcast(citing),
+                                        self.id_col,
+                                        "left_semi",
+                                    )
+                                )
+                pool_v = vec_parts[0]
+                for p in vec_parts[1:]:
+                    pool_v = pool_v.unionByName(p)
+                vic_vecs = pool_v.dropDuplicates([self.id_col]).persist()
+                # the victims' cells, re-derived (deterministic under the
+                # frozen-centroids marker), over-cap excluded
                 vic_ok = self._post(vic_vecs, centroids).filter(
                     ~F.col("cid").isin(over_list)
                 )
@@ -918,24 +1101,12 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                     r.cid for r in vic_ok.select("cid").distinct().collect()
                 ]
                 if cand_cells:
-                    c_shards = self.touched_shards(
-                        spark.createDataFrame(
-                            [(c,) for c in cand_cells], "cid long"
-                        ),
-                        "cid",
-                    )
                     pool = inc.filter(F.col("cid").isin(cand_cells))
-                    stored_c = (
-                        self._read_sub(spark, "members", shards=c_shards)
-                        if have_members
-                        else None
+                    stored_c = self._stored_posts(
+                        spark, cand_cells, wm, resent_ids
                     )
                     if stored_c is not None:
-                        pool = pool.unionByName(
-                            stored_c.filter(
-                                F.col("cid").isin(cand_cells)
-                            ).select("cid", self.id_col, self.vec_col, "nrm")
-                        )
+                        pool = pool.unionByName(stored_c)
                     scored = self._pair_leg(vic_ok, pool)
                     vic_rows = self._min_witness_rows(scored).join(
                         vic_vecs.select(F.col(self.id_col).alias("dup_id")),
@@ -943,9 +1114,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                         "left_semi",
                     )
                 else:
-                    vic_rows = spark.createDataFrame(
-                        [], new_rows.schema
-                    )
+                    vic_rows = spark.createDataFrame([], new_rows.schema)
                 victims = vic_vecs.select(
                     F.col(self.id_col).alias("dup_id")
                 )
@@ -958,10 +1127,12 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                 touched = set(self.touched_shards(new_rows, "dup_id"))
                 if victims is not None:
                     touched |= set(self.touched_shards(vic_rows, "dup_id"))
-                    if self.sub_leaves("dropped"):
+                    if dropped_all is None and self.sub_leaves("dropped"):
+                        dropped_all = self._read_sub(spark, "dropped")
+                    if dropped_all is not None:
                         # old rows of victims must leave their shards
-                        # (rare O(action-table) scan, crossing only)
-                        old_vic = self._read_sub(spark, "dropped").join(
+                        # (rare O(action-table) scan, victim batches only)
+                        old_vic = dropped_all.join(
                             victims, "dup_id", "left_semi"
                         )
                         touched |= set(self.touched_shards(old_vic, "dup_id"))
@@ -1002,14 +1173,34 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                         [(cid, over_rows[cid], batch_id) for cid in touched_over],
                         "cid long, bucket_size long, batch_id long",
                     )
+                if resent_ids is not None:
+                    appends["resent"] = resent_ids.withColumn(
+                        "batch_id", F.lit(batch_id).cast("long")
+                    )
+                member_rows = inc.select("cid", self.id_col, self.vec_col, "nrm")
+                id_rows = inc.select(self.id_col, "cid")
+                if not legacy:
+                    member_rows = member_rows.withColumn(
+                        "_b", F.lit(batch_id).cast("long")
+                    )
+                    id_rows = id_rows.withColumn(
+                        "_b", F.lit(batch_id).cast("long")
+                    )
+                sharded = {
+                    "members": member_rows.withColumn(
+                        "_shard", self.shard_of(F.col("cid"))
+                    )
+                }
+                if not legacy:
+                    # the slim (id → n_assign cells) lookup that re-send
+                    # detection and the occupancy decrement prune against
+                    sharded["ids"] = id_rows.withColumn(
+                        "_shard", self.shard_of(F.col(self.id_col))
+                    )
                 self.commit_delta(
                     batch_id,
                     appends=appends or None,
-                    sharded_appends={
-                        "members": inc.select(
-                            "cid", self.id_col, self.vec_col, "nrm"
-                        ).withColumn("_shard", self.shard_of(F.col("cid")))
-                    },
+                    sharded_appends=sharded,
                     shard_replacements=replacements,
                     full={"occupancy": merged_occ},
                     user_meta=self._marker(),
@@ -1018,10 +1209,14 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                 new_rows.unpersist()
                 # unpersist the PERSISTED frame itself — victims is a
                 # select() projection of it, whose unpersist would be a
-                # no-op and leak the cache every cap-crossing batch
+                # no-op and leak the cache every victim batch
                 if vic_vecs is not None:
                     vic_vecs.unpersist()
             self.maybe_compact(spark, "members", shard_col="cid")
+            self.maybe_compact(spark, "ids", shard_col=self.id_col)
             self.maybe_compact(spark, "capped")
+            self.maybe_compact(spark, "resent")
         finally:
             inc.unpersist()
+            if resent_posts is not None:
+                resent_posts.unpersist()

@@ -573,18 +573,25 @@ class ManifestSwapTable:
         wm: DataFrame | None,
         id_col: str,
         cols: list[str],
+        keep_stamp: bool = False,
     ) -> DataFrame | None:
         """Drop rows whose ``_b`` stamp predates any of ``cols``'
-        re-send watermark; strips ``_b``; restores the stored column
-        order (equi-joins hoist their key first). Unstamped (legacy)
-        frames pass through untouched — no stamps, no contract."""
+        re-send watermark; strips ``_b`` (unless ``keep_stamp`` — the
+        compaction rewrite preserves stamps so the sub-table stays
+        contract-mode); restores the stored column order (equi-joins
+        hoist their key first). Unstamped (legacy) frames pass through
+        untouched — no stamps, no contract."""
         from pyspark.sql import functions as F
 
         if df is None:
             return None
         if "_b" not in df.columns:
             return df
-        out_cols = [c for c in df.columns if c != "_b"]
+        out_cols = (
+            list(df.columns)
+            if keep_stamp
+            else [c for c in df.columns if c != "_b"]
+        )
         if wm is not None:
             for c in cols:
                 w = wm.select(
@@ -904,4 +911,73 @@ class ManifestSwapTable:
         if m is None or len(m["subs"].get(name, ())) <= max_fragments:
             return False
         self.compact(spark, name, shard_col=shard_col)
+        return True
+
+    def compact_resends(
+        self,
+        spark: SparkSession,
+        id_col: str,
+        subs: dict[str, tuple[list[str], str | None, bool]],
+    ) -> bool:
+        """Physically fold the re-send contract's accumulated state
+        (round-11 verdict missing #3 — the one scale tax the
+        supersede-on-READ contract leaves): rewrite every stamped
+        sub-table with its superseded rows REMOVED and truncate the
+        ``resent`` watermark log, all in ONE atomic manifest flip.
+        After it, ``live_rows`` has no watermark frame to join
+        (``resend_watermarks`` → None), so every read drops the
+        per-read broadcast join that otherwise grows with re-send
+        volume, and the dead bytes leave the disk. ``_b`` stamps are
+        PRESERVED on the rewritten rows, so the directory stays
+        contract-mode: the next re-send opens a fresh watermark whose
+        batch id is strictly greater than every retained stamp
+        (foreachBatch ids are monotone), and the live rule keeps
+        working unchanged.
+
+        ``subs`` maps each participating sub-table to
+        ``(id_cols, shard_col, distinct)``:
+
+        * ``id_cols`` — the columns the live rule filters on (a pair
+          table names both endpoints), exactly what the maintainer's
+          reads pass to :meth:`live_rows`;
+        * ``shard_col`` — None folds to one unsharded fragment
+          (append-only subs); a column rewrites ALL hash shards in
+          place, preserving the pruned-read layout (the compact()
+          rule);
+        * ``distinct`` — collapse duplicate rows after the live filter
+          (slim UNSTAMPED id-lookup sides, where a re-sent id appended
+          one row per send and presence is the only signal).
+
+        O(live state) when it fires — the same cost class as
+        :meth:`compact`, run from a maintenance cadence, not per
+        trigger. Single-writer discipline applies: call between
+        batches of the owning stream. Returns False (no commit) when
+        no re-send was ever logged."""
+        wm = self.resend_watermarks(spark, id_col)
+        if wm is None:
+            return False  # no resent sub-table: nothing to fold
+        full: dict[str, DataFrame] = {}
+        shard_repl: dict[str, tuple[DataFrame, list[int]]] = {}
+        from pyspark.sql import functions as F
+
+        for name, (cols, shard_col, distinct) in subs.items():
+            df = self._read_sub(spark, name)
+            if df is None:
+                continue
+            live = self.live_rows(df, wm, id_col, cols, keep_stamp=True)
+            if distinct:
+                live = live.dropDuplicates()
+            if shard_col is None:
+                full[name] = live
+            else:
+                shard_repl[name] = (
+                    live.withColumn(_SHARD, self.shard_of(F.col(shard_col))),
+                    list(range(self.n_shards)),
+                )
+        self.commit_delta(
+            None,  # out-of-band maintenance: the batch ledger is not a batch
+            full=full or None,
+            shard_replacements=shard_repl or None,
+            drop=["resent"],
+        )
         return True

@@ -705,3 +705,69 @@ def test_session_time_travel_matches_prefix_rebuild(spark, tmp_path):
         got = sorted(map(tuple, m.read_sessions(spark, as_of_gen=k).collect()))
         want = sorted(map(tuple, ref.read_sessions(spark).collect()))
         assert got == want, k
+
+
+def test_compact_resends_folds_state_and_truncates_log(spark, tmp_path):
+    """The generic compact_resends protocol: superseded stamped rows
+    leave both layout classes (unsharded full fold + all-shard
+    replacement), stamps survive, distinct collapses the lookup side,
+    the resent sub drops, and the whole fold is ONE generation flip.
+    No resent sub -> False, no commit."""
+    t = ManifestSwapTable(str(tmp_path / "t"), n_shards=4)
+    spark_df = lambda rows, ddl: spark.createDataFrame(rows, ddl)  # noqa: E731
+    # batch 0: ids 1..3; batch 1 re-sends id 2
+    rows0 = [(i, i * 10, 0) for i in (1, 2, 3)]
+    t.commit_delta(
+        0,
+        appends={"data": spark_df(rows0, "id long, v long, _b long")},
+        sharded_appends={
+            "look": spark_df(
+                [(i, 0) for i in (1, 2, 3)], "id long, _b long"
+            ).withColumn("_shard", t.shard_of(F.col("id")))
+        },
+    )
+    assert t.compact_resends(spark, "id", {}) is False  # nothing resent yet
+    t.commit_delta(
+        1,
+        appends={
+            "data": spark_df([(2, 99, 1)], "id long, v long, _b long"),
+            "resent": spark_df([(2, 1)], "id long, batch_id long"),
+        },
+        sharded_appends={
+            "look": spark_df([(2, 1)], "id long, _b long").withColumn(
+                "_shard", t.shard_of(F.col("id"))
+            )
+        },
+    )
+    wm = t.resend_watermarks(spark, "id")
+    live_before = sorted(
+        map(tuple, t.live_rows(t._read_sub(spark, "data"), wm, "id", ["id"]).collect())
+    )
+    assert live_before == [(1, 10), (2, 99), (3, 30)]
+    gen_before = t._manifest()["gen"]
+    assert (
+        t.compact_resends(
+            spark,
+            "id",
+            {"data": (["id"], None, False), "look": (["id"], "id", True)},
+        )
+        is True
+    )
+    m = t._manifest()
+    assert m["gen"] == gen_before + 1  # one atomic flip for everything
+    assert "resent" not in m["subs"]
+    # data physically folded: the stale (2, 20) row is gone from disk,
+    # stamps preserved, and live reads no longer need a watermark frame
+    raw = sorted(map(tuple, t._read_sub(spark, "data").collect()))
+    assert raw == [(1, 10, 0), (2, 99, 1), (3, 30, 0)]
+    assert t.resend_watermarks(spark, "id") is None
+    # the lookup side collapsed to one row per id... per distinct stamp
+    # row — (2,0) superseded by the live rule, then distinct
+    look = sorted(map(tuple, t._read_sub(spark, "look").collect()))
+    assert look == [(1, 0), (2, 1), (3, 0)]
+    # second call: nothing to fold
+    assert (
+        t.compact_resends(spark, "id", {"data": (["id"], None, False)}) is False
+    )
+    # the ledger was NOT touched by the out-of-band fold
+    assert t.applied_batches() == {0, 1}

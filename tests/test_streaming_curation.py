@@ -576,3 +576,243 @@ def test_streamed_semdedup_changed_artifacts_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no vectors ingested"):
         fresh.read_dropped(spark)
+
+
+def test_streamed_multiprobe_resend_cascade(spark, tmp_path):
+    """The multi-probe re-send cascade (round-12, verdict missing #4):
+    a re-sent vector with a NEW payload invalidates its own row,
+    re-witnesses or UNDROPS rows citing it, decrements its old cells'
+    occupancy per posting, and the streamed state equals
+    semantic_dedup_multiprobe over each id's LATEST payload."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(0.75)), (2, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.99, n_assign=2
+    )
+    rows0 = [(2, _unit(0.01)), (5, _unit(0.01)), (9, _unit(0.012))]
+    m.apply_batch(_vecs(spark, rows0), 0)
+    d0 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d0 == {5: 2, 9: 2}
+    # batch 1: id 2 re-sent FAR AWAY (different cells) — its witness
+    # citations cascade: 5 undrops (9 is not < 5), 9 re-witnesses to 5
+    m.apply_batch(_vecs(spark, [(2, _unit(1.49))]), 1)
+    d1 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    assert d1 == {9: 5}
+    latest1 = [(2, _unit(1.49)), (5, _unit(0.01)), (9, _unit(0.012))]
+    assert d1 == {
+        t[0]: t[1] for t in _batch_mp_action(spark, latest1, cent, tau=0.99)
+    }
+    # batch 2: id 9 re-sent NEXT TO id 2's new position
+    m.apply_batch(_vecs(spark, [(9, _unit(1.488))]), 2)
+    d2 = {r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()}
+    latest2 = [(2, _unit(1.49)), (5, _unit(0.01)), (9, _unit(1.488))]
+    assert d2 == {
+        t[0]: t[1] for t in _batch_mp_action(spark, latest2, cent, tau=0.99)
+    }
+    assert set(d2) == {9}
+    # kept = latest payloads minus dropped (one row per id, not posting)
+    kept = {
+        (r["vec_id"], tuple(r["embedding"])) for r in m.read_kept(spark).collect()
+    }
+    assert kept == {(i, tuple(v)) for i, v in latest2 if i != 9}
+    # occupancy == live postings: countDistinct ids per cell over the
+    # live member view (each id posts to n_assign cells)
+    occ = {
+        r["cid"]: r["n_exist"]
+        for r in m._read_sub(spark, "occupancy").collect()
+    }
+    live = {
+        r["cid"]: r["n"]
+        for r in m.read_members(spark)
+        .groupBy("cid")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == live
+    # the watermark log + replay idempotence
+    assert {
+        (r["vec_id"], r["batch_id"])
+        for r in m._read_sub(spark, "resent").collect()
+    } == {(2, 1), (9, 2)}
+    m.apply_batch(_vecs(spark, [(9, _unit(1.488))]), 2)
+    assert {
+        r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()
+    } == d2
+
+
+def test_streamed_multiprobe_resend_equals_batch_per_prefix(spark, tmp_path):
+    """Interleaved corrective re-sends across shuffled multi-probe
+    batches: after every batch the action table equals the batch
+    operator over each id's LATEST payload so far (q234's contract)."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    rows = _semdedup_fixture()
+    cent = [(0, _unit(0.0)), (1, _unit(0.75)), (2, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.999, n_assign=2
+    )
+    # ids 0..7 first arrive CORRUPTED (rotated toward the middle cell)
+    corrupted = [(i, _unit(0.8 + (i % 5) * 0.02)) for i in range(8)]
+    batches = [
+        corrupted + rows[8:16],  # 0: wrong payloads + clean middle
+        rows[16:24],             # 1: clean tail
+        rows[:8],                # 2: the corrective re-send
+    ]
+    latest: dict = {}
+    for b, batch in enumerate(batches):
+        for i, v in batch:
+            latest[i] = v
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_mp_action(
+            spark, [(i, v) for i, v in latest.items()], cent, tau=0.999
+        )
+        assert got == want, f"prefix {b}"
+    assert got  # non-vacuous after the corrective batch
+    # occupancy stayed consistent with the live posting view throughout
+    occ = {
+        r["cid"]: r["n_exist"]
+        for r in m._read_sub(spark, "occupancy").collect()
+    }
+    live = {
+        r["cid"]: r["n"]
+        for r in m.read_members(spark)
+        .groupBy("cid")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert occ == live
+
+
+def test_streamed_multiprobe_resend_with_crossing_same_batch(spark, tmp_path):
+    """A batch that both re-sends an id AND pushes cells over the cap:
+    the unified victim pool must handle the combination — here every
+    cell ends over-cap, so the action table retracts to exactly the
+    batch operator's (empty) result with the accounting rows present."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(0.6)), (2, _unit(1.3))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "cent"),
+        tau=0.75,
+        n_assign=2,
+        max_bucket=2,
+    )
+    # x posts {c0, c1}; y posts {c1, c2}; cos(x, y) >= tau via c1
+    x0, y = (1, _unit(0.15)), (5, _unit(0.80))
+    m.apply_batch(_vecs(spark, [x0, y]), 0)
+    assert {
+        r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()
+    } == {5: 1}
+    # batch 1: re-send x NEXT TO y (now posts {c1, c2}) and add z there:
+    # c1 held {x, y}, loses x, gains {x', z} -> 3 > 2 (crosses);
+    # c2 held {y}, gains {x', z} -> 3 > 2 (crosses); c0 empties.
+    m.apply_batch(_vecs(spark, [(1, _unit(0.80)), (7, _unit(0.82))]), 1)
+    latest = [(1, _unit(0.80)), (5, _unit(0.80)), (7, _unit(0.82))]
+    want = _batch_mp_action(spark, latest, cent, tau=0.75, max_bucket=2)
+    assert want == set()  # every shared cell over-cap: mines nothing
+    got = {tuple(r) for r in m.read_dropped(spark).collect()}
+    assert got == want
+    capped = sorted(
+        (r["cid"], r["bucket_size"]) for r in m.read_capped(spark).collect()
+    )
+    assert capped == [(1, 3), (2, 3)]
+    # occupancy: c0 vacated entirely, c1 and c2 at 3
+    occ = {
+        r["cid"]: r["n_exist"]
+        for r in m._read_sub(spark, "occupancy").collect()
+    }
+    assert occ == {1: 3, 2: 3}
+
+
+def test_bm25_compact_resends_read_equivalence(spark, tmp_path):
+    """compact_resends on the lexical index (round-12, verdict #1):
+    served BM25 identical before/after the fold, resent log truncated,
+    shard layouts preserved for pruned reads, contract still live."""
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"))
+    wrong = [(1, "corrupted corrupted corrupted", "en"), (3, "corrupted", "en")]
+    m.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] in (2, 4)]), 0)
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (5, 6, 7)]), 1)
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (1, 3)]), 2)
+    before = _scores_set(m.bm25(spark, TERMS))
+    assert before
+    assert m.compact_resends(spark) is True
+    assert _scores_set(m.bm25(spark, TERMS)) == before
+    assert m.read_resent(spark) is None
+    # superseded doclen rows physically gone: raw rows == live docs
+    assert m._read_sub(spark, "doclen").count() == len(ROWS)
+    assert "_b" in m._read_sub(spark, "doclen").columns  # stays contract-mode
+    # consts untouched by the fold
+    consts = m.read_consts(spark).collect()[0]
+    assert consts["n_docs"] == len(ROWS)
+    # no-op second call; a FURTHER re-send still supersedes
+    assert m.compact_resends(spark) is False
+    m.apply_batch(_docs(spark, [(1, "tgt gamma tgt", "en")]), 3)
+    latest = [(1, "tgt gamma tgt", "en")] + [r for r in ROWS if r[0] != 1]
+    assert _scores_set(m.bm25(spark, TERMS)) == _scores_set(
+        bm25_scores(_docs(spark, latest), TERMS)
+    )
+
+
+def test_semdedup_compact_resends_read_equivalence(spark, tmp_path):
+    """compact_resends on the SemDeDup maintainers (single + multi-
+    probe): dropped/kept identical before/after, resent log truncated,
+    stale member postings physically gone, contract still live."""
+    from beast_spark.streaming.semdedup import (
+        MultiProbeSemanticDedupMaintainer,
+        SemanticDedupMaintainer,
+    )
+
+    cent = [(0, _unit(0.0)), (1, _unit(0.75)), (2, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    for cls, name in (
+        (SemanticDedupMaintainer, "single"),
+        (MultiProbeSemanticDedupMaintainer, "multi"),
+    ):
+        kwargs = {} if cls is SemanticDedupMaintainer else {"n_assign": 2}
+        m = cls(
+            str(tmp_path / f"state_{name}"),
+            str(tmp_path / "cent"),
+            tau=0.99,
+            **kwargs,
+        )
+        rows0 = [(2, _unit(0.01)), (5, _unit(0.01)), (9, _unit(0.012))]
+        m.apply_batch(_vecs(spark, rows0), 0)
+        m.apply_batch(_vecs(spark, [(2, _unit(1.49))]), 1)  # re-send far away
+        before_dropped = {tuple(r) for r in m.read_dropped(spark).collect()}
+        before_kept = {
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in m.read_kept(spark).collect()
+        }
+        assert m.compact_resends(spark) is True, name
+        assert {
+            tuple(r) for r in m.read_dropped(spark).collect()
+        } == before_dropped, name
+        assert {
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in m.read_kept(spark).collect()
+        } == before_kept, name
+        assert m._read_sub(spark, "resent") is None, name
+        # one live posting set per id: 3 ids × n_assign cells
+        n_assign = getattr(m, "n_assign", 1)
+        assert m._read_sub(spark, "members").count() == 3 * n_assign, name
+        assert "_b" in m._read_sub(spark, "members").columns, name
+        assert m.compact_resends(spark) is False, name
+        # a FURTHER re-send after the fold still cascades
+        m.apply_batch(_vecs(spark, [(9, _unit(1.488))]), 2)
+        assert {
+            (r["vec_id"], r["batch_id"])
+            for r in m._read_sub(spark, "resent").collect()
+        } == {(9, 2)}, name
+        got = {
+            r["vec_id"]: r["replaced_by"]
+            for r in m.read_dropped(spark).collect()
+        }
+        assert got == {9: 2}, name

@@ -289,3 +289,80 @@ def test_streamed_neardup_resend_under_cap_no_backfill(spark, tmp_path):
         (0, 3),
         (2, 3),
     }
+
+
+def test_neardup_compact_resends_read_equivalence(spark, tmp_path):
+    """compact_resends (round-12, verdict #1): after a corrupted-then-
+    corrected choreography, folding the re-send state must (a) leave
+    every live view bit-identical, (b) truncate the resent log so
+    reads stop paying the watermark join, (c) shrink on-disk bytes,
+    and (d) keep the contract live for FURTHER re-sends."""
+    from beast_spark.operators.similarity import lsh_multitable_neardup_pairs
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>"
+    thr = 0.9
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    true_rows = [(i, vec(i)) for i in range(30)]
+    wrong = [(i, list(reversed(vec(i)))) for i in range(10)]
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=thr, n_planes=4, n_tables=8
+    )
+    m.apply_batch(spark.createDataFrame(wrong + true_rows[10:20], ddl), 0)
+    m.apply_batch(spark.createDataFrame(true_rows[20:], ddl), 1)
+    m.apply_batch(spark.createDataFrame(true_rows[:10], ddl), 2)
+
+    before_pairs = {tuple(r) for r in m.read_pairs(spark).collect()}
+    before_vecs = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    before_post = {tuple(r) for r in m.read_postings(spark).collect()}
+    before_occ = {tuple(r) for r in m.read_occupancy(spark).collect()}
+
+    def _bytes(path):
+        total = 0
+        for root, _d, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    bytes_before = _bytes(str(tmp_path / "state"))
+    assert m.compact_resends(spark) is True
+    # live views identical, watermark log gone, dead bytes gone
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == before_pairs
+    assert {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    } == before_vecs
+    assert {tuple(r) for r in m.read_postings(spark).collect()} == before_post
+    assert {tuple(r) for r in m.read_occupancy(spark).collect()} == before_occ
+    assert m.read_resent(spark) is None
+    assert _bytes(str(tmp_path / "state")) < bytes_before
+    # stamps preserved: the raw sub still carries _b (contract-mode dir)
+    assert "_b" in m._read_sub(spark, "vectors").columns
+    # the id-lookup side collapsed to one row per ever-seen id
+    ids = m._read_sub(spark, "ids")
+    assert ids.count() == ids.select("vec_id").distinct().count() == 30
+    # idempotent / no-op second call
+    assert m.compact_resends(spark) is False
+    # a FURTHER re-send after compaction still supersedes correctly
+    moved = [(3, vec(97)), (31, vec(31))]
+    m.apply_batch(spark.createDataFrame(moved, ddl), 3)
+    latest = {i: v for i, v in true_rows}
+    latest.update({i: v for i, v in moved})
+    want = {
+        tuple(r)
+        for r in lsh_multitable_neardup_pairs(
+            spark.createDataFrame(sorted(latest.items()), ddl),
+            dims=8,
+            threshold=thr,
+            tables=m.tables,
+        ).collect()
+    }
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == want
+    assert {
+        (r["vec_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
+    } == {(3, 3)}
