@@ -307,6 +307,60 @@ def main() -> None:
             state_mb=round(total0 / 1e6, 2),
             commit_frac=round(new_bytes / max(total0, 1), 4),
         )
+
+        # 6b) re-send cascade + compaction at scale (round-11 verdict
+        # #5/#1): ~1% of the corpus re-sent with NEW text — detection is
+        # an id-sharded doclen lookup, the consts correct in the same
+        # commit, so absorb cost must be O(victims), not O(corpus) —
+        # then compact_resends folds the superseded rows and the
+        # watermark log out, and the fold's byte/leaf reduction is the
+        # recorded evidence the read tax is gone.
+        resent = docs.filter(F.col("doc_id") % 100 == 7).select(
+            "doc_id", F.concat(F.lit("resent "), F.col("text")).alias("text")
+        )
+        n_resent = resent.count()
+        before = _files(f"{tmp}/state")
+        t0 = time.perf_counter()
+        m.apply_batch(resent, 2)
+        t_rs = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        bytes_pre = sum(after.values())
+        leaves_pre = sum(
+            len(m.sub_leaves(s)) for s in ("postings", "doclen", "resent")
+        )
+        t0 = time.perf_counter()
+        assert m.compact_resends(spark)
+        t_c = time.perf_counter() - t0
+        assert m.read_resent(spark) is None  # the read tax is GONE
+        bytes_post = sum(_files(f"{tmp}/state").values())
+        leaves_post = sum(
+            len(m.sub_leaves(s)) for s in ("postings", "doclen", "resent")
+        )
+        t0 = time.perf_counter()
+        nres2 = m.bm25(spark, ["dup", "spark", "window"]).count()
+        t_s2 = time.perf_counter() - t0
+        print(
+            f"lexical_resend: {t_rs:.1f}s to cascade {n_resent} re-sent "
+            f"docs ({rs_bytes / 1e6:.1f} MB commit); compact_resends "
+            f"{t_c:.1f}s, state {bytes_pre / 1e6:.1f} -> "
+            f"{bytes_post / 1e6:.1f} MB, leaves {leaves_pre} -> "
+            f"{leaves_post}; post-fold serve {t_s2:.1f}s ({nres2} docs, "
+            f"no watermark join)"
+        )
+        _rec(
+            "streamed_lexical_resend",
+            n_resent=n_resent,
+            cascade_absorb_seconds=t_rs,
+            cascade_commit_mb=round(rs_bytes / 1e6, 2),
+            compact_seconds=t_c,
+            state_mb_before=round(bytes_pre / 1e6, 2),
+            state_mb_after=round(bytes_post / 1e6, 2),
+            leaves_before=leaves_pre,
+            leaves_after=leaves_post,
+            postfold_serve_seconds=t_s2,
+            watermark_join_after_fold=False,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -344,6 +398,45 @@ def main() -> None:
             commit_mb=round(new_bytes / 1e6, 2),
             state_mb=round(total0 / 1e6, 2),
             commit_frac=round(new_bytes / max(total0, 1), 4),
+        )
+
+        # 7b) re-send cascade + compaction at scale: ~1% of the corpus
+        # re-sent with a NEW payload (reversed vector — different cells).
+        # The cascade recomputes the victims from their cells' live
+        # residents; the bound is victims × their cells' occupancy, and
+        # the recorded seconds/bytes pin it. Then compact_resends folds
+        # the superseded member rows + watermark log out.
+        resent = big.filter(F.col("vec_id") % 100 == 7).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        n_resent = resent.count()
+        before = _files(f"{tmp}/state")
+        t0 = time.perf_counter()
+        m.apply_batch(resent, 2)
+        t_rs = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        bytes_pre = sum(after.values())
+        t0 = time.perf_counter()
+        assert m.compact_resends(spark)
+        t_c = time.perf_counter() - t0
+        assert m._read_sub(spark, "resent") is None  # read tax gone
+        bytes_post = sum(_files(f"{tmp}/state").values())
+        print(
+            f"semdedup_resend: {t_rs:.1f}s to cascade {n_resent} re-sent "
+            f"vectors ({rs_bytes / 1e6:.1f} MB commit); compact_resends "
+            f"{t_c:.1f}s, state {bytes_pre / 1e6:.1f} -> "
+            f"{bytes_post / 1e6:.1f} MB"
+        )
+        _rec(
+            "streamed_semdedup_resend",
+            n_resent=n_resent,
+            cascade_absorb_seconds=t_rs,
+            cascade_commit_mb=round(rs_bytes / 1e6, 2),
+            compact_seconds=t_c,
+            state_mb_before=round(bytes_pre / 1e6, 2),
+            state_mb_after=round(bytes_post / 1e6, 2),
+            watermark_join_after_fold=False,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -383,6 +476,70 @@ def main() -> None:
             n_scored=nscored,
             commit_kb=round(new_bytes / 1e3, 1),
             state_kb=round(total0 / 1e3, 1),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 9) streamed near-dup re-send cascade at 100k: bulk-load the full
+    # corpus through the maintainer, re-send ~1% with a perturbed
+    # payload, record cascade absorb seconds + commit bytes (the bound
+    # is O(victims + touched buckets), never O(corpus)), then fold the
+    # superseded rows out with compact_resends. A slimmer 8×8 table
+    # config keeps the probe's wall bounded — the leg measures the
+    # CASCADE's cost shape, not recall (leg 3 measures the production
+    # 75×8 probe).
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    tmp = tempfile.mkdtemp(prefix="scale_nd_")
+    try:
+        m = EmbeddingNearDupMaintainer(
+            f"{tmp}/state", dims=64, threshold=0.8, n_planes=8, n_tables=8
+        )
+        t0 = time.perf_counter()
+        m.apply_batch(big, 0)  # bulk load
+        t_bulk = time.perf_counter() - t0
+        before = _files(f"{tmp}/state")
+        total0 = sum(before.values())
+        resent = big.filter(F.col("vec_id") % 100 == 7).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        n_resent = resent.count()
+        t0 = time.perf_counter()
+        m.apply_batch(resent, 1)
+        t_rs = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        bytes_pre = sum(after.values())
+        t0 = time.perf_counter()
+        assert m.compact_resends(spark)
+        t_c = time.perf_counter() - t0
+        assert m.read_resent(spark) is None  # read tax gone
+        bytes_post = sum(_files(f"{tmp}/state").values())
+        t0 = time.perf_counter()
+        npairs = m.read_pairs(spark).count()
+        t_read = time.perf_counter() - t0
+        print(
+            f"neardup_resend: bulk {t_bulk:.1f}s for {n} vectors (8x8); "
+            f"{t_rs:.1f}s to cascade {n_resent} re-sent vectors "
+            f"({rs_bytes / 1e6:.1f} MB commit vs {total0 / 1e6:.1f} MB "
+            f"state); compact_resends {t_c:.1f}s, state "
+            f"{bytes_pre / 1e6:.1f} -> {bytes_post / 1e6:.1f} MB; "
+            f"post-fold pair read {t_read:.1f}s ({npairs} live pairs, "
+            f"no watermark join)"
+        )
+        _rec(
+            "streamed_neardup_resend",
+            bulk_seconds=t_bulk,
+            n_resent=n_resent,
+            cascade_absorb_seconds=t_rs,
+            cascade_commit_mb=round(rs_bytes / 1e6, 2),
+            cascade_commit_frac=round(rs_bytes / max(total0, 1), 4),
+            compact_seconds=t_c,
+            state_mb_before=round(bytes_pre / 1e6, 2),
+            state_mb_after=round(bytes_post / 1e6, 2),
+            postfold_pair_read_seconds=t_read,
+            n_live_pairs=npairs,
+            watermark_join_after_fold=False,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
