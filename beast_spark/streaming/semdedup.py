@@ -53,7 +53,11 @@ over-cap cell (``capped_bucket_pairs`` anti-joins the whole cell out),
 so the batch in which a cell CROSSES the cap also RETRACTS the rows
 that cell mined while under it — a rare O(action-table) rewrite of the
 victims' shards that keeps streamed == batch exact through the
-crossing.
+crossing. The INVERSE crossing (round-12) holds too: a re-send
+decrement that brings a previously-over cell back UNDER the cap makes
+that cell's live residents victims, so their retracted pairs re-mine
+through the same recompute — the corner the neardup maintainer
+documents out as no-backfill is exact here, in both cap directions.
 """
 
 from __future__ import annotations
@@ -291,6 +295,20 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             # an over-cap cell (capped_bucket_pairs anti-joins it out
             # entirely), and streamed == batch is the q224 contract
             newly_over = sorted(set(over_rows) - stored_over)
+            # ...and the INVERSE crossing (round-12): a re-send decrement
+            # can bring a previously-over cell back UNDER the cap, where
+            # the batch operator mines ALL its pairs again — but the
+            # crossing batch retracted them and nothing re-mines stored
+            # residents. Recovered cells' live members join the victim
+            # recompute below (bounded: ≤ max_bucket members per cell,
+            # resend path only), keeping streamed == batch exact through
+            # BOTH cap directions — the corner the neardup maintainer
+            # documents out as no-backfill.
+            recovered = (
+                sorted(stored_over - set(over_rows))
+                if resent_cells is not None
+                else []
+            )
             # accounting: one row per (capped cell, batch that TOUCHED
             # it) — the EmbeddingNearDupMaintainer discipline; untouched
             # over-cap cells do not re-report every trigger
@@ -425,6 +443,33 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                             F.broadcast(resent_dup), "dup_id", "left_anti"
                         )
                     ).dropDuplicates(["dup_id"])
+                if recovered:
+                    # inverse cap crossing: every live resident of a cell
+                    # the decrement brought back under the cap is a
+                    # victim — its retracted within-cell pairs re-mine
+                    # (single assignment: those are its ONLY pairs, so
+                    # the wholesale replace is pure addition)
+                    rec_mem = self.live_rows(
+                        self._read_sub(
+                            spark,
+                            "members",
+                            shards=self.touched_shards(
+                                spark.createDataFrame(
+                                    [(c,) for c in recovered], "cid long"
+                                ),
+                                "cid",
+                            ),
+                        ),
+                        wm,
+                        self.id_col,
+                        [self.id_col],
+                    )
+                    if rec_mem is not None:
+                        vcells = vcells.unionByName(
+                            rec_mem.filter(F.col("cid").isin(recovered))
+                            .select(F.col(self.id_col).alias("dup_id"), "cid")
+                            .join(F.broadcast(resent_dup), "dup_id", "left_anti")
+                        ).dropDuplicates(["dup_id"])
                 rs_vic_all = vcells.select("dup_id").persist()
                 # over-cap cells mine nothing — victims there get no row
                 # (their old rows still leave via the wholesale replace)
@@ -987,6 +1032,14 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
                 set(over_rows)
                 & {r["cid"] for r in inc_occ.select("cid").collect()}
             )
+            # inverse cap crossing (round-12, the parent's rule): a cell
+            # the decrement brought back under the cap re-mines — every
+            # id posting to it joins the victim recompute
+            recovered = (
+                sorted(stored_over - set(over_rows))
+                if resent_posts is not None
+                else []
+            )
             gate = F.broadcast(over.select("cid"))
             g_inc = inc.join(gate, "cid", "left_anti")
             legs = [self._pair_leg(g_inc, g_inc)]
@@ -1021,14 +1074,15 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             if newly_over or resent_posts is not None:
                 over_list = sorted(over_rows)  # ALL over-cap cells, old + new
                 vec_parts = []
-                if newly_over:
-                    # ids posting to a crossing cell: stored live rows
-                    # (minus this batch's re-sent — their stored payload
-                    # is superseded) + the increment's own postings there
-                    stored_x = self._stored_posts(
-                        spark, list(newly_over), wm, resent_ids
-                    )
-                    x_posts = inc.filter(F.col("cid").isin(newly_over))
+                # ids posting to a crossing cell (their mined rows
+                # retract) OR to a recovered cell (their retracted rows
+                # re-mine): stored live rows (minus this batch's re-sent
+                # — their stored payload is superseded) + the
+                # increment's own postings there
+                x_cells = list(newly_over) + recovered
+                if x_cells:
+                    stored_x = self._stored_posts(spark, x_cells, wm, resent_ids)
+                    x_posts = inc.filter(F.col("cid").isin(x_cells))
                     if stored_x is not None:
                         x_posts = x_posts.unionByName(stored_x)
                     vec_parts.append(x_posts.select(self.id_col, self.vec_col))

@@ -816,3 +816,76 @@ def test_semdedup_compact_resends_read_equivalence(spark, tmp_path):
             for r in m.read_dropped(spark).collect()
         }
         assert got == {9: 2}, name
+
+
+def test_streamed_semdedup_resend_recovers_capped_cell(spark, tmp_path):
+    """The INVERSE cap crossing (round-12): a re-send decrement brings a
+    previously-over cell back UNDER the cap — its live residents'
+    retracted pairs must RE-MINE, so streamed == batch holds in both
+    cap directions (the corner neardup documents out as no-backfill)."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9, max_bucket=3
+    )
+    v = {i: _unit(0.01 * i) for i in (1, 2, 3, 4)}
+    m.apply_batch(_vecs(spark, [(i, v[i]) for i in (1, 2, 3)]), 0)  # at cap
+    assert {
+        r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()
+    } == {2: 1, 3: 1}
+    m.apply_batch(_vecs(spark, [(4, v[4])]), 1)  # crosses: retract all
+    assert m.read_dropped(spark).count() == 0
+    # re-send 3 and 4 FAR AWAY: cell 0 decrements 4 -> 2 (recovered),
+    # cell 1 gains the similar pair (3, 4)
+    moved = [(3, _unit(1.49)), (4, _unit(1.5))]
+    m.apply_batch(_vecs(spark, moved), 2)
+    latest = [(1, v[1]), (2, v[2])] + moved
+    want = _batch_action(spark, latest, cent, tau=0.9, max_bucket=3)
+    got = {tuple(r) for r in m.read_dropped(spark).collect()}
+    assert got == want
+    # non-vacuous: the recovered cell's pair re-mined AND the new cell's
+    assert {t[0]: t[2] for t in want} == {2: 1, 4: 3}
+    # occupancy consistent with the live member view
+    occ = {
+        r["cid"]: r["n_exist"]
+        for r in m._read_sub(spark, "occupancy").collect()
+    }
+    assert occ == {0: 2, 1: 2}
+
+
+def test_streamed_multiprobe_resend_recovers_capped_cell(spark, tmp_path):
+    """The inverse cap crossing on the multi-probe maintainer: the
+    re-send moves an id's postings off the crossed cell, the cell
+    recovers, and its residents' only-shared-cell pair re-mines."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(0.6)), (2, _unit(1.3)), (3, _unit(2.6))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "cent"),
+        tau=0.75,
+        n_assign=2,
+        max_bucket=2,
+    )
+    # x posts {c0,c1}; y posts {c1,c2}; shared c1 at cap mines 5<-1
+    m.apply_batch(_vecs(spark, [(1, _unit(0.15)), (5, _unit(0.80))]), 0)
+    assert {
+        r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()
+    } == {5: 1}
+    # z posts {c1,c2}: c1 crosses (3 > 2) -> (5<-1) retracted; c2 at cap
+    # mines 7<-5
+    m.apply_batch(_vecs(spark, [(7, _unit(0.82))]), 1)
+    assert {
+        r["vec_id"]: r["replaced_by"] for r in m.read_dropped(spark).collect()
+    } == {7: 5}
+    # re-send 7 far away (posts {c2,c3}): c1 decrements to 2 (recovered)
+    # -> its residents re-mine and (5<-1) REAPPEARS; 7's old pair dies
+    m.apply_batch(_vecs(spark, [(7, _unit(2.0))]), 2)
+    latest = [(1, _unit(0.15)), (5, _unit(0.80)), (7, _unit(2.0))]
+    want = _batch_mp_action(spark, latest, cent, tau=0.75, max_bucket=2)
+    got = {tuple(r) for r in m.read_dropped(spark).collect()}
+    assert got == want
+    assert {t[0]: t[1] for t in want} == {5: 1}
