@@ -37,13 +37,22 @@ def pin_scratch(df: DataFrame) -> DataFrame:
 def release_scratch_caches() -> int:
     """Unpersist every registered scratch frame; returns how many were
     released. Call after the actions consuming operator results — e.g.
-    once per ingest batch, or per query in a serving loop."""
-    n = 0
+    once per ingest batch, or per query in a serving loop. A frame
+    whose unpersist fails TRANSIENTLY stays registered for the next
+    call (dropping its only handle would reinstate the unbounded-cache
+    leak this registry exists to fix); a stopped session drops
+    everything — the JVM-side cache died with it."""
+    released, kept = 0, []
     for df in _SCRATCH:
         try:
             df.unpersist()
-            n += 1
+            released += 1
         except Exception:
-            pass  # session already stopped: nothing left to release
-    _SCRATCH.clear()
-    return n
+            try:
+                stopped = df.sparkSession._sc._jsc is None
+            except Exception:
+                stopped = True
+            if not stopped:
+                kept.append(df)  # transient failure: retry next call
+    _SCRATCH[:] = kept
+    return released

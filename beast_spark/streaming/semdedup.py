@@ -448,7 +448,11 @@ class SemanticDedupMaintainer(ManifestSwapTable):
                     # the decrement brought back under the cap is a
                     # victim — its retracted within-cell pairs re-mine
                     # (single assignment: those are its ONLY pairs, so
-                    # the wholesale replace is pure addition)
+                    # the wholesale replace is pure addition). This read
+                    # overlaps the victim pool read below, but column
+                    # pruning keeps it slim — only (cid, id, _b) leave
+                    # the scan, never the vectors — and it runs on the
+                    # rare recovered-cell path only.
                     rec_mem = self.live_rows(
                         self._read_sub(
                             spark,

@@ -62,6 +62,12 @@ def _close_args() -> tuple[str, str]:
             ["git", "log", "-n1", "--format=%H", "--", f"BENCH_r{n}.json"],
             cwd=root, text=True,
         ).strip()
+        if not commit:
+            # the newest wrapper is on disk but never committed (the
+            # driver wrote it moments ago): `git show :BENCH_LOCAL.json`
+            # would silently diff against the INDEX copy — a near-self
+            # diff that passes vacuously. Fall back to the wrapper.
+            raise FileNotFoundError(f"BENCH_r{n}.json not committed yet")
         blob = subprocess.check_output(
             ["git", "show", f"{commit}:BENCH_LOCAL.json"], cwd=root, text=True
         )
