@@ -5677,6 +5677,63 @@ def q178_streaming_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q239_ivf_resend_search",
+    oracle=_STREAM_IVF_ORACLE,
+    doc="The CROSS-BATCH RE-SEND contract on the streamed IVF index "
+    "(round-12 — the one index maintainer that previously REJECTED "
+    "re-sent ids): vectors with id % 10 == 0 first arrive CORRUPTED "
+    "(reversed embedding — wrong cells, wrong candidates), later "
+    "batches add the rest, a final corrective batch re-sends the true "
+    "embeddings. Supersede-on-read (batch-stamped assigned/vectors "
+    "rows + the id-keyed resent watermark log — the family contract; "
+    "no cascade needed, the IVF index derives no pair state) must make "
+    "the search equal q178's batch oracle over each id's LATEST "
+    "payload — shared VERBATIM. The query then runs compact_resends "
+    "and asserts the post-fold search is IDENTICAL with the watermark "
+    "log gone, so the returned frame gates both the read contract and "
+    "the physical fold.",
+    bench=False,
+    bench_reason="maintainer composition; the probe/search plan is benched as q174/q176's batch forms",
+)
+def q239_ivf_resend_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q239_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(f"{base}/state", f"{base}/centroids")
+    wrong = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(wrong.unionByName(e.filter(F.col("vec_id") % 10 == 1)), 0)
+    m.apply_batch(
+        e.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 1)), 1
+    )
+    # the corrective re-send: true payloads for the corrupted ids
+    m.apply_batch(e.filter(F.col("vec_id") % 10 == 0), 2)
+    qs = e.filter(F.col("vec_id") < 20)
+
+    def _run():
+        return (
+            m.search(spark, qs, nprobe=2, k=10)
+            .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank")
+        )
+
+    pre = sorted(map(tuple, _run().collect()))  # bounded: Q x k rows
+    if not m.compact_resends(spark):
+        raise ValueError("q239: choreography logged no re-sends to compact")
+    if m.read_resent(spark) is not None:
+        raise ValueError("q239: resent watermark log survived the fold")
+    post = _run()
+    if sorted(map(tuple, post.collect())) != pre:
+        raise ValueError("q239: search changed across compact_resends")
+    return post
+
+
 _STREAM_IVF_INT8_ORACLE = (
     _STREAM_IVF_BASE
     + ",\n    "

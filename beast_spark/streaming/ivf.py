@@ -60,9 +60,25 @@ below the join — plan-asserted), exact scoring of candidates, or,
 with codes, the int8 shortlist → exact re-rank composition whose
 measured recall q176 hash-checks.
 
-An ingested id is append-only (a re-sent vector would duplicate
-postings and silently double-count candidates); duplicates raise, the
-``streaming/decontam.py`` guard pattern.
+Cross-batch re-sends (round-12) follow the family contract
+(``ManifestSwapTable.resend_watermarks``/``live_rows``, the
+neardup/lexical/semdedup mechanism): every appended
+assigned/vectors/codes/pq row carries the batch stamp ``_b``, a
+re-sent id logs an (id, batch_id) watermark row, and every read —
+search candidates, re-rank vectors, int8/PQ codes, the dup-guard
+probe itself — serves only live rows. No cascade is needed: the IVF
+index derives no pair/action state, so supersede-on-read alone makes
+search == batch rebuild over each id's LATEST payload (q239 gates it,
+sharing q178's oracle). ``on_resend="reject"`` keeps the previous
+fail-fast policy (the ``streaming/decontam.py`` guard pattern) for
+pipelines where a duplicate id is a bug, and is always in force on
+pre-round-12 (unstamped) state dirs, where stamping new fragments
+would fork the sub-table schema. Intra-batch duplicates raise under
+either policy — two payloads for one id in one batch is ambiguous.
+:meth:`rebuild` folds re-send state out (it re-derives from live
+vectors and drops the watermark log — stamped at the ledger's newest
+batch so future re-sends still supersede); :meth:`compact_resends`
+does the same without retraining.
 """
 
 from __future__ import annotations
@@ -106,6 +122,8 @@ class IvfIndexMaintainer(ManifestSwapTable):
         vec_col: str = "embedding",
         fingerprint=None,
         gc_grace_gens: int = 0,
+        on_resend: str = "supersede",
+        resend_gc_rows: int | None = None,
     ) -> None:
         ManifestSwapTable.__init__(self, path, gc_grace_gens=gc_grace_gens)
         self.centroids_path = centroids_path
@@ -118,21 +136,67 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # (and RAISES on non-walkable URIs); on object storage inject a
         # callable returning e.g. a listing of (key, size, etag)
         self.fingerprint = fingerprint or artifact_fingerprint
+        if on_resend not in ("supersede", "reject"):
+            raise ValueError(
+                f"IvfIndexMaintainer: on_resend={on_resend!r} — expected "
+                "'supersede' (the family re-send contract) or 'reject' "
+                "(fail-fast append-only guard)."
+            )
+        self.on_resend = on_resend
+        #: threshold-driven re-send GC (ManifestSwapTable.
+        #: maybe_compact_resends); None = manual compact_resends() only
+        self.resend_gc_rows = resend_gc_rows
 
     # -- reads ------------------------------------------------------------
 
+    def _legacy(self, spark: SparkSession) -> bool:
+        """Pre-round-12 state dir: fragments carry no batch stamp, so
+        the re-send contract cannot apply (stamping new fragments into
+        an unstamped sub forks its schema — the family rule)."""
+        if not self.sub_leaves("vectors"):
+            return False  # fresh dir: contract-capable from batch 0
+        return "_b" not in self._read_sub(spark, "vectors").columns
+
+    def _wm(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self.resend_watermarks(spark, self.id_col, as_of_gen=as_of_gen)
+
+    def _live_sub(
+        self,
+        spark: SparkSession,
+        name: str,
+        shards: list[int] | None = None,
+        as_of_gen: int | None = None,
+        wm: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """A sub-table's live rows: the stored read with superseded
+        (pre-watermark) rows dropped — the one read path every consumer
+        (search, guard probe, rebuild) shares. Pass ``wm`` when the
+        caller already loaded it (one watermark build per batch/search,
+        not one per sub-table)."""
+        df = self._read_sub(spark, name, shards=shards, as_of_gen=as_of_gen)
+        if df is None or "_b" not in df.columns:
+            return df  # legacy/fresh: no stamps, no contract
+        if wm is None:
+            wm = self._wm(spark, as_of_gen=as_of_gen)
+        return self.live_rows(df, wm, self.id_col, [self.id_col])
 
     def read_assigned(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "assigned")
+        return self._live_sub(spark, "assigned")
 
     def read_vectors(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "vectors")
+        return self._live_sub(spark, "vectors")
 
     def read_codes(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "codes")
+        return self._live_sub(spark, "codes")
 
     def read_pq(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "pq")
+        return self._live_sub(spark, "pq")
+
+    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+        """(id, batch_id) re-send log — None until an id is re-sent."""
+        return self._read_sub(spark, "resent")
 
     def _centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)
@@ -211,71 +275,111 @@ class IvfIndexMaintainer(ManifestSwapTable):
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
         )
 
-        # append-only guard: intra-batch duplicate or already-ingested
-        # id. The already-ingested probe reads ONLY the vector shards
-        # the batch's ids hash into (the vectors sub-table is id-hash
-        # sharded) — for a steady-state micro-batch that is
-        # min(|batch|, n_shards)/n_shards of the id index, not a full
-        # index scan per trigger. The shard list is O(n_shards) driver
-        # scalars, the corpus-v3 probe pattern.
+        # intra-batch duplicates raise under EITHER re-send policy: two
+        # payloads for one id in one batch is ambiguous, never a retry
         dup = (
             inc.groupBy(self.id_col)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
             .select(self.id_col)
         )
-        if not fresh:
-            seen = self._read_sub(
-                spark, "vectors", shards=self.touched_shards(inc, self.id_col)
-            )
-            if seen is not None:
-                dup = dup.unionByName(
-                    inc.select(self.id_col).join(seen, self.id_col, "left_semi")
-                )
         if dup.limit(1).count():
             raise ValueError(
-                "IvfIndexMaintainer: duplicate vector id(s) — the embedding "
-                "stream is append-only (a re-sent id would duplicate index "
-                "postings). Rebuild the state from the corrected stream."
+                "IvfIndexMaintainer: intra-batch duplicate vector id(s) — "
+                "two payloads for one id in one micro-batch is ambiguous. "
+                "Deduplicate the batch upstream."
             )
+        # cross-batch re-sends: the already-ingested probe reads ONLY
+        # the LIVE vector rows of the shards the batch's ids hash into
+        # (the vectors sub-table is id-hash sharded) — for a
+        # steady-state micro-batch that is min(|batch|, n_shards)/
+        # n_shards of the id index, not a full index scan per trigger.
+        # Policy: 'supersede' (default) logs the watermark row and every
+        # read drops the stale rows; 'reject' — and any pre-contract
+        # unstamped dir — keeps the fail-fast append-only guard.
+        legacy = not fresh and self._legacy(spark)
+        wm = None if legacy else self._wm(spark)
+        resent_ids = None
+        if not fresh:
+            seen = self._live_sub(
+                spark,
+                "vectors",
+                shards=self.touched_shards(inc, self.id_col),
+                wm=wm,
+            )
+            if seen is not None:
+                hit = inc.select(self.id_col).join(
+                    seen, self.id_col, "left_semi"
+                )
+                if self.on_resend == "reject" or legacy:
+                    if hit.limit(1).count():
+                        raise ValueError(
+                            "IvfIndexMaintainer: re-sent vector id(s) — this "
+                            "maintainer is append-only (on_resend='reject', "
+                            "or a pre-contract unstamped state dir). Rebuild "
+                            "the state from the corrected stream, or open a "
+                            "contract-mode dir with on_resend='supersede'."
+                        )
+                else:
+                    hit = hit.persist()
+                    if hit.isEmpty():
+                        hit.unpersist()
+                    else:
+                        resent_ids = hit
 
         # every sub-table is append-only under frozen artifacts, so the
         # commit is one new fragment per sub holding ONLY this batch's
         # rows — bytes written O(batch), the whole point of the
-        # manifest protocol
+        # manifest protocol. Contract-mode fragments carry the batch
+        # stamp the supersede-on-read filter keys on.
+        stamp = None if legacy else F.lit(batch_id).cast("long")
+
+        def _stamped(df: DataFrame) -> DataFrame:
+            return df if stamp is None else df.withColumn("_b", stamp)
+
         appends = {}
         sharded = {
             # assigned is sharded by the cell id: a search's posting
             # read prunes to the probed cells' shards — the classic
             # IVF posting-list read, at fragment granularity
-            "assigned": ivf_assign(
-                inc, self._centroids(spark), self.id_col, self.vec_col
-            )
-            .select(self.id_col, "cid")
-            .withColumn("_shard", self.shard_of(F.col("cid"))),
-            # vectors by id: the append-only guard's pruned probe
-            "vectors": inc.withColumn(
+            "assigned": _stamped(
+                ivf_assign(
+                    inc, self._centroids(spark), self.id_col, self.vec_col
+                ).select(self.id_col, "cid")
+            ).withColumn("_shard", self.shard_of(F.col("cid"))),
+            # vectors by id: the re-send/dup probe's pruned read
+            "vectors": _stamped(inc).withColumn(
                 "_shard", self.shard_of(F.col(self.id_col))
             ),
         }
         if self.codebook_path is not None:
             codebook = spark.read.parquet(self.codebook_path)
-            appends["codes"] = quantize_codes(
-                inc, codebook, self.id_col, self.vec_col
+            appends["codes"] = _stamped(
+                quantize_codes(inc, codebook, self.id_col, self.vec_col)
             )
         if self.pq_codebooks_path is not None:
             pq_cb = spark.read.parquet(self.pq_codebooks_path)
-            appends["pq"] = pq_codes(
-                inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
+            appends["pq"] = _stamped(
+                pq_codes(
+                    inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
+                )
             )
-        # the marker rides in the manifest: first commit installs it
-        # atomically with the state, later commits carry it forward
-        self.commit_delta(
-            batch_id,
-            appends=appends,
-            sharded_appends=sharded,
-            user_meta=meta if fresh else None,
-        )
+        if resent_ids is not None:
+            appends["resent"] = resent_ids.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+        try:
+            # the marker rides in the manifest: first commit installs it
+            # atomically with the state, later commits carry it forward
+            self.commit_delta(
+                batch_id,
+                appends=appends,
+                sharded_appends=sharded,
+                user_meta=meta if fresh else None,
+            )
+        finally:
+            if resent_ids is not None:
+                resent_ids.unpersist()
         # amortized fold of the per-batch append fragments (see
         # ManifestSwapTable.maybe_compact); a crash between the commit
         # above and a fold loses only the fold
@@ -283,6 +387,10 @@ class IvfIndexMaintainer(ManifestSwapTable):
         self.maybe_compact(spark, "vectors", shard_col=self.id_col)
         self.maybe_compact(spark, "codes")
         self.maybe_compact(spark, "pq")
+        self.maybe_compact(spark, "resent")
+        # self-driving re-send GC: probe only on the rare re-send path
+        if resent_ids is not None and self.resend_gc_rows is not None:
+            self.maybe_compact_resends(spark, self.resend_gc_rows)
 
     # -- search over the maintained index --------------------------------
 
@@ -332,6 +440,10 @@ class IvfIndexMaintainer(ManifestSwapTable):
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
         stored = None if as_of_gen is None else self.user_meta_as_of(as_of_gen)
         self._validate_meta(self._meta(), stored=stored)
+        # one watermark build per search, shared by every sub-table read
+        # (live filtering: a re-sent id's stale postings must not surface
+        # as candidates — they'd double-count and score the old payload)
+        wm = self._wm(spark, as_of_gen=as_of_gen)
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
@@ -343,7 +455,9 @@ class IvfIndexMaintainer(ManifestSwapTable):
             # offline regime: the probe list stays a plan, the postings
             # scan goes unpruned (with this many probes it would touch
             # ~every shard anyway)
-            assigned = self._read_sub(spark, "assigned", as_of_gen=as_of_gen)
+            assigned = self._live_sub(
+                spark, "assigned", as_of_gen=as_of_gen, wm=wm
+            )
             if assigned is None:
                 # unreachable while the sub_leaves guard above holds
                 # (same manifest source), but a None here must raise the
@@ -356,11 +470,12 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 "query_id", "cid", self.shard_of(F.col("cid")).alias("s")
             ).collect()
             assigned = (
-                self._read_sub(
+                self._live_sub(
                     spark,
                     "assigned",
                     shards=sorted({r.s for r in rows}),
                     as_of_gen=as_of_gen,
+                    wm=wm,
                 )
                 if rows
                 else None
@@ -369,9 +484,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 # probed shards hold no fragments ⇒ the probed cells are
                 # empty ⇒ no candidates; the zero-row full read keeps the
                 # schema exact for any id type
-                assigned = self._read_sub(
-                    spark, "assigned", as_of_gen=as_of_gen
-                ).limit(0)
+                assigned = (
+                    self._read_sub(spark, "assigned", as_of_gen=as_of_gen)
+                    .drop("_b")
+                    .limit(0)
+                )
             pairs = spark.createDataFrame(
                 [(r.query_id, r.cid) for r in rows], pair_schema
             )
@@ -408,7 +525,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         shuffles below the join. ``as_of_gen`` searches a retained
         earlier generation's snapshot (see :meth:`candidates`)."""
         cand = self.candidates(spark, queries, nprobe, as_of_gen=as_of_gen)
-        vectors = self._read_sub(spark, "vectors", as_of_gen=as_of_gen)
+        vectors = self._live_sub(spark, "vectors", as_of_gen=as_of_gen)
         wq = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col(self.id_col)
         )
@@ -426,7 +543,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 .select("query_id", self.id_col, "cos_sim", "rank")
             )
         n_short = shortlist if shortlist is not None else 3 * k
-        codes = self._read_sub(spark, "codes", as_of_gen=as_of_gen)
+        codes = self._live_sub(spark, "codes", as_of_gen=as_of_gen)
         if codes is None:
             raise ValueError(
                 "IvfIndexMaintainer: codebook_path is set but the state "
@@ -541,6 +658,32 @@ class IvfIndexMaintainer(ManifestSwapTable):
             .filter(F.col("rank") <= k)
         )
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact_resends(self, spark: SparkSession) -> bool:
+        """Fold the re-send contract's accumulated state (the shared
+        :meth:`ManifestSwapTable.compact_resends`) without retraining:
+        superseded assigned/vectors/codes/pq rows leave the disk —
+        shard layouts preserved — and the ``resent`` watermark log
+        truncates, dropping the per-read watermark broadcast join. Run
+        between batches (single-writer discipline); a :meth:`rebuild`
+        achieves the same fold as a side effect of re-deriving from
+        live vectors. q239 gates read-equivalence on the
+        corrupted-then-corrected choreography."""
+        if self._load_manifest() is not None:
+            self._validate_meta(self._meta())
+        return ManifestSwapTable.compact_resends(
+            self,
+            spark,
+            self.id_col,
+            {
+                "assigned": ([self.id_col], "cid", False),
+                "vectors": ([self.id_col], self.id_col, False),
+                "codes": ([self.id_col], None, False),
+                "pq": ([self.id_col], None, False),
+            },
+        )
+
     # -- offline retrain --------------------------------------------------
 
     def rebuild(
@@ -560,9 +703,29 @@ class IvfIndexMaintainer(ManifestSwapTable):
         swap. The applied-batch ledger is preserved (the re-commit
         unions an already-applied id), so the stream resumes appending
         against the new index with exactly-once semantics intact."""
+        # LIVE vectors only (read_vectors filters superseded rows), so a
+        # rebuild also FOLDS re-send state: the stale rows never reach
+        # the re-derived tiers, and the watermark log drops with the
+        # other non-re-derived subs below.
         vectors = self.read_vectors(spark)
         if vectors is None:
             raise ValueError("IvfIndexMaintainer: no state ingested yet")
+        applied = self.applied_batches()
+        # re-derived rows are stamped at the ledger's newest batch (the
+        # state they represent): batch ids are monotone, so any FUTURE
+        # re-send's watermark still supersedes them, and the dir stays
+        # contract-mode through the rebuild. Legacy (unstamped) dirs
+        # stay legacy — stamping them here would flip their re-send
+        # policy silently.
+        stamp = (
+            None
+            if self._legacy(spark)
+            else F.lit(max(applied) if applied else 0).cast("long")
+        )
+
+        def _stamped(df):
+            return df if stamp is None else df.withColumn("_b", stamp)
+
         # Derive everything from LOCAL paths and adopt them on self only
         # after the commit lands: a failed rebuild must leave the
         # maintainer pointed at the artifacts its state was built with,
@@ -570,18 +733,24 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # generations (exactly the hazard the meta marker guards).
         frames = {}
         if codebook_path is not None:
-            frames["codes"] = quantize_codes(
-                vectors, spark.read.parquet(codebook_path), self.id_col, self.vec_col
+            frames["codes"] = _stamped(
+                quantize_codes(
+                    vectors,
+                    spark.read.parquet(codebook_path),
+                    self.id_col,
+                    self.vec_col,
+                )
             )
         if pq_codebooks_path is not None:
-            frames["pq"] = pq_codes(
-                vectors,
-                spark.read.parquet(pq_codebooks_path),
-                self.dims,
-                id_col=self.id_col,
-                vec_col=self.vec_col,
+            frames["pq"] = _stamped(
+                pq_codes(
+                    vectors,
+                    spark.read.parquet(pq_codebooks_path),
+                    self.dims,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                )
             )
-        applied = self.applied_batches()
         # full-replace commit: the one legitimately O(index) write —
         # an offline retrain rewrites every derived sub-table by design.
         # The assigned/vectors rewrites stay cid-/id-hash SHARDED (a
@@ -598,15 +767,15 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # would refuse unsharded legacy fragments, bricking the
         # documented drift-recovery path on upgraded state dirs).
         sharded = {
-            "assigned": ivf_assign(
-                vectors,
-                spark.read.parquet(centroids_path),
-                self.id_col,
-                self.vec_col,
-            )
-            .select(self.id_col, "cid")
-            .withColumn("_shard", self.shard_of(F.col("cid"))),
-            "vectors": vectors.withColumn(
+            "assigned": _stamped(
+                ivf_assign(
+                    vectors,
+                    spark.read.parquet(centroids_path),
+                    self.id_col,
+                    self.vec_col,
+                ).select(self.id_col, "cid")
+            ).withColumn("_shard", self.shard_of(F.col("cid"))),
+            "vectors": _stamped(vectors).withColumn(
                 "_shard", self.shard_of(F.col(self.id_col))
             ),
         }

@@ -57,10 +57,14 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         text_col: str = "text",
         id_col: str = "doc_id",
         n_shards: int = 16,
+        resend_gc_rows: int | None = None,
     ) -> None:
         ManifestSwapTable.__init__(self, path, n_shards=n_shards)
         self.text_col = text_col
         self.id_col = id_col
+        #: threshold-driven re-send GC (ManifestSwapTable.
+        #: maybe_compact_resends); None = manual compact_resends() only
+        self.resend_gc_rows = resend_gc_rows
 
     def _marker(self) -> dict:
         return {"text_col": self.text_col, "id_col": self.id_col}
@@ -212,6 +216,9 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         self.maybe_compact(spark, "postings", shard_col="term")
         self.maybe_compact(spark, "doclen", shard_col=self.id_col)
         self.maybe_compact(spark, "resent")
+        # self-driving re-send GC: probe only on the rare re-send path
+        if resent_old is not None and self.resend_gc_rows is not None:
+            self.maybe_compact_resends(spark, self.resend_gc_rows)
 
     # -- maintenance -------------------------------------------------------
 

@@ -67,6 +67,7 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         max_bucket: int = DEFAULT_MAX_BUCKET,
+        resend_gc_rows: int | None = None,
     ) -> None:
         ManifestSwapTable.__init__(self, path)
         self.dims = dims
@@ -75,6 +76,11 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         self.id_col = id_col
         self.vec_col = vec_col
         self.max_bucket = max_bucket
+        #: threshold-driven re-send GC (ManifestSwapTable.
+        #: maybe_compact_resends): fold the superseded rows + watermark
+        #: log once the resent log exceeds this many rows. None = manual
+        #: compact_resends() only.
+        self.resend_gc_rows = resend_gc_rows
 
 
     # -- the cross-batch re-send contract ---------------------------------
@@ -392,6 +398,10 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
             for sub in ("postings", "vectors", "pairs", "capped", "resent"):
                 self.maybe_compact(spark, sub)
             self.maybe_compact(spark, "ids", shard_col=self.id_col)
+            # self-driving re-send GC: probe only on the rare re-send
+            # path (one count over the slim log)
+            if resent_vecs is not None and self.resend_gc_rows is not None:
+                self.maybe_compact_resends(spark, self.resend_gc_rows)
         finally:
             # the operator persists its two increment frames; release them
             # once the commit lands or cached blocks accumulate for the

@@ -91,6 +91,7 @@ class SemanticDedupMaintainer(ManifestSwapTable):
         max_bucket: int = DEFAULT_MAX_BUCKET,
         round_digits: int = 6,
         fingerprint=None,
+        resend_gc_rows: int | None = None,
     ) -> None:
         ManifestSwapTable.__init__(self, path)
         self.centroids_path = centroids_path
@@ -100,6 +101,9 @@ class SemanticDedupMaintainer(ManifestSwapTable):
         self.max_bucket = max_bucket
         self.round_digits = round_digits
         self.fingerprint = fingerprint or artifact_fingerprint
+        #: threshold-driven re-send GC (ManifestSwapTable.
+        #: maybe_compact_resends); None = manual compact_resends() only
+        self.resend_gc_rows = resend_gc_rows
 
     def _marker(self) -> dict:
         return {
@@ -678,6 +682,9 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             self.maybe_compact(spark, "ids", shard_col=self.id_col)
             self.maybe_compact(spark, "capped")
             self.maybe_compact(spark, "resent")
+            # self-driving re-send GC: probe only on the re-send path
+            if resent_cells is not None and self.resend_gc_rows is not None:
+                self.maybe_compact_resends(spark, self.resend_gc_rows)
         finally:
             inc.unpersist()
             if resent_cells is not None:
@@ -785,6 +792,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
         max_bucket: int | None = None,
         round_digits: int = 6,
         fingerprint=None,
+        resend_gc_rows: int | None = None,
     ) -> None:
         if max_bucket is None:
             max_bucket = n_assign * DEFAULT_MAX_BUCKET
@@ -798,6 +806,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             max_bucket=max_bucket,
             round_digits=round_digits,
             fingerprint=fingerprint,
+            resend_gc_rows=resend_gc_rows,
         )
         self.n_assign = n_assign
 
@@ -1274,6 +1283,9 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             self.maybe_compact(spark, "ids", shard_col=self.id_col)
             self.maybe_compact(spark, "capped")
             self.maybe_compact(spark, "resent")
+            # self-driving re-send GC: probe only on the re-send path
+            if resent_posts is not None and self.resend_gc_rows is not None:
+                self.maybe_compact_resends(spark, self.resend_gc_rows)
         finally:
             inc.unpersist()
             if resent_posts is not None:

@@ -556,13 +556,17 @@ class ManifestSwapTable:
     # reimplement them.
 
     def resend_watermarks(
-        self, spark: SparkSession, id_col: str
+        self, spark: SparkSession, id_col: str, as_of_gen: int | None = None
     ) -> DataFrame | None:
         """(id_col, _wm): each ever-re-sent id's latest re-send batch,
-        from the ``resent`` sub-table (None before any re-send)."""
+        from the ``resent`` sub-table (None before any re-send).
+        ``as_of_gen`` reads the watermark log AS OF a retained
+        generation — a time-travel read must filter with the watermarks
+        that generation saw, or a later re-send would retroactively
+        hide rows that WERE live in the travelled-to snapshot."""
         from pyspark.sql import functions as F
 
-        r = self._read_sub(spark, "resent")
+        r = self._read_sub(spark, "resent", as_of_gen=as_of_gen)
         if r is None:
             return None
         return r.groupBy(id_col).agg(F.max("batch_id").alias("_wm"))
@@ -981,3 +985,18 @@ class ManifestSwapTable:
             drop=["resent"],
         )
         return True
+
+    def maybe_compact_resends(self, spark: SparkSession, max_resent_rows: int) -> bool:
+        """Threshold-driven re-send GC — the amortization that keeps the
+        watermark log and its per-read join bounded WITHOUT an operator
+        remembering to run maintenance: fold when the ``resent`` log
+        exceeds ``max_resent_rows`` rows. The probe is one count over
+        the slim log; adopters call it on their re-send path only (the
+        common no-re-send trigger pays nothing). Requires the
+        maintainer's no-arg ``compact_resends(spark)`` override (every
+        contract adopter has one) — the base method cannot know which
+        sub-tables participate."""
+        r = self._read_sub(spark, "resent")
+        if r is None or r.count() <= max_resent_rows:
+            return False
+        return self.compact_resends(spark)

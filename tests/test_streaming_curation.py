@@ -889,3 +889,27 @@ def test_streamed_multiprobe_resend_recovers_capped_cell(spark, tmp_path):
     got = {tuple(r) for r in m.read_dropped(spark).collect()}
     assert got == want
     assert {t[0]: t[1] for t in want} == {5: 1}
+
+
+def test_resend_gc_threshold_folds_automatically(spark, tmp_path):
+    """resend_gc_rows makes the re-send GC self-driving: once the
+    watermark log exceeds the threshold, the corrective batch itself
+    triggers compact_resends — no operator maintenance call — and the
+    served result is unchanged."""
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"), resend_gc_rows=0)
+    wrong = [(1, "corrupted corrupted corrupted", "en")]
+    m.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] != 1]), 0)
+    # the corrective batch logs 1 resent row > threshold 0 -> auto-fold
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] == 1]), 1)
+    assert m.read_resent(spark) is None  # folded inside apply_batch
+    assert m._read_sub(spark, "doclen").count() == len(ROWS)
+    assert _scores_set(m.bm25(spark, TERMS)) == _scores_set(
+        bm25_scores(_docs(spark, ROWS), TERMS)
+    )
+    # under the threshold: the log is kept (no per-trigger fold churn)
+    m2 = LexicalIndexMaintainer(str(tmp_path / "state2"), resend_gc_rows=10)
+    m2.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] != 1]), 0)
+    m2.apply_batch(_docs(spark, [r for r in ROWS if r[0] == 1]), 1)
+    assert m2.read_resent(spark) is not None  # 1 row <= 10: not folded

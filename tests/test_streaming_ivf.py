@@ -137,13 +137,21 @@ def test_streamed_ivf_restart_replay_and_append_only_guard(spark, tmp_path):
     m.apply_batch(spark.createDataFrame(rows[15:], DDL), max(applied))
     assert {tuple(r) for r in m.read_assigned(spark).collect()} == before
 
-    # a NEW batch re-sending an ingested id raises (append-only)
+    # a NEW batch re-sending an ingested id raises under the fail-fast
+    # policy (on_resend='reject' — the pre-round-12 default behavior)
+    mr = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "centroids"), on_resend="reject"
+    )
     with pytest.raises(ValueError, match="append-only"):
-        m.apply_batch(spark.createDataFrame(rows[:1], DDL), max(applied) + 1)
-    # an intra-batch duplicate raises too
+        mr.apply_batch(spark.createDataFrame(rows[:1], DDL), max(applied) + 1)
+    # an intra-batch duplicate raises under EITHER policy (ambiguous)
     m2 = IvfIndexMaintainer(str(tmp_path / "state2"), str(tmp_path / "centroids"))
-    with pytest.raises(ValueError, match="append-only"):
+    with pytest.raises(ValueError, match="intra-batch duplicate"):
         m2.apply_batch(spark.createDataFrame([rows[0], rows[0]], DDL), 0)
+    with pytest.raises(ValueError, match="on_resend"):
+        IvfIndexMaintainer(
+            str(tmp_path / "state3"), str(tmp_path / "centroids"), on_resend="x"
+        )
 
 
 def test_streamed_ivf_probe_broadcasts_and_never_shuffles_postings(
@@ -467,3 +475,121 @@ def test_search_as_of_across_rebuild_boundary(spark, tmp_path):
         map(tuple, old.search(spark, qs, nprobe=2, k=5, as_of_gen=2).collect())
     )
     assert still == before
+
+
+def test_streamed_ivf_cross_batch_resend_supersedes(spark, tmp_path):
+    """The round-12 re-send contract on the IVF index: an id re-sent in
+    a LATER batch with a NEW payload supersedes its stored posting,
+    vector and codes — search equals a fresh rebuild over each id's
+    LATEST payload, compact_resends folds the dead rows out with
+    identical reads, and the contract survives the fold."""
+    from beast_spark.operators.similarity import quantization_params
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    true_rows = [(i, vec(i)) for i in range(30)]
+    wrong = [(i, list(reversed(vec(i)))) for i in range(10)]
+    spark.createDataFrame(true_rows[:4], DDL).write.parquet(
+        str(tmp_path / "centroids")
+    )
+    quantization_params(spark.createDataFrame(true_rows, DDL)).write.parquet(
+        str(tmp_path / "codebook")
+    )
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "centroids"),
+        codebook_path=str(tmp_path / "codebook"),
+        dims=8,
+    )
+    m.apply_batch(spark.createDataFrame(wrong + true_rows[10:20], DDL), 0)
+    m.apply_batch(spark.createDataFrame(true_rows[20:], DDL), 1)
+    # the corrective re-send: ids 0..9 with their true payload
+    m.apply_batch(spark.createDataFrame(true_rows[:10], DDL), 2)
+
+    ref = IvfIndexMaintainer(
+        str(tmp_path / "ref"),
+        str(tmp_path / "centroids"),
+        codebook_path=str(tmp_path / "codebook"),
+        dims=8,
+    )
+    ref.apply_batch(spark.createDataFrame(true_rows, DDL), 0)
+    qs = spark.createDataFrame(true_rows[:5], DDL)
+    want = sorted(map(tuple, ref.search(spark, qs, nprobe=2, k=5).collect()))
+    got = sorted(map(tuple, m.search(spark, qs, nprobe=2, k=5).collect()))
+    assert got == want and got
+    # live views hold one row per id, the LATEST payload
+    assert m.read_assigned(spark).count() == 30
+    vecs = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    assert vecs == {(i, tuple(v)) for i, v in true_rows}
+    assert m.read_codes(spark).count() == 30
+    assert {
+        (r["vec_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
+    } == {(i, 2) for i in range(10)}
+    # replay of the corrective batch: no-op
+    m.apply_batch(spark.createDataFrame(true_rows[:10], DDL), 2)
+    assert m.read_assigned(spark).count() == 30
+
+    # the physical fold: identical reads, watermark log gone, dead rows
+    # physically out (raw == live row counts), stamps preserved
+    assert m.compact_resends(spark) is True
+    assert m.read_resent(spark) is None
+    assert sorted(
+        map(tuple, m.search(spark, qs, nprobe=2, k=5).collect())
+    ) == want
+    raw_vecs = m._read_sub(spark, "vectors")
+    assert raw_vecs.count() == 30 and "_b" in raw_vecs.columns
+    assert m._read_sub(spark, "codes").count() == 30
+    assert m.compact_resends(spark) is False  # nothing left to fold
+    # a FURTHER re-send after the fold still supersedes
+    m.apply_batch(spark.createDataFrame([(3, vec(99))], DDL), 3)
+    vecs = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    assert vecs == {(i, tuple(v)) for i, v in true_rows if i != 3} | {
+        (3, tuple(vec(99)))
+    }
+
+
+def test_streamed_ivf_rebuild_folds_resends(spark, tmp_path):
+    """rebuild() derives from LIVE vectors and drops the watermark log —
+    a retrain is also a re-send fold — and the dir stays contract-mode
+    (future re-sends still supersede the rebuilt rows)."""
+    from beast_spark.operators.similarity import kmeans_lite
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(20)]
+    spark.createDataFrame(rows[:4], DDL).write.parquet(str(tmp_path / "c0"))
+    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "c0"), dims=8)
+    m.apply_batch(
+        spark.createDataFrame([(0, list(reversed(vec(0))))] + rows[1:], DDL), 0
+    )
+    m.apply_batch(spark.createDataFrame(rows[:1], DDL), 1)  # corrective
+    assert m.read_resent(spark) is not None
+    cents = kmeans_lite(
+        spark.createDataFrame(rows, DDL), k=4, iters=1
+    ).select(F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding"))
+    cents.write.parquet(str(tmp_path / "c1"))
+    m.rebuild(spark, str(tmp_path / "c1"))
+    # the fold: watermark log dropped, one live row per id, true payloads
+    assert m.read_resent(spark) is None
+    vecs = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    assert vecs == {(i, tuple(v)) for i, v in rows}
+    # contract survives the rebuild: a further re-send supersedes
+    m.apply_batch(spark.createDataFrame([(5, vec(77))], DDL), 2)
+    vecs = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    assert vecs == {(i, tuple(v)) for i, v in rows if i != 5} | {(5, tuple(vec(77)))}
