@@ -106,6 +106,10 @@ from beast_spark.streaming.swap import (
 
 __all__ = ["IvfIndexMaintainer"]
 
+#: sentinel for "caller did not supply a watermark frame" — None is a
+#: meaningful value (no resent log, nothing to filter)
+_WM_UNSET = object()
+
 
 class IvfIndexMaintainer(ManifestSwapTable):
     """Owns one manifest-committed state directory
@@ -152,10 +156,30 @@ class IvfIndexMaintainer(ManifestSwapTable):
     def _legacy(self, spark: SparkSession) -> bool:
         """Pre-round-12 state dir: fragments carry no batch stamp, so
         the re-send contract cannot apply (stamping new fragments into
-        an unstamped sub forks its schema — the family rule)."""
+        an unstamped sub forks its schema — the family rule). Memoized:
+        the property is immutable for the life of a state dir (legacy
+        dirs stay legacy by design; fresh dirs are contract from batch
+        0), and the schema probe builds a frame over every vector
+        fragment — not a cost the per-trigger path should repay."""
+        cached = getattr(self, "_legacy_mode", None)
+        if cached is not None:
+            return cached
         if not self.sub_leaves("vectors"):
-            return False  # fresh dir: contract-capable from batch 0
-        return "_b" not in self._read_sub(spark, "vectors").columns
+            self._legacy_mode = False  # fresh: contract from batch 0
+        else:
+            self._legacy_mode = (
+                "_b" not in self._read_sub(spark, "vectors").columns
+            )
+        return self._legacy_mode
+
+    def _stamped(
+        self, df: DataFrame, batch: int, legacy: bool
+    ) -> DataFrame:
+        """The one copy of the contract stamp rule (apply_batch and
+        rebuild share it — two drifting copies was a review finding)."""
+        if legacy:
+            return df
+        return df.withColumn("_b", F.lit(batch).cast("long"))
 
     def _wm(
         self, spark: SparkSession, as_of_gen: int | None = None
@@ -168,17 +192,17 @@ class IvfIndexMaintainer(ManifestSwapTable):
         name: str,
         shards: list[int] | None = None,
         as_of_gen: int | None = None,
-        wm: DataFrame | None = None,
+        wm=_WM_UNSET,
     ) -> DataFrame | None:
         """A sub-table's live rows: the stored read with superseded
         (pre-watermark) rows dropped — the one read path every consumer
         (search, guard probe, rebuild) shares. Pass ``wm`` when the
         caller already loaded it (one watermark build per batch/search,
-        not one per sub-table)."""
+        not one per sub-table; None is a REAL value — no resent log)."""
         df = self._read_sub(spark, name, shards=shards, as_of_gen=as_of_gen)
         if df is None or "_b" not in df.columns:
             return df  # legacy/fresh: no stamps, no contract
-        if wm is None:
+        if wm is _WM_UNSET:
             wm = self._wm(spark, as_of_gen=as_of_gen)
         return self.live_rows(df, wm, self.id_col, [self.id_col])
 
@@ -332,37 +356,38 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # rows — bytes written O(batch), the whole point of the
         # manifest protocol. Contract-mode fragments carry the batch
         # stamp the supersede-on-read filter keys on.
-        stamp = None if legacy else F.lit(batch_id).cast("long")
-
-        def _stamped(df: DataFrame) -> DataFrame:
-            return df if stamp is None else df.withColumn("_b", stamp)
-
         appends = {}
         sharded = {
             # assigned is sharded by the cell id: a search's posting
             # read prunes to the probed cells' shards — the classic
             # IVF posting-list read, at fragment granularity
-            "assigned": _stamped(
+            "assigned": self._stamped(
                 ivf_assign(
                     inc, self._centroids(spark), self.id_col, self.vec_col
-                ).select(self.id_col, "cid")
+                ).select(self.id_col, "cid"),
+                batch_id,
+                legacy,
             ).withColumn("_shard", self.shard_of(F.col("cid"))),
             # vectors by id: the re-send/dup probe's pruned read
-            "vectors": _stamped(inc).withColumn(
+            "vectors": self._stamped(inc, batch_id, legacy).withColumn(
                 "_shard", self.shard_of(F.col(self.id_col))
             ),
         }
         if self.codebook_path is not None:
             codebook = spark.read.parquet(self.codebook_path)
-            appends["codes"] = _stamped(
-                quantize_codes(inc, codebook, self.id_col, self.vec_col)
+            appends["codes"] = self._stamped(
+                quantize_codes(inc, codebook, self.id_col, self.vec_col),
+                batch_id,
+                legacy,
             )
         if self.pq_codebooks_path is not None:
             pq_cb = spark.read.parquet(self.pq_codebooks_path)
-            appends["pq"] = _stamped(
+            appends["pq"] = self._stamped(
                 pq_codes(
                     inc, pq_cb, self.dims, id_col=self.id_col, vec_col=self.vec_col
-                )
+                ),
+                batch_id,
+                legacy,
             )
         if resent_ids is not None:
             appends["resent"] = resent_ids.withColumn(
@@ -401,6 +426,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
         nprobe: int = 2,
         max_probe_collect: int = 100_000,
         as_of_gen: int | None = None,
+        wm=_WM_UNSET,
     ) -> DataFrame:
         """(query_id, query_vec, vec_id): the probed cells' members per
         query, self-matches excluded — the maintained-state twin of
@@ -442,8 +468,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
         self._validate_meta(self._meta(), stored=stored)
         # one watermark build per search, shared by every sub-table read
         # (live filtering: a re-sent id's stale postings must not surface
-        # as candidates — they'd double-count and score the old payload)
-        wm = self._wm(spark, as_of_gen=as_of_gen)
+        # as candidates — they'd double-count and score the old payload).
+        # search() passes its own wm through so the whole search builds
+        # the frame exactly once (review finding).
+        if wm is _WM_UNSET:
+            wm = self._wm(spark, as_of_gen=as_of_gen)
         probes = ivf_probes(
             queries, self._centroids(spark), nprobe, self.id_col, self.vec_col
         )
@@ -524,8 +553,11 @@ class IvfIndexMaintainer(ManifestSwapTable):
         list broadcasts onto the postings, the corpus side never
         shuffles below the join. ``as_of_gen`` searches a retained
         earlier generation's snapshot (see :meth:`candidates`)."""
-        cand = self.candidates(spark, queries, nprobe, as_of_gen=as_of_gen)
-        vectors = self._live_sub(spark, "vectors", as_of_gen=as_of_gen)
+        wm = self._wm(spark, as_of_gen=as_of_gen)  # ONE build per search
+        cand = self.candidates(
+            spark, queries, nprobe, as_of_gen=as_of_gen, wm=wm
+        )
+        vectors = self._live_sub(spark, "vectors", as_of_gen=as_of_gen, wm=wm)
         wq = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col(self.id_col)
         )
@@ -543,7 +575,7 @@ class IvfIndexMaintainer(ManifestSwapTable):
                 .select("query_id", self.id_col, "cos_sim", "rank")
             )
         n_short = shortlist if shortlist is not None else 3 * k
-        codes = self._live_sub(spark, "codes", as_of_gen=as_of_gen)
+        codes = self._live_sub(spark, "codes", as_of_gen=as_of_gen, wm=wm)
         if codes is None:
             raise ValueError(
                 "IvfIndexMaintainer: codebook_path is set but the state "
@@ -714,17 +746,16 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # re-derived rows are stamped at the ledger's newest batch (the
         # state they represent): batch ids are monotone, so any FUTURE
         # re-send's watermark still supersedes them, and the dir stays
-        # contract-mode through the rebuild. Legacy (unstamped) dirs
-        # stay legacy — stamping them here would flip their re-send
-        # policy silently.
-        stamp = (
-            None
-            if self._legacy(spark)
-            else F.lit(max(applied) if applied else 0).cast("long")
-        )
-
-        def _stamped(df):
-            return df if stamp is None else df.withColumn("_b", stamp)
+        # contract-mode through the rebuild. An EMPTY ledger stamps -1,
+        # not 0: the commit below deliberately leaves that ledger empty
+        # so a stream started afterwards runs its real batch 0, and a
+        # stamp of 0 would TIE that batch's re-send watermark — the
+        # live rule keeps _b >= wm, so both the stale rebuilt row and
+        # its correction would survive (review finding). Legacy
+        # (unstamped) dirs stay legacy — stamping them here would flip
+        # their re-send policy silently.
+        legacy = self._legacy(spark)
+        stamp_at = max(applied) if applied else -1
 
         # Derive everything from LOCAL paths and adopt them on self only
         # after the commit lands: a failed rebuild must leave the
@@ -733,23 +764,27 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # generations (exactly the hazard the meta marker guards).
         frames = {}
         if codebook_path is not None:
-            frames["codes"] = _stamped(
+            frames["codes"] = self._stamped(
                 quantize_codes(
                     vectors,
                     spark.read.parquet(codebook_path),
                     self.id_col,
                     self.vec_col,
-                )
+                ),
+                stamp_at,
+                legacy,
             )
         if pq_codebooks_path is not None:
-            frames["pq"] = _stamped(
+            frames["pq"] = self._stamped(
                 pq_codes(
                     vectors,
                     spark.read.parquet(pq_codebooks_path),
                     self.dims,
                     id_col=self.id_col,
                     vec_col=self.vec_col,
-                )
+                ),
+                stamp_at,
+                legacy,
             )
         # full-replace commit: the one legitimately O(index) write —
         # an offline retrain rewrites every derived sub-table by design.
@@ -767,15 +802,17 @@ class IvfIndexMaintainer(ManifestSwapTable):
         # would refuse unsharded legacy fragments, bricking the
         # documented drift-recovery path on upgraded state dirs).
         sharded = {
-            "assigned": _stamped(
+            "assigned": self._stamped(
                 ivf_assign(
                     vectors,
                     spark.read.parquet(centroids_path),
                     self.id_col,
                     self.vec_col,
-                ).select(self.id_col, "cid")
+                ).select(self.id_col, "cid"),
+                stamp_at,
+                legacy,
             ).withColumn("_shard", self.shard_of(F.col("cid"))),
-            "vectors": _stamped(vectors).withColumn(
+            "vectors": self._stamped(vectors, stamp_at, legacy).withColumn(
                 "_shard", self.shard_of(F.col(self.id_col))
             ),
         }
