@@ -314,7 +314,13 @@ def test_ivf_guard_reads_only_the_batch_id_shards(spark, tmp_path):
     from beast_spark.streaming.ivf import IvfIndexMaintainer
 
     spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "cent"))
-    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    # on_resend='reject' pins the fail-fast policy: the property under
+    # test is the probe PRUNES yet still detects (a re-sent id hashes
+    # into a probed shard by construction); the default supersede path
+    # is covered by test_streaming_ivf's re-send tests
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), on_resend="reject"
+    )
     m.apply_batch(spark.createDataFrame(_rows(64), DDL), 0)
     # vectors landed sharded: multiple _shard= leaves, no unsharded frag
     leaves = m.sub_leaves("vectors")
@@ -391,7 +397,13 @@ def test_maybe_compact_amortizes_fragment_growth(spark, tmp_path):
     from beast_spark.streaming.ivf import IvfIndexMaintainer
 
     spark.createDataFrame(_rows(4), DDL).write.parquet(str(tmp_path / "cent"))
-    m = IvfIndexMaintainer(str(tmp_path / "state"), str(tmp_path / "cent"))
+    # on_resend='reject' pins the fail-fast policy: the property under
+    # test is that the guard still DETECTS through folded fragments
+    # (stamps survive compact()); the default supersede path is covered
+    # by test_streaming_ivf's re-send tests
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), on_resend="reject"
+    )
     for b in range(3):
         m.apply_batch(spark.createDataFrame(_rows(20, base=b * 20), DDL), b)
     assert m.maybe_compact(spark, "vectors", shard_col="vec_id", max_fragments=1)
