@@ -249,6 +249,49 @@ def main() -> None:
             commit_frac=round(new_bytes / max(total0, 1), 4),
             prior_files_rewritten=len(rewritten),
         )
+
+        # 5b) IVF re-send cascade + compaction (round-12): ~1% of the
+        # corpus re-sent with a NEW payload; supersede-on-read means the
+        # absorb is an ordinary append + a slim watermark log, and the
+        # fold drops the per-read watermark join.
+        resent = big.filter(F.col("vec_id") % 100 == 7).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        n_resent = resent.count()
+        before = _files(f"{tmp}/state")
+        t0 = time.perf_counter()
+        m.apply_batch(resent, 2)
+        t_rs = time.perf_counter() - t0
+        after = _files(f"{tmp}/state")
+        rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+        bytes_pre = sum(after.values())
+        t0 = time.perf_counter()
+        assert m.compact_resends(spark)
+        t_c = time.perf_counter() - t0
+        assert m.read_resent(spark) is None  # read tax gone
+        bytes_post = sum(_files(f"{tmp}/state").values())
+        t0 = time.perf_counter()
+        nsearch2 = m.search(spark, qs, nprobe=2, k=10).count()
+        t_s2 = time.perf_counter() - t0
+        print(
+            f"ivf_resend: {t_rs:.1f}s to absorb {n_resent} re-sent "
+            f"vectors ({rs_bytes / 1e6:.1f} MB commit); compact_resends "
+            f"{t_c:.1f}s, state {bytes_pre / 1e6:.1f} -> "
+            f"{bytes_post / 1e6:.1f} MB; post-fold search {t_s2:.1f}s "
+            f"({nsearch2} results, no watermark join)"
+        )
+        _rec(
+            "streamed_ivf_resend",
+            n_resent=n_resent,
+            cascade_absorb_seconds=t_rs,
+            cascade_commit_mb=round(rs_bytes / 1e6, 2),
+            compact_seconds=t_c,
+            state_mb_before=round(bytes_pre / 1e6, 2),
+            state_mb_after=round(bytes_post / 1e6, 2),
+            postfold_search_seconds=t_s2,
+            n_search_results=nsearch2,
+            watermark_join_after_fold=False,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
