@@ -499,6 +499,53 @@ def q237_semdedup_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     return m.read_dropped(spark).select("vec_id", "cid", "replaced_by", "cos_sim")
 
 
+@register(
+    "q240_bm25_resend_autogc",
+    oracle=_BM25_ORACLE,
+    doc="The SELF-DRIVING re-send GC driver-gated: q235's choreography "
+    "with resend_gc_rows=0 — the corrective batch itself crosses the "
+    "watermark-log threshold and triggers compact_resends INSIDE "
+    "apply_batch (no operator maintenance call; the probe runs only on "
+    "the re-send path). The query asserts the log is already gone "
+    "before serving, so the hash-equality with q221's batch oracle "
+    "proves the automatic fold preserved the live views — the "
+    "operational mode a 100 TB deployment with routine retries runs "
+    "in, where the read tax self-bounds.",
+    bench=False,
+    bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
+)
+def q240_bm25_resend_autogc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = LexicalIndexMaintainer(
+        scratch_dir("beast_q240_") + "/state", resend_gc_rows=0
+    )
+    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.array_repeat(F.lit("corrupted"), 7), " ").alias("text"),
+    )
+    m.apply_batch(
+        wrong.unionByName(
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+        ),
+        0,
+    )
+    m.apply_batch(
+        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
+            "doc_id", "text"
+        ),
+        1,
+    )
+    # the corrective re-send crosses the 0-row threshold: the fold runs
+    # inside THIS apply_batch, no maintenance call
+    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    if m.read_resent(spark) is not None:
+        raise ValueError("q240: the threshold GC did not fold the watermark log")
+    return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
+
+
 _GUMBEL_T = 2.0
 _GUMBEL_SALT = "gumbel:"
 

@@ -783,3 +783,75 @@ def test_compact_resends_folds_state_and_truncates_log(spark, tmp_path):
     )
     # the ledger was NOT touched by the out-of-band fold
     assert t.applied_batches() == {0, 1}
+
+
+_ROP = st.one_of(
+    st.tuples(
+        st.just("send"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=5, unique=True),
+    ),
+    st.tuples(st.just("gc"), st.just(None)),
+    st.tuples(st.just("fold"), st.just(None)),
+    st.tuples(st.just("crash"), st.just(None)),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=st.lists(_ROP, min_size=1, max_size=8))
+def test_resend_contract_matches_python_model(spark, tmp_path_factory, ops):
+    """Model-based property test of the CROSS-BATCH RE-SEND contract
+    every maintainer shares (resend_watermarks / live_rows /
+    compact_resends): random interleavings of sends (where an id seen
+    before is a RE-SEND — stamped row + watermark), physical re-send
+    folds, fragment folds, and crashed commits must leave the LIVE view
+    equal to a trivial latest-value dict at every step — and a fold
+    must truncate the watermark log without changing any read."""
+    import shutil
+
+    NS = 4
+    root = tmp_path_factory.mktemp("rproto")
+    path = str(root / "state")
+    t = ManifestSwapTable(path, n_shards=NS)
+    model: dict[int, int] = {}  # id -> latest value
+    batch = 0
+    version = 0
+    for op, ids in ops:
+        version += 1
+        if op == "crash":
+            orphan = os.path.join(path, "data", f"g{batch + 99}")
+            if not os.path.exists(orphan):
+                os.makedirs(orphan)
+                with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+                    fh.write(b"junk")
+            continue
+        if op == "gc":
+            folded = t.compact_resends(
+                spark, "id", {"data": (["id"], None, False)}
+            )
+            if folded:
+                # the log is gone AND stamps survived (contract-mode)
+                assert t.resend_watermarks(spark, "id") is None
+                assert "_b" in t._read_sub(spark, "data").columns
+        elif op == "fold":
+            if t._load_manifest() is not None:
+                t.maybe_compact(spark, "data", max_fragments=1)
+        else:  # send: new ids append, known ids RE-SEND with a new value
+            resent = [i for i in ids if i in model]
+            appends = {
+                "data": spark.createDataFrame(
+                    [(i, version, batch) for i in ids], "id long, v long, _b long"
+                )
+            }
+            if resent:
+                appends["resent"] = spark.createDataFrame(
+                    [(i, batch) for i in resent], "id long, batch_id long"
+                )
+            t.commit_delta(batch, appends=appends)
+            for i in ids:
+                model[i] = version
+            batch += 1
+        wm = t.resend_watermarks(spark, "id")
+        live = t.live_rows(t._read_sub(spark, "data"), wm, "id", ["id"])
+        got = {} if live is None else {r.id: r.v for r in live.collect()}
+        assert got == model, f"after {op}"
+    shutil.rmtree(str(root), ignore_errors=True)
