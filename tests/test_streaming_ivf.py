@@ -593,3 +593,53 @@ def test_streamed_ivf_rebuild_folds_resends(spark, tmp_path):
         for r in m.read_vectors(spark).collect()
     }
     assert vecs == {(i, tuple(v)) for i, v in rows if i != 5} | {(5, tuple(vec(77)))}
+
+
+def test_search_as_of_across_resend_boundary(spark, tmp_path):
+    """Time-travel across a RE-SEND: a retained pre-re-send generation
+    must serve the ORIGINAL payload (filtered with the watermarks THAT
+    generation saw — a later re-send must not retroactively hide rows
+    that were live in the snapshot), while the live search serves the
+    corrected payload."""
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    spark.createDataFrame(rows[:4], DDL).write.parquet(str(tmp_path / "cent"))
+    m = IvfIndexMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), dims=8, gc_grace_gens=4
+    )
+    # batch 0 ingests id 5 with a WRONG payload; batch 1 corrects it
+    wrong5 = (5, list(reversed(vec(5))))
+    m.apply_batch(
+        spark.createDataFrame([wrong5] + [r for r in rows if r[0] != 5], DDL), 0
+    )
+    qs = spark.createDataFrame(rows[:3], DDL)
+    gen0 = m._manifest()["gen"]
+    before = sorted(map(tuple, m.search(spark, qs, nprobe=2, k=5).collect()))
+    m.apply_batch(spark.createDataFrame([rows[5]], DDL), 1)  # the re-send
+    # live: the corrected payload — equals a fresh rebuild over latest
+    ref = IvfIndexMaintainer(
+        str(tmp_path / "ref"), str(tmp_path / "cent"), dims=8
+    )
+    ref.apply_batch(spark.createDataFrame(rows, DDL), 0)
+    live = sorted(map(tuple, m.search(spark, qs, nprobe=2, k=5).collect()))
+    assert live == sorted(
+        map(tuple, ref.search(spark, qs, nprobe=2, k=5).collect())
+    )
+    # travelled-to: the PRE-re-send snapshot, wrong payload included
+    asof = sorted(
+        map(tuple, m.search(spark, qs, nprobe=2, k=5, as_of_gen=gen0).collect())
+    )
+    assert asof == before
+    # the travelled-to vector view still holds the original payload
+    old_vecs = m.live_rows(
+        m._read_sub(spark, "vectors", as_of_gen=gen0),
+        m.resend_watermarks(spark, "vec_id", as_of_gen=gen0),
+        "vec_id",
+        ["vec_id"],
+    )
+    got5 = [tuple(r["embedding"]) for r in old_vecs.filter(F.col("vec_id") == 5).collect()]
+    assert got5 == [tuple(wrong5[1])]
