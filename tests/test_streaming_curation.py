@@ -913,3 +913,73 @@ def test_resend_gc_threshold_folds_automatically(spark, tmp_path):
     m2.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] != 1]), 0)
     m2.apply_batch(_docs(spark, [r for r in ROWS if r[0] == 1]), 1)
     assert m2.read_resent(spark) is not None  # 1 row <= 10: not folded
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_streamed_semdedup_randomized_resend_cap_interplay(spark, tmp_path, seed):
+    """Randomized stress of the FULL contract surface on the
+    single-assignment maintainer: a tight cap (3) over two cells, six
+    scheduled batches mixing fresh ids, identical-payload retries, and
+    payload-moving corrections — so cap crossings, decrement
+    recoveries, witness re-computations and undrops interleave
+    arbitrarily. After EVERY batch the action table must equal the
+    batch operator over each id's latest payload (the exactness claim,
+    both cap directions)."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    rnd_ = random.Random(seed)
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.9, max_bucket=3
+    )
+    latest: dict = {}
+    next_id = 0
+    for b in range(6):
+        batch, used = [], set()
+        for _ in range(rnd_.randint(1, 4)):
+            if latest and rnd_.random() < 0.5:
+                i = rnd_.choice(sorted(set(latest) - used) or [None])
+                if i is None:
+                    continue
+                if rnd_.random() < 0.5:
+                    v = latest[i]  # identical-payload retry
+                else:
+                    # correction: move toward the other cell's family
+                    side = 0.0 if latest[i][0] < 0.5 else 1.5
+                    v = _unit((1.5 - side) + rnd_.choice([0.0, 0.02, 0.04]))
+            else:
+                i = next_id
+                next_id += 1
+                v = _unit(rnd_.choice([0.0, 1.5]) + rnd_.choice([0.0, 0.02, 0.04]))
+            if i in used:
+                continue
+            used.add(i)
+            batch.append((i, v))
+        if not batch:
+            continue
+        for i, v in batch:
+            latest[i] = v
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_action(
+            spark,
+            [(i, v) for i, v in latest.items()],
+            cent,
+            tau=0.9,
+            max_bucket=3,
+        )
+        assert got == want, f"seed {seed} batch {b}"
+        # occupancy stays exact through every interleaving
+        occ = {
+            r["cid"]: r["n_exist"]
+            for r in m._read_sub(spark, "occupancy").collect()
+        }
+        live = {
+            r["cid"]: r["n"]
+            for r in m.read_members(spark)
+            .groupBy("cid")
+            .agg(F.countDistinct("vec_id").alias("n"))
+            .collect()
+        }
+        assert occ == live, f"seed {seed} batch {b}"
