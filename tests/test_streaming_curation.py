@@ -983,3 +983,79 @@ def test_streamed_semdedup_randomized_resend_cap_interplay(spark, tmp_path, seed
             .collect()
         }
         assert occ == live, f"seed {seed} batch {b}"
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_streamed_multiprobe_randomized_resend_cap_interplay(
+    spark, tmp_path, seed
+):
+    """The multi-probe twin of the randomized stress: n_assign=2 over
+    three cells with a tight cap, so an id's postings straddle cells
+    and a correction moves BOTH; crossings, recoveries and cascades
+    interleave. Streamed == semantic_dedup_multiprobe over latest
+    payloads after every batch."""
+    from beast_spark.streaming.semdedup import MultiProbeSemanticDedupMaintainer
+
+    rnd_ = random.Random(seed)
+    cent = [(0, _unit(0.0)), (1, _unit(0.75)), (2, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = MultiProbeSemanticDedupMaintainer(
+        str(tmp_path / "state"),
+        str(tmp_path / "cent"),
+        tau=0.9,
+        n_assign=2,
+        max_bucket=4,
+    )
+    latest: dict = {}
+    next_id = 0
+    for b in range(5):
+        batch, used = [], set()
+        for _ in range(rnd_.randint(1, 3)):
+            if latest and rnd_.random() < 0.5:
+                pool = sorted(set(latest) - used)
+                if not pool:
+                    continue
+                i = rnd_.choice(pool)
+                if rnd_.random() < 0.4:
+                    v = latest[i]  # identical-payload retry
+                else:
+                    v = _unit(
+                        rnd_.choice([0.0, 0.75, 1.5])
+                        + rnd_.choice([0.0, 0.03, 0.06])
+                    )
+            else:
+                i = next_id
+                next_id += 1
+                v = _unit(
+                    rnd_.choice([0.0, 0.75, 1.5]) + rnd_.choice([0.0, 0.03, 0.06])
+                )
+            if i in used:
+                continue
+            used.add(i)
+            batch.append((i, v))
+        if not batch:
+            continue
+        for i, v in batch:
+            latest[i] = v
+        m.apply_batch(_vecs(spark, batch), b)
+        got = {tuple(r) for r in m.read_dropped(spark).collect()}
+        want = _batch_mp_action(
+            spark,
+            [(i, v) for i, v in latest.items()],
+            cent,
+            tau=0.9,
+            max_bucket=4,
+        )
+        assert got == want, f"seed {seed} batch {b}"
+        occ = {
+            r["cid"]: r["n_exist"]
+            for r in m._read_sub(spark, "occupancy").collect()
+        }
+        live = {
+            r["cid"]: r["n"]
+            for r in m.read_members(spark)
+            .groupBy("cid")
+            .agg(F.countDistinct("vec_id").alias("n"))
+            .collect()
+        }
+        assert occ == live, f"seed {seed} batch {b}"
