@@ -855,3 +855,91 @@ def test_resend_contract_matches_python_model(spark, tmp_path_factory, ops):
         got = {} if live is None else {r.id: r.v for r in live.collect()}
         assert got == model, f"after {op}"
     shutil.rmtree(str(root), ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=st.lists(_ROP, min_size=1, max_size=8))
+def test_resend_pair_rule_matches_python_model(spark, tmp_path_factory, ops):
+    """The TWO-ENDPOINT live rule (a pair row dies when EITHER endpoint
+    is re-sent after it — neardup's read_pairs) model-checked under the
+    same random schedules: each send also appends (id, partner) pair
+    rows; the live pair view must equal the model's
+    every-endpoint-watermark filter at every step, through physical
+    folds and crashes."""
+    import shutil
+
+    NS = 4
+    root = tmp_path_factory.mktemp("pproto")
+    path = str(root / "state")
+    t = ManifestSwapTable(path, n_shards=NS)
+    sent: set[int] = set()
+    wm_model: dict[int, int] = {}  # id -> latest re-send batch
+    pair_rows: list[tuple[int, int, int]] = []  # (a, b, stamp)
+    batch = 0
+    subs = {
+        "data": (["id"], None, False),
+        "pairs": (["a", "b"], None, False),
+    }
+
+    def live_pairs_model():
+        return sorted(
+            (a, b)
+            for a, b, s in pair_rows
+            if s >= wm_model.get(a, -1) and s >= wm_model.get(b, -1)
+        )
+
+    for op, ids in ops:
+        if op == "crash":
+            orphan = os.path.join(path, "pairs", f"g{batch + 99}")
+            if not os.path.exists(orphan):
+                os.makedirs(orphan)
+                with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+                    fh.write(b"junk")
+            continue
+        if op == "gc":
+            folded = t.compact_resends(spark, "id", subs)
+            if folded:
+                assert t.resend_watermarks(spark, "id") is None
+                # folding removes dead rows from the MODEL too: rows a
+                # future watermark would re-kill are already gone, and
+                # the survivors' stamps stay >= any future watermark by
+                # batch-id monotonicity — so the model keeps only the
+                # currently-live rows with their stamps
+                live_now = set(live_pairs_model())
+                pair_rows[:] = [
+                    (a, b, s) for a, b, s in pair_rows if (a, b) in live_now
+                ]
+                wm_model.clear()
+        elif op == "fold":
+            if t._load_manifest() is not None:
+                t.maybe_compact(spark, "pairs", max_fragments=1)
+        else:  # send
+            resent = [i for i in ids if i in sent]
+            new_pairs = [(i, (i + 1) % 20, batch) for i in ids]
+            appends = {
+                "data": spark.createDataFrame(
+                    [(i, batch) for i in ids], "id long, _b long"
+                ),
+                "pairs": spark.createDataFrame(
+                    new_pairs, "a long, b long, _b long"
+                ),
+            }
+            if resent:
+                appends["resent"] = spark.createDataFrame(
+                    [(i, batch) for i in resent], "id long, batch_id long"
+                )
+            t.commit_delta(batch, appends=appends)
+            sent.update(ids)
+            for i in resent:
+                wm_model[i] = batch
+            pair_rows.extend(new_pairs)
+            batch += 1
+        wm = t.resend_watermarks(spark, "id")
+        live = t.live_rows(t._read_sub(spark, "pairs"), wm, "id", ["a", "b"])
+        got = (
+            []
+            if live is None
+            else sorted((r.a, r.b) for r in live.collect())
+        )
+        assert got == live_pairs_model(), f"after {op}"
+    shutil.rmtree(str(root), ignore_errors=True)
