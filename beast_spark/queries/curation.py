@@ -364,6 +364,42 @@ def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
+def _bm25_resend_choreography(spark, sf_dir, scratch, **maintainer_kwargs):
+    """The corrupted-then-corrected document choreography q232 (read
+    contract), q235 (physical fold) and q240 (threshold GC) share —
+    one copy, so the corruption text and batch split cannot drift
+    between the three gates: docs with id % 10 == 0 first arrive with
+    'corrupted'×7, later batches add the rest, a final corrective
+    batch re-sends the true texts. Returns the maintainer with all
+    three batches applied."""
+    from beast_spark.queries._util import scratch_dir
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    m = LexicalIndexMaintainer(
+        scratch_dir(scratch) + "/state", **maintainer_kwargs
+    )
+    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.array_repeat(F.lit("corrupted"), 7), " ").alias("text"),
+    )
+    m.apply_batch(
+        wrong.unionByName(
+            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+        ),
+        0,
+    )
+    m.apply_batch(
+        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
+            "doc_id", "text"
+        ),
+        1,
+    )
+    # the corrective re-send: true texts for the corrupted docs
+    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    return m
+
+
 @register(
     "q232_bm25_cross_batch_resend",
     oracle=_BM25_ORACLE,
@@ -381,31 +417,7 @@ def q223_bm25_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
 )
 def q232_bm25_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.queries._util import scratch_dir
-    from beast_spark.streaming.lexical import LexicalIndexMaintainer
-
-    d = load_table(spark, sf_dir, "documents")
-    m = LexicalIndexMaintainer(scratch_dir("beast_q232_") + "/state")
-    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.array_join(
-            F.array_repeat(F.lit("corrupted"), 7), " "
-        ).alias("text"),
-    )
-    m.apply_batch(
-        wrong.unionByName(
-            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
-        ),
-        0,
-    )
-    m.apply_batch(
-        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
-            "doc_id", "text"
-        ),
-        1,
-    )
-    # the corrective re-send: true text for the corrupted docs
-    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    m = _bm25_resend_choreography(spark, sf_dir, "beast_q232_")
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
@@ -428,28 +440,7 @@ def q232_bm25_cross_batch_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
 )
 def q235_bm25_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.queries._util import scratch_dir
-    from beast_spark.streaming.lexical import LexicalIndexMaintainer
-
-    d = load_table(spark, sf_dir, "documents")
-    m = LexicalIndexMaintainer(scratch_dir("beast_q235_") + "/state")
-    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.array_join(F.array_repeat(F.lit("corrupted"), 7), " ").alias("text"),
-    )
-    m.apply_batch(
-        wrong.unionByName(
-            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
-        ),
-        0,
-    )
-    m.apply_batch(
-        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
-            "doc_id", "text"
-        ),
-        1,
-    )
-    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
+    m = _bm25_resend_choreography(spark, sf_dir, "beast_q235_")
     if not m.compact_resends(spark):
         raise ValueError("q235: choreography logged no re-sends to compact")
     if m.read_resent(spark) is not None:
@@ -515,32 +506,11 @@ def q237_semdedup_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
 )
 def q240_bm25_resend_autogc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.queries._util import scratch_dir
-    from beast_spark.streaming.lexical import LexicalIndexMaintainer
-
-    d = load_table(spark, sf_dir, "documents")
-    m = LexicalIndexMaintainer(
-        scratch_dir("beast_q240_") + "/state", resend_gc_rows=0
+    # the corrective batch crosses the 0-row threshold: the fold runs
+    # inside the choreography's final apply_batch, no maintenance call
+    m = _bm25_resend_choreography(
+        spark, sf_dir, "beast_q240_", resend_gc_rows=0
     )
-    wrong = d.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.array_join(F.array_repeat(F.lit("corrupted"), 7), " ").alias("text"),
-    )
-    m.apply_batch(
-        wrong.unionByName(
-            d.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
-        ),
-        0,
-    )
-    m.apply_batch(
-        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1)).select(
-            "doc_id", "text"
-        ),
-        1,
-    )
-    # the corrective re-send crosses the 0-row threshold: the fold runs
-    # inside THIS apply_batch, no maintenance call
-    m.apply_batch(d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"), 2)
     if m.read_resent(spark) is not None:
         raise ValueError("q240: the threshold GC did not fold the watermark log")
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)

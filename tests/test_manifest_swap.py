@@ -900,14 +900,18 @@ def test_resend_pair_rule_matches_python_model(spark, tmp_path_factory, ops):
             folded = t.compact_resends(spark, "id", subs)
             if folded:
                 assert t.resend_watermarks(spark, "id") is None
-                # folding removes dead rows from the MODEL too: rows a
-                # future watermark would re-kill are already gone, and
-                # the survivors' stamps stay >= any future watermark by
-                # batch-id monotonicity — so the model keeps only the
-                # currently-live rows with their stamps
-                live_now = set(live_pairs_model())
+                # folding removes dead rows from the MODEL too — by the
+                # PER-ROW stamp rule, not by pair-set membership: a live
+                # (a, b) pair may coexist with a dead duplicate row of
+                # the same endpoints at an older stamp, and a set filter
+                # would resurrect the dead one (review finding, schedule
+                # send([0])/send([0])/gc). After truncation every future
+                # watermark is strictly greater than any retained stamp
+                # (batch ids are monotone), so dropping wm_model is safe.
                 pair_rows[:] = [
-                    (a, b, s) for a, b, s in pair_rows if (a, b) in live_now
+                    (a, b, s)
+                    for a, b, s in pair_rows
+                    if s >= wm_model.get(a, -1) and s >= wm_model.get(b, -1)
                 ]
                 wm_model.clear()
         elif op == "fold":

@@ -945,9 +945,14 @@ def test_streamed_semdedup_randomized_resend_cap_interplay(spark, tmp_path, seed
                 if rnd_.random() < 0.5:
                     v = latest[i]  # identical-payload retry
                 else:
-                    # correction: move toward the other cell's family
-                    side = 0.0 if latest[i][0] < 0.5 else 1.5
-                    v = _unit((1.5 - side) + rnd_.choice([0.0, 0.02, 0.04]))
+                    # correction: move to the OTHER cell's family (the
+                    # first component is cos(theta): >= 0.5 means the
+                    # theta~0 family — review finding: the original
+                    # condition was inverted and every "correction"
+                    # stayed in its own cell, leaving the decrement/
+                    # recovery legs unexercised)
+                    cur = 0.0 if latest[i][0] >= 0.5 else 1.5
+                    v = _unit((1.5 - cur) + rnd_.choice([0.0, 0.02, 0.04]))
             else:
                 i = next_id
                 next_id += 1
