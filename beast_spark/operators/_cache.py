@@ -19,19 +19,62 @@ never correctness.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 __all__ = ["pin_scratch", "release_scratch_caches"]
 
 _SCRATCH: list[DataFrame] = []
+#: Serializes registry mutation: a pin from a concurrent thread
+#: (parallel queries, a streaming foreachBatch) racing the
+#: ``_SCRATCH[:] = kept`` rebuild in release_scratch_caches would
+#: otherwise be silently discarded — reinstating the unbounded-cache
+#: leak this registry exists to fix (round-12 ADVICE).
+_LOCK = threading.Lock()
 
 
 def pin_scratch(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register the handle for a later
     :func:`release_scratch_caches`."""
     df.persist()
-    _SCRATCH.append(df)
+    with _LOCK:
+        _SCRATCH.append(df)
     return df
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    """Best-effort "is this frame's session gone" probe, used only to
+    decide whether a failed unpersist is terminal. Classic sessions
+    expose the JavaSparkContext handle; identifiable stop markers in
+    the error text cover Spark Connect (no ``_sc``) and torn-down
+    JVMs. Unknown failure modes classify as NOT stopped, so the
+    handle is retried next call rather than leaked (round-12 ADVICE:
+    defaulting stopped=True dropped handles on any transient probe
+    failure)."""
+    try:
+        sc = getattr(df.sparkSession, "_sc", None)
+        if sc is not None:
+            return getattr(sc, "_jsc", None) is None
+    except Exception as exc:  # probe itself failed: inspect the error
+        return _looks_stopped(exc)
+    return False
+
+
+def _looks_stopped(exc: BaseException) -> bool:
+    msg = str(exc).lower()
+    return any(
+        marker in msg
+        for marker in (
+            "sparkcontext has been stopped",
+            "sparkcontext was shut down",
+            "session is stopped",
+            "session was stopped",
+            "cannot call methods on a stopped",
+            "java gateway process exited",
+            "connection refused",  # py4j gateway gone with the JVM
+        )
+    )
 
 
 def release_scratch_caches() -> int:
@@ -40,19 +83,23 @@ def release_scratch_caches() -> int:
     once per ingest batch, or per query in a serving loop. A frame
     whose unpersist fails TRANSIENTLY stays registered for the next
     call (dropping its only handle would reinstate the unbounded-cache
-    leak this registry exists to fix); a stopped session drops
-    everything — the JVM-side cache died with it."""
+    leak this registry exists to fix); only an identifiably stopped
+    session drops the handle — the JVM-side cache died with it."""
+    with _LOCK:
+        snapshot = list(_SCRATCH)
+        _SCRATCH.clear()
     released, kept = 0, []
-    for df in _SCRATCH:
+    for df in snapshot:
         try:
             df.unpersist()
             released += 1
-        except Exception:
-            try:
-                stopped = df.sparkSession._sc._jsc is None
-            except Exception:
-                stopped = True
-            if not stopped:
+        except Exception as exc:
+            if not (_looks_stopped(exc) or _session_stopped(df)):
                 kept.append(df)  # transient failure: retry next call
-    _SCRATCH[:] = kept
+    if kept:
+        with _LOCK:
+            # frames pinned while we were releasing were appended to the
+            # (cleared) live list and are preserved untouched; prepend
+            # the retry set so ordering stays oldest-first
+            _SCRATCH[:0] = kept
     return released

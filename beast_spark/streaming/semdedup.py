@@ -126,6 +126,34 @@ class SemanticDedupMaintainer(ManifestSwapTable):
 
     # -- reads -----------------------------------------------------------
 
+    def _legacy(self, spark: SparkSession) -> bool:
+        """Pre-contract state dir: members fragments carry no batch
+        stamp, so the re-send contract cannot apply (stamping new
+        fragments into an unstamped sub forks its schema — the
+        family rule). Memoized, the IvfIndexMaintainer discipline
+        (round-12 ADVICE): the property is immutable for the life of
+        a state dir (legacy dirs stay legacy by design; fresh dirs
+        are contract from batch 0), and the schema probe builds a
+        frame over every members fragment — not a cost the
+        per-trigger path should repay."""
+        cached = getattr(self, "_legacy_mode", None)
+        if cached is not None:
+            return cached
+        if not self.sub_leaves("members"):
+            self._legacy_mode = False  # fresh: contract from batch 0
+        else:
+            self._legacy_mode = (
+                "_b" not in self._read_sub(spark, "members").columns
+            )
+        return self._legacy_mode
+
+    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+        """(id, batch_id) re-send log — None until an id is re-sent
+        (and again after :meth:`compact_resends` folds it away). The
+        same public probe the neardup/lexical/ivf siblings expose
+        (round-12 ADVICE: API symmetry across contract adopters)."""
+        return self._read_sub(spark, "resent")
+
     def read_members(self, spark: SparkSession) -> DataFrame | None:
         """Live member rows (a re-sent id's superseded rows filtered —
         the shared watermark contract; unstamped legacy dirs pass
@@ -207,11 +235,11 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             .withColumn("nrm", norm(F.col(self.vec_col)))
             .persist()  # feeds occupancy, both pair legs, and the member append
         )
-        raw_members = self._read_sub(spark, "members")
         # legacy = a pre-contract dir whose fragments carry no batch
         # stamp; re-sends stay out of contract there (the lexical/
-        # neardup rule — stamping into an unstamped sub forks its schema)
-        legacy = raw_members is not None and "_b" not in raw_members.columns
+        # neardup rule — stamping into an unstamped sub forks its
+        # schema). Memoized: see _legacy.
+        legacy = self._legacy(spark)
         wm = None if legacy else self.resend_watermarks(spark, self.id_col)
         resent_cells = None  # (id, cid): re-sent ids with their OLD cell
         try:
@@ -961,11 +989,11 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(self.centroids_path)
         inc = self._post(batch_df, centroids).persist()
-        raw_members = self._read_sub(spark, "members")
         # legacy = a pre-round-12 dir whose fragments carry no batch
         # stamp; re-sends stay out of contract there (stamping into an
-        # unstamped sub forks its schema — the family rule)
-        legacy = raw_members is not None and "_b" not in raw_members.columns
+        # unstamped sub forks its schema — the family rule). Memoized:
+        # see SemanticDedupMaintainer._legacy.
+        legacy = self._legacy(spark)
         wm = None if legacy else self.resend_watermarks(spark, self.id_col)
         resent_posts = None  # (id, cid): re-sent ids × their OLD postings
         resent_ids = None  # their distinct (id) projection

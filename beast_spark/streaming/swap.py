@@ -995,7 +995,35 @@ class ManifestSwapTable:
         common no-re-send trigger pays nothing). Requires the
         maintainer's no-arg ``compact_resends(spark)`` override (every
         contract adopter has one) — the base method cannot know which
-        sub-tables participate."""
+        sub-tables participate, so an adopter that sets
+        ``resend_gc_rows`` without the override gets a clear
+        NotImplementedError here, not a TypeError mid-GC (round-12
+        ADVICE)."""
+        import inspect
+
+        try:
+            sig = inspect.signature(self.compact_resends)
+            needs_more = any(
+                p.default is inspect.Parameter.empty
+                and p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    inspect.Parameter.KEYWORD_ONLY,
+                )
+                for p in list(sig.parameters.values())[1:]  # beyond spark
+            )
+        except (TypeError, ValueError):  # C-level / unsignatured callable
+            needs_more = False
+        if needs_more:
+            raise NotImplementedError(
+                f"{type(self).__name__} enables threshold re-send GC but "
+                "does not override compact_resends(spark) with a no-arg "
+                "form naming its participating sub-tables; implement "
+                "`def compact_resends(self, spark): return "
+                "super().compact_resends(spark, id_col, subs)` (see the "
+                "neardup/lexical/semdedup/ivf adopters)."
+            )
         r = self._read_sub(spark, "resent")
         if r is None or r.count() <= max_resent_rows:
             return False

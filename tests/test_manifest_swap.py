@@ -947,3 +947,42 @@ def test_resend_pair_rule_matches_python_model(spark, tmp_path_factory, ops):
         )
         assert got == live_pairs_model(), f"after {op}"
     shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_maybe_compact_resends_requires_no_arg_override(spark, tmp_path):
+    """An adopter that enables threshold re-send GC without the no-arg
+    compact_resends(spark) override must get a clear
+    NotImplementedError naming the contract — not a TypeError from
+    inside apply_batch when the threshold first trips (round-12
+    ADVICE). Conforming overrides (with or without defaulted extras)
+    pass the guard."""
+
+    class _Forgot(ManifestSwapTable):
+        pass  # inherits the (spark, id_col, subs) base signature
+
+    bad = _Forgot(str(tmp_path / "bad"))
+    with pytest.raises(NotImplementedError, match="compact_resends"):
+        bad.maybe_compact_resends(spark, max_resent_rows=0)
+
+    class _Conforms(ManifestSwapTable):
+        def compact_resends(self, spark):
+            return super().compact_resends(
+                spark, "id", {"data": (["id"], None, False)}
+            )
+
+    ok = _Conforms(str(tmp_path / "ok"))
+    # no resent log yet: the guard passes and the probe returns False
+    assert ok.maybe_compact_resends(spark, max_resent_rows=0) is False
+
+    class _Defaulted(ManifestSwapTable):
+        def compact_resends(self, spark, dry_run=False):
+            return super().compact_resends(
+                spark, "id", {"data": (["id"], None, False)}
+            )
+
+    assert (
+        _Defaulted(str(tmp_path / "dflt")).maybe_compact_resends(
+            spark, max_resent_rows=0
+        )
+        is False
+    )

@@ -202,3 +202,82 @@ def test_corpus_v3_pointer_reread_pins_source_file(spark, tmp_path):
         _run_once(spark, m, src_dir, tmp_path / "ckpt")
     # state is untouched by the rejected batch (swap never ran)
     assert {r.doc_id for r in m.survivors(spark).collect()} == {1}
+
+
+def test_corpus_v3_resend_rebuild_composition(spark, sf_dir, tmp_path, v3_cls):
+    """The documented re-send answer GATED (round-12 verdict missing
+    #3): after the append-only guard rejects a corrective re-send,
+    rebuilding a fresh state dir from the latest payload per doc_id
+    (last-writer-wins over the stamped ingest log) must serve exactly
+    the batch q169 capstone over the true corpus — the q238 pattern,
+    applied to the last re-send boundary in the maintainer family."""
+    from pyspark.sql.window import Window as W
+
+    from beast_spark.queries.datapipe import q169_corpus_prep_v3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corrupted = F.col("doc_id") % 7 == 0
+    spam = F.concat_ws(
+        " ", F.array_repeat(F.lit("lorem ipsum dolor sit amet"), 24)
+    )
+    b0 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "text", F.when(corrupted, spam).otherwise(F.col("text"))
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(corrupted | (F.col("doc_id") % 3 == 2))
+
+    m = v3_cls(str(tmp_path / "state"))
+    if v3_cls.__name__ == "CorpusV3PointerMaintainer":
+        # pointer form re-reads text from immutable source files: stage
+        # each batch as parquet and ingest with its file pointer (the
+        # column stream_from derives from the file source's _metadata)
+        staged = []
+        for k, b in enumerate((b0, b1, b2)):
+            p = tmp_path / f"src{k}"
+            b.write.parquet(str(p))
+            staged.append(
+                spark.read.parquet(str(p)).withColumn(
+                    "src_path", F.col("_metadata.file_path")
+                )
+            )
+        b0, b1, b2 = staged
+    m.apply_batch(b0, 0)
+    m.apply_batch(b1, 1)
+    with pytest.raises(ValueError, match="append-only"):
+        m.apply_batch(b2, 2)
+
+    log = (
+        b0.withColumn("_b", F.lit(0))
+        .unionByName(b1.withColumn("_b", F.lit(1)))
+        .unionByName(b2.withColumn("_b", F.lit(2)))
+    )
+    latest = (
+        log.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_b")
+    )
+    if v3_cls.__name__ == "CorpusV3PointerMaintainer":
+        # latest-payload view staged as an immutable source for pointers
+        p = tmp_path / "latest"
+        latest.write.parquet(str(p))
+        latest = spark.read.parquet(str(p))
+    rebuilt = v3_cls(str(tmp_path / "rebuilt"))
+    for k in range(2):
+        rebuilt.apply_batch(latest.filter(F.col("doc_id") % 2 == k), k)
+
+    true_dir = tmp_path / "true"
+    docs.coalesce(1).write.parquet(str(true_dir / "documents.parquet"))
+    want = {
+        (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+        for r in q169_corpus_prep_v3(spark, str(true_dir)).collect()
+    }
+    got = {
+        (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+        for r in rebuilt.survivors_by_split(spark).collect()
+    }
+    assert got == want

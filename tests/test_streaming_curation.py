@@ -1064,3 +1064,54 @@ def test_streamed_multiprobe_randomized_resend_cap_interplay(
             .collect()
         }
         assert occ == live, f"seed {seed} batch {b}"
+
+
+def test_semdedup_read_resent_and_memoized_legacy(spark, tmp_path):
+    """Round-13 API symmetry + cost fixes (round-12 ADVICE #4/#5):
+    SemanticDedupMaintainer exposes the same public read_resent its
+    neardup/lexical/ivf siblings do, and the legacy-dir probe (a
+    schema read over every members fragment) runs at most once per
+    maintainer instance — the IvfIndexMaintainer memoization rule."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.99
+    )
+    assert m.read_resent(spark) is None  # fresh: no log
+    assert m._legacy(spark) is False  # fresh: contract from batch 0
+
+    m.apply_batch(_vecs(spark, [(2, _unit(0.01)), (5, _unit(0.012))]), 0)
+    m.apply_batch(_vecs(spark, [(2, _unit(1.49))]), 1)  # re-send
+    assert {
+        (r["vec_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
+    } == {(2, 1)}
+    assert m.compact_resends(spark) is True
+    assert m.read_resent(spark) is None  # folded away again
+
+    # the legacy probe is memoized: once resolved, further triggers'
+    # probes must not rebuild a frame over the members fragments just
+    # for .columns (apply_batch still reads members for the MERGE —
+    # that read is the work, not the probe)
+    reads = []
+    orig = m._read_sub
+
+    def counting(spark_, name, **kw):
+        reads.append(name)
+        return orig(spark_, name, **kw)
+
+    m._read_sub = counting
+    assert m._legacy(spark) is False
+    assert m._legacy(spark) is False
+    assert reads == []  # memoized: zero reads for repeat probes
+    m._read_sub = orig
+
+    # a pre-contract (unstamped) dir memoizes True on a FRESH instance
+    legacy_members = m._read_sub(spark, "members").drop("_b")
+    m2 = SemanticDedupMaintainer(
+        str(tmp_path / "legacy"), str(tmp_path / "cent"), tau=0.99
+    )
+    m2.commit_delta(0, appends={"members": legacy_members})
+    assert m2._legacy(spark) is True
+    assert m2._legacy_mode is True  # cached for the life of the instance

@@ -463,7 +463,7 @@ def main() -> None:
         t0 = time.perf_counter()
         assert m.compact_resends(spark)
         t_c = time.perf_counter() - t0
-        assert m._read_sub(spark, "resent") is None  # read tax gone
+        assert m.read_resent(spark) is None  # read tax gone
         bytes_post = sum(_files(f"{tmp}/state").values())
         print(
             f"semdedup_resend: {t_rs:.1f}s to cascade {n_resent} re-sent "
@@ -586,6 +586,165 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # 10) the 1M leg (round-12 verdict #5): the re-send cascade + fold
+    # claims are O(victims)/O(live) — constants that look fine at 100k
+    # can hide a linear term that only shows an order of magnitude up.
+    # One slim-config semdedup cascade leg at 1M VECTORS and one
+    # lexical fold leg at 1M DOCS pin them. Disable with
+    # SCALE_PROBE_XL=0 if a round needs a fast probe; the recorded
+    # numbers then carry over unchanged and COVERAGE must say so.
+    if os.environ.get("SCALE_PROBE_XL", "1") != "0":
+        from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+        reps_xl = int(os.environ.get("SCALE_PROBE_XL_REPS", "500"))
+        offs_xl = spark.createDataFrame(
+            list(enumerate(hyperplanes_md5(64, reps_xl, salt="spxl|"))),
+            "r long, off array<double>",
+        )
+        big_xl = (
+            e.crossJoin(
+                F.broadcast(spark.range(reps_xl).withColumnRenamed("id", "r"))
+            )
+            .join(F.broadcast(offs_xl), "r")
+            .select(
+                (F.col("vec_id") + F.col("r") * n0).alias("vec_id"),
+                F.zip_with(
+                    "embedding", "off", lambda x, o: x + F.lit(0.1) * o
+                ).alias("embedding"),
+            )
+            .repartition(128)
+            .persist()
+        )
+        n_xl = big_xl.count()
+        print(f"XL corpus: {n_xl} vectors ({reps_xl}x sf0.1)")
+        tmp = tempfile.mkdtemp(prefix="scale_sem_xl_")
+        try:
+            # slim config: 256 cells keeps in-cell pair mining bounded
+            # (the leg measures the CASCADE/fold cost shape, not recall)
+            big_xl.filter(F.col("vec_id") < 256).write.parquet(
+                f"{tmp}/centroids"
+            )
+            m = SemanticDedupMaintainer(
+                f"{tmp}/state", f"{tmp}/centroids", tau=0.95
+            )
+            t0 = time.perf_counter()
+            m.apply_batch(big_xl, 0)  # bulk load 1M
+            t_bulk = time.perf_counter() - t0
+            before = _files(f"{tmp}/state")
+            total0 = sum(before.values())
+            resent = big_xl.filter(F.col("vec_id") % 1000 == 7).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            )
+            n_resent = resent.count()
+            t0 = time.perf_counter()
+            m.apply_batch(resent, 1)
+            t_rs = time.perf_counter() - t0
+            after = _files(f"{tmp}/state")
+            rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+            bytes_pre = sum(after.values())
+            t0 = time.perf_counter()
+            assert m.compact_resends(spark)
+            t_c = time.perf_counter() - t0
+            assert m.read_resent(spark) is None  # read tax gone
+            bytes_post = sum(_files(f"{tmp}/state").values())
+            print(
+                f"semdedup_resend_1m: bulk {t_bulk:.1f}s for {n_xl} "
+                f"vectors; {t_rs:.1f}s to cascade {n_resent} re-sent "
+                f"({rs_bytes / 1e6:.1f} MB commit vs {total0 / 1e6:.1f} "
+                f"MB state, {rs_bytes / max(total0, 1):.2%}); "
+                f"compact_resends {t_c:.1f}s, state "
+                f"{bytes_pre / 1e6:.1f} -> {bytes_post / 1e6:.1f} MB"
+            )
+            _rec(
+                "streamed_semdedup_resend_1m",
+                n_vectors=n_xl,
+                bulk_seconds=t_bulk,
+                n_resent=n_resent,
+                cascade_absorb_seconds=t_rs,
+                cascade_commit_mb=round(rs_bytes / 1e6, 2),
+                cascade_commit_frac=round(rs_bytes / max(total0, 1), 4),
+                compact_seconds=t_c,
+                state_mb_before=round(bytes_pre / 1e6, 2),
+                state_mb_after=round(bytes_post / 1e6, 2),
+                watermark_join_after_fold=False,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            big_xl.unpersist()
+
+        # 10b) lexical fold at 1M docs
+        reps_doc = max(1, 1_000_000 // nd0)
+        docs_xl = (
+            d0.crossJoin(
+                F.broadcast(
+                    spark.range(reps_doc).withColumnRenamed("id", "r")
+                )
+            )
+            .select((F.col("doc_id") + F.col("r") * nd0).alias("doc_id"), "text")
+        )
+        nd_xl = nd0 * reps_doc
+        tmp = tempfile.mkdtemp(prefix="scale_lex_xl_")
+        try:
+            m = LexicalIndexMaintainer(f"{tmp}/state")
+            t0 = time.perf_counter()
+            m.apply_batch(docs_xl, 0)  # bulk load 1M docs
+            t_bulk = time.perf_counter() - t0
+            before = _files(f"{tmp}/state")
+            total0 = sum(before.values())
+            resent = docs_xl.filter(F.col("doc_id") % 1000 == 7).select(
+                "doc_id",
+                F.concat(F.lit("resent "), F.col("text")).alias("text"),
+            )
+            n_resent = resent.count()
+            t0 = time.perf_counter()
+            m.apply_batch(resent, 1)
+            t_rs = time.perf_counter() - t0
+            after = _files(f"{tmp}/state")
+            rs_bytes = sum(sz for rel, sz in after.items() if rel not in before)
+            bytes_pre = sum(after.values())
+            leaves_pre = sum(
+                len(m.sub_leaves(s)) for s in ("postings", "doclen", "resent")
+            )
+            t0 = time.perf_counter()
+            assert m.compact_resends(spark)
+            t_c = time.perf_counter() - t0
+            assert m.read_resent(spark) is None  # read tax gone
+            bytes_post = sum(_files(f"{tmp}/state").values())
+            leaves_post = sum(
+                len(m.sub_leaves(s)) for s in ("postings", "doclen", "resent")
+            )
+            t0 = time.perf_counter()
+            nres2 = m.bm25(spark, ["dup", "spark", "window"]).count()
+            t_s2 = time.perf_counter() - t0
+            print(
+                f"lexical_resend_1m: bulk {t_bulk:.1f}s for {nd_xl} docs; "
+                f"{t_rs:.1f}s to cascade {n_resent} re-sent docs "
+                f"({rs_bytes / 1e6:.1f} MB commit vs {total0 / 1e6:.1f} "
+                f"MB state, {rs_bytes / max(total0, 1):.2%}); "
+                f"compact_resends {t_c:.1f}s, state {bytes_pre / 1e6:.1f} "
+                f"-> {bytes_post / 1e6:.1f} MB, leaves {leaves_pre} -> "
+                f"{leaves_post}; post-fold serve {t_s2:.1f}s "
+                f"({nres2} docs, no watermark join)"
+            )
+            _rec(
+                "streamed_lexical_resend_1m",
+                n_docs=nd_xl,
+                bulk_seconds=t_bulk,
+                n_resent=n_resent,
+                cascade_absorb_seconds=t_rs,
+                cascade_commit_mb=round(rs_bytes / 1e6, 2),
+                cascade_commit_frac=round(rs_bytes / max(total0, 1), 4),
+                compact_seconds=t_c,
+                state_mb_before=round(bytes_pre / 1e6, 2),
+                state_mb_after=round(bytes_post / 1e6, 2),
+                leaves_before=leaves_pre,
+                leaves_after=leaves_post,
+                postfold_serve_seconds=t_s2,
+                watermark_join_after_fold=False,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.json"
