@@ -516,6 +516,77 @@ def q240_bm25_resend_autogc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
 
 
+@register(
+    "q243_bm25_fold_time_travel",
+    oracle=_BM25_ORACLE,
+    doc="Generation time travel on the LEXICAL index (round-13 — the "
+    "as_of_gen contract streaming/ivf.py established, rolled out "
+    "family-wide to the lexical/neardup/SemDeDup adopters): q235's "
+    "corrupted-then-corrected choreography on a maintainer with a "
+    "generation-retention window. The query snapshots the BM25 serve "
+    "at the pre-correction and post-correction generations, runs "
+    "compact_resends (physically deleting the live watermark log), "
+    "then asserts (a) bm25(as_of_gen=post-correction) reproduces the "
+    "corrected snapshot exactly — the retained generation's manifest "
+    "still resolves the pre-fold leaves AND its own resent log — and "
+    "(b) bm25(as_of_gen=pre-correction) serves the WRONG-text world, "
+    "superseded rows live again under that generation's watermark "
+    "view. The returned live ranking hash-equals q221's batch oracle "
+    "over each doc's latest text, VERBATIM.",
+    bench=False,
+    bench_reason="maintainer composition; the tf/idf scoring plan is benched as q221's batch form",
+)
+def q243_bm25_fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _bm25_resend_choreography(
+        spark, sf_dir, "beast_q243_", gc_grace_gens=6
+    )
+    # the choreography commits one generation per batch: the corrective
+    # re-send is the latest, the wrong-text world the one before it
+    gen_fixed = m._manifest()["gen"]
+    gen_wrong = gen_fixed - 1
+    snap_fixed = sorted(
+        map(tuple, m.bm25(spark, list(_BM25_TERMS)).collect())
+    )
+    snap_wrong = sorted(
+        map(tuple, m.bm25(spark, list(_BM25_TERMS), as_of_gen=gen_wrong).collect())
+    )
+    if snap_wrong == snap_fixed:
+        raise ValueError("q243: the correction did not change the ranking inputs")
+    if not m.compact_resends(spark):
+        raise ValueError("q243: choreography logged no re-sends to compact")
+    if m.read_resent(spark) is not None:
+        raise ValueError("q243: resent watermark log survived the fold")
+    if m.read_resent(spark, as_of_gen=gen_fixed) is None:
+        raise ValueError(
+            "q243: travelled-to generation lost its resent log to the fold"
+        )
+    if (
+        sorted(
+            map(
+                tuple,
+                m.bm25(spark, list(_BM25_TERMS), as_of_gen=gen_fixed).collect(),
+            )
+        )
+        != snap_fixed
+    ):
+        raise ValueError(
+            "q243: time travel across the fold changed the corrected snapshot"
+        )
+    if (
+        sorted(
+            map(
+                tuple,
+                m.bm25(spark, list(_BM25_TERMS), as_of_gen=gen_wrong).collect(),
+            )
+        )
+        != snap_wrong
+    ):
+        raise ValueError(
+            "q243: pre-correction snapshot not reproduced after the fold"
+        )
+    return _ranked_topn(m.bm25(spark, list(_BM25_TERMS)), _BM25_TOP_N)
+
+
 _GUMBEL_T = 2.0
 _GUMBEL_SALT = "gumbel:"
 

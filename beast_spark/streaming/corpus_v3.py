@@ -84,8 +84,11 @@ class CorpusV3Maintainer(ManifestSwapTable):
         max_dup_trigram_frac: float = 0.2,
         source_cap: int = 10,
         n_shards: int = 16,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+        ManifestSwapTable.__init__(
+            self, path, n_shards=n_shards, gc_grace_gens=gc_grace_gens
+        )
         self.window = window
         self.min_clean_tokens = min_clean_tokens
         self.min_norm_entropy = min_norm_entropy
@@ -325,11 +328,19 @@ class CorpusV3Maintainer(ManifestSwapTable):
 
     # -- derived views ----------------------------------------------------
 
-    def survivors(self, spark: SparkSession) -> DataFrame:
+    def survivors(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """(doc_id, n_tokens, split): q169's surviving set over every
-        document ingested so far."""
-        sig = self._read_sub(spark, "signals")
-        docs = self._read_sub(spark, "docs")
+        document ingested so far. ``as_of_gen`` (gc_grace_gens > 0)
+        serves a retained earlier generation's snapshot — all five
+        sub-tables resolve through the SAME travelled-to manifest, so
+        the gate values, dedup canon, and cap ranks are exactly the
+        generation's own (the family as_of contract; no watermark leg
+        here — the corpus stream is append-only by the fail-fast
+        guard)."""
+        sig = self._read_sub(spark, "signals", as_of_gen=as_of_gen)
+        docs = self._read_sub(spark, "docs", as_of_gen=as_of_gen)
         if sig is None:
             return spark.createDataFrame([], "doc_id long, n_tokens long, split string")
         g = sig.filter(
@@ -366,10 +377,12 @@ class CorpusV3Maintainer(ManifestSwapTable):
             .alias("split"),
         )
 
-    def survivors_by_split(self, spark: SparkSession) -> DataFrame:
+    def survivors_by_split(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """q169's exact output shape."""
         return (
-            self.survivors(spark)
+            self.survivors(spark, as_of_gen=as_of_gen)
             .groupBy("split")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),

@@ -206,21 +206,31 @@ class IvfIndexMaintainer(ManifestSwapTable):
             wm = self._wm(spark, as_of_gen=as_of_gen)
         return self.live_rows(df, wm, self.id_col, [self.id_col])
 
-    def read_assigned(self, spark: SparkSession) -> DataFrame | None:
-        return self._live_sub(spark, "assigned")
+    def read_assigned(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self._live_sub(spark, "assigned", as_of_gen=as_of_gen)
 
-    def read_vectors(self, spark: SparkSession) -> DataFrame | None:
-        return self._live_sub(spark, "vectors")
+    def read_vectors(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self._live_sub(spark, "vectors", as_of_gen=as_of_gen)
 
-    def read_codes(self, spark: SparkSession) -> DataFrame | None:
-        return self._live_sub(spark, "codes")
+    def read_codes(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self._live_sub(spark, "codes", as_of_gen=as_of_gen)
 
-    def read_pq(self, spark: SparkSession) -> DataFrame | None:
-        return self._live_sub(spark, "pq")
+    def read_pq(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self._live_sub(spark, "pq", as_of_gen=as_of_gen)
 
-    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+    def read_resent(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(id, batch_id) re-send log — None until an id is re-sent."""
-        return self._read_sub(spark, "resent")
+        return self._read_sub(spark, "resent", as_of_gen=as_of_gen)
 
     def _centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)

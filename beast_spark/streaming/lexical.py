@@ -58,8 +58,11 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         id_col: str = "doc_id",
         n_shards: int = 16,
         resend_gc_rows: int | None = None,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, path, n_shards=n_shards)
+        ManifestSwapTable.__init__(
+            self, path, n_shards=n_shards, gc_grace_gens=gc_grace_gens
+        )
         self.text_col = text_col
         self.id_col = id_col
         #: threshold-driven re-send GC (ManifestSwapTable.
@@ -82,30 +85,51 @@ class LexicalIndexMaintainer(ManifestSwapTable):
 
     # -- reads -----------------------------------------------------------
 
-    def _watermarks(self, spark: SparkSession) -> DataFrame | None:
-        return self.resend_watermarks(spark, self.id_col)
+    # Every read takes ``as_of_gen`` (generation time travel, the
+    # family pattern streaming/ivf.py established): a retained
+    # generation's manifest resolves both the stored rows AND the
+    # re-send watermark log as THAT generation saw them, so a
+    # travelled-to snapshot filters with its own watermarks — a later
+    # re-send (or a compact_resends fold, which drops the live log)
+    # never retroactively changes what a snapshot served. Requires the
+    # maintainer constructed with gc_grace_gens > 0.
+
+    def _watermarks(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self.resend_watermarks(spark, self.id_col, as_of_gen=as_of_gen)
 
     def _live(
         self, df: DataFrame | None, wm: DataFrame | None
     ) -> DataFrame | None:
         return self.live_rows(df, wm, self.id_col, [self.id_col])
 
-    def read_postings(self, spark: SparkSession) -> DataFrame | None:
+    def read_postings(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         return self._live(
-            self._read_sub(spark, "postings"), self._watermarks(spark)
+            self._read_sub(spark, "postings", as_of_gen=as_of_gen),
+            self._watermarks(spark, as_of_gen),
         )
 
-    def read_doclen(self, spark: SparkSession) -> DataFrame | None:
+    def read_doclen(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         return self._live(
-            self._read_sub(spark, "doclen"), self._watermarks(spark)
+            self._read_sub(spark, "doclen", as_of_gen=as_of_gen),
+            self._watermarks(spark, as_of_gen),
         )
 
-    def read_consts(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "consts", shards=[0])
+    def read_consts(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self._read_sub(spark, "consts", shards=[0], as_of_gen=as_of_gen)
 
-    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+    def read_resent(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(id, batch_id) re-send log — None until an id is re-sent."""
-        return self._read_sub(spark, "resent")
+        return self._read_sub(spark, "resent", as_of_gen=as_of_gen)
 
     # -- the foreachBatch body --------------------------------------------
 
@@ -252,22 +276,25 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         k1: float = 1.2,
         b: float = 0.75,
         round_digits: int = 4,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """(id, n_hits, score) over everything ingested so far — the
         batch ``bm25_scores`` result served from maintained state.
         Reads prune to the probed terms' postings shards and the hit
         documents' length shards; each shard probe is one bounded
-        driver action (≤ n_shards scalars)."""
+        driver action (≤ n_shards scalars). ``as_of_gen`` serves a
+        retained earlier generation's snapshot, filtered with the
+        watermarks that generation saw."""
         self._recover()
         self._check_marker()
-        consts = self.read_consts(spark)
+        consts = self.read_consts(spark, as_of_gen=as_of_gen)
         if consts is None:
             raise ValueError("LexicalIndexMaintainer: no documents ingested yet")
         # schema-faithful empty frame: the id column's type comes from the
         # stored doclen sub-table (a non-long id_col must round-trip the
         # no-hit path with the same schema as the hit path)
         empty = (
-            self._read_sub(spark, "doclen")
+            self._read_sub(spark, "doclen", as_of_gen=as_of_gen)
             .limit(0)
             .select(
                 self.id_col,
@@ -277,10 +304,13 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         )
         tdf = spark.createDataFrame([(t,) for t in terms], "term string")
         tshards = self.touched_shards(tdf, "term")
-        wm = self._watermarks(spark)
+        wm = self._watermarks(spark, as_of_gen)
         # None here means the probed shards hold no postings (the sub-table
         # itself exists once consts does): no term hits, not an empty state
-        post = self._live(self._read_sub(spark, "postings", shards=tshards), wm)
+        post = self._live(
+            self._read_sub(spark, "postings", shards=tshards, as_of_gen=as_of_gen),
+            wm,
+        )
         if post is None:
             return empty
         tf = post.filter(F.col("term").isin(list(terms))).select(
@@ -290,7 +320,8 @@ class LexicalIndexMaintainer(ManifestSwapTable):
         if not hit_shards:
             return empty
         lens = self._live(
-            self._read_sub(spark, "doclen", shards=hit_shards), wm
+            self._read_sub(spark, "doclen", shards=hit_shards, as_of_gen=as_of_gen),
+            wm,
         ).select(self.id_col, "dl")
         return bm25_from_stats(
             tf, lens, consts.select("n_docs", "total_dl"),

@@ -68,8 +68,9 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         vec_col: str = "embedding",
         max_bucket: int = DEFAULT_MAX_BUCKET,
         resend_gc_rows: int | None = None,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path, gc_grace_gens=gc_grace_gens)
         self.dims = dims
         self.threshold = threshold
         self.tables = multitable_planes(dims, n_planes, n_tables)
@@ -120,41 +121,66 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
     # out-of-contract there, since stamping new fragments into an
     # unstamped sub-table would fork its schema.
 
-    def _watermarks(self, spark: SparkSession) -> DataFrame | None:
-        return self.resend_watermarks(spark, self.id_col)
+    # Every read takes ``as_of_gen`` (generation time travel, the
+    # family pattern streaming/ivf.py established): a retained
+    # generation resolves stored rows AND the watermark log as that
+    # generation saw them, so later re-sends / compaction folds never
+    # retroactively change a travelled-to snapshot. Requires
+    # gc_grace_gens > 0.
+
+    def _watermarks(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        return self.resend_watermarks(spark, self.id_col, as_of_gen=as_of_gen)
 
     def _live(
         self, df: DataFrame | None, wm: DataFrame | None, cols: list[str]
     ) -> DataFrame | None:
         return self.live_rows(df, wm, self.id_col, cols)
 
-    def read_postings(self, spark: SparkSession) -> DataFrame | None:
+    def read_postings(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         return self._live(
-            self._read_sub(spark, "postings"), self._watermarks(spark), [self.id_col]
+            self._read_sub(spark, "postings", as_of_gen=as_of_gen),
+            self._watermarks(spark, as_of_gen),
+            [self.id_col],
         )
 
-    def read_vectors(self, spark: SparkSession) -> DataFrame | None:
+    def read_vectors(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         return self._live(
-            self._read_sub(spark, "vectors"), self._watermarks(spark), [self.id_col]
+            self._read_sub(spark, "vectors", as_of_gen=as_of_gen),
+            self._watermarks(spark, as_of_gen),
+            [self.id_col],
         )
 
-    def read_pairs(self, spark: SparkSession) -> DataFrame | None:
+    def read_pairs(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """Live pair rows: a pair predating EITHER endpoint's re-send
         reflects a superseded payload and is filtered."""
         return self._live(
-            self._read_sub(spark, "pairs"), self._watermarks(spark), ["vec1", "vec2"]
+            self._read_sub(spark, "pairs", as_of_gen=as_of_gen),
+            self._watermarks(spark, as_of_gen),
+            ["vec1", "vec2"],
         )
 
-    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+    def read_resent(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(id, batch_id) re-send log — None until an id is re-sent."""
-        return self._read_sub(spark, "resent")
+        return self._read_sub(spark, "resent", as_of_gen=as_of_gen)
 
-    def read_capped(self, spark: SparkSession) -> DataFrame | None:
+    def read_capped(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """Degenerate-bucket accounting: (t, bucket, bucket_size,
         batch_id), one row per (capped bucket, micro-batch that hit
         it). Absent (None) until a batch actually trips the cap — no
         silent caps, but also no empty-fragment churn per trigger."""
-        return self._read_sub(spark, "capped")
+        return self._read_sub(spark, "capped", as_of_gen=as_of_gen)
 
     def read_occupancy(self, spark: SparkSession) -> DataFrame | None:
         """(t, bucket, n_exist): maintained per-bucket distinct-id

@@ -92,8 +92,9 @@ class SemanticDedupMaintainer(ManifestSwapTable):
         round_digits: int = 6,
         fingerprint=None,
         resend_gc_rows: int | None = None,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, path)
+        ManifestSwapTable.__init__(self, path, gc_grace_gens=gc_grace_gens)
         self.centroids_path = centroids_path
         self.tau = tau
         self.id_col = id_col
@@ -147,35 +148,50 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             )
         return self._legacy_mode
 
-    def read_resent(self, spark: SparkSession) -> DataFrame | None:
+    # Every read takes ``as_of_gen`` (generation time travel, the
+    # family pattern streaming/ivf.py established): a retained
+    # generation resolves stored rows AND the watermark log as that
+    # generation saw them. The ``dropped`` action table is physically
+    # maintained (the cascade rewrites it wholesale), so its as-of
+    # read needs no watermark filter — the stored rows at a
+    # generation ARE that generation's decisions. Requires
+    # gc_grace_gens > 0.
+
+    def read_resent(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(id, batch_id) re-send log — None until an id is re-sent
         (and again after :meth:`compact_resends` folds it away). The
         same public probe the neardup/lexical/ivf siblings expose
         (round-12 ADVICE: API symmetry across contract adopters)."""
-        return self._read_sub(spark, "resent")
+        return self._read_sub(spark, "resent", as_of_gen=as_of_gen)
 
-    def read_members(self, spark: SparkSession) -> DataFrame | None:
+    def read_members(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """Live member rows (a re-sent id's superseded rows filtered —
         the shared watermark contract; unstamped legacy dirs pass
         through)."""
         return self.live_rows(
-            self._read_sub(spark, "members"),
-            self.resend_watermarks(spark, self.id_col),
+            self._read_sub(spark, "members", as_of_gen=as_of_gen),
+            self.resend_watermarks(spark, self.id_col, as_of_gen=as_of_gen),
             self.id_col,
             [self.id_col],
         )
 
-    def read_dropped(self, spark: SparkSession) -> DataFrame:
+    def read_dropped(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """(id, cid, replaced_by, cos_sim) — the live action table
         (empty-but-typed before any drop is found)."""
         self._recover()
         self._check_marker()
-        d = self._read_sub(spark, "dropped")
+        d = self._read_sub(spark, "dropped", as_of_gen=as_of_gen)
         if d is not None:
             return d.select(
                 F.col("dup_id").alias(self.id_col), "cid", "replaced_by", "cos_sim"
             )
-        if self._read_sub(spark, "occupancy") is None:
+        if self._read_sub(spark, "occupancy", as_of_gen=as_of_gen) is None:
             raise ValueError(
                 "SemanticDedupMaintainer: no vectors ingested yet"
             )
@@ -184,7 +200,7 @@ class SemanticDedupMaintainer(ManifestSwapTable):
         # discipline): the maintainer accepts arbitrary id_col types,
         # and a hardcoded `long` would give the no-drops path a
         # different schema than the populated path for string ids.
-        members = self.read_members(spark)
+        members = self.read_members(spark, as_of_gen=as_of_gen)
         id_type = (
             members.schema[self.id_col].dataType.simpleString()
             if members is not None
@@ -196,18 +212,22 @@ class SemanticDedupMaintainer(ManifestSwapTable):
             "cos_sim double",
         )
 
-    def read_kept(self, spark: SparkSession) -> DataFrame:
+    def read_kept(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """Surviving (id, vector) rows — members minus dropped."""
-        dropped = self.read_dropped(spark)  # runs the guards
-        members = self.read_members(spark)
+        dropped = self.read_dropped(spark, as_of_gen=as_of_gen)  # runs the guards
+        members = self.read_members(spark, as_of_gen=as_of_gen)
         return members.select(self.id_col, self.vec_col).join(
             dropped.select(self.id_col), self.id_col, "left_anti"
         )
 
-    def read_capped(self, spark: SparkSession) -> DataFrame | None:
+    def read_capped(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(cid, bucket_size, batch_id) accounting of cap trips — absent
         until a batch actually trips it (no empty-fragment churn)."""
-        return self._read_sub(spark, "capped")
+        return self._read_sub(spark, "capped", as_of_gen=as_of_gen)
 
     # -- the foreachBatch body --------------------------------------------
 
@@ -821,6 +841,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
         round_digits: int = 6,
         fingerprint=None,
         resend_gc_rows: int | None = None,
+        gc_grace_gens: int = 0,
     ) -> None:
         if max_bucket is None:
             max_bucket = n_assign * DEFAULT_MAX_BUCKET
@@ -835,6 +856,7 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             round_digits=round_digits,
             fingerprint=fingerprint,
             resend_gc_rows=resend_gc_rows,
+            gc_grace_gens=gc_grace_gens,
         )
         self.n_assign = n_assign
 
@@ -845,21 +867,23 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
 
     # -- reads -----------------------------------------------------------
 
-    def read_dropped(self, spark: SparkSession) -> DataFrame:
+    def read_dropped(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """(id, replaced_by, cos_sim) — the q228 action schema (no cell
         column), empty-but-typed before any drop is found."""
         self._recover()
         self._check_marker()
-        d = self._read_sub(spark, "dropped")
+        d = self._read_sub(spark, "dropped", as_of_gen=as_of_gen)
         if d is not None:
             return d.select(
                 F.col("dup_id").alias(self.id_col), "replaced_by", "cos_sim"
             )
-        if self._read_sub(spark, "occupancy") is None:
+        if self._read_sub(spark, "occupancy", as_of_gen=as_of_gen) is None:
             raise ValueError(
                 "MultiProbeSemanticDedupMaintainer: no vectors ingested yet"
             )
-        members = self.read_members(spark)
+        members = self.read_members(spark, as_of_gen=as_of_gen)
         id_type = (
             members.schema[self.id_col].dataType.simpleString()
             if members is not None
@@ -869,11 +893,13 @@ class MultiProbeSemanticDedupMaintainer(SemanticDedupMaintainer):
             [], f"{self.id_col} {id_type}, replaced_by {id_type}, cos_sim double"
         )
 
-    def read_kept(self, spark: SparkSession) -> DataFrame:
+    def read_kept(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
         """Surviving (id, vector) rows — members hold one row per
         posting, so dedupe on id before subtracting the dropped set."""
-        dropped = self.read_dropped(spark)  # runs the guards
-        members = self.read_members(spark)
+        dropped = self.read_dropped(spark, as_of_gen=as_of_gen)  # runs the guards
+        members = self.read_members(spark, as_of_gen=as_of_gen)
         return (
             members.select(self.id_col, self.vec_col)
             .dropDuplicates([self.id_col])

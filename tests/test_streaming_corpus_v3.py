@@ -281,3 +281,48 @@ def test_corpus_v3_resend_rebuild_composition(spark, sf_dir, tmp_path, v3_cls):
         for r in rebuilt.survivors_by_split(spark).collect()
     }
     assert got == want
+
+
+def test_corpus_v3_survivors_as_of_matches_prefix(spark, sf_dir, tmp_path, v3_cls):
+    """Generation time travel on the corpus-v3 maintainer (round-13 —
+    the family-wide as_of_gen rollout): survivors(as_of_gen=k) must
+    equal the batch q169 capstone over exactly the documents the
+    travelled-to generation had ingested — including retroactive span
+    rewrites that LATER batches applied, which must NOT leak backwards
+    into the snapshot (all five sub-tables resolve through the same
+    retained manifest)."""
+    from beast_spark.queries.datapipe import q169_corpus_prep_v3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slices = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    m = v3_cls(str(tmp_path / "state"), gc_grace_gens=6)
+    if v3_cls.__name__ == "CorpusV3PointerMaintainer":
+        staged = []
+        for k, sl in enumerate(slices):
+            p = tmp_path / f"src{k}"
+            sl.write.parquet(str(p))
+            staged.append(
+                spark.read.parquet(str(p)).withColumn(
+                    "src_path", F.col("_metadata.file_path")
+                )
+            )
+        slices = staged
+
+    gens = []
+    for k, sl in enumerate(slices):
+        m.apply_batch(sl, k)
+        gens.append(m._manifest()["gen"])
+
+    for k, gen in enumerate(gens):
+        prefix_dir = tmp_path / f"prefix{k}"
+        prefix = docs.filter(F.col("doc_id") % 3 <= k)
+        prefix.coalesce(1).write.parquet(str(prefix_dir / "documents.parquet"))
+        want = {
+            (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+            for r in q169_corpus_prep_v3(spark, str(prefix_dir)).collect()
+        }
+        got = {
+            (r.split, r.n_docs, r.total_tokens, r.id_checksum)
+            for r in m.survivors_by_split(spark, as_of_gen=gen).collect()
+        }
+        assert got == want, f"as_of gen {gen} (prefix {k}): {got} != {want}"

@@ -1115,3 +1115,77 @@ def test_semdedup_read_resent_and_memoized_legacy(spark, tmp_path):
     m2.commit_delta(0, appends={"members": legacy_members})
     assert m2._legacy(spark) is True
     assert m2._legacy_mode is True  # cached for the life of the instance
+
+
+def test_bm25_as_of_across_resend_and_fold(spark, tmp_path):
+    """Generation time travel on the LEXICAL index (round-13 — the
+    family-wide as_of_gen rollout): a retained generation serves the
+    BM25 snapshot it saw — wrong text before the corrective re-send,
+    corrected text after — and stays exactly reproducible ACROSS
+    compact_resends, which physically deletes the live watermark log
+    (the q241/IVF contract applied to the lexical adopter)."""
+    from beast_spark.streaming.lexical import LexicalIndexMaintainer
+
+    m = LexicalIndexMaintainer(str(tmp_path / "state"), gc_grace_gens=6)
+    wrong = [(1, "corrupted corrupted corrupted", "en"), (3, "corrupted", "en")]
+    m.apply_batch(_docs(spark, wrong + [r for r in ROWS if r[0] in (2, 4)]), 0)
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (5, 6, 7)]), 1)
+    gen_wrong = m._manifest()["gen"]
+    snap_wrong = _scores_set(m.bm25(spark, TERMS))
+    m.apply_batch(_docs(spark, [r for r in ROWS if r[0] in (1, 3)]), 2)
+    gen_fixed = m._manifest()["gen"]
+    snap_fixed = _scores_set(m.bm25(spark, TERMS))
+    assert snap_fixed == _scores_set(bm25_scores(_docs(spark, ROWS), TERMS))
+
+    # pre-fold travel: each generation filtered with ITS OWN watermarks
+    assert _scores_set(m.bm25(spark, TERMS, as_of_gen=gen_wrong)) == snap_wrong
+    assert _scores_set(m.bm25(spark, TERMS, as_of_gen=gen_fixed)) == snap_fixed
+
+    assert m.compact_resends(spark) is True
+    assert m.read_resent(spark) is None  # live log folded away
+    # live read unchanged; travelled-to generations still exact, and
+    # the travelled-to resent log is readable from the old manifest
+    assert _scores_set(m.bm25(spark, TERMS)) == snap_fixed
+    assert m.read_resent(spark, as_of_gen=gen_fixed) is not None
+    assert _scores_set(m.bm25(spark, TERMS, as_of_gen=gen_fixed)) == snap_fixed
+    assert _scores_set(m.bm25(spark, TERMS, as_of_gen=gen_wrong)) == snap_wrong
+
+
+def test_semdedup_as_of_across_resend_and_fold(spark, tmp_path):
+    """as_of_gen on the SemDeDup maintainer: the travelled-to dropped/
+    kept views reproduce the generation's decisions — including the
+    pre-correction world where the wrong payload's drop rows were live
+    — across the physical fold."""
+    from beast_spark.streaming.semdedup import SemanticDedupMaintainer
+
+    cent = [(0, _unit(0.0)), (1, _unit(1.5))]
+    _vecs(spark, cent).write.parquet(str(tmp_path / "cent"))
+    m = SemanticDedupMaintainer(
+        str(tmp_path / "state"), str(tmp_path / "cent"), tau=0.99,
+        gc_grace_gens=6,
+    )
+    # batch 0: id 2 arrives WRONG (far from 5/9's cluster: no drop)
+    m.apply_batch(
+        _vecs(spark, [(2, _unit(1.49)), (5, _unit(0.01)), (9, _unit(0.012))]), 0
+    )
+    gen_wrong = m._manifest()["gen"]
+    snap_wrong = {tuple(r) for r in m.read_dropped(spark).collect()}
+    kept_wrong = {r["vec_id"] for r in m.read_kept(spark).collect()}
+    # batch 1: corrective re-send — id 2 joins the cluster, drops vs 5... wait
+    m.apply_batch(_vecs(spark, [(2, _unit(0.011))]), 1)
+    gen_fixed = m._manifest()["gen"]
+    snap_fixed = {tuple(r) for r in m.read_dropped(spark).collect()}
+    assert snap_fixed != snap_wrong  # the correction changed decisions
+
+    assert m.compact_resends(spark) is True
+    assert m.read_resent(spark) is None
+    assert {tuple(r) for r in m.read_dropped(spark).collect()} == snap_fixed
+    assert {
+        tuple(r) for r in m.read_dropped(spark, as_of_gen=gen_fixed).collect()
+    } == snap_fixed
+    assert {
+        tuple(r) for r in m.read_dropped(spark, as_of_gen=gen_wrong).collect()
+    } == snap_wrong
+    assert {
+        r["vec_id"] for r in m.read_kept(spark, as_of_gen=gen_wrong).collect()
+    } == kept_wrong

@@ -366,3 +366,54 @@ def test_neardup_compact_resends_read_equivalence(spark, tmp_path):
     assert {
         (r["vec_id"], r["batch_id"]) for r in m.read_resent(spark).collect()
     } == {(3, 3)}
+
+
+def test_neardup_as_of_across_resend_and_fold(spark, tmp_path):
+    """Generation time travel on the near-dup index (round-13 — the
+    family-wide as_of_gen rollout): a retained generation's pair/
+    vector views reproduce the snapshot it served — wrong payloads
+    before the corrective re-send, corrected after — and stay exact
+    ACROSS compact_resends, which physically deletes the live
+    watermark log."""
+    from beast_spark.streaming.neardup import EmbeddingNearDupMaintainer
+
+    ddl = "vec_id long, embedding array<double>"
+
+    def vec(i):
+        return [float((i * 7 + d) % 5) for d in range(8)]
+
+    true_rows = [(i, vec(i)) for i in range(30)]
+    wrong = [(i, list(reversed(vec(i)))) for i in range(10)]
+    m = EmbeddingNearDupMaintainer(
+        str(tmp_path / "state"), dims=8, threshold=0.9, n_planes=4,
+        n_tables=8, gc_grace_gens=6,
+    )
+    m.apply_batch(spark.createDataFrame(wrong + true_rows[10:20], ddl), 0)
+    m.apply_batch(spark.createDataFrame(true_rows[20:], ddl), 1)
+    gen_wrong = m._manifest()["gen"]
+    pairs_wrong = {tuple(r) for r in m.read_pairs(spark).collect()}
+    vecs_wrong = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark).collect()
+    }
+    m.apply_batch(spark.createDataFrame(true_rows[:10], ddl), 2)  # corrective
+    gen_fixed = m._manifest()["gen"]
+    pairs_fixed = {tuple(r) for r in m.read_pairs(spark).collect()}
+    assert pairs_fixed != pairs_wrong  # the correction changed the graph
+
+    assert m.compact_resends(spark) is True
+    assert m.read_resent(spark) is None  # live log folded away
+    assert {tuple(r) for r in m.read_pairs(spark).collect()} == pairs_fixed
+    # travel across the fold: both retained generations exact, the
+    # travelled-to resent log readable from the old manifest
+    assert m.read_resent(spark, as_of_gen=gen_fixed) is not None
+    assert {
+        tuple(r) for r in m.read_pairs(spark, as_of_gen=gen_fixed).collect()
+    } == pairs_fixed
+    assert {
+        tuple(r) for r in m.read_pairs(spark, as_of_gen=gen_wrong).collect()
+    } == pairs_wrong
+    assert {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in m.read_vectors(spark, as_of_gen=gen_wrong).collect()
+    } == vecs_wrong

@@ -260,9 +260,9 @@ def main() -> int:
     print(f"new  {_fingerprint(new_path)}")
     prev = load_queries(prev_path)
     new = load_queries(new_path)
-    drift = 1.0
+    drift, ab_table = 1.0, {}
     if canary:
-        drift, _ = _run_canary(prev)
+        drift, ab_table = _run_canary(prev)
         if abs(drift - 1.0) > 0.05:
             print(
                 f"normalizing the committed baseline by {drift:.3f}x before "
@@ -272,8 +272,24 @@ def main() -> int:
     for name in sorted(set(prev) & set(new)):
         p, n = prev[name] * drift, new[name]
         if n > p * ratio and n - p > ABS_FLOOR_S:
+            suffix = ""
+            row = ab_table.get(name.split("_", 1)[0])
+            if row and row.get("prev_now") and row.get("cur_now"):
+                # canary queries get the direct same-machine verdict:
+                # the committed delta is noise unless current code is
+                # ALSO slower than the old code benched minutes apart
+                ab = row["cur_now"] / row["prev_now"]
+                if ab <= ratio or row["cur_now"] - row["prev_now"] <= ABS_FLOOR_S:
+                    print(
+                        f"noise     {name}: committed {p:.3f}s -> {n:.3f}s "
+                        f"but canary A/B exonerates (cur/prev same-machine "
+                        f"= {ab:.2f}x)"
+                    )
+                    continue
+                suffix = f" [confirmed by canary A/B {ab:.2f}x]"
+            elif canary:
+                suffix = " [not in canary set; baseline drift-normalized]"
             bad.append((name, p, n))
-            suffix = " [survives canary]" if canary else ""
             print(f"REGRESSED {name}: {p:.3f}s -> {n:.3f}s ({n / p:.2f}x){suffix}")
         elif n < p / ratio and p - n > ABS_FLOOR_S:
             print(f"improved  {name}: {p:.3f}s -> {n:.3f}s")
