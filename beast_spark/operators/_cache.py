@@ -62,6 +62,9 @@ def _session_stopped(df: DataFrame) -> bool:
 
 
 def _looks_stopped(exc: BaseException) -> bool:
+    # only markers that NAME a stopped context/session qualify — a bare
+    # connection error can be a transient gateway/LB blip and dropping
+    # the handle on it would leak the server-side cache (review finding)
     msg = str(exc).lower()
     return any(
         marker in msg
@@ -72,7 +75,6 @@ def _looks_stopped(exc: BaseException) -> bool:
             "session was stopped",
             "cannot call methods on a stopped",
             "java gateway process exited",
-            "connection refused",  # py4j gateway gone with the JVM
         )
     )
 
@@ -88,18 +90,25 @@ def release_scratch_caches() -> int:
     with _LOCK:
         snapshot = list(_SCRATCH)
         _SCRATCH.clear()
-    released, kept = 0, []
-    for df in snapshot:
-        try:
-            df.unpersist()
-            released += 1
-        except Exception as exc:
-            if not (_looks_stopped(exc) or _session_stopped(df)):
-                kept.append(df)  # transient failure: retry next call
-    if kept:
-        with _LOCK:
-            # frames pinned while we were releasing were appended to the
-            # (cleared) live list and are preserved untouched; prepend
-            # the retry set so ordering stays oldest-first
-            _SCRATCH[:0] = kept
+    released, kept, done = 0, [], 0
+    try:
+        for df in snapshot:
+            try:
+                df.unpersist()
+                released += 1
+            except Exception as exc:
+                if not (_looks_stopped(exc) or _session_stopped(df)):
+                    kept.append(df)  # transient failure: retry next call
+            done += 1
+    finally:
+        # re-register the retry set AND any snapshot tail an interrupt
+        # (KeyboardInterrupt mid-unpersist — done has not advanced past
+        # the in-flight frame) left unprocessed — dropping either would
+        # leak their caches (review finding); frames pinned concurrently
+        # were appended to the cleared live list and are preserved
+        # untouched. Prepend so ordering stays oldest-first.
+        restore = kept + snapshot[done:]
+        if restore:
+            with _LOCK:
+                _SCRATCH[:0] = restore
     return released

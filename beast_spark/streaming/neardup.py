@@ -182,7 +182,9 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         silent caps, but also no empty-fragment churn per trigger."""
         return self._read_sub(spark, "capped", as_of_gen=as_of_gen)
 
-    def read_occupancy(self, spark: SparkSession) -> DataFrame | None:
+    def read_occupancy(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
         """(t, bucket, n_exist): maintained per-bucket distinct-id
         counts over ALL committed postings — what the degenerate-bucket
         gate reads instead of re-aggregating the probed posting volume
@@ -190,8 +192,11 @@ class EmbeddingNearDupMaintainer(ManifestSwapTable):
         probed posting row per trigger; this read is O(touched
         buckets), hash-shard replaced in the same manifest flip as the
         postings it counts). Bounded by the bucket-space size
-        (≤ 2^P × L rows for P planes × L tables), not the corpus."""
-        return self._read_sub(spark, "occupancy")
+        (≤ 2^P × L rows for P planes × L tables), not the corpus.
+        Occupancy is shard-REPLACED, so the as-of read needs no
+        watermark leg — the stored counts at a generation are that
+        generation's counts."""
+        return self._read_sub(spark, "occupancy", as_of_gen=as_of_gen)
 
     # -- the foreachBatch body -------------------------------------------
 

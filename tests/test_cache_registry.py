@@ -144,3 +144,24 @@ def test_concurrent_pins_under_thread_pressure():
     release_scratch_caches()
     assert all(s.unpersisted == 1 for s in stubs)
     assert _cache._SCRATCH == []
+
+
+def test_interrupt_mid_sweep_keeps_unprocessed_tail():
+    """A BaseException mid-sweep (Ctrl-C during an unpersist RPC) must
+    not drop the in-flight frame or the unprocessed tail — the
+    registry restores both for the next call (review finding: the
+    clear-up-front rewrite would otherwise leak them)."""
+    a, c = _Stub(), _Stub()
+
+    class _Interrupted(_Stub):
+        def unpersist(self):
+            raise KeyboardInterrupt
+
+    b = _Interrupted()
+    for s in (a, b, c):
+        pin_scratch(s)
+    with pytest.raises(KeyboardInterrupt):
+        release_scratch_caches()
+    # a was released; b (in-flight) and c (unprocessed) stay registered
+    assert a.unpersisted == 1
+    assert _cache._SCRATCH == [b, c]

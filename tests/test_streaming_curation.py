@@ -1171,7 +1171,10 @@ def test_semdedup_as_of_across_resend_and_fold(spark, tmp_path):
     gen_wrong = m._manifest()["gen"]
     snap_wrong = {tuple(r) for r in m.read_dropped(spark).collect()}
     kept_wrong = {r["vec_id"] for r in m.read_kept(spark).collect()}
-    # batch 1: corrective re-send — id 2 joins the cluster, drops vs 5... wait
+    # batch 1: corrective re-send — id 2's new payload joins 5/9's
+    # cluster, so the decision set changes (which id drops is the
+    # maintainer's min-witness business; the test pins only that the
+    # correction changed decisions and both snapshots stay exact)
     m.apply_batch(_vecs(spark, [(2, _unit(0.011))]), 1)
     gen_fixed = m._manifest()["gen"]
     snap_fixed = {tuple(r) for r in m.read_dropped(spark).collect()}

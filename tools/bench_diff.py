@@ -251,6 +251,15 @@ def main() -> int:
         prev_path, new_path = _close_args()
         ratio = float(args[1]) if len(args) > 1 else 1.3
     elif len(args) >= 2:
+        if canary:
+            # the canary worktree is anchored at the latest BENCH_r*
+            # close commit; against an arbitrary prev file the drift
+            # factor would fold REAL code deltas into "machine drift"
+            # and exonerate them (review finding)
+            raise SystemExit(
+                "--canary only composes with --close (the A/B worktree is "
+                "pinned to the commit --close diffs against)"
+            )
         prev_path, new_path = args[0], args[1]
         ratio = float(args[2]) if len(args) > 2 else 1.3
     else:
