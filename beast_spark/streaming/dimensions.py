@@ -114,14 +114,24 @@ class Scd2Maintainer(_Scd2Logic, ManifestSwapTable):
         attr_col: str,
         order_cols: Sequence[str],
         n_shards: int = 16,
+        gc_grace_gens: int = 0,
     ) -> None:
-        ManifestSwapTable.__init__(self, history_path, n_shards=n_shards)
+        ManifestSwapTable.__init__(
+            self, history_path, n_shards=n_shards, gc_grace_gens=gc_grace_gens
+        )
         self.key_cols = list(key_cols)
         self.attr_col = attr_col
         self.order_cols = list(order_cols)
 
-    def read_history(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_sub(spark, "history")
+    def read_history(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame | None:
+        """``as_of_gen`` (gc_grace_gens > 0) serves a retained earlier
+        generation's history snapshot — shard-replaced state, so the
+        stored rows at a generation ARE that generation's history (the
+        family as_of contract; the VersionedScd2Maintainer variant
+        offers the same via its per-batch snapshots)."""
+        return self._read_sub(spark, "history", as_of_gen=as_of_gen)
 
     def _read_for_batch(
         self, spark: SparkSession, batch_df: DataFrame

@@ -149,3 +149,34 @@ def test_versioned_maintainer_exposes_history_path(tmp_path):
     root = str(tmp_path / "vhist2")
     m = VersionedScd2Maintainer(root, **ARGS)
     assert m.history_path == root
+
+
+def test_scd2_history_as_of_matches_prefix(spark, tmp_path):
+    """Generation time travel on the manifest-committed SCD2 maintainer
+    (round-13 — the family-wide as_of_gen rollout):
+    read_history(as_of_gen=k) must equal the from-scratch rebuild over
+    exactly the changelog prefix that generation had absorbed, even
+    though later batches shard-replaced the same keys' rows."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(d):
+        return t0 + dt.timedelta(days=d)
+
+    batches = [
+        [(1, 1, at(0), "A"), (1, 2, at(1), "A"), (2, 1, at(0), "X")],
+        [(1, 3, at(2), "B"), (3, 1, at(2), "Z")],
+        [(1, 4, at(3), "B"), (2, 2, at(3), "Y")],
+    ]
+    m = Scd2Maintainer(str(tmp_path / "hist"), gc_grace_gens=6, **ARGS)
+    gens, seen = [], []
+    for k, b in enumerate(batches):
+        m.apply_batch(_rows(spark, b), k)
+        gens.append(m._manifest()["gen"])
+        seen.append(list(b))
+
+    prefix = []
+    for k, gen in enumerate(gens):
+        prefix += seen[k]
+        got = _histset(m.read_history(spark, as_of_gen=gen))
+        want = _histset(scd2_from_changelog(_rows(spark, prefix), **ARGS))
+        assert got == want, f"as_of gen {gen} (prefix {k})"

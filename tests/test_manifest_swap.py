@@ -986,3 +986,73 @@ def test_maybe_compact_resends_requires_no_arg_override(spark, tmp_path):
         )
         is False
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=st.lists(_ROP, min_size=1, max_size=8))
+def test_as_of_reads_match_model_snapshots(spark, tmp_path_factory, ops):
+    """Model-check GENERATION TIME TRAVEL under the same random
+    schedules as the re-send contract test (round-13 family rollout):
+    after every operation, EVERY retained generation's as-of view
+    (rows + that generation's own watermark log) must equal the model
+    snapshot taken when that generation was committed — later
+    re-sends, physical re-send folds (which delete the live log), and
+    fragment folds must never leak backwards into a travelled-to
+    snapshot."""
+    import shutil
+
+    NS = 4
+    root = tmp_path_factory.mktemp("tproto")
+    path = str(root / "state")
+    t = ManifestSwapTable(path, n_shards=NS, gc_grace_gens=50)
+    model: dict[int, int] = {}  # id -> latest value
+    snapshots: dict[int, dict[int, int]] = {}  # gen -> model copy
+    batch = 0
+    version = 0
+
+    def _record_snapshot():
+        snapshots[t._manifest()["gen"]] = dict(model)
+
+    for op, ids in ops:
+        version += 1
+        if op == "crash":
+            orphan = os.path.join(path, "data", f"g{batch + 99}")
+            if not os.path.exists(orphan):
+                os.makedirs(orphan)
+                with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+                    fh.write(b"junk")
+            continue
+        if op == "gc":
+            if t.compact_resends(
+                spark, "id", {"data": (["id"], None, False)}
+            ):
+                _record_snapshot()  # the fold commits a generation too
+        elif op == "fold":
+            if t._load_manifest() is not None:
+                if t.maybe_compact(spark, "data", max_fragments=1):
+                    _record_snapshot()
+        else:  # send / re-send
+            resent = [i for i in ids if i in model]
+            appends = {
+                "data": spark.createDataFrame(
+                    [(i, version, batch) for i in ids], "id long, v long, _b long"
+                )
+            }
+            if resent:
+                appends["resent"] = spark.createDataFrame(
+                    [(i, batch) for i in resent], "id long, batch_id long"
+                )
+            t.commit_delta(batch, appends=appends)
+            for i in ids:
+                model[i] = version
+            batch += 1
+            _record_snapshot()
+        # EVERY retained generation must still serve its own snapshot
+        for gen, snap in snapshots.items():
+            wm = t.resend_watermarks(spark, "id", as_of_gen=gen)
+            live = t.live_rows(
+                t._read_sub(spark, "data", as_of_gen=gen), wm, "id", ["id"]
+            )
+            got = {} if live is None else {r.id: r.v for r in live.collect()}
+            assert got == snap, f"gen {gen} after {op}"
+    shutil.rmtree(str(root), ignore_errors=True)
