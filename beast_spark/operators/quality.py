@@ -31,6 +31,59 @@ __all__ = [
     "GATE_STOPWORDS",
 ]
 
+def _top_run_count(arr):
+    """Max multiplicity of any element of ``arr`` (long), via a sorted
+    run-length fold: O(n log n) sort + O(n) single-pass ``aggregate``,
+    replacing the O(tokens x distinct) transform/filter scan the gate
+    and the repetition signals used before (guide §1.2 "per-task work":
+    same value — an integer count — at a fraction of the per-row cost).
+    Deterministic: the fold order is the sorted order."""
+    step = lambda acc, x: F.when(  # noqa: E731 — shared by run and best
+        acc["prev"].isNull() | (acc["prev"] != x), F.lit(1).cast("long")
+    ).otherwise(acc["run"] + F.lit(1).cast("long"))
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            step(acc, x).alias("run"),
+            F.greatest(acc["best"], step(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def _sum_c_ln_c(arr):
+    """Σ c·ln(c) over the multiplicities c of ``arr``'s elements, via the
+    same sorted run-length fold (each run closes by adding run·ln(run)).
+    The fold order is fixed (sorted), so the float sum is deterministic —
+    unlike the shuffle-merge order of the groupBy form it replaces."""
+    nxt = lambda acc, x: F.when(  # noqa: E731
+        acc["prev"].isNull() | (acc["prev"] != x), F.lit(1).cast("long")
+    ).otherwise(acc["run"] + F.lit(1).cast("long"))
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            nxt(acc, x).alias("run"),
+            F.when(
+                acc["prev"].isNotNull() & (acc["prev"] != x),
+                acc["s"] + acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+            ).otherwise(acc["s"]).alias("s"),
+        ),
+        lambda acc: acc["s"] + acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+    )
+
+
 #: the gate's rule columns, in reporting order — shared by the batch
 #: accounting (q180) and the streaming maintainer so the two cannot
 #: drift (their equality is the q189 contract)
@@ -53,70 +106,90 @@ GATE_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
 def entropy_signals(docs: DataFrame) -> DataFrame:
     """q123's token-entropy signals: (doc_id, n_tokens, n_unique,
     entropy, norm_entropy). H = ln(n) − Σ c·ln c / n over per-doc word
-    counts; norm_entropy = H / ln(n_unique) (0 for single-word docs)."""
-    c = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
-    s = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("n_unique"),
-        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("h"),
-    )
-    return s.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.col("n_unique").alias("n_unique"),
-        rnd(F.col("h"), 4).alias("entropy"),
-        F.when(
-            F.col("n_unique") > 1,
-            rnd(F.col("h") / F.log(F.col("n_unique").cast("double")), 4),
+    counts; norm_entropy = H / ln(n_unique) (0 for single-word docs).
+
+    MAP-SIDE (round 13): the per-word counts live entirely inside each
+    document's own token array, so Σ c·ln c folds per row over the
+    sorted array (:func:`_sum_c_ln_c`) — the old explode → groupBy
+    (doc, word) → regroup shape shuffled every token twice to compute a
+    per-row quantity (guide §2.4: remove shuffles outright). Plan: one
+    scan, zero hash Exchange; same rounded values (the fold's fixed
+    sorted order is MORE deterministic than shuffle-merge float order;
+    oracle-verified at all three SFs)."""
+    toks = F.split(F.col("text"), " ")
+    h = F.log(F.col("n").cast("double")) - F.col("_clc") / F.col("n")
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n"),
+            F.size(F.array_distinct("_t")).cast("long").alias("n_unique"),
+            _sum_c_ln_c(F.col("_t")).alias("_clc"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("norm_entropy"),
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_unique",
+            rnd(h, 4).alias("entropy"),
+            F.when(
+                F.col("n_unique") > 1,
+                rnd(h / F.log(F.col("n_unique").cast("double")), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("norm_entropy"),
+        )
     )
 
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """q117's repetition signals: (doc_id, n_grams, n_unique,
     dup_trigram_frac, top_word_frac). Documents shorter than 3 tokens
-    have no trigrams and are ABSENT — callers gate on an inner join."""
+    have no trigrams and are ABSENT (filtered map-side)."""
+    # MAP-SIDE (round 13): every signal is a function of one document's
+    # own token array — trigram multiset, distinct trigrams, top-word
+    # multiplicity — so all of it computes per row: the trigram array
+    # via transform, n_unique via array_distinct, the top-word count via
+    # the sorted run-length fold. The old shape exploded the corpus
+    # TWICE (trigrams + words) through two groupBy pipelines and joined
+    # them back — 6 hash Exchanges and 2 scans for per-row quantities
+    # (guide §2.4). Values are bit-identical: integer counts and the
+    # same two float divisions.
+    # _t is materialized BEFORE the trigram transform: a lambda over the
+    # split() EXPRESSION re-splits the document once per element
+    # (Catalyst inlines the subtree — the _doc_shingles O(tokens²) trap)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    tri = docs.select("doc_id", toks.alias("t"), F.explode(idx).alias("i")).select(
-        "doc_id",
-        F.concat_ws(
+    t = F.col("_t")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
             " ",
-            F.element_at("t", F.col("i")),
-            F.element_at("t", F.col("i") + 1),
-            F.element_at("t", F.col("i") + 2),
-        ).alias("g"),
-    )
-    gstat = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.countDistinct("g").alias("n_unique"),
-    )
-    wstat = (
-        docs.select("doc_id", F.explode(toks).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_words"))
-    )
-    return gstat.join(wstat, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_unique",
-        rnd(1.0 - F.col("n_unique").cast("double") / F.col("n_grams"), 4).alias(
-            "dup_trigram_frac"
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
         ),
-        rnd(F.col("top_word_count").cast("double") / F.col("n_words"), 4).alias(
-            "top_word_frac"
-        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", toks.alias("_t"))
+        .select("doc_id", "_t", tri.alias("_tri"))
+        .select(
+            "doc_id",
+            F.size("_tri").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("_tri")).cast("long").alias("n_unique"),
+            _top_run_count(F.col("_t")).alias("_topc"),
+            F.size("_t").cast("long").alias("_nw"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            rnd(1.0 - F.col("n_unique").cast("double") / F.col("n_grams"), 4).alias(
+                "dup_trigram_frac"
+            ),
+            rnd(F.col("_topc").cast("double") / F.col("_nw"), 4).alias(
+                "top_word_frac"
+            ),
+        )
     )
 
 
@@ -197,14 +270,23 @@ def repeated_span_stats(
     for downstream pipeline stages (the v3 capstone re-runs the quality
     gates on it).
     """
-    wins = window_hashes(docs, window)
+    # Pin the window postings: they feed BOTH the global flag count and
+    # the per-doc flagged-window semi-join, and unpinned each consumer
+    # would re-run the explode + per-window md5 — the expensive subtree
+    # — from scratch (round 13; measured ~2× the hashing work in q166's
+    # plan, which scanned documents twice). At warehouse scale this
+    # persist is the maintained window-hash index corpus_v3 stores
+    # anyway. Registered/releasable via operators._cache.
+    from beast_spark.operators._cache import pin_scratch
+
+    wins = pin_scratch(window_hashes(docs, window))
     flagged = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("wh")
     )
-    return span_cleaned(docs, flagged, window, include_text)
+    return span_cleaned(docs, flagged, window, include_text, wins=wins)
 
 
 def window_hashes(docs: DataFrame, window: int = 8) -> DataFrame:
@@ -233,19 +315,23 @@ def span_cleaned(
     flagged: DataFrame,
     window: int = 8,
     include_text: bool = False,
+    wins: DataFrame | None = None,
 ) -> DataFrame:
     """Phase 2 of :func:`repeated_span_stats`: given the flagged window
     hashes (a (wh) frame — from a full-corpus count or a maintained
     global count table), merge each document's flagged windows into
     maximal spans and emit the cleaned form. Separated so an
     incremental maintainer can recompute ONLY affected documents
-    against GLOBAL counts."""
+    against GLOBAL counts. ``wins`` — the (doc_id, i, wh) postings for
+    ``docs`` if the caller already built (or maintains) them; absent,
+    they are recomputed here."""
     from pyspark.sql.window import Window as W
 
     t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= window
     )
-    wins = window_hashes(docs, window)
+    if wins is None:
+        wins = window_hashes(docs, window)
     fw = wins.join(flagged, "wh", "left_semi").select("doc_id", "i")
     prev_max_end = F.max(F.col("i") + (window - 1)).over(
         W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
@@ -321,9 +407,9 @@ def gopher_signals(
     Everything is a pure JVM column expression over the token array —
     no explode, no shuffle, no Python: one map stage at any scale, and
     every rule replays exactly in ANSI SQL (integer counts and IEEE
-    divisions only). The per-token frequency scan is
-    O(tokens × distinct) per document — document-sized work, the same
-    envelope as the other per-doc builders here.
+    divisions only). The top-token count is an O(tokens log tokens)
+    sorted run-length fold — document-sized work, the same envelope as
+    the other per-doc builders here.
 
     Returns one row per document: (doc_id, any ``keep_cols``
     passed through, n_tokens, plus one ``ok_*`` boolean per rule and
@@ -331,19 +417,21 @@ def gopher_signals(
     the document row (source, lang, ...) stay a SINGLE scan instead of
     re-joining the corpus against its own signals.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array once: every rule below reads _t, so
+    # the split runs once per row instead of once per rule (round 13)
+    toks = F.col("_t")
     n = F.size(toks)
     mean_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
-    )
+    # top-token multiplicity via the sorted run-length fold — the same
+    # integer the old O(tokens × distinct) transform/filter scan
+    # produced, at O(tokens log tokens) (round 13, guide §1.2)
+    top_cnt = _top_run_count(toks)
     n_stop = sum(
         F.array_contains(toks, w).cast("int") for w in GATE_STOPWORDS
     )
     return docs.select(
+        "doc_id", *keep_cols, text_col, F.split(F.col(text_col), " ").alias("_t")
+    ).select(
         "doc_id",
         *keep_cols,
         n.alias("n_tokens"),

@@ -1162,23 +1162,25 @@ def scalar_quantize_dequantized(
     per-row re-assembly; constant dimensions (mx == mn) dequantize to
     the constant. Deterministic and engine-replayable: the level
     formula is pure double arithmetic in a fixed operation order.
+
+    MAP-SIDE (round 13): the 64-row codebook collapses to literal
+    (mn, scale) arrays (:func:`codebook_arrays` — the same device
+    :func:`dequantize_codes` already used) and each vector quantizes in
+    place via zip_with — no posexplode, no broadcast join, no
+    collect_list re-assembly shuffle (guide §2.4). Same per-cell
+    arithmetic in the same operation order (scale = (mx−mn)/255.0,
+    then mn + floor((v−mn)/scale + 0.5)·scale), so values are
+    bit-identical; mx == mn ⇔ scale == 0 keeps the constant-dimension
+    branch.
     """
-    cells = data.select(
-        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    mn_arr, sc_arr = codebook_arrays(params)
+    v = F.col(vec_col).cast("array<double>")
+    diffs = F.zip_with(v, mn_arr, lambda x, m: x - m)
+    stepped = F.zip_with(
+        diffs, sc_arr, lambda d, s: F.when(s > 0, F.floor(d / s + 0.5) * s).otherwise(F.lit(0.0))
     )
-    scale = (F.col("mx") - F.col("mn")) / 255.0
-    dq = F.when(
-        F.col("mx") > F.col("mn"),
-        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / scale + 0.5) * scale,
-    ).otherwise(F.col("mn"))
-    qcells = cells.join(F.broadcast(params), "dim").select(
-        id_col, "dim", "val", dq.alias("dq")
-    )
-    return qcells.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "dq"))), lambda s: s["dq"]
-        ).alias("dqvec")
-    )
+    dq = F.zip_with(stepped, mn_arr, lambda t, m: m + t)
+    return data.filter(v.isNotNull()).select(id_col, dq.alias("dqvec"))
 
 
 def lsh_multitable_neardup_pairs(
@@ -1560,28 +1562,29 @@ def quantize_codes(
     mn/mx and silently re-codes the whole corpus. Values outside the
     frozen [mn, mx] (possible in later increments) clamp to the range
     edge — the standard scalar-quantizer saturation.
+
+    MAP-SIDE (round 13): literal-codebook zip_with per row (the
+    :func:`scalar_quantize_dequantized` rewrite), replacing the
+    posexplode → broadcast join → collect_list shuffle; identical code
+    values (same k formula, same operation order, scale == 0 ⇔
+    mx == mn for the constant-dimension branch).
     """
-    cells = data.select(
-        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
-    )
-    scale = (F.col("mx") - F.col("mn")) / 255.0
-    k = F.when(
-        F.col("mx") > F.col("mn"),
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(255),
-                F.floor((F.col("val") - F.col("mn")) / scale + 0.5).cast("int"),
+    mn_arr, sc_arr = codebook_arrays(params)
+    v = F.col(vec_col).cast("array<double>")
+    diffs = F.zip_with(v, mn_arr, lambda x, m: x - m)
+    k = F.zip_with(
+        diffs,
+        sc_arr,
+        lambda d, s: F.when(
+            s > 0,
+            F.greatest(
+                F.lit(0), F.least(F.lit(255), F.floor(d / s + 0.5).cast("int"))
             ),
-        ),
-    ).otherwise(F.lit(0))
-    qcells = cells.join(F.broadcast(params), "dim").select(
-        id_col, "dim", (k - 128).cast("tinyint").alias("code")
+        ).otherwise(F.lit(0)),
     )
-    return qcells.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "code"))), lambda s: s["code"]
-        ).alias("codes")
+    return data.filter(v.isNotNull()).select(
+        id_col,
+        F.transform(k, lambda c: (c - 128).cast("tinyint")).alias("codes"),
     )
 
 

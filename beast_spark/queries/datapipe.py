@@ -1961,7 +1961,16 @@ def q112_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    bi = (
+    from beast_spark.operators._cache import pin_scratch
+
+    # The bigram stream has TWO consumers (the count aggregate and the
+    # score join) and unpinned each replays the explode + element_at
+    # pass over the corpus (round 13: the plan scanned documents twice).
+    # Pinned UNPARTITIONED: the count groupBy partial-aggregates
+    # map-side so only per-partition (w1, w2) partials shuffle, and the
+    # score join takes the count table back via AQE broadcast — the
+    # full stream itself never crosses an Exchange.
+    bi = pin_scratch(
         fan_out(d)
         .select("doc_id", toks.alias("t"), F.explode(idx).alias("i"))
         .select(
@@ -1976,9 +1985,12 @@ def q112_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpinned each would replay the full bigram explode + groupBy.
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # |V| over per-doc DISTINCT tokens: array_distinct shrinks the
+    # explode map-side before the global distinct count (same value —
+    # distinct of a union is distinct of per-set distincts).
     vocab = (
         fan_out(d)
-        .select(F.explode(toks).alias("w"))
+        .select(F.explode(F.array_distinct(toks)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     scored = (
@@ -3351,11 +3363,15 @@ def q144_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import _doc_shingles
 
+    from beast_spark.operators._cache import pin_scratch
+
     d = load_table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(
         d, "doc_id", "text", k=16, bands=8, threshold=0.35, hash_family="md5"
     ).select("doc1", "doc2")
-    sh = _doc_shingles(d, "doc_id", "text", 3)
+    # THREE consumers (sizes, both pair sides) — pinned so the tokenize
+    # + shingle explode runs once, not three times (round 13)
+    sh = pin_scratch(_doc_shingles(d, "doc_id", "text", 3))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
     b = sh.select(F.col("doc_id").alias("b_doc2"), F.col("shingle").alias("s2"))
