@@ -75,10 +75,16 @@ def brute_force_topk(
     Ranking uses the rounded similarity + id tiebreak so results are
     engine-stable (float summation order cannot reorder ties).
     """
+    from beast_spark.operators.dedup import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    joined = data.alias("d").join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+    # fan_out (round 13): the Q-fold exact scoring rides the data scan's
+    # partitioning (1 local partition → single task); no-op at scale
+    joined = fan_out(data).alias("d").join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    )
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
@@ -770,6 +776,8 @@ def ivf_assign(
     (score, -cid) struct ordering. Similarities are rounded before the
     argmax so float summation order cannot flip an assignment.
     """
+    from beast_spark.operators.dedup import fan_out
+
     # norms once per VECTOR and per CENTROID, below the C-fold join fan-out
     # (same float expression dot/(n_a·n_b) as cosine(), so rounded scores —
     # and every oracle replaying them — are bit-identical)
@@ -778,7 +786,10 @@ def ivf_assign(
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("_cn"),
     )
-    d = data.select(id_col, vec_col, norm(F.col(vec_col)).alias("_dn"))
+    # fan_out (round 13): the C-fold scoring inherits the data side's
+    # partitioning — a single-file local scan serialized the N×C
+    # interpreted dot products on one task; no-op at warehouse scale
+    d = fan_out(data).select(id_col, vec_col, norm(F.col(vec_col)).alias("_dn"))
     scored = d.join(F.broadcast(c)).select(
         id_col,
         vec_col,
@@ -963,9 +974,18 @@ def _score_candidate_pairs(
     VECTOR in the side frames (lsh_neardup_pairs' discipline; per-pair
     work is a single dot product), floor-form rounding (NOT F.round:
     engine tie-breaking differs on exact .5 ulp ties)."""
+    from beast_spark.operators.dedup import fan_out
     from beast_spark.queries._util import rnd
 
-    d = vectors.select(id_col, vec_col).withColumn("_n", norm(F.col(vec_col)))
+    # fan_out the vector side (round 13): the candidate pairs build a
+    # broadcast, so the scoring stage inherits the STREAMED vector
+    # side's partitioning — a single-file local scan (1 partition) ran
+    # every pair's interpreted dot product on one task (profiled: 2.0 s
+    # of q220's 2.9 s). At warehouse scale the scan is already split
+    # and fan_out is a no-op.
+    d = fan_out(vectors.select(id_col, vec_col)).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
     v1 = d.select(
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("_v1"),

@@ -44,10 +44,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing (not cores-based): small shuffles collapse
-        # to few tasks, huge ones keep size-bounded partitions — the right
-        # behavior at both sf0.001 and 100 TB.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Coalesce to parallelism FIRST (Spark's own default), size second
+        # (round 13): pure size-based coalescing (parallelismFirst=false,
+        # rounds 10-12) collapsed small-but-compute-DENSE shuffles — ANN
+        # candidate-pair scoring, percentile merges — to 1-4 tasks: q185's
+        # 4.7 MB pair shuffle ran its entire distinct+score stage in ONE
+        # task (2.9 s of a 4.3 s query; profiled via tools/profile_query).
+        # With parallelismFirst=true those stages spread across the cores
+        # (q185 4.3→~1.0 s, q173 2.7→1.5, q41/q95 −30%, measured
+        # interleaved A/B); at warehouse scale post-shuffle data ≫
+        # cores × minPartitionSize, so coalescing still lands on the
+        # advisory size and this flip is a no-op there. The 256k floor
+        # (default 1m) only binds on sub-cores×1m shuffles — exactly the
+        # compute-dense candidate shuffles; q185 measures 2.3 s at the 1m
+        # floor vs 1.0 s at 256k. The r10 concern that motivated
+        # size-first (cached small frames keeping every partition) is
+        # covered by canChangeCachedPlanOutputPartitioning below. All
+        # three knobs stay env-overridable (SPARK_GRAFT_* below).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE re-plan INSIDE cached plans too (off by default): a
@@ -87,6 +102,17 @@ def get_spark(
             "true",
         )
     )
+    # Scale-dependent AQE knobs stay env-parameterised (optimization
+    # guide: never hard-code a local[32]-only value): unset, the
+    # in-code defaults above apply; a deployment overrides per cluster.
+    for env, key in (
+        ("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+        ("SPARK_GRAFT_PARALLELISM_FIRST", "spark.sql.adaptive.coalescePartitions.parallelismFirst"),
+        ("SPARK_GRAFT_MIN_PARTITION_SIZE", "spark.sql.adaptive.coalescePartitions.minPartitionSize"),
+    ):
+        v = os.environ.get(env)
+        if v:
+            builder = builder.config(key, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
