@@ -159,15 +159,24 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     # (Catalyst inlines the subtree — the _doc_shingles O(tokens²) trap)
     toks = F.split(F.col("text"), " ")
     t = F.col("_t")
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i),
-            F.element_at(t, i + 1),
-            F.element_at(t, i + 2),
+    # The when() guard makes the expression TOTAL, not just guarded by the
+    # filter below: a consumer's pushed-down predicate over dup_trigram_frac
+    # gets the trigram subtree inlined and subexpression-hoisted ABOVE the
+    # size>=3 conjunct (q169's plan — GeneratedClass$SpecificPredicate
+    # evaluates subExpr_0 eagerly), where an unguarded sequence(1, size-2)
+    # DESCENDS on short docs and element_at(i+2) throws under ANSI.
+    tri = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.filter(F.size(toks) >= 3)
         .select("doc_id", toks.alias("_t"))

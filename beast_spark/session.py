@@ -54,15 +54,18 @@ def get_spark(
         # (q185 4.3→~1.0 s, q173 2.7→1.5, q41/q95 −30%, measured
         # interleaved A/B); at warehouse scale post-shuffle data ≫
         # cores × minPartitionSize, so coalescing still lands on the
-        # advisory size and this flip is a no-op there. The 256k floor
+        # advisory size and this flip is a no-op there. The 512k floor
         # (default 1m) only binds on sub-cores×1m shuffles — exactly the
         # compute-dense candidate shuffles; q185 measures 2.3 s at the 1m
-        # floor vs 1.0 s at 256k. The r10 concern that motivated
+        # floor vs ~1.1 s at 512k (a 256k floor is bimodally WORSE on
+        # the DSIR pair q219/q225 — cached-histogram consumers fragment
+        # into 16 partitions and intermittently pay 3-4x — and 1k is
+        # worse everywhere). The r10 concern that motivated
         # size-first (cached small frames keeping every partition) is
         # covered by canChangeCachedPlanOutputPartitioning below. All
         # three knobs stay env-overridable (SPARK_GRAFT_* below).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE re-plan INSIDE cached plans too (off by default): a

@@ -1457,6 +1457,34 @@ def test_gopher_gate_rules_fire_individually(spark):
         assert not by[d].pass_all
 
 
+def test_repetition_signals_total_under_pushed_predicate(spark):
+    """Regression for the q169 crash: a consumer that FILTERS on
+    dup_trigram_frac gets that predicate pushed down and its trigram
+    subtree subexpression-hoisted ABOVE the size>=3 conjunct in the
+    combined Filter — so the trigram expression must be TOTAL.
+    Unguarded, sequence(1, size-2) descends on a 1-token doc and
+    element_at(i+2) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    ANSI. The single-token doc here reproduces the crash shape; the
+    assert is simply that the composition evaluates and keeps exactly
+    the long repetitive doc."""
+    from beast_spark.operators.quality import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "a b"), (3, ("w1 w2 w3 " * 10 + "w1 w2 w3").strip())],
+        "doc_id long, text string",
+    )
+    rep = repetition_signals(docs).select("doc_id", "dup_trigram_frac")
+    # The join + filter mirrors q169's `g` stage: the predicate is pushed
+    # through the join into repetition_signals' subtree.
+    out = (
+        docs.join(rep, "doc_id")
+        .filter(F.col("dup_trigram_frac") >= 0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in out] == [3]
+
+
 def test_gopher_gate_is_single_map_stage(spark, sf_dir):
     """The gate must stay a pure scan-side predicate: no Exchange, no
     BatchEvalPython, no explode-induced generator in the plan."""
