@@ -1872,8 +1872,14 @@ def pq_codes(
     m×n_codes codebook broadcasts — plus a map-side-combinable min-
     struct argmin; this is the PQ encode a 100-TB corpus runs once at
     ingest and stores as m TINYINT-able columns."""
+    from beast_spark.operators.dedup import fan_out
+
     sub = _pq_sub(dims, m)
-    rows = data.select(
+    # fan_out (round 13): the m×n_codes-way scored explode inherits the
+    # data side's partitioning — a single-file local scan serialized
+    # all N·m·n_codes interpreted sub-d² rows on ONE task (0.77 s of
+    # q183's codes leg, measured 0.31 s fanned); no-op at scale
+    rows = fan_out(data).select(
         id_col, F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "sv")
     )
     scored = rows.join(F.broadcast(codebooks), "s").select(

@@ -5222,11 +5222,20 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_candidates,
     )
 
+    from beast_spark.operators._cache import pin_scratch
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     rows = []
-    for label, corpus in (("uniform", e), ("clustered", clustered_fixture(e, dims=64))):
+    # pin the clustered fixture: its broadcast-join + zip_with subtree
+    # otherwise re-materializes in EVERY stage that scans the clustered
+    # corpus (assign, probes, scored, exact — ~0.3-0.6 s each, round-13
+    # decomposition); ~1 MB pinned, registered/releasable
+    for label, corpus in (
+        ("uniform", e),
+        ("clustered", pin_scratch(clustered_fixture(e, dims=64))),
+    ):
         qs = corpus.filter(F.col("vec_id") < 20)
         # `cand` has ONE consumer (the ranked-scoring pass): the
         # candidate count rides the same window partition as the
@@ -6337,6 +6346,7 @@ _PQ_ADC_ORACLE = (
     "whose memory traffic is m bytes/vector — the entire point of PQ.",
 )
 def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beast_spark.operators.dedup import fan_out
     from beast_spark.operators.similarity import (
         _d2i,
         clustered_fixture,
@@ -6346,11 +6356,18 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codes,
     )
 
+    from beast_spark.operators._cache import pin_scratch
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     rows = []
-    for label, corpus in (("uniform", e), ("clustered", clustered_fixture(e, dims=64))):
+    # clustered fixture pinned — q174's rationale (the zip_with corpus
+    # otherwise re-materializes under codes, lut, re-rank AND exact)
+    for label, corpus in (
+        ("uniform", e),
+        ("clustered", pin_scratch(clustered_fixture(e, dims=64))),
+    ):
         cb = pq_codebooks(corpus, dims=64)
         codes = pq_codes(corpus, cb, dims=64)
         qs = corpus.filter(F.col("vec_id") < 20)
@@ -6374,8 +6391,12 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("r2") <= 10)
             .select("query_id", "vec_id")
         )
+        # fan_out (round 13): the Q-fold exact _d2i inherits the corpus
+        # scan's single local partition otherwise (brute_force_topk's
+        # fix, applied to this open-coded exact side)
         exact = (
-            corpus.join(F.broadcast(qside), F.col("vec_id") != F.col("query_id"))
+            fan_out(corpus)
+            .join(F.broadcast(qside), F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "vec_id",
