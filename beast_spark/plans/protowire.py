@@ -237,6 +237,33 @@ def decode_message(
         raise ProtoDecodeError(f"malformed message: {exc}") from exc
 
 
+def _read_ts_pair(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    """Inline decode of a Timestamp/Duration sub-message body
+    (field 1 = int64 seconds, field 2 = int32 nanos) — the hot ingest
+    profile's top cost was the recursive generic sub-decoder + dict for
+    these two fields (round 13). Field-number dispatch, signedness, and
+    last-value-wins match ``compile_decoder(TIMESTAMP_FIELDS)`` exactly;
+    unknown field numbers are skipped the same way — including the
+    slice-bounded truncation errors (a field overrunning the
+    sub-message body must raise exactly like the sliced sub-decode)."""
+    body = buf[pos:end]
+    n = len(body)
+    p = 0
+    secs = nanos = 0
+    while p < n:
+        tag, p = _read_varint(body, p)
+        num = tag >> 3
+        if num == 1:
+            raw, p = _read_varint(body, p)
+            secs = _to_signed64(raw)
+        elif num == 2:
+            raw, p = _read_varint(body, p)
+            nanos = _to_signed32(_to_signed64(raw))
+        else:
+            p = _skip(tag & 0x7, body, p)
+    return secs, nanos
+
+
 def compile_decoder(schema: tuple[PField, ...], fail_on_unknown: bool = False):
     """Precompiled decoder for the hot ingest path — same results as
     ``decode_message(buf, schema, fail_on_unknown)`` (equivalence is
@@ -323,30 +350,27 @@ def compile_decoder(schema: tuple[PField, ...], fail_on_unknown: bool = False):
                 return _zigzag_decode(raw), pos
 
         elif t == "timestamp":
-            sub_ts = compile_decoder(TIMESTAMP_FIELDS, False)
 
-            def d(wt, buf, pos, _sub=sub_ts):
+            def d(wt, buf, pos):
                 ln, pos = _read_varint(buf, pos)
                 end = pos + ln
                 if end > len(buf):
                     raise ProtoDecodeError("truncated length-delimited field")
-                dd = _sub(buf[pos:end])
-                secs, nanos = dd.get("seconds", 0), dd.get("nanos", 0)
+                secs, nanos = _read_ts_pair(buf, pos, end)
                 return (
                     _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc).replace(tzinfo=None)
                     + _dt.timedelta(microseconds=nanos // 1000)
                 ), end
 
         elif t == "duration":
-            sub_du = compile_decoder(DURATION_FIELDS, False)
 
-            def d(wt, buf, pos, _sub=sub_du):
+            def d(wt, buf, pos):
                 ln, pos = _read_varint(buf, pos)
                 end = pos + ln
                 if end > len(buf):
                     raise ProtoDecodeError("truncated length-delimited field")
-                dd = _sub(buf[pos:end])
-                return {"seconds": dd.get("seconds", 0), "nanos": dd.get("nanos", 0)}, end
+                secs, nanos = _read_ts_pair(buf, pos, end)
+                return {"seconds": secs, "nanos": nanos}, end
 
         if d is None:  # fixed/sfixed/struct: generic ladder (cold types)
 

@@ -438,39 +438,55 @@ def kafka_shaped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode_batches(batches):
-        import pandas as pd
+        # mapInArrow (round 13): column extraction via to_pylist (one C
+        # loop each — no per-row pandas boxing, no Timestamp objects),
+        # offset/timestamp re-emitted zero-copy from the input batch.
+        import pyarrow as pa
 
-        for pdf in batches:
+        for rb in batches:
+            idx = rb.schema.get_field_index
+            eids = rb.column(idx("event_id")).to_pylist()
+            tss = rb.column(idx("ts")).to_pylist()
+            uids = rb.column(idx("user_id")).to_pylist()
+            etypes = rb.column(idx("event_type")).to_pylist()
+            evals = rb.column(idx("value")).to_pylist()
+            propss = rb.column(idx("props")).to_pylist()
             vals = [
                 encode_message(
                     {
-                        "event_id": int(eid),
-                        "ts": ts.to_pydatetime(),
-                        "user_id": int(uid),
+                        "event_id": eid,
+                        # arrow hands back tz-aware datetimes when the batch
+                        # is tz-stamped; the wire codec (like the pandas
+                        # to_pydatetime() form this replaces) wants the
+                        # naive UTC wall clock
+                        "ts": ts.replace(tzinfo=None) if ts is not None and ts.tzinfo else ts,
+                        "user_id": uid,
                         "event_type": etype,
-                        "value": float(val),
+                        "value": val,
                         "props": props,
                     },
                     proto,
                 )
                 for eid, ts, uid, etype, val, props in zip(
-                    pdf.event_id, pdf.ts, pdf.user_id, pdf.event_type, pdf.value, pdf.props
+                    eids, tss, uids, etypes, evals, propss
                 )
             ]
-            yield pd.DataFrame(
-                {
-                    "key": [str(v).encode() for v in pdf.event_id],
-                    "value": vals,
-                    "topic": "events",
-                    "partition": (pdf.user_id % 8).astype("int32"),
-                    "offset": pdf.event_id,
-                    "timestamp": pdf.ts,
-                }
+            n = len(eids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(v).encode() for v in eids], type=pa.binary()),
+                    pa.array(vals, type=pa.binary()),
+                    pa.array(["events"] * n, type=pa.string()),
+                    pa.array([u % 8 for u in uids], type=pa.int32()),
+                    rb.column(idx("event_id")),
+                    rb.column(idx("ts")),
+                ],
+                names=["key", "value", "topic", "partition", "offset", "timestamp"],
             )
 
     # events arrives as one parquet file → repartition so the Python
     # encode/decode stages use all cores (Arrow batches per partition).
-    return e.repartition(16).mapInPandas(encode_batches, kafka_schema)
+    return e.repartition(16).mapInArrow(encode_batches, kafka_schema)
 
 
 @register(
