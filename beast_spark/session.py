@@ -79,6 +79,21 @@ def get_spark(
         # clustering, so Exchange-free reuse of a cached repartition
         # survives.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Never use the bypass-merge shuffle writer (round 13): with
+        # spark.sql.shuffle.partitions=2×cores (64 locally), EVERY SQL
+        # exchange is under the 200-partition bypass threshold, and the
+        # bypass writer opens one file PER REDUCE PARTITION per map task
+        # — 64 creates/closes per task, ~2048 tiny files per shuffle.
+        # Profiled on q183's encode legs: 150-700 ms of "shuffle write
+        # time" PER TASK to emit ~500 rows; a 256k-row microbench halves
+        # (1.01 s → 0.5-0.8 s) with the regular sort writer, which
+        # buffers in memory and writes ONE file per map task. Scale
+        # story: real clusters run shuffles ≫200 partitions where the
+        # bypass path never engages, so this only changes the
+        # small-shuffle regime the local bench lives in; a deployment
+        # that wants bypass back for mid-size low-partition shuffles
+        # overrides SPARK_GRAFT_BYPASS_MERGE_THRESHOLD below.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -112,6 +127,7 @@ def get_spark(
         ("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "spark.sql.adaptive.advisoryPartitionSizeInBytes"),
         ("SPARK_GRAFT_PARALLELISM_FIRST", "spark.sql.adaptive.coalescePartitions.parallelismFirst"),
         ("SPARK_GRAFT_MIN_PARTITION_SIZE", "spark.sql.adaptive.coalescePartitions.minPartitionSize"),
+        ("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "spark.shuffle.sort.bypassMergeThreshold"),
     ):
         v = os.environ.get(env)
         if v:
