@@ -31,10 +31,10 @@ join and respond to the same AQE skew splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_bucket_join"]
+__all__ = ["range_bucket_join", "point_in_interval_counts"]
 
 
 def range_bucket_join(
@@ -68,4 +68,88 @@ def range_bucket_join(
         p.join(i, "_rb", "inner")
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_rb")
+    )
+
+
+def point_in_interval_counts(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Append to every ``intervals`` row the COUNT of ``points`` rows whose
+    ``point_col`` falls in ``[lo_col, hi_col]`` — without materializing the
+    (point, interval) pairs at all.
+
+    When the range join's consumer only aggregates a count per interval,
+    producing the matched pairs (even via :func:`range_bucket_join`'s
+    banded equi-join) is wasted work: with P points and I intervals of
+    width w over a domain of D distinct values, the bucket join still
+    evaluates ~P·I·w/D pairs, shuffles both sides, and pays a groupBy +
+    join-back for unmatched intervals. The count is a difference of a
+    prefix sum instead (guide §2.3/§8: shuffle a lightweight proxy, never
+    the payload):
+
+    1. aggregate points to per-value counts (partial/map-side — the only
+       pass over the big points side, reduced to <= D rows);
+    2. build the DENSE value dimension covering every lookup key and the
+       running total ``F(v) = count(points <= v)`` — D+2 rows, one
+       single-partition window (bounded by the DOMAIN, e.g. the calendar
+       for day-grained dates, so it stays tiny at any data scale);
+    3. per interval, ``count = F(hi) - F(lo-1)`` via two broadcast
+       equi-joins — the intervals side is never shuffled or replicated.
+
+    Contract: integer domain (cast dates to epoch days first), inclusive
+    bounds, and a DOMAIN small enough to densify (millions at most — use
+    :func:`range_bucket_join` + groupBy for sparse/unbounded domains or
+    when the matched pairs themselves are needed). Intervals with
+    ``lo > hi`` count 0, matching the empty BETWEEN. Interval rows with a
+    null bound count 0 (a null bound matches nothing), and null points
+    are never counted — both exactly the SQL BETWEEN semantics.
+    """
+    pc = F.col(point_col)
+    counts = (
+        points.filter(pc.isNotNull())
+        .groupBy(pc.cast("long").alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # Dense lookup dimension: every lo-1/hi key an interval can probe,
+    # plus the observed point range. Aggregates of an empty frame yield
+    # nulls; least/greatest skip nulls, and an all-null bound set (no
+    # points AND no intervals) produces an empty sequence -> empty dim ->
+    # every lookup misses -> coalesce(0) below keeps counts correct.
+    bounds = intervals.agg(
+        (F.min(F.col(lo_col).cast("long")) - 1).alias("_qmin"),
+        F.max(F.col(hi_col).cast("long")).alias("_qmax"),
+    ).crossJoin(counts.agg(F.min("_d").alias("_dmin"), F.max("_d").alias("_dmax")))
+    dim = bounds.select(
+        F.explode(
+            F.sequence(F.least("_qmin", "_dmin"), F.greatest("_qmax", "_dmax"))
+        ).alias("_d")
+    )
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dim.join(counts, "_d", "left").select(
+        "_d", F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(w).alias("_F")
+    )
+    hi_look = cum.select(F.col("_d").alias("_hk"), F.col("_F").alias("_fh"))
+    lo_look = cum.select(F.col("_d").alias("_lk"), F.col("_F").alias("_fl"))
+    n = F.coalesce("_fh", F.lit(0)) - F.coalesce("_fl", F.lit(0))
+    return (
+        intervals.join(
+            F.broadcast(hi_look), F.col(hi_col).cast("long") == F.col("_hk"), "left"
+        )
+        .join(
+            F.broadcast(lo_look),
+            (F.col(lo_col).cast("long") - 1) == F.col("_lk"),
+            "left",
+        )
+        .withColumn(
+            out_col,
+            F.when(F.col(lo_col) <= F.col(hi_col), F.greatest(n, F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_hk", "_lk", "_fh", "_fl")
     )

@@ -1465,7 +1465,18 @@ def q141_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left join of the aggregate (count 0).",
 )
 def q165_unkeyed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.operators.rangejoin import range_bucket_join
+    # Round 14: the consumer only needs a COUNT per order, so the banded
+    # equi-join (range_bucket_join, r1-r13 — still the operator for
+    # pair-producing range joins) is overkill: it materialized ~P*I*w/D
+    # joined rows, aggregated them, and left-joined the aggregate back
+    # onto a reshuffled orders scan (plan: 3 Exchange + a 300k-row
+    # broadcast + LeftOuter SortMergeJoin). point_in_interval_counts
+    # reduces lineitem to per-day counts map-side, prefix-sums them over
+    # the dense (calendar-bounded) day dimension, and answers each order
+    # with F(hi) - F(lo-1) via two tiny broadcast lookups — orders is
+    # scanned ONCE and never shuffled, at any scale. Hash-exact against
+    # the unchanged oracle at sf0.001/0.01/0.1 (guide §2.3/§8).
+    from beast_spark.operators.rangejoin import point_in_interval_counts
 
     epoch = F.lit("1970-01-01").cast("date")
     l = (
@@ -1478,16 +1489,8 @@ def q165_unkeyed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("lo"),
         (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 3).alias("hi"),
     )
-    matched = range_bucket_join(l, o, "ship_day", "lo", "hi", bucket_width=4)
-    counts = matched.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .join(counts, "o_orderkey", "left")
-        .select(
-            "o_orderkey",
-            F.coalesce("n_shipped", F.lit(0)).cast("long").alias("n_shipped"),
-        )
+    return point_in_interval_counts(l, o, "ship_day", "lo", "hi", "n_shipped").select(
+        "o_orderkey", "n_shipped"
     )
 
 

@@ -265,8 +265,28 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
 
+    # Round 14: the per-query map MUST survive onto the printed line — the
+    # driver's PERF comparison and 8-vs-32-core scaling block read ONLY
+    # this line, and rounds 12-13 lost both (PERF_r13: n_common=0, empty
+    # scaling) because the full-precision map overflowed the 1900-char
+    # budget and fell back to the string "BENCH_LOCAL.json". Measured on
+    # the 163-query r13 data: 2-decimal seconds with "qNNN" keys is 2056
+    # chars (over), with bare "NNN" keys 1893 (fits only by 7 chars — one
+    # slow round or a failures_n field overflows it, and the 32-core and
+    # 8-core runs could then land on DIFFERENT encodings). Integer
+    # CENTISECONDS with bare numeric keys is ~1590 chars (>300 margin),
+    # deterministic across runs, and is the encoding the r13 verdict
+    # prescribed. "q_unit":"cs" marks the unit on the line itself;
+    # "value" stays in seconds, and BENCH_LOCAL.json keeps every query
+    # at full 3-decimal seconds precision.
+    payload["q_unit"] = "cs"
+    payload["queries"] = {
+        name.split("_", 1)[0].lstrip("q"): int(round(secs * 100))
+        for name, secs in timings.items()
+    }
+    assert len(payload["queries"]) == len(timings), "bare q-number keys collided"
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
+    if len(line) > 1900:  # last resort: keep the driver's total parseable
         payload["queries"] = "BENCH_LOCAL.json"
         line = json.dumps(payload, separators=(",", ":"))
     print(line)

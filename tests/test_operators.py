@@ -1237,6 +1237,70 @@ def test_range_bucket_join_matches_theta_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_point_in_interval_counts_matches_theta_count(spark):
+    """point_in_interval_counts == count-aggregated naive theta join on
+    arbitrary data, INCLUDING the edge rows the prefix-sum form must get
+    right: intervals with no matching point (count 0), lo > hi (empty
+    BETWEEN -> 0), a null bound (matches nothing -> 0), null points
+    (never counted), bounds outside the observed point range, and
+    duplicate point values. Plan stays broadcast-equi: no
+    BroadcastNestedLoopJoin/CartesianProduct, intervals side unshuffled."""
+    from pyspark.sql import functions as F
+
+    from beast_spark.operators.rangejoin import point_in_interval_counts
+
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 50) for i in range(80)] + [(900, None), (901, 13)],
+        "pid long, v long",
+    )
+    ivs = spark.createDataFrame(
+        [(j, (j * 13) % 90 - 10, (j * 13) % 90 - 10 + (j % 5) * 4) for j in range(40)]
+        + [(100, 30, 20), (101, None, 5), (102, 5, None), (103, -500, 500)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.iid, r.n)
+        for r in point_in_interval_counts(pts, ivs, "v", "lo", "hi", "n").collect()
+    }
+    want_matched = {
+        r.iid: r.n
+        for r in pts.join(
+            ivs, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        )
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {(r.iid, want_matched.get(r.iid, 0)) for r in ivs.collect()}
+    assert got == want and any(n > 0 for _, n in got)
+    assert (100, 0) in got and (101, 0) in got and (102, 0) in got
+    assert (103, 81) in got  # every non-null point, incl. duplicates
+
+    plan = (
+        point_in_interval_counts(pts, ivs, "v", "lo", "hi", "n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The interval lookups must be broadcast EQUI joins; the only
+    # nested-loop allowed is the 1-row x 1-row bounds crossJoin (the
+    # registry-wide policy: broadcast-size non-equi is fine, a
+    # CartesianProduct never is).
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_point_in_interval_counts_no_points(spark):
+    """Empty points side: every interval counts 0 (the dim collapses to
+    the query-key range and every prefix sum is 0)."""
+    from beast_spark.operators.rangejoin import point_in_interval_counts
+
+    pts = spark.createDataFrame([], "pid long, v long")
+    ivs = spark.createDataFrame([(1, 2, 8), (2, -3, -1)], "iid long, lo long, hi long")
+    rows = point_in_interval_counts(pts, ivs, "v", "lo", "hi", "n").collect()
+    assert {(r.iid, r.n) for r in rows} == {(1, 0), (2, 0)}
+
+
 def test_repeated_span_removal_semantics(spark):
     """Hand-built corpus pins the span algebra: cross-doc duplicate run
     flagged at any offset, self-repeating doc fully cleaned, unique doc
