@@ -4152,8 +4152,25 @@ def q164_incremental_embedding_dedup_indexed(
         n_buckets=8,
         path=f"{base}/index",
     )
+    # Maintained occupancy sidecar (round 14) — the q98 discipline's
+    # missing half on the embedding side: per-bucket distinct counts
+    # derived ONCE at index-build time (rides the just-written table's
+    # bucketing, shuffle-free), so the probe's cap gate reads stored
+    # counts instead of re-aggregating every probed index row with two
+    # countDistincts per run. At 100 TB that is O(touched buckets) read
+    # vs O(probed rows) re-aggregated per nightly append; locally it
+    # removes the gate's tagged-aggregation stages from the serve path
+    # (same bucket_size by the gate's exactness contract — oracle-proved).
+    spark.table(index_table).groupBy("bucket").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_exist")
+    ).repartition(1).write.parquet(f"{base}/occ")
     new_index, pairs = incremental_lsh_neardup_pairs_indexed(
-        spark.table(index_table), new, dims=64, threshold=0.42, planes=planes
+        spark.table(index_table),
+        new,
+        dims=64,
+        threshold=0.42,
+        planes=planes,
+        existing_occupancy=spark.read.parquet(f"{base}/occ"),
     )
     # one-shot path, nothing appends: release the operator's persist
     # marker before any action caches blocks (see q98)
