@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from beast_spark.functions.vectors import cosine, dot, norm
+from beast_spark.functions.vectors import dot, norm
 
 __all__ = [
     "DEFAULT_MAX_BUCKET",
@@ -77,18 +77,28 @@ def brute_force_topk(
     """
     from beast_spark.operators.dedup import fan_out
 
+    # norms hoisted to once per VECTOR (round 14): cosine(a,b) re-folds
+    # dot(a,a) and dot(b,b) for every (query, vec) pair — a Q-fold /
+    # N-fold replay of the interpreted norm folds. Same float expression
+    # dot/(norm(a)·norm(b)) with identical operand values, so rounded
+    # scores (and every oracle replaying them) are bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     # fan_out (round 13): the Q-fold exact scoring rides the data scan's
     # partitioning (1 local partition → single task); no-op at scale
-    joined = fan_out(data).alias("d").join(
-        F.broadcast(q), F.col("query_id") != F.col(id_col)
-    )
+    joined = fan_out(data.select(id_col, vec_col)).withColumn(
+        "_dn", norm(F.col(vec_col))
+    ).join(F.broadcast(q), F.col("query_id") != F.col(id_col))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col("query_vec"), F.col(vec_col)), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_dn")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -168,9 +178,16 @@ def lsh_topk(
     """
     if planes is None:
         planes = hyperplanes(dims, n_planes, seed)
-    d = data.withColumn("bucket", lsh_bucket_col(vec_col, planes))
+    # norms once per vector/query (round 14, brute_force_topk's rationale):
+    # same dot/(n·n) float expression as cosine(), bit-identical scores
+    d = data.withColumn("bucket", lsh_bucket_col(vec_col, planes)).withColumn(
+        "_dn", norm(F.col(vec_col))
+    )
     q = queries.withColumn("bucket", lsh_bucket_col(vec_col, planes)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        "bucket",
+        norm(F.col(vec_col)).alias("_qn"),
     )
     if probes > 1:
         flips = [F.col("bucket")] + [
@@ -179,7 +196,7 @@ def lsh_topk(
         ]
         q = q.withColumn("bucket", F.explode(F.array(*flips)))
     joined = d.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col(id_col))
-    cos = cosine(F.col("query_vec"), F.col(vec_col))
+    cos = dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_dn"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
@@ -294,12 +311,18 @@ def lsh_topk_multitable(
     if tables is None:
         tables = multitable_planes(dims, n_planes, n_tables)
     pairs = lsh_multitable_candidates(data, queries, tables, id_col, vec_col)
+    # norms once per vector/query (round 14): same dot/(n·n) float
+    # expression as cosine(), bit-identical scores
     scored = (
-        pairs.join(data.select(id_col, vec_col), id_col)
+        pairs.join(
+            data.select(id_col, vec_col, norm(F.col(vec_col)).alias("_dn")), id_col
+        )
         .join(
             F.broadcast(
                 queries.select(
-                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("query_vec"),
+                    norm(F.col(vec_col)).alias("_qn"),
                 )
             ),
             "query_id",
@@ -307,9 +330,17 @@ def lsh_topk_multitable(
         .select(
             "query_id",
             F.col(id_col).alias("vec_id"),
-            (F.floor(cosine(F.col("query_vec"), F.col(vec_col)) * 1e6 + F.lit(0.5)) / 1e6).alias(
-                "cos_sim"
-            ),
+            (
+                F.floor(
+                    (
+                        dot(F.col("query_vec"), F.col(vec_col))
+                        / (F.col("_qn") * F.col("_dn"))
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -819,17 +850,26 @@ def ivf_probes(
     and :func:`ivf_candidates` (one broadcast of the tiny centroid
     frame, rounded-score ranking with cid tie-break), factored out so
     the two paths cannot drift."""
+    # norms once per query/centroid (round 14): same dot/(n·n) float
+    # expression as cosine(), bit-identical scores
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    c = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     q_scored = q.join(F.broadcast(c)).select(
         "query_id",
         "query_vec",
         "cid",
-        F.round(cosine(F.col("query_vec"), F.col("cvec")), round_digits).alias(
-            "cscore"
-        ),
+        F.round(
+            dot(F.col("query_vec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cscore"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
     return (
@@ -864,13 +904,18 @@ def ivf_topk(
     probes = ivf_probes(
         queries, centroids, nprobe, id_col, vec_col, round_digits
     )
-    cand = assigned.join(
-        F.broadcast(probes), "cid"
+    # norms once per vector / per probe row (round 14): same dot/(n·n)
+    # float expression as cosine(), bit-identical scores
+    cand = assigned.withColumn("_dn", norm(F.col(vec_col))).join(
+        F.broadcast(probes.withColumn("_qn", norm(F.col("query_vec")))), "cid"
     ).filter(F.col("query_id") != F.col(id_col))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col("query_vec"), F.col(vec_col)), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_dn")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -1135,9 +1180,15 @@ def ivf_inertia_df(
         id_col,
         vec_col,
     )
-    c = centroids.select("cid", "cvec")
+    # centroid norms once per centroid instead of once per corpus row
+    # (round 14): same dot/(n·n) float expression, bit-identical
+    c = centroids.select("cid", "cvec", norm(F.col("cvec")).alias("_cn"))
     scored = assigned.join(F.broadcast(c), "cid").select(
-        (1 - cosine(F.col(vec_col), F.col("cvec"))).alias("err")
+        (
+            1
+            - dot(F.col(vec_col), F.col("cvec"))
+            / (norm(F.col(vec_col)) * F.col("_cn"))
+        ).alias("err")
     )
     return scored.agg(F.avg("err").alias(out_col))
 
@@ -1823,6 +1874,16 @@ def _d2i(a, b) -> F.Column:
     return F.floor(d2 * 1e6 + F.lit(0.5)).cast("long")
 
 
+def _d2i_pre(na, nb, a, b) -> F.Column:
+    """:func:`_d2i` with the two self-dots HOISTED to per-vector columns
+    (round 14): callers compute ``na = dot(a,a)`` / ``nb = dot(b,b)``
+    once per distinct vector BELOW the pair fan-out instead of re-folding
+    them per pair. Same expression shape ((na + nb) − 2·a·b, integerized
+    once) over identical operand values — bit-identical to _d2i."""
+    d2 = na + nb - 2.0 * dot(a, b)
+    return F.floor(d2 * 1e6 + F.lit(0.5)).cast("long")
+
+
 def _pq_sub(dims: int, m: int) -> int:
     """Subspace width, validating the split covers EVERY dimension — a
     dims % m remainder would silently drop the trailing dims from every
@@ -1882,11 +1943,19 @@ def pq_codes(
     rows = fan_out(data).select(
         id_col, F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "sv")
     )
-    scored = rows.join(F.broadcast(codebooks), "s").select(
+    # self-dots hoisted below the n_codes-fold join (round 14): the
+    # subvector norm folds once per (vec, s) row and the centroid norm
+    # once per codebook row, instead of 3 interpreted folds per scored
+    # row; _d2i_pre keeps the distance bit-identical
+    rows = rows.withColumn("_nsv", dot(F.col("sv"), F.col("sv")))
+    cb = codebooks.withColumn("_ncv", dot(F.col("cvec"), F.col("cvec")))
+    scored = rows.join(F.broadcast(cb), "s").select(
         id_col,
         "s",
         "code",
-        _d2i(F.col("sv"), F.col("cvec")).alias("d2i"),
+        _d2i_pre(
+            F.col("_nsv"), F.col("_ncv"), F.col("sv"), F.col("cvec")
+        ).alias("d2i"),
     )
     return (
         scored.groupBy(id_col, "s")
@@ -1907,11 +1976,18 @@ def pq_adc_lut(
     sub-distances from every query subvector to every sub-centroid.
     Q × m × n_codes rows; always broadcast."""
     sub = _pq_sub(dims, m)
-    return queries.select(
+    # self-dots hoisted below the n_codes-fold join (round 14, as in
+    # pq_codes); bit-identical via _d2i_pre
+    qrows = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(_subvectors(F.col(vec_col), m, sub)).alias("s", "qv"),
-    ).join(F.broadcast(codebooks), "s").select(
-        "query_id", "s", "code", _d2i(F.col("qv"), F.col("cvec")).alias("d2i")
+    ).withColumn("_nqv", dot(F.col("qv"), F.col("qv")))
+    cb = codebooks.withColumn("_ncv", dot(F.col("cvec"), F.col("cvec")))
+    return qrows.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "s",
+        "code",
+        _d2i_pre(F.col("_nqv"), F.col("_ncv"), F.col("qv"), F.col("cvec")).alias("d2i"),
     )
 
 

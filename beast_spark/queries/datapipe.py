@@ -4323,7 +4323,7 @@ def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantization_params,
         scalar_quantize_dequantized,
     )
-    from beast_spark.functions.vectors import cosine
+    from beast_spark.functions.vectors import dot, norm
 
     e = load_table(spark, sf_dir, "embeddings")
     params = quantization_params(e)
@@ -4343,8 +4343,15 @@ def q167_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("e2").alias("mse"))
     )
 
-    qv = dqv.filter(F.col("vec_id") == 0).select(F.col("dqvec").alias("qdv"))
-    qcos = cosine(F.col("qdv"), F.col("dqvec"))
+    # query norm hoisted (round 14): the single query vector's |q| was
+    # re-folded once per corpus row; same dot/(n·n) float expression as
+    # cosine(), bit-identical
+    qv = dqv.filter(F.col("vec_id") == 0).select(
+        F.col("dqvec").alias("qdv"), norm(F.col("dqvec")).alias("_qn")
+    )
+    qcos = dot(F.col("qdv"), F.col("dqvec")) / (
+        F.col("_qn") * norm(F.col("dqvec"))
+    )
     # top-10 via orderBy+limit (TakeOrderedAndProject: each task keeps
     # its local 10, the driver merges) — never a row_number() over an
     # unpartitioned window, which would sort the whole corpus through
@@ -5233,7 +5240,7 @@ _IVF_COST_ORACLE = (
     "the cost claim itself is hash-checked.",
 )
 def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.functions.vectors import cosine
+    from beast_spark.functions.vectors import dot, norm
     from beast_spark.operators.similarity import (
         clustered_fixture,
         ivf_candidates,
@@ -5259,21 +5266,31 @@ def q174_ann_ivf_cost_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rank (`qcand`, carried through the top-10 rows), so nothing
         # needs a persist that would outlive the query build.
         cand = ivf_candidates(corpus, qs, n_centroids=64, nprobe=2)
+        # norms hoisted to once per vector / per query (round 14): same
+        # dot/(n·n) float expression as cosine(), bit-identical scores
         qside = F.broadcast(
             qs.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("query_vec"),
+                norm(F.col("embedding")).alias("_nq"),
             )
         )
         scored = (
-            cand.join(corpus.select("vec_id", "embedding"), "vec_id")
+            cand.join(
+                corpus.select(
+                    "vec_id", "embedding", norm(F.col("embedding")).alias("_nv")
+                ),
+                "vec_id",
+            )
             .join(qside, "query_id")
             .select(
                 "query_id",
                 "vec_id",
-                F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
-                    "cos_sim"
-                ),
+                F.round(
+                    dot(F.col("query_vec"), F.col("embedding"))
+                    / (F.col("_nq") * F.col("_nv")),
+                    6,
+                ).alias("cos_sim"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -5567,7 +5584,7 @@ _IVF_INT8_ORACLE = """
     "only the codes table, the exact re-rank fetches 30xQ raw vectors.",
 )
 def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beast_spark.functions.vectors import cosine
+    from beast_spark.functions.vectors import dot, norm
     from beast_spark.operators.similarity import (
         dequantize_codes,
         ivf_candidates,
@@ -5585,18 +5602,26 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortlist window (`qcand`, q174's pattern) through the re-rank,
     # so no persist outlives the query build.
     cand = ivf_candidates(e, qs, n_centroids=64, nprobe=2)
+    # norms hoisted to once per vector / per query (round 14): same
+    # dot/(n·n) float expression as cosine(), bit-identical scores
     qside = F.broadcast(
         qs.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            norm(F.col("embedding")).alias("_nq"),
         )
     )
     dqs = (
-        cand.join(dq, "vec_id")
+        cand.join(dq.withColumn("_ndq", norm(F.col("dqvec"))), "vec_id")
         .join(qside, "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("query_vec"), F.col("dqvec")), 6).alias("s"),
+            F.round(
+                dot(F.col("query_vec"), F.col("dqvec"))
+                / (F.col("_nq") * F.col("_ndq")),
+                6,
+            ).alias("s"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("vec_id"))
@@ -5607,13 +5632,17 @@ def q176_ann_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "qcand")
     )
     rer = (
-        short.join(e, "vec_id")
+        short.join(e.withColumn("_nv", norm(F.col("embedding"))), "vec_id")
         .join(qside, "query_id")
         .select(
             "query_id",
             "vec_id",
             "qcand",
-            F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias("cs"),
+            F.round(
+                dot(F.col("query_vec"), F.col("embedding"))
+                / (F.col("_nq") * F.col("_nv")),
+                6,
+            ).alias("cs"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
@@ -6364,8 +6393,9 @@ _PQ_ADC_ORACLE = (
 )
 def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beast_spark.operators.dedup import fan_out
+    from beast_spark.functions.vectors import dot
     from beast_spark.operators.similarity import (
-        _d2i,
+        _d2i_pre,
         clustered_fixture,
         pq_adc_lut,
         pq_adc_topk,
@@ -6392,17 +6422,25 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE ranking pass serves both operating points: the direct ADC
         # top-10 is the r<=10 prefix of the shortlist (same ordering).
         short = pq_adc_topk(codes, lut, k=50).select("query_id", "vec_id", "rank")
+        # self-dots hoisted to once per vector / per query (round 14):
+        # the Q-fold exact leg re-folded |q|² and |v|² per pair;
+        # _d2i_pre keeps the distance bit-identical
         qside = qs.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ).withColumn("_nq", dot(F.col("qvec"), F.col("qvec")))
+        corpus_n = corpus.withColumn(
+            "_nv", dot(F.col("embedding"), F.col("embedding"))
         )
         wr = Window.partitionBy("query_id").orderBy(F.col("d2i"), F.col("vec_id"))
         rer = (
-            short.join(corpus, "vec_id")
+            short.join(corpus_n, "vec_id")
             .join(F.broadcast(qside), "query_id")
             .select(
                 "query_id",
                 "vec_id",
-                _d2i(F.col("qvec"), F.col("embedding")).alias("d2i"),
+                _d2i_pre(
+                    F.col("_nq"), F.col("_nv"), F.col("qvec"), F.col("embedding")
+                ).alias("d2i"),
             )
             .withColumn("r2", F.row_number().over(wr))
             .filter(F.col("r2") <= 10)
@@ -6412,12 +6450,14 @@ def q183_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan's single local partition otherwise (brute_force_topk's
         # fix, applied to this open-coded exact side)
         exact = (
-            fan_out(corpus)
+            fan_out(corpus_n)
             .join(F.broadcast(qside), F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "vec_id",
-                _d2i(F.col("qvec"), F.col("embedding")).alias("d2i"),
+                _d2i_pre(
+                    F.col("_nq"), F.col("_nv"), F.col("qvec"), F.col("embedding")
+                ).alias("d2i"),
             )
             .withColumn("r", F.row_number().over(wr))
             .filter(F.col("r") <= 10)

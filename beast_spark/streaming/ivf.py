@@ -88,7 +88,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from beast_spark.functions.vectors import cosine
+from beast_spark.functions.vectors import cosine, dot, norm
 from beast_spark.operators.similarity import (
     _d2i,
     dequantize_codes,
@@ -572,11 +572,19 @@ class IvfIndexMaintainer(ManifestSwapTable):
             F.col("cos_sim").desc(), F.col(self.id_col)
         )
         if self.codebook_path is None:
-            scored = cand.join(vectors, self.id_col).select(
+            # stored-vector norms hoisted to once per vector (round 14):
+            # same dot/(n·n) float expression as cosine(), bit-identical;
+            # the query-side norm stays inline — hoisting it would add a
+            # broadcast join (a barrier) to a latency-bound serve path
+            scored = cand.join(
+                vectors.withColumn("_dn", norm(F.col(self.vec_col))), self.id_col
+            ).select(
                 "query_id",
                 self.id_col,
                 F.round(
-                    cosine(F.col("query_vec"), F.col(self.vec_col)), 6
+                    dot(F.col("query_vec"), F.col(self.vec_col))
+                    / (norm(F.col("query_vec")) * F.col("_dn")),
+                    6,
                 ).alias("cos_sim"),
             )
             return (
@@ -599,13 +607,19 @@ class IvfIndexMaintainer(ManifestSwapTable):
         ws = Window.partitionBy("query_id").orderBy(
             F.col("s").desc(), F.col(self.id_col)
         )
+        # dequantized-vector norms hoisted to once per vector (round 14),
+        # as in the exact path above; bit-identical
         short = (
-            cand.join(dq, self.id_col)
+            cand.join(dq.withColumn("_ndq", norm(F.col("dqvec"))), self.id_col)
             .select(
                 "query_id",
                 "query_vec",
                 self.id_col,
-                F.round(cosine(F.col("query_vec"), F.col("dqvec")), 6).alias("s"),
+                F.round(
+                    dot(F.col("query_vec"), F.col("dqvec"))
+                    / (norm(F.col("query_vec")) * F.col("_ndq")),
+                    6,
+                ).alias("s"),
             )
             .withColumn("r", F.row_number().over(ws))
             .filter(F.col("r") <= n_short)
