@@ -544,9 +544,16 @@ def _capped_incremental_gate(
         # stored counts for the touched keys only: the semi-join keeps
         # the result broadcastable (O(touched buckets)) even when the
         # occupancy sub-table itself is corpus-sized (MinHash buckets
-        # are near-unique per doc)
+        # are near-unique per doc). The key set is built as
+        # inc.select(keys).distinct() — canonically the SAME subtree as
+        # the touched-buckets broadcast every caller probes its index
+        # with — so the two broadcasts collapse into one ReusedExchange
+        # (round 14: one fewer broadcast-build job on the serve chain,
+        # which the q98/q164/q173 profiles show is ~pure job latency)
         n_ex = (
-            existing_occupancy.join(F.broadcast(inc_occ.select(*keys)), keys, "left_semi")
+            existing_occupancy.join(
+                F.broadcast(inc.select(*keys).distinct()), keys, "left_semi"
+            )
             .select(*keys, F.col("n_exist").alias("_n_ex"))
         )
         # (no id-only pre-filter here: the (keys, id) semi below subsumes
